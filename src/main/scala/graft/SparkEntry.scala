@@ -1,13 +1,241 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every oracle-checked query obeys the determinism rules from SURVEY §5:
+  * total ORDER BY with unique tie-breaks, rounded float aggregates where
+  * accumulation order differs between Spark and DuckDB, computed integers
+  * cast to BIGINT on both sides, timestamps cast to µs (or formatted to
+  * strings) on the DuckDB side to neutralize the parquet ns/µs gap.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.aggPricing(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * LLM-pipeline extensions: text stats/langid/fingerprint, embedding
+    * near-dup, IVF ANN).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scans
+    "q_scan_filter" -> (Relational.scanFilter _),
+    // §2.4 aggregation
+    "q_agg_pricing" -> (Relational.aggPricing _),
+    "q_distinct_users" -> (Events.distinctUsers _),
+    "q_approx_distinct" -> (Events.approxDistinct _),
+    "q_rollup_revenue" -> (Relational.rollupRevenue _),
+    // §2.3 joins
+    "q_join_segment" -> (Relational.joinSegment _),
+    "q_join_5way" -> (Relational.join5Way _),
+    "q_semi_join" -> (Relational.semiJoin _),
+    "q_anti_join" -> (Relational.antiJoin _),
+    // §2.5 windows
+    "q_window_rank" -> (Windows.windowRank _),
+    "q_window_running" -> (Windows.windowRunning _),
+    "q_sessionize" -> (Windows.sessionize _),
+    // §2.6 sort/limit/set ops
+    "q_topk_parts" -> (Relational.topkParts _),
+    "q_setops" -> (Relational.setops _),
+    // §2.2 semi-structured
+    "q_json_extract" -> (Events.jsonExtract _),
+    // §2.9 streaming batch twin
+    "q_tumbling_1h" -> (Events.tumbling1h _),
+    // §2.7 text
+    "q_text_wordcount" -> (TextOps.wordcount _),
+    "q_dedup_docs" -> (TextOps.dedupDocs _),
+    "q_text_stats" -> (TextOps.textStats _),
+    "q_text_langid" -> (TextOps.langId _),
+    "q_text_fingerprint" -> (TextOps.fingerprint _),
+    // §2.8 vectors
+    "q_vector_knn" -> ((s: SparkSession, d: String) => VectorOps.knn(s, d)),
+    "q_dedup_embed" ->
+      ((s: SparkSession, d: String) => VectorOps.embedNearDup(s, d)),
+    "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),
+  )
+
+  /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
+    * q_approx_distinct (sketch impls differ), q_ann_ivf (not
+    * SQL-expressible at reasonable cost); both are covered by bounded-error
+    * / recall assertions in the test suite instead.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | l_discount, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+        | CAST(ROUND(SUM(l_extendedprice)) AS BIGINT) AS sum_base,
+        | CAST(ROUND(SUM(l_extendedprice*(1-l_discount))) AS BIGINT) AS sum_disc,
+        | CAST(ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax))) AS BIGINT) AS sum_charge,
+        | ROUND(AVG(l_quantity), 4) AS avg_qty,
+        | ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        | ROUND(AVG(l_discount), 4) AS avg_disc,
+        | COUNT(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(ROUND(SUM(l_extendedprice*(1-l_discount))) AS BIGINT) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_join_segment" ->
+      """SELECT c_mktsegment,
+        | CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_5way" ->
+      """SELECT r_name, n_name,
+        | CAST(ROUND(SUM(l_extendedprice*(1-l_discount))) AS BIGINT) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        | ROUND(SUM(value) OVER (PARTITION BY user_id
+        |   ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |   AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   value FROM events),
+        |g AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_ts FROM e)),
+        |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS session_id FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | ROUND(SUM(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_topk_parts" ->
+      """SELECT p_partkey, p_name, CAST(ROUND(rev) AS BIGINT) AS revenue
+        |FROM (SELECT p_partkey, p_name,
+        |   SUM(l_extendedprice*(1-l_discount)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_partkey, p_name ORDER BY rev DESC LIMIT 10)
+        |ORDER BY revenue DESC, p_partkey""".stripMargin,
+    "q_setops" ->
+      """SELECT c_custkey FROM (
+        |  SELECT c_custkey FROM customer
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey LIMIT 100""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+        | ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_tumbling_1h" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |   '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_text_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT UNNEST(string_split(lower(text), ' ')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "q_dedup_docs" ->
+      """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok, n_chars
+        |  FROM documents),
+        |u AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(tok)) AS BIGINT) AS n_uniq, n_chars FROM t)
+        |SELECT doc_id, n_tokens, n_uniq, n_chars,
+        | ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 4) AS ttr,
+        | ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4)
+        |   AS avg_token_len,
+        | ROUND((CAST(n_uniq AS DOUBLE) / n_tokens)
+        |   * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) AS quality
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(tok, x -> x IN ('the','a','of','and','to'))) AS s_en,
+        |  len(list_filter(tok, x -> x IN ('el','la','de','y','que'))) AS s_es,
+        |  len(list_filter(tok, x -> x IN ('le','les','et','des','une'))) AS s_fr,
+        |  len(list_filter(tok, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        |  len(list_filter(tok, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
+        | FROM t),
+        |p AS (SELECT doc_id, lang,
+        |  CASE
+        |   WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        |   WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+        |   WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |   WHEN s_de >= s_zh THEN 'de'
+        |   ELSE 'zh' END AS pred_lang
+        | FROM s)
+        |SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vector_knn" ->
+      """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |r AS (SELECT a_id, b_id, sim, ROW_NUMBER() OVER (PARTITION BY a_id
+        |  ORDER BY sim DESC, b_id) AS rn FROM p)
+        |SELECT a_id, b_id, ROUND(sim, 6) AS sim, rn FROM r
+        |WHERE rn <= 5 ORDER BY a_id, rn LIMIT 100""".stripMargin,
+    "q_dedup_embed" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+  )
 }

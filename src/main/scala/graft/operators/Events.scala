@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream (webhook payload) operators in batch form (SURVEY.md §2.2,
+  * §2.4, §2.9). The streaming twins live in graft.streaming.StreamOps —
+  * identical logical plans over readStream.
+  */
+object Events {
+
+  /** Semi-structured extraction: `props` is a JSON *string*
+    * (`{"k": <int>}`); pull `$.k` and aggregate per event type.
+    * get_json_object stays inside whole-stage codegen.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").cast("long").as("sum_k"),
+        round(avg($"k"), 4).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Exact COUNT(DISTINCT user_id) per event type. Spark plans this as a
+    * two-phase expand+agg — exact but shuffle-heavy; the approximate twin
+    * below is the 100 TB shape.
+    */
+  def distinctUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** HLL++ approximate distinct users per event type. No DuckDB oracle —
+    * sketch implementations differ; bounded-error vs exact is asserted in
+    * EventsSpec instead (SURVEY §2.4).
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+      .orderBy($"event_type")
+  }
+
+  /** Batch twin of the streaming tumbling-window aggregate: per-hour,
+    * per-type count + sum(value). Hour is emitted as a string so the
+    * ns(DuckDB)↔µs(Spark) timestamp precision difference can't affect the
+    * driver's hash compare (FIXTURES.md events.ts note).
+    */
+  def tumbling1h(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2.1–2.6, minus windows).
+  *
+  * Determinism rules (SURVEY §5.1): every query ends in a total ORDER BY;
+  * float sums whose accumulation order differs between engines are rounded
+  * (big sums → integer cents-scale BIGINT, averages → 4 decimals); computed
+  * integers are cast to LongType so the DuckDB oracle types line up.
+  *
+  * Scale notes: all joins here are star-schema shaped — Catalyst broadcasts
+  * the dim side automatically (customer @100TB-scale proportions would still
+  * be the small side vs lineitem; nation/region are constants). Aggregations
+  * are partial+final hash aggs (map-side combine), so the shuffle carries
+  * groups, not rows.
+  */
+object Relational {
+
+  /** Parquet scan + multi-predicate filter. The predicates reach the scan as
+    * PushedFilters (min/max row-group skipping); projection prunes to 6 of 11
+    * columns (ReadSchema).
+    */
+  def scanFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= "1998-01-01" &&
+        $"l_discount".between(0.02, 0.06) && $"l_quantity" < 24)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_discount",
+        $"l_shipdate".cast("date").as("ship_date"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** TPC-H Q1-style pricing summary: group by (returnflag, linestatus),
+    * SUM/AVG/COUNT over derived measures. Partial aggregation means only 6
+    * groups cross the shuffle regardless of fact-table size.
+    */
+  def aggPricing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val disc = $"l_extendedprice" * (lit(1) - $"l_discount")
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" <= "1998-09-02")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity")).cast("long").as("sum_qty"),
+        round(sum($"l_extendedprice")).cast("long").as("sum_base"),
+        round(sum(disc)).cast("long").as("sum_disc"),
+        round(sum(disc * (lit(1) + $"l_tax"))).cast("long").as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** 2-way equi join orders⋈customer, revenue per market segment. Customer is
+    * the small side → broadcast-hash join, no shuffle of orders.
+    */
+  def joinSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(round(sum($"o_totalprice")).cast("long").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** 5-way star join lineitem⋈orders⋈customer⋈nation⋈region, revenue by
+    * (region, nation). nation/region broadcast explicitly (constant 25/5
+    * rows at every scale); customer broadcasts by threshold. Only the
+    * lineitem⋈orders edge can ever need a shuffle at 100 TB.
+    */
+  def join5Way(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    starJoin(s, dir)
+      .groupBy($"r_name", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")))
+        .cast("long").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Rollup (grouping sets) over the same star join: revenue at
+    * (region, nation), (region), and grand-total grain in one pass.
+    * NULLS FIRST pinned explicitly — Spark and DuckDB default differently.
+    */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    starJoin(s, dir)
+      .rollup($"r_name", $"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")))
+        .cast("long").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  private def starJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region")),
+        $"n_regionkey" === $"r_regionkey")
+  }
+
+  /** EXISTS-style left-semi join: customers with ≥1 order > 400 000.
+    * Semi join never duplicates the left side, so no post-dedup needed.
+    */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables(s, dir, "orders").filter($"o_totalprice" > 400000)
+    Tables(s, dir, "customer")
+      .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** NOT-EXISTS-style left-anti join: customers with no order > 400 000.
+    * (A bare "no orders" anti-join is empty at every sf — FIXTURES.md.)
+    */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables(s, dir, "orders").filter($"o_totalprice" > 400000)
+    Tables(s, dir, "customer")
+      .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Top-10 parts by revenue: join + agg + global sort-limit. Spark plans
+    * TakeOrderedAndProject — each partition keeps a 10-row heap, only 10×P
+    * rows reach the driver. Final presentation re-sorts on the rounded
+    * revenue with p_partkey tie-break so the oracle hash is stable.
+    */
+  def topkParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_partkey", $"p_name")
+      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+      .orderBy(desc("rev"))
+      .limit(10)
+      .select($"p_partkey", $"p_name", round($"rev").cast("long").as("revenue"))
+      .orderBy(desc("revenue"), $"p_partkey")
+  }
+
+  /** Set operation: INTERSECT of customer keys with ordering custkeys.
+    * Spark rewrites intersect as an aggregate+semi-join under the hood.
+    */
+  def setops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables(s, dir, "customer").select($"c_custkey")
+    val o = Tables(s, dir, "orders").select($"o_custkey".as("c_custkey"))
+    c.intersect(o).orderBy($"c_custkey").limit(100)
+  }
+}

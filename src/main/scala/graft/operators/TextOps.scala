@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over the `documents` corpus (SURVEY.md §2.7 +
+  * the driver-mandated LLM-data-pipeline surface: token stats / quality
+  * scoring, language ID, fingerprinting).
+  *
+  * Everything here is per-document map work plus hash aggregation — the
+  * embarrassingly-parallel shape: no operator needs more than one shuffle,
+  * and all tokenization runs inside whole-stage codegen (split/explode/
+  * higher-order functions, no UDFs).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Tokenize + top-20 words. Ties below rank 20 broken by word. */
+  def wordcount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(explode(split(lower($"text"), " ")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), $"word")
+      .limit(20)
+  }
+
+  /** Exact-duplicate detection at corpus grain: per-language doc count vs
+    * distinct-text count. The row-level form is dropDuplicates("text");
+    * at 100 TB you'd dedup on a fingerprint (below) instead of raw text to
+    * keep shuffle payloads small.
+    */
+  def dedupDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"text").as("n_distinct"))
+      .orderBy($"lang")
+  }
+
+  /** Per-document token statistics + quality score: token count, distinct
+    * tokens, type-token ratio, average token length, and a composite
+    * quality score (TTR damped by a length prior). All ratios are exact
+    * integer divisions in double — deterministic across engines.
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = split($"text", " ")
+    docs(s, dir)
+      .select($"doc_id",
+        size(tok).cast("long").as("n_tokens"),
+        size(array_distinct(tok)).cast("long").as("n_uniq"),
+        $"n_chars")
+      .withColumn("ttr", round($"n_uniq".cast("double") / $"n_tokens", 4))
+      .withColumn("avg_token_len",
+        round(($"n_chars" - ($"n_tokens" - lit(1))).cast("double") /
+          $"n_tokens", 4))
+      .withColumn("quality",
+        round(($"n_uniq".cast("double") / $"n_tokens") *
+          least(lit(1.0), $"n_tokens".cast("double") / lit(50.0)), 4))
+      .orderBy($"doc_id")
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** Stopword-profile language ID (n-gram-heuristic family): count
+    * membership of each language's marker tokens, argmax with a fixed
+    * preference order (en > es > fr > de > zh) for ties. Deterministic by
+    * construction; accuracy is secondary to the pipeline shape (the corpus
+    * shares one vocabulary across langs — FIXTURES.md).
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = split($"text", " ")
+    val scored = stopwords.foldLeft(docs(s, dir).select($"doc_id", $"lang",
+      tok.as("tok"))) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang",
+        size(filter($"tok", t => t.isin(words: _*))).cast("long"))
+    }
+    val langs = Seq("en", "es", "fr", "de", "zh")
+    val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    // `when` chains evaluate in order, so the FIRST lang (en) wins ties —
+    // mirrored by the same CASE order in the oracle SQL.
+    val predFirst = langs.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case (l, acc) => when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("pred_lang", predFirst)
+      .select($"doc_id", $"lang", $"pred_lang",
+        ($"pred_lang" === $"lang").as("is_match"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bag-of-words document fingerprint: md5 over the sorted token list.
+    * Catches shuffled-token duplicates that raw-text dedup misses; at scale
+    * the 32-hex fingerprint (not the document) is what crosses the shuffle.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        md5(concat_ws(" ", sort_array(split($"text", " ")))).as("fp"))
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Vector / similarity-search operators over the `embeddings` table
+  * (64-d float vectors; SURVEY.md §2.8 + §4.3).
+  *
+  * The brute-force k-NN is implemented as broadcast + mapPartitions with a
+  * per-row bounded top-k, NOT as a 4M-row self-join + window sort: the
+  * candidate matrix (n×64 floats, 512 KB at sf0.1) is broadcast once, each
+  * partition streams its vectors against it, and only k rows per vector
+  * survive. This eliminates the O(n²) shuffle and the global sort — the
+  * designed-for-100TB shape (at real scale the broadcast side becomes the
+  * IVF centroid table, see `annIvf`).
+  *
+  * Cosine is accumulated left-to-right in double, matching DuckDB's
+  * list_cosine_similarity over CAST(embedding AS DOUBLE[]) bit-for-bit
+  * closely enough that round(sim, 6) hashes identically.
+  */
+object VectorOps {
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def collectVectors(s: SparkSession, dir: String)
+  : Array[(Long, Array[Double])] = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+  }
+
+  /** Brute-force k-NN: for each vector, top-5 cosine-similar vectors with a
+    * larger vec_id (a.vec_id < b.vec_id pair dedup), presented ordered by
+    * (a_id, rank) and limited to 100 rows.
+    */
+  def knn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val all = collectVectors(s, dir)
+    val bc = s.sparkContext.broadcast(all)
+    val out = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val data = bc.value
+        it.flatMap { case (aId, aF) =>
+          val a = aF.map(_.toDouble)
+          data.iterator
+            .filter(_._1 > aId)
+            .map { case (bId, b) => (bId, cosine(a, b)) }
+            .toArray
+            .sortBy { case (bId, sim) => (-sim, bId) }
+            .take(k)
+            .zipWithIndex
+            .map { case ((bId, sim), i) => (aId, bId, sim, (i + 1).toLong) }
+        }
+      }
+      .toDF("a_id", "b_id", "sim_raw", "rn")
+    out.select($"a_id", $"b_id", round($"sim_raw", 6).as("sim"), $"rn")
+      .orderBy($"a_id", $"rn")
+      .limit(100)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs (a<b) with cosine ≥
+    * threshold. Same broadcast/mapPartitions shape as `knn`; output is
+    * filtered, not top-k, so it stays small even when n² is large.
+    */
+  def embedNearDup(s: SparkSession, dir: String,
+                   threshold: Double = 0.4): DataFrame = {
+    import s.implicits._
+    val all = collectVectors(s, dir)
+    val bc = s.sparkContext.broadcast(all)
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val data = bc.value
+        it.flatMap { case (aId, aF) =>
+          val a = aF.map(_.toDouble)
+          data.iterator
+            .filter(_._1 > aId)
+            .map { case (bId, b) => (aId, bId, cosine(a, b)) }
+            .filter(_._3 >= threshold)
+        }
+      }
+      .toDF("a_id", "b_id", "sim_raw")
+      .select($"a_id", $"b_id", round($"sim_raw", 6).as("sim"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** IVF-style approximate nearest neighbours (the 100 TB scale path for
+    * `knn`): deterministic coarse quantizer (first `nlist` vectors by id as
+    * centroids — no iterative k-means, so the result is reproducible),
+    * assign every vector to its nearest centroid, then search only the
+    * `nprobe` closest cells per query vector.
+    *
+    * No DuckDB oracle (not SQL-expressible at reasonable cost) — recall vs
+    * brute force is asserted in VectorOpsSpec; the driver records a
+    * rows-only check.
+    */
+  def annIvf(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 16,
+             nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val all = collectVectors(s, dir)
+    val centroids = all.take(nlist)
+    // invert: cell id -> member vectors (computed once, broadcast)
+    val cells: Map[Int, Array[(Long, Array[Double])]] =
+      all.groupBy { case (_, v) =>
+        centroids.indices.maxBy(c => cosine(v, centroids(c)._2))
+      }
+    val bcCells = s.sparkContext.broadcast(cells)
+    val bcCent = s.sparkContext.broadcast(centroids.map(_._2))
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cent = bcCent.value
+        val inv = bcCells.value
+        it.flatMap { case (aId, aF) =>
+          val a = aF.map(_.toDouble)
+          val probes = cent.indices
+            .sortBy(c => -cosine(a, cent(c)))
+            .take(nprobe)
+          probes.iterator
+            .flatMap(c => inv.getOrElse(c, Array.empty[(Long, Array[Double])]))
+            .filter(_._1 != aId)
+            .map { case (bId, b) => (bId, cosine(a, b)) }
+            .toArray
+            .sortBy { case (bId, sim) => (-sim, bId) }
+            .take(k)
+            .zipWithIndex
+            .map { case ((bId, sim), i) => (aId, bId, sim, (i + 1).toLong) }
+        }
+      }
+      .toDF("a_id", "b_id", "sim_raw", "rn")
+      .select($"a_id", $"b_id", round($"sim_raw", 6).as("sim"), $"rn")
+      .orderBy($"a_id", $"rn")
+  }
+}
