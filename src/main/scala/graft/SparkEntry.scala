@@ -56,6 +56,13 @@ object SparkEntry {
     "q_dedup_embed" ->
       ((s: SparkSession, d: String) => VectorOps.embedNearDup(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),
+    // LLM-pipeline near-dup family
+    "q_dedup_ngram" ->
+      ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
+    "q_dedup_minhash" -> (DedupOps.minhashLsh _),
+    "q_dedup_simhash" -> (DedupOps.simhash _),
+    // multimodal plumbing (stubbed codec, real Spark shape)
+    "q_multimodal" -> (Multimodal.mediaFeatures _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -237,5 +244,8 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |   CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_ngram" -> DedupOps.ngramOracle,
+    "q_dedup_minhash" -> DedupOps.minhashOracle,
+    "q_dedup_simhash" -> DedupOps.simhashOracle,
   )
 }
