@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentSkipListMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Webhook ingest: HTTP POST JSON → rows in an unbounded stream
+  * (SURVEY.md §3.3 / §7.4).
+  *
+  * `POST /webhook/<topic>` lands in a bounded in-memory queue keyed by a
+  * monotonically increasing sequence number; a DataSource-v2
+  * MicroBatchStream exposes queue slices as micro-batch partitions.
+  * Delivery semantics are at-least-once (entries are retained until the
+  * engine commits the batch offset); exactly-once end-to-end is obtained
+  * by composing with StreamOps.dedup on a payload id — the webhook-domain
+  * pattern.
+  *
+  * Usage:
+  * {{{
+  *   WebhookQueue.startServer(8099)
+  *   val raw = spark.readStream.format("graft.sources.WebhookSourceProvider").load()
+  *   val events = raw.select(from_json($"body", schema).as("e"), $"ingest_ts").select("e.*", "ingest_ts")
+  * }}}
+  *
+  * Scale notes: one HTTP listener feeds one queue — at production scale
+  * this class sits behind a real pub-sub/broker (one listener per
+  * executor, or a durable log); the MicroBatchStream contract is identical
+  * either way, which is the point of keeping ingest behind DSv2. A single
+  * InputPartition per batch is correct for the in-memory queue (data lives
+  * on the driver); a partition-per-broker-shard is the drop-in extension.
+  */
+object WebhookQueue {
+  private val buf = new ConcurrentSkipListMap[Long, (Long, String, String)]()
+  private val seq = new AtomicLong(0L)
+  @volatile private var server: HttpServer = _
+  val maxRetained = 100000
+
+  def post(topic: String, body: String): Long = {
+    val id = seq.incrementAndGet()
+    buf.put(id, (System.currentTimeMillis() * 1000L, topic, body))
+    // bounded queue: shed oldest uncommitted beyond capacity (back-pressure
+    // in a real deployment; deterministic cap here)
+    while (buf.size() > maxRetained) buf.pollFirstEntry()
+    id
+  }
+
+  def latest: Long = seq.get()
+
+  def slice(fromExclusive: Long, toInclusive: Long)
+  : Array[(Long, Long, String, String)] =
+    buf.subMap(fromExclusive, false, toInclusive, true)
+      .entrySet().asScala
+      .map(e => (e.getKey, e.getValue._1, e.getValue._2, e.getValue._3))
+      .toArray
+
+  /** At-least-once retention: entries survive until the committed offset
+    * passes them.
+    */
+  def truncate(uptoInclusive: Long): Unit = {
+    val it = buf.headMap(uptoInclusive, true).keySet().iterator()
+    while (it.hasNext) { it.next(); it.remove() }
+  }
+
+  def clear(): Unit = buf.clear()
+
+  def startServer(port: Int): Int = synchronized {
+    if (server == null) {
+      server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+      server.createContext("/webhook", new HttpHandler {
+        override def handle(x: HttpExchange): Unit = {
+          val topic = x.getRequestURI.getPath.stripPrefix("/webhook")
+            .stripPrefix("/") match { case "" => "default"; case t => t }
+          if (x.getRequestMethod == "POST") {
+            val body = new String(x.getRequestBody.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val id = post(topic, body)
+            val resp = s"""{"accepted":$id}""".getBytes
+            x.sendResponseHeaders(200, resp.length)
+            x.getResponseBody.write(resp)
+          } else x.sendResponseHeaders(405, -1)
+          x.close()
+        }
+      })
+      server.setExecutor(null)
+      server.start()
+    }
+    server.getAddress.getPort
+  }
+
+  def stopServer(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+}
+
+object WebhookSource {
+  val schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("ingest_ts", TimestampType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("body", StringType, nullable = false)))
+}
+
+class WebhookSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "webhook"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WebhookSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new WebhookTable
+}
+
+class WebhookTable extends Table with SupportsRead {
+  override def name(): String = "webhook"
+  override def schema(): StructType = WebhookSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+  : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new WebhookScan
+  }
+}
+
+class WebhookScan extends Scan {
+  override def readSchema(): StructType = WebhookSource.schema
+  override def toMicroBatchStream(checkpointLocation: String)
+  : MicroBatchStream = new WebhookMicroBatchStream
+}
+
+case class WebhookOffset(seqNo: Long) extends Offset {
+  override def json(): String = s"""{"seq":$seqNo}"""
+}
+
+class WebhookMicroBatchStream extends MicroBatchStream {
+  override def initialOffset(): Offset = WebhookOffset(0L)
+  override def latestOffset(): Offset = WebhookOffset(WebhookQueue.latest)
+  override def deserializeOffset(json: String): Offset =
+    WebhookOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
+  override def commit(end: Offset): Unit =
+    WebhookQueue.truncate(end.asInstanceOf[WebhookOffset].seqNo)
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+  : Array[InputPartition] = {
+    val rows = WebhookQueue.slice(
+      start.asInstanceOf[WebhookOffset].seqNo,
+      end.asInstanceOf[WebhookOffset].seqNo)
+    if (rows.isEmpty) Array.empty
+    else Array(WebhookInputPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WebhookReaderFactory
+}
+
+/** The batch slice travels inside the partition (serialized to executors —
+  * correct beyond local mode, where the queue singleton wouldn't exist).
+  */
+case class WebhookInputPartition(rows: Array[(Long, Long, String, String)])
+  extends InputPartition
+
+object WebhookReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+  : PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[WebhookInputPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val (seqNo, tsMicros, topic, body) = rows(i)
+        InternalRow(seqNo, tsMicros,
+          UTF8String.fromString(topic), UTF8String.fromString(body))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

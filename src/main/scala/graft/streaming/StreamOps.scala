@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event record as it flows through the streaming pipelines (mirrors
+  * events.parquet / the webhook payload schema — FIXTURES.md).
+  */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double, props: String)
+
+/** Per-user alarm emitted by the stateful consecutive-error detector. */
+case class ErrorAlarm(user_id: Long, consecutive_errors: Int,
+                      last_ts: java.sql.Timestamp)
+
+/** Structured Streaming operator inventory (SURVEY.md §2.9). Each takes a
+  * *streaming* DataFrame with the Event schema and returns the transformed
+  * streaming DataFrame — callers pick the sink. The same logical plans run
+  * in batch mode (Events.tumbling1h is the batch twin of `tumbling`),
+  * which is how the DuckDB oracle indirectly covers the streaming
+  * semantics; watermark/state behavior is covered by StreamOpsSpec replay
+  * tests.
+  *
+  * State scale: every operator keys its state by (window, type) or
+  * user_id — per-key state lives in that key's state-store partition, so
+  * a 1000-executor cluster shards it by the same shuffle that routes the
+  * data. Watermarks bound state size; without them these would grow
+  * forever at 100 TB/day.
+  */
+object StreamOps {
+
+  /** Per-hour per-type tumbling counts + sums; 2h watermark bounds state
+    * and admits late events up to 2h behind the max seen ts.
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** 1-hour window sliding every 15 minutes (each event lands in 4
+    * windows).
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Session windows with a 30-minute inactivity gap — the streaming twin
+    * of Windows.sessionize (same gap constant).
+    */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** At-least-once → exactly-once: drop replayed webhook deliveries by
+    * event_id. State for an id is held only within the watermark — the
+    * delivery-retry horizon — so it can't grow unboundedly.
+    * The webhook-domain signature operator (SURVEY §2.9).
+    */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream–static enrichment: join the live stream against the customer
+    * dimension. The static side is broadcast per micro-batch; no stream
+    * state.
+    */
+  def enrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(customer,
+      events("user_id") === customer("c_custkey"), "left_outer")
+
+  /** Custom stateful detector: alarm when a user produces `threshold`
+    * consecutive 'error' events; the run counter carries across
+    * micro-batches via flatMapGroupsWithState. (cf. the alarm-verification
+    * pattern in PAPERS.md.)
+    *
+    * State is one Int per user. At 100 TB-scale you'd evict idle users'
+    * state with an event-time timeout (`EventTimeTimeout` +
+    * `state.setTimeoutTimestamp(watermark + horizon)`); a processing-time
+    * timeout is avoided deliberately — it forces the engine into
+    * continuous empty micro-batches just to poll timers.
+    */
+  def errorAlarms(events: Dataset[Event], threshold: Int = 3)
+  : Dataset[ErrorAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, ErrorAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Int]) =>
+          var run = state.getOption.getOrElse(0)
+          val alarms = scala.collection.mutable.ArrayBuffer[ErrorAlarm]()
+          // within-batch order: sort by event time (micro-batches don't
+          // guarantee per-key arrival order across partitions)
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (e.event_type == "error") {
+              run += 1
+              if (run == threshold)
+                alarms += ErrorAlarm(userId, run, e.ts)
+            } else run = 0
+          }
+          state.update(run)
+          alarms.iterator
+      }
+  }
+}

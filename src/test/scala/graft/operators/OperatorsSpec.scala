@@ -1,0 +1,134 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Batch-operator invariants that the DuckDB oracle can't express:
+  * algebraic laws, bounded-error sketches, ANN recall, synthetic near-dup
+  * ground truth (SURVEY.md §5.2).
+  */
+class OperatorsSpec extends SparkSpec {
+
+  test("semi and anti joins partition the customer table") {
+    val semi = Relational.semiJoin(spark, sfTest).count()
+    val anti = Relational.antiJoin(spark, sfTest).count()
+    val all = Tables(spark, sfTest, "customer").count()
+    assert(semi + anti == all)
+    assert(semi > 0 && anti > 0)
+  }
+
+  test("rollup grand total is consistent with its leaves") {
+    val rows = Relational.rollupRevenue(spark, sfTest).collect()
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val total = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(total.length == 1)
+    val leafSum = leaves.map(_.getLong(2)).sum
+    // each leaf is rounded independently of the total → ±0.5 per leaf
+    assert(math.abs(leafSum - total.head.getLong(2)) <= leaves.length / 2 + 1)
+    assert(total.head.getLong(3) == leaves.map(_.getLong(3)).sum)
+  }
+
+  test("approx_count_distinct is within 5% of exact per event type") {
+    val exact = Events.distinctUsers(spark, sfTest).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Events.approxDistinct(spark, sfTest).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.05,
+        s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("IVF ANN achieves usable recall against brute-force k-NN") {
+    import spark.implicits._
+    val exact = VectorOps.knn(spark, sfTest).as[(Long, Long, Double, Long)]
+      .collect().groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).toSet }
+    val approx = VectorOps.annIvf(spark, sfTest)
+      .as[(Long, Long, Double, Long)]
+      .collect().groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).toSet }
+    val recalls = exact.collect { case (a, nbrs) if approx.contains(a) =>
+      (nbrs intersect approx(a)).size.toDouble / nbrs.size
+    }
+    assert(recalls.nonEmpty)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, f"mean recall@5 = $mean%.2f (nprobe=4/nlist=16)")
+  }
+
+  test("cosine similarity laws: sim(a,a)=1, sim within [-1,1]") {
+    import spark.implicits._
+    val sims = VectorOps.knn(spark, sfTest).select($"sim").as[Double]
+      .collect()
+    assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    // self-similarity via the near-dup path on a doubled row would be 1;
+    // cheap algebra check on raw arrays instead:
+    val v = Tables(spark, sfTest, "embeddings")
+      .select($"embedding").as[Array[Float]].head()
+    val d = v.map(_.toDouble)
+    val dot = d.zip(d).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot / (math.sqrt(dot) * math.sqrt(dot)) - 1.0) < 1e-12)
+  }
+
+  test("near-dup family agrees on synthetic ground truth") {
+    import spark.implicits._
+    val base = "spark streams data at scale with windows and joins " +
+      "over keyed state in micro batches for webhook analytics"
+    val nearDup = base.replace("joins", "merges") // one token changed
+    val shuffled = base.split(" ").reverse.mkString(" ") // same bag of words
+    val distinct = "completely different content about cooking pasta " +
+      "with tomatoes basil garlic olive oil and fresh bread on sunday"
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, nearDup, "en", "src0", nearDup.length.toLong),
+      (2L, distinct, "en", "src1", distinct.length.toLong),
+      (3L, shuffled, "en", "src2", shuffled.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_docs").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // n-gram Jaccard: (0,1) near-dup found; (0,2) not a pair
+    val pairs = DedupOps.ngramJaccard(spark, dir, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L)), s"near-dup pair missed: $pairs")
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
+
+    // MinHash LSH: candidates include the near-dup pair
+    val cands = DedupOps.minhashLsh(spark, dir)
+      .as[(Long, Long, Long)].collect().map(c => (c._1, c._2)).toSet
+    assert(cands.contains((0L, 1L)), s"LSH missed the near-dup: $cands")
+
+    // SimHash over token *sets*: shuffled doc gets the identical signature
+    val sigs = DedupOps.simhash(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(3L), "bag-of-words simhash must ignore order")
+    assert(sigs(0L) != sigs(2L), "distinct content must differ")
+
+    // fingerprint: shuffled == base, near-dup != base
+    val fps = TextOps.fingerprint(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(fps(0L) == fps(3L) && fps(0L) != fps(1L))
+  }
+
+  test("multimodal featurization is deterministic and normalized") {
+    val a = Multimodal.mediaFeatures(spark, sfTest).collect()
+    val b = Multimodal.mediaFeatures(spark, sfTest).collect()
+    assert(a.toSeq == b.toSeq, "stub decode must be deterministic")
+    assert(a.nonEmpty)
+    // energy of a probability histogram lies in (0, 1]
+    assert(a.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("sessionize is invariant to input row order") {
+    import spark.implicits._
+    val base = Windows.sessionize(spark, sfTest).collect().toSeq
+    // re-run over a shuffled copy of events through the same logic
+    val shuffledDir = Files.createTempDirectory("graft_ev").toString
+    Tables(spark, sfTest, "events").orderBy(rand(42))
+      .write.mode("overwrite").parquet(s"$shuffledDir/events.parquet")
+    val again = Windows.sessionize(spark, shuffledDir).collect().toSeq
+    assert(base == again)
+  }
+}

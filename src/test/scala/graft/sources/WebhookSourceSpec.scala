@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** End-to-end webhook path: real HTTP POSTs → DSv2 micro-batch source →
+  * from_json(declared schema) → memory sink (SURVEY.md §3.3).
+  */
+class WebhookSourceSpec extends SparkSpec {
+
+  test("HTTP POSTs flow through the DSv2 source into a streaming query") {
+    val port = WebhookQueue.startServer(0)
+    try {
+      WebhookQueue.clear()
+      val client = HttpClient.newHttpClient()
+      def post(topic: String, body: String): Int = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/webhook/$topic"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+
+      val payloadSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val q = spark.readStream
+        .format("graft.sources.WebhookSourceProvider").load()
+        .select(col("seq"), col("topic"),
+          from_json(col("body"), payloadSchema).as("e"))
+        .select("seq", "topic", "e.event_id", "e.event_type", "e.value")
+        .writeStream.format("memory").queryName("t_webhook")
+        .outputMode("append").start()
+
+      assert(post("orders", """{"event_id":1,"event_type":"click","value":1.5}""") == 200)
+      assert(post("orders", """{"event_id":2,"event_type":"view","value":2.5}""") == 200)
+      assert(post("alerts", """{"event_id":3,"event_type":"error","value":0.0}""") == 200)
+      // malformed JSON must not kill the pipeline — from_json yields nulls
+      assert(post("orders", """not json at all""") == 200)
+      q.processAllAvailable()
+
+      val rows = spark.sql(
+        "select topic, event_id, event_type from t_webhook order by seq")
+        .collect()
+      q.stop()
+      assert(rows.length == 4)
+      assert(rows.take(3).map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("orders", 1L), ("orders", 2L), ("alerts", 3L)))
+      assert(rows(3).isNullAt(1), "malformed body should parse to nulls")
+
+      // GET is rejected — ingest is POST-only
+      val getStatus = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/webhook/orders")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(getStatus == 405)
+    } finally WebhookQueue.stopServer()
+  }
+}

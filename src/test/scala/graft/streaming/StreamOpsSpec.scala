@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Deterministic-replay tests for the streaming inventory (SURVEY.md §5.3):
+  * stream ≡ batch on identical data, exactly-once dedup, late-data drop,
+  * session finalization, custom stateful alarms.
+  */
+class StreamOpsSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, user: Long, typ: String,
+                 v: Double): Event =
+    Event(id, Timestamp.valueOf(t), user, typ, v, """{"k":1}""")
+
+  test("stream tumbling aggregate equals its batch twin on sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfTest, "events").as[Event].collect()
+
+    val ms = MemoryStream[Event]
+    val q = StreamOps.tumbling(ms.toDF())
+      .writeStream.format("memory").queryName("t_tumb")
+      .outputMode("complete").start()
+    ms.addData(events.toIndexedSeq)
+    q.processAllAvailable()
+
+    val streamed = spark.sql(
+      "select window.start as hour, event_type, n, sum_value from t_tumb")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), math.round(r.getDouble(3) * 100)))
+      .toMap
+    val batch = Tables(spark, sfTest, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), math.round(r.getDouble(3) * 100)))
+      .toMap
+    q.stop()
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark yields exactly-once from replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 50).map(i =>
+      ev(i, f"2024-01-01 10:${i % 60}%02d:00", i % 5, "click", 1.0))
+
+    val ms = MemoryStream[Event]
+    val q = StreamOps.dedup(ms.toDF())
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    ms.addData(base)               // original deliveries
+    q.processAllAvailable()
+    ms.addData(base)               // full replay (webhook retry storm)
+    ms.addData(base.take(10))      // partial replay
+    q.processAllAvailable()
+    val got = spark.sql("select event_id from t_dedup").collect()
+      .map(_.getLong(0))
+    q.stop()
+    assert(got.length == 50, s"expected 50 unique, got ${got.length}")
+    assert(got.toSet == (1 to 50).map(_.toLong).toSet)
+  }
+
+  test("events older than the watermark are dropped from aggregates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.tumbling(ms.toDF())
+      .writeStream.format("memory").queryName("t_late")
+      .outputMode("append").start()
+    // batch 1: establish max event time 15:00 → watermark 13:00
+    ms.addData(Seq(
+      ev(1, "2024-01-01 10:10:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 15:00:00", 1, "click", 1.0)))
+    q.processAllAvailable()
+    // batch 2: 09:30 is far behind the 13:00 watermark → must be dropped
+    ms.addData(Seq(ev(3, "2024-01-01 09:30:00", 1, "click", 99.0)))
+    q.processAllAvailable()
+    // batch 3: advance watermark past every window so all windows finalize
+    ms.addData(Seq(ev(4, "2024-01-02 00:00:00", 1, "click", 1.0)))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select window.start as s, n, sum_value from t_late").collect()
+    q.stop()
+    val h9 = rows.filter(_.getTimestamp(0).toString.startsWith("2024-01-01 09"))
+    assert(h9.isEmpty, s"late event leaked into an aggregate: ${h9.toSeq}")
+    val h10 = rows.filter(_.getTimestamp(0).toString.startsWith("2024-01-01 10"))
+    assert(h10.length == 1 && h10.head.getLong(1) == 1)
+  }
+
+  test("session windows finalize with 30-minute gap semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.sessions(ms.toDF())
+      .writeStream.format("memory").queryName("t_sess")
+      .outputMode("append").start()
+    // user 1: 10:00, 10:10 (same session), 11:00 (50-min gap → new session)
+    ms.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:10:00", 1, "view", 2.0),
+      ev(3, "2024-01-01 11:00:00", 1, "click", 3.0)))
+    q.processAllAvailable()
+    // sentinel far in the future finalizes all of user 1's sessions
+    ms.addData(Seq(ev(99, "2024-01-02 12:00:00", 42, "click", 0.0)))
+    q.processAllAvailable()
+    val sessions = spark.sql(
+      "select user_id, n_events from t_sess where user_id = 1").collect()
+    q.stop()
+    assert(sessions.length == 2,
+      s"expected 2 finalized sessions, got ${sessions.toSeq}")
+    assert(sessions.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("stateful detector alarms on 3 consecutive errors, resets on success") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.errorAlarms(ms.toDS())
+      .writeStream.format("memory").queryName("t_alarm")
+      .outputMode("append").start()
+    ms.addData(Seq(
+      // user 1: 3 consecutive errors → one alarm
+      ev(1, "2024-01-01 10:00:00", 1, "error", 0.0),
+      ev(2, "2024-01-01 10:01:00", 1, "error", 0.0),
+      ev(3, "2024-01-01 10:02:00", 1, "error", 0.0),
+      // user 2: run broken by a click → no alarm
+      ev(4, "2024-01-01 10:00:00", 2, "error", 0.0),
+      ev(5, "2024-01-01 10:01:00", 2, "click", 0.0),
+      ev(6, "2024-01-01 10:02:00", 2, "error", 0.0),
+      ev(7, "2024-01-01 10:03:00", 2, "error", 0.0)))
+    q.processAllAvailable()
+    // user 2's run continues across micro-batches: a third error now
+    ms.addData(Seq(ev(8, "2024-01-01 10:04:00", 2, "error", 0.0)))
+    q.processAllAvailable()
+    val alarms = spark.sql(
+      "select user_id, consecutive_errors from t_alarm").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    q.stop()
+    assert(alarms.toSet == Set((1L, 3), (2L, 3)),
+      s"got ${alarms.toSeq} — state must carry runs across micro-batches")
+  }
+}
