@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch harness for plan-shape experiments (not part of the contract). */
+object Experiment {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def time(tag: String)(f: => Long): Unit =
+      (1 to 4).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"EXP[$tag][$i] ${(System.nanoTime() - t0) / 1e9}%.3f s (n=$n)")
+      }
+    val li = () => Tables(spark, sfDir, "lineitem")
+    time("scan_count") { li().count() }
+    time("scan_agg_serial") {
+      li().join(Tables(spark, sfDir, "part"), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_partkey", $"p_name")
+        .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+        .orderBy(desc("rev")).limit(10).count()
+    }
+    time("scan_agg_repart") {
+      li().repartition(32)
+        .join(Tables(spark, sfDir, "part"), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_partkey", $"p_name")
+        .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+        .orderBy(desc("rev")).limit(10).count()
+    }
+    spark.stop()
+  }
+}

@@ -24,6 +24,15 @@ object DedupOps {
 
   private val N = 3 // shingle width (tokens)
 
+  /** Documents spread across the full task parallelism. The source is a
+    * single parquet row group → a single scan task; everything downstream
+    * here (shingling, md5, self-joins) is CPU-bound per document, so a
+    * cheap shuffle of the small doc table buys full-width execution.
+    */
+  private def docsParallel(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** doc_id + exploded distinct 3-gram token shingles. */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -31,7 +40,7 @@ object DedupOps {
     val sh = array_distinct(transform(
       sequence(lit(0), size(tok) - N),
       i => concat_ws(" ", slice(tok, i + lit(1), lit(N)))))
-    Tables(s, dir, "documents")
+    docsParallel(s, dir)
       .select($"doc_id", explode(sh).as("s"))
   }
 
@@ -42,17 +51,20 @@ object DedupOps {
   def ngramJaccard(s: SparkSession, dir: String,
                    threshold: Double = 0.5): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.toDF("da", "sa")
-    val b = sh.toDF("db", "sb")
-    val inter = a.join(b, $"sa" === $"sb" && $"da" < $"db")
-      .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.toDF("da2", "na"), $"da" === $"da2")
-      .join(sizes.toDF("db2", "nb"), $"db" === $"db2")
-      .withColumn("jac",
-        $"i".cast("double") / ($"na" + $"nb" - $"i"))
+    val tok = split($"text", " ")
+    val shArr = array_distinct(transform(
+      sequence(lit(0), size(tok) - N),
+      i => concat_ws(" ", slice(tok, i + lit(1), lit(N)))))
+    // set size rides along with each exploded shingle — saves two
+    // doc-size joins after the pair aggregation
+    val sh = docsParallel(s, dir)
+      .select($"doc_id", shArr.as("shs"))
+      .select($"doc_id", size($"shs").as("n"), explode($"shs").as("s"))
+    val a = sh.toDF("da", "na", "sa")
+    val b = sh.toDF("db", "nb", "sb")
+    a.join(b, $"sa" === $"sb" && $"da" < $"db")
+      .groupBy($"da", $"db", $"na", $"nb").agg(count(lit(1)).as("i"))
+      .withColumn("jac", $"i".cast("double") / ($"na" + $"nb" - $"i"))
       .filter($"jac" >= threshold)
       .select($"da", $"db", round($"jac", 6).as("jac"))
       .orderBy($"da", $"db")
@@ -87,7 +99,7 @@ object DedupOps {
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Tables(s, dir, "documents")
+    val words = docsParallel(s, dir)
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
     val sums = (1 to 16).map(i =>
       sum(when(substring(md5($"w"), i, 1).between("0", "7"), -1)

@@ -133,19 +133,23 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
-  /** Top-10 parts by revenue: join + agg + global sort-limit. Spark plans
-    * TakeOrderedAndProject — each partition keeps a 10-row heap, only 10×P
-    * rows reach the driver. Final presentation re-sorts on the rounded
-    * revenue with p_partkey tie-break so the oracle hash is stable.
+  /** Top-10 parts by revenue: agg + global sort-limit + late dimension
+    * join. Revenue only needs l_partkey, so the fact table is aggregated
+    * FIRST (long keys, no strings in the hash map) and `part` is joined to
+    * just the 10 survivors — at 100 TB that's the difference between
+    * joining every fact row and joining ten. Spark plans
+    * TakeOrderedAndProject: each partition keeps a 10-row heap, only 10×P
+    * rows reach the driver. Inner join is revenue-preserving because
+    * l_partkey is a foreign key into part (FIXTURES.md).
     */
   def topkParts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "lineitem")
-      .join(Tables(s, dir, "part"), $"l_partkey" === $"p_partkey")
-      .groupBy($"p_partkey", $"p_name")
+      .groupBy($"l_partkey")
       .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
       .orderBy(desc("rev"))
       .limit(10)
+      .join(broadcast(Tables(s, dir, "part")), $"l_partkey" === $"p_partkey")
       .select($"p_partkey", $"p_name", round($"rev").cast("long").as("revenue"))
       .orderBy(desc("revenue"), $"p_partkey")
   }

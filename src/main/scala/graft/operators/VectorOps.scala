@@ -40,6 +40,20 @@ object VectorOps {
       .map { case (id, v) => (id, v.map(_.toDouble)) }
   }
 
+  /** Query side spread across the full task width: the source is one
+    * parquet row group → one scan task, and the O(n·d) per-row probe loop
+    * below is CPU-bound, so a cheap shuffle of the (small) vector table
+    * buys 32-wide execution of the n² work.
+    */
+  private def vectorsParallel(s: SparkSession, dir: String)
+  : org.apache.spark.sql.Dataset[(Long, Array[Float])] = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .as[(Long, Array[Float])]
+  }
+
   /** Brute-force k-NN: for each vector, top-5 cosine-similar vectors with a
     * larger vec_id (a.vec_id < b.vec_id pair dedup), presented ordered by
     * (a_id, rank) and limited to 100 rows.
@@ -48,9 +62,7 @@ object VectorOps {
     import s.implicits._
     val all = collectVectors(s, dir)
     val bc = s.sparkContext.broadcast(all)
-    val out = Tables(s, dir, "embeddings")
-      .select($"vec_id", $"embedding")
-      .as[(Long, Array[Float])]
+    val out = vectorsParallel(s, dir)
       .mapPartitions { it =>
         val data = bc.value
         it.flatMap { case (aId, aF) =>
@@ -80,9 +92,7 @@ object VectorOps {
     import s.implicits._
     val all = collectVectors(s, dir)
     val bc = s.sparkContext.broadcast(all)
-    Tables(s, dir, "embeddings")
-      .select($"vec_id", $"embedding")
-      .as[(Long, Array[Float])]
+    vectorsParallel(s, dir)
       .mapPartitions { it =>
         val data = bc.value
         it.flatMap { case (aId, aF) =>
@@ -120,9 +130,7 @@ object VectorOps {
       }
     val bcCells = s.sparkContext.broadcast(cells)
     val bcCent = s.sparkContext.broadcast(centroids.map(_._2))
-    Tables(s, dir, "embeddings")
-      .select($"vec_id", $"embedding")
-      .as[(Long, Array[Float])]
+    vectorsParallel(s, dir)
       .mapPartitions { it =>
         val cent = bcCent.value
         val inv = bcCells.value
