@@ -29,6 +29,22 @@ object Experiment {
         .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
         .orderBy(desc("rev")).limit(10).count()
     }
+    time("join5_current") {
+      graft.operators.Relational.join5Way(spark, sfDir).count()
+    }
+    time("join5_preagg") {
+      val liAgg = Tables(spark, sfDir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("orev"),
+          count(lit(1)).as("ocnt"))
+      liAgg.join(Tables(spark, sfDir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(Tables(spark, sfDir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables(spark, sfDir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables(spark, sfDir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(round(sum($"orev")).cast("long").as("revenue"), sum($"ocnt").as("n_lines"))
+        .orderBy($"r_name", $"n_name").count()
+    }
     time("scan_agg_repart") {
       li().repartition(32)
         .join(Tables(spark, sfDir, "part"), $"l_partkey" === $"p_partkey")

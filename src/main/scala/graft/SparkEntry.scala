@@ -43,8 +43,9 @@ object SparkEntry {
     "q_setops" -> (Relational.setops _),
     // §2.2 semi-structured
     "q_json_extract" -> (Events.jsonExtract _),
-    // §2.9 streaming batch twin
+    // §2.9 streaming batch twins
     "q_tumbling_1h" -> (Events.tumbling1h _),
+    "q_sliding_15m" -> (Events.sliding15m _),
     // §2.7 text
     "q_text_wordcount" -> (TextOps.wordcount _),
     "q_dedup_docs" -> (TextOps.dedupDocs _),
@@ -178,6 +179,14 @@ object SparkEntry {
         | CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
         | ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sliding_15m" ->
+      """WITH x AS (SELECT event_type, value,
+        |  make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000)
+        |    * 900000000 - CAST(g.i AS BIGINT) * 900000000) AS ws
+        |  FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) g)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_tumbling_1h" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
         |   '%Y-%m-%d %H:%M:%S') AS hour,

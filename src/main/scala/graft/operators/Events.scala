@@ -50,6 +50,29 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Batch twin of the streaming sliding-window aggregate (1 h window,
+    * 15 min slide): every event lands in exactly 4 windows, generated
+    * arithmetically (floor-to-slide minus i·slide) and exploded — the same
+    * window-assignment rule Spark's streaming `window(ts, "1 hour",
+    * "15 minutes")` applies. Window start emitted as a string for
+    * timestamp-precision-proof oracle hashing.
+    */
+  def sliding15m(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slideUs = 900L * 1000000L
+    val floorStart = expr(s"unix_micros(ts) div $slideUs") * slideUs
+    val starts = transform(sequence(lit(0L), lit(3L)),
+      i => floorStart - i * slideUs)
+    Tables(s, dir, "events")
+      .select($"event_type", $"value", explode(starts).as("ws"))
+      .groupBy(
+        date_format(timestamp_micros($"ws"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+
   /** Batch twin of the streaming tumbling-window aggregate: per-hour,
     * per-type count + sum(value). Hour is emitted as a string so the
     * ns(DuckDB)↔µs(Spark) timestamp precision difference can't affect the

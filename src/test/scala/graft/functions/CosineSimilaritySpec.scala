@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** The native expression must agree with the SQL-composed cosine
+  * (aggregate+zip_with built-ins) bit-for-bit, run inside whole-stage
+  * codegen, and survive nulls. Registered at runtime (the extensions class
+  * only applies at session build; the JVM-shared test session already
+  * exists) — the extension wiring itself is smoke-checked separately.
+  */
+class CosineSimilaritySpec extends SparkSpec {
+
+  GraftFunctions.register(spark)
+
+  test("GraftExtensions injects without error") {
+    new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("cosine_sim matches the built-in-composed form on real embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    val rows = spark.sql(
+      """SELECT cosine_sim(a.embedding, b.embedding) AS fast,
+        |  aggregate(zip_with(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                     CAST(b.embedding AS ARRAY<DOUBLE>),
+        |                     (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)
+        |  / (sqrt(aggregate(CAST(a.embedding AS ARRAY<DOUBLE>), 0.0D,
+        |       (acc, v) -> acc + v * v))
+        |   * sqrt(aggregate(CAST(b.embedding AS ARRAY<DOUBLE>), 0.0D,
+        |       (acc, v) -> acc + v * v))) AS ref
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id AND a.vec_id < 20
+        |""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"fast=${r.getDouble(0)} ref=${r.getDouble(1)}")
+    }
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    val plan = spark.sql(
+      """SELECT cosine_sim(a.embedding, a.embedding) FROM emb a""")
+      .queryExecution.executedPlan.toString
+    // '*' prefix on an operator marks whole-stage-codegen membership in the
+    // compact plan string (full form: WholeStageCodegen(id))
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"expression fell out of codegen:\n$plan")
+    // self-similarity is exactly 1 (same bits, same accumulation)
+    val sims = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) FROM emb").collect()
+    assert(sims.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("cosine_sim is null-safe and type-checked") {
+    val r = spark.sql(
+      "SELECT cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(1.0F))").collect()
+    assert(r.head.isNullAt(0))
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim('not an array', array(1.0F))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_sim") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}
