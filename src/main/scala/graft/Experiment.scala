@@ -52,6 +52,15 @@ object Experiment {
         .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
         .orderBy(desc("rev")).limit(10).count()
     }
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_exp_sink").toString
+    graft.sinks.Sinks.writePartitioned(
+      Tables(spark, sfDir, "documents"), s"$sinkDir/docs", "lang")
+    new java.io.File(s"$sinkDir/docs").listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.foreach(d => println(s"SINK_DIR=$d"))
+    val pruned = spark.read.parquet(s"$sinkDir/docs").filter($"lang" === "en")
+    println(s"SINK_EN_ROWS=${pruned.count()}")
+    println("SINK_PLAN_PRUNES=" + pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(lang"))
     spark.stop()
   }
 }

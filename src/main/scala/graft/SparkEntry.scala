@@ -46,6 +46,7 @@ object SparkEntry {
     // §2.9 streaming batch twins
     "q_tumbling_1h" -> (Events.tumbling1h _),
     "q_sliding_15m" -> (Events.sliding15m _),
+    "q_enrich_segments" -> (Events.enrichSegments _),
     // §2.7 text
     "q_text_wordcount" -> (TextOps.wordcount _),
     "q_dedup_docs" -> (TextOps.dedupDocs _),
@@ -179,6 +180,12 @@ object SparkEntry {
         | CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
         | ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_enrich_segments" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        | ROUND(SUM(value), 2) AS sum_value,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_sliding_15m" ->
       """WITH x AS (SELECT event_type, value,
         |  make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000)

@@ -73,6 +73,23 @@ object Events {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Batch twin of the stream–static enrichment join (StreamOps.enrich):
+    * attach the customer dimension to events by user id and roll revenue
+    * up to market segment. Dimension side broadcasts; events never
+    * shuffle before the aggregate.
+    */
+  def enrichSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .join(broadcast(Tables(s, dir, "customer")),
+        $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Batch twin of the streaming tumbling-window aggregate: per-hour,
     * per-type count + sum(value). Hour is emitted as a string so the
     * ns(DuckDB)↔µs(Spark) timestamp precision difference can't affect the

@@ -119,6 +119,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(sessions.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-static enrichment attaches dimension columns per event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val customer = Tables(spark, sfTest, "customer")
+    val someKey = customer.select($"c_custkey").as[Long].head()
+    val ms = MemoryStream[Event]
+    val q = StreamOps.enrich(ms.toDF(), customer)
+      .writeStream.format("memory").queryName("t_enrich")
+      .outputMode("append").start()
+    ms.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", someKey, "click", 1.0),
+      ev(2, "2024-01-01 10:01:00", -999, "view", 2.0))) // no such customer
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select event_id, c_mktsegment from t_enrich order by event_id")
+      .collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(!rows(0).isNullAt(1), "known user must gain dimension columns")
+    assert(rows(1).isNullAt(1), "unknown user must survive with nulls (left join)")
+  }
+
+  test("sliding stream assigns each event to 4 windows (batch-twin check)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.sliding(ms.toDF())
+      .writeStream.format("memory").queryName("t_slide")
+      .outputMode("complete").start()
+    ms.addData(Seq(ev(1, "2024-01-01 10:17:00", 1, "click", 2.0)))
+    q.processAllAvailable()
+    val wins = spark.sql("select window.start from t_slide").collect()
+      .map(_.getTimestamp(0).toString).sorted
+    q.stop()
+    assert(wins.length == 4, s"expected 4 covering windows, got ${wins.toSeq}")
+    assert(wins.head == "2024-01-01 09:30:00.0" &&
+      wins.last == "2024-01-01 10:15:00.0")
+  }
+
   test("stateful detector alarms on 3 consecutive errors, resets on success") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
