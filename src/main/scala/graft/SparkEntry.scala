@@ -211,8 +211,10 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok, n_chars
         |  FROM documents),
         |u AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(tok)) AS BIGINT) AS n_uniq, n_chars FROM t)
-        |SELECT doc_id, n_tokens, n_uniq, n_chars,
+        |  CAST(len(list_distinct(tok)) AS BIGINT) AS n_uniq, n_chars,
+        |  CAST(list_sum(list_transform(tok, t -> (length(t) + 3) // 4))
+        |    AS BIGINT) AS n_bpe_est FROM t)
+        |SELECT doc_id, n_tokens, n_uniq, n_chars, n_bpe_est,
         | ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 4) AS ttr,
         | ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4)
         |   AS avg_token_len,

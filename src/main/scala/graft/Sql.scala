@@ -19,6 +19,9 @@ object Sql {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.udf.register("top_k",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.TopKAggregator(5)))
     Tables.names.foreach { t =>
       Tables(spark, sfDir, t).createOrReplaceTempView(t)
     }

@@ -37,6 +37,35 @@ object Multimodal {
     (bytes.length % 640, bytes.length % 480, hist)
   }
 
+  /** STUB resize: stands in for an image resize — deterministically
+    * re-bins the feature histogram to `bins` buckets (a real impl would
+    * resample pixels; the contract — fixed-size output regardless of
+    * input size — is the same).
+    */
+  private[operators] def fakeResize(feat: Array[Float], bins: Int)
+  : Array[Float] = {
+    val out = new Array[Float](bins)
+    var i = 0
+    while (i < feat.length) {
+      out(i * bins / feat.length) += feat(i)
+      i += 1
+    }
+    out
+  }
+
+  /** STUB frame-sample: stands in for video frame extraction — takes
+    * `frames` evenly spaced fixed-width byte windows from the blob.
+    */
+  private[operators] def fakeFrameSample(bytes: Array[Byte], frames: Int,
+                                         width: Int = 16)
+  : Seq[Array[Byte]] = {
+    if (bytes.length <= width) Seq(bytes)
+    else (0 until frames).map { f =>
+      val start = (bytes.length - width).toLong * f / math.max(frames - 1, 1)
+      java.util.Arrays.copyOfRange(bytes, start.toInt, start.toInt + width)
+    }
+  }
+
   /** Build a multimodal table from `documents`: the text bytes stand in
     * for encoded media content; metadata is a typed struct. At scale this
     * is the schema a binary-file datasource (or a webhook with base64

@@ -54,7 +54,11 @@ object TextOps {
       .select($"doc_id",
         size(tok).cast("long").as("n_tokens"),
         size(array_distinct(tok)).cast("long").as("n_uniq"),
-        $"n_chars")
+        $"n_chars",
+        // BPE-ish token estimate: ⌈len/4⌉ subword units per word —
+        // integer arithmetic, exact in both engines
+        expr("aggregate(split(text, ' '), 0L, " +
+          "(acc, t) -> acc + (length(t) + 3) div 4)").as("n_bpe_est"))
       .withColumn("ttr", round($"n_uniq".cast("double") / $"n_tokens", 4))
       .withColumn("avg_token_len",
         round(($"n_chars" - ($"n_tokens" - lit(1))).cast("double") /

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for algebraic laws (SURVEY.md §5.2). Uses ScalaCheck
+  * generators with a fixed seed and a manual sampling loop (the
+  * scalatest-scalacheck bridge isn't in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.listOfN(16, Gen.choose(-10.0, 10.0)).map(_.toArray)
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+
+  test("cosine: bounds, self-similarity, positive-scale invariance") {
+    val vs = samples(Gen.zip(vecGen, vecGen, Gen.choose(0.1, 100.0)), 200)
+    assert(vs.size > 150)
+    vs.foreach { case (a, b, c) =>
+      val s = cosine(a, b)
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+      assert(math.abs(cosine(a, a) - 1.0) < 1e-9)
+      assert(math.abs(cosine(a, b.map(_ * c)) - s) < 1e-9,
+        "cosine must be invariant under positive scaling")
+    }
+  }
+
+  test("session gap-split law: session count = 1 + number of big gaps") {
+    val tsGen = Gen.nonEmptyListOf(Gen.choose(0L, 6L * 3600)).map(_.sorted)
+    samples(tsGen, 200).foreach { ts =>
+      val gap = 1800L
+      val expected = 1 + ts.zip(ts.tail).count { case (a, b) => b - a > gap }
+      // reference sessionizer mirroring Windows.sessionize's law
+      var sessions = 1
+      var prev = ts.head
+      ts.tail.foreach { t => if (t - prev > gap) sessions += 1; prev = t }
+      assert(sessions == expected)
+    }
+  }
+
+  test("jaccard: bounds, identity, symmetry on token sets") {
+    val setGen = Gen.nonEmptyListOf(Gen.choose(0, 50)).map(_.toSet)
+    samples(Gen.zip(setGen, setGen), 200).foreach { case (a, b) =>
+      val j = (a intersect b).size.toDouble / (a union b).size
+      assert(j >= 0.0 && j <= 1.0)
+      assert((a intersect a).size.toDouble / (a union a).size == 1.0)
+      assert(j == (b intersect a).size.toDouble / (b union a).size)
+    }
+  }
+
+  test("TopKAggregator: equals sort-take on any input, any partitioning") {
+    import spark.implicits._
+    import graft.functions.TopKAggregator
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 500L), Gen.choose(-1000.0, 1000.0)))
+    samples(rowsGen, 8).foreach { rows =>
+      val k = 5
+      val expected = rows.sortBy { case (id, s) => (-s, id) }.take(k)
+      // distributed path across 4 partitions → partial heaps must merge
+      // to the same answer
+      val got = rows.toDS().repartition(4)
+        .select(new TopKAggregator(k).toColumn)
+        .head()
+      assert(got == expected, s"topk mismatch: $got vs $expected")
+    }
+  }
+}

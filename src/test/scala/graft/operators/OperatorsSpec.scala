@@ -121,6 +121,18 @@ class OperatorsSpec extends SparkSpec {
     assert(a.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
   }
 
+  test("multimodal resize/frame-sample stubs honor their contracts") {
+    val feat = Array.tabulate(16)(_.toFloat)
+    val small = Multimodal.fakeResize(feat, 4)
+    assert(small.length == 4 && math.abs(small.sum - feat.sum) < 1e-3,
+      "resize must preserve mass at fixed output size")
+    val bytes = Array.tabulate(200)(_.toByte)
+    val frames = Multimodal.fakeFrameSample(bytes, 5)
+    assert(frames.length == 5 && frames.forall(_.length == 16))
+    assert(frames.head.head == 0.toByte &&
+      frames.last.last == bytes.last, "frames span the whole blob")
+  }
+
   test("sessionize is invariant to input row order") {
     import spark.implicits._
     val base = Windows.sessionize(spark, sfTest).collect().toSeq
