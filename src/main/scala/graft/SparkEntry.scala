@@ -67,10 +67,11 @@ object SparkEntry {
     "q_multimodal" -> (Multimodal.mediaFeatures _),
   )
 
-  /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
-    * q_approx_distinct (sketch impls differ), q_ann_ivf (not
-    * SQL-expressible at reasonable cost); both are covered by bounded-error
-    * / recall assertions in the test suite instead.
+  /** DuckDB-dialect oracle per query — 27 of the 30 queries. Omitted
+    * (→ driver rows-only check): q_approx_distinct (sketch impls differ),
+    * q_ann_ivf (not SQL-expressible at reasonable cost), q_multimodal
+    * (stubbed codec); each is covered by bounded-error / recall /
+    * determinism assertions in the test suite instead.
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->

@@ -70,16 +70,20 @@ object DedupOps {
       .orderBy($"da", $"db")
   }
 
-  /** MinHash (k=8, md5-keyed) + LSH banding (4 bands × 2 rows): emit
-    * candidate pairs sharing ≥1 band with how many bands they share.
-    * Collision probability per band is j² (j = true Jaccard), so low-sim
-    * pairs are pruned without ever being compared.
+  /** MinHash (k=8) + LSH banding (4 bands × 2 rows): emit candidate pairs
+    * sharing ≥1 band with how many bands they share. Collision probability
+    * per band is j² (j = true Jaccard), so low-sim pairs are pruned
+    * without ever being compared.
+    *
+    * The 8 hash functions are the 8 disjoint 4-hex slices of ONE md5 per
+    * shingle (16-bit hashes each) — one digest instead of eight, same
+    * md5-reproducibility in the DuckDB oracle.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir)
+    val sh = shingles(s, dir).withColumn("d", md5($"s"))
     val mins = (0 until 8).map(i =>
-      min(md5(concat(lit(s"$i:"), $"s"))).as(s"h$i"))
+      min(substring($"d", 4 * i + 1, 4)).as(s"h$i"))
     val mh = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
     val bands = mh.selectExpr("doc_id",
       "stack(4, 0, md5(concat(h0, h1)), 1, md5(concat(h2, h3)), " +
@@ -138,7 +142,8 @@ object DedupOps {
         |ORDER BY da, db""".stripMargin
 
   val minhashOracle: String = {
-    val mins = (0 until 8).map(i => s"min(md5('$i:' || s)) AS h$i")
+    val mins = (0 until 8)
+      .map(i => s"min(substring(md5(s), ${4 * i + 1}, 4)) AS h$i")
       .mkString(", ")
     val bands = (0 until 4).map(j =>
       s"SELECT doc_id, $j AS band, md5(h${2 * j} || h${2 * j + 1}) AS sig FROM mh")
