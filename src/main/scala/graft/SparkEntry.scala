@@ -41,6 +41,12 @@ object SparkEntry {
     // §2.6 sort/limit/set ops
     "q_topk_parts" -> (Relational.topkParts _),
     "q_setops" -> (Relational.setops _),
+    // schema-breadth queries (supplier FK edge, date buckets, catalog,
+    // embedding labels)
+    "q_supplier_nation" -> (Relational.supplierNation _),
+    "q_priority_years" -> (Relational.priorityYears _),
+    "q_brand_stats" -> (Relational.brandStats _),
+    "q_label_stats" -> (VectorOps.labelStats _),
     // §2.2 semi-structured
     "q_json_extract" -> (Events.jsonExtract _),
     // §2.9 streaming batch twins
@@ -181,6 +187,30 @@ object SparkEntry {
         | CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
         | ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_supplier_nation" ->
+      """SELECT n_name,
+        | CAST(ROUND(SUM(l_extendedprice*(1-l_discount))) AS BIGINT) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_priority_years" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+        | o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS revenue
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY order_year, o_orderpriority""".stripMargin,
+    "q_brand_stats" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        | ROUND(AVG(p_retailprice), 4) AS avg_price,
+        | MIN(p_size) AS min_size, MAX(p_size) AS max_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_label_stats" ->
+      """SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+        | ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS avg_d0,
+        | ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 4) AS avg_d1
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "q_enrich_segments" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
         | ROUND(SUM(value), 2) AS sum_value,

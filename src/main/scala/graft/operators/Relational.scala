@@ -154,6 +154,49 @@ object Relational {
       .orderBy(desc("revenue"), $"p_partkey")
   }
 
+  /** Revenue attributed to the supplying nation (exercises the
+    * lineitem→supplier FK edge): lineitem⋈supplier⋈nation, revenue per
+    * nation. supplier/nation broadcast; one partial+final agg.
+    */
+  def supplierNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables(s, dir, "nation")),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")))
+        .cast("long").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"n_name")
+  }
+
+  /** Order counts by (year, priority) — TPC-H Q4-flavoured date-bucket
+    * aggregation over o_orderdate/o_orderpriority.
+    */
+  def priorityYears(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy(year($"o_orderdate").cast("long").as("order_year"),
+        $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice")).cast("long").as("revenue"))
+      .orderBy($"order_year", $"o_orderpriority")
+  }
+
+  /** Part catalog statistics per brand: price/size profile. */
+  def brandStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "part")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg($"p_retailprice"), 4).as("avg_price"),
+        min($"p_size").as("min_size"),
+        max($"p_size").as("max_size"))
+      .orderBy($"p_brand")
+  }
+
   /** Set operation: INTERSECT of customer keys with ordering custkeys.
     * Spark rewrites intersect as an aggregate+semi-join under the hood.
     */

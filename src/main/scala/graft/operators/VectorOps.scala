@@ -108,6 +108,23 @@ object VectorOps {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Per-label embedding statistics (exercises the `label` column): count
+    * plus the mean of the first two dimensions — a cheap proxy for
+    * per-class centroid monitoring in an embedding pipeline.
+    */
+  def labelStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"label".cast("long").as("label"),
+        element_at($"embedding", 1).cast("double").as("d0"),
+        element_at($"embedding", 2).cast("double").as("d1"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"d0"), 4).as("avg_d0"),
+        round(avg($"d1"), 4).as("avg_d1"))
+      .orderBy($"label")
+  }
+
   /** IVF-style approximate nearest neighbours (the 100 TB scale path for
     * `knn`): deterministic coarse quantizer (first `nlist` vectors by id as
     * centroids — no iterative k-means, so the result is reproducible),
