@@ -73,7 +73,7 @@ object SparkEntry {
     "q_multimodal" -> (Multimodal.mediaFeatures _),
   )
 
-  /** DuckDB-dialect oracle per query — 27 of the 30 queries. Omitted
+  /** DuckDB-dialect oracle per query — 31 of the 34 queries. Omitted
     * (→ driver rows-only check): q_approx_distinct (sketch impls differ),
     * q_ann_ivf (not SQL-expressible at reasonable cost), q_multimodal
     * (stubbed codec); each is covered by bounded-error / recall /

@@ -31,6 +31,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // produces NULL for ragged lengths / null elements even when both
+  // inputs are non-null — without this the planner treats the output as
+  // non-nullable and the NULL degenerates to garbage 0.0
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
   : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -50,13 +55,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => false
   }
 
+  /** Mismatched lengths or null elements → NULL result (silently
+    * truncating to min(n) or reading masked-null slots as 0.0 would
+    * return a plausible-but-wrong similarity on ragged/corrupt vectors;
+    * DuckDB's list_cosine_similarity errors on the length case).
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lx = elemIsDouble(left); val ly = elemIsDouble(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lx) x.getDouble(i) else x.getFloat(i).toDouble
       val yi = if (ly) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
@@ -76,14 +88,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.$getX($i);
-         |  double $yi = (double) $b.$getY($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = (double) $a.$getX($i);
+         |    double $yi = (double) $b.$getY($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }

@@ -24,8 +24,14 @@ class TopKAggregator(k: Int)
     xs.sortBy { case (id, score) => (-score, id) }.take(k)
 
   override def reduce(buf: Seq[(Long, Double)],
-                      a: (Long, Double)): Seq[(Long, Double)] =
-    if (buf.size < k || a._2 > buf.last._2) trim(buf :+ a) else buf
+                      a: (Long, Double)): Seq[(Long, Double)] = {
+    // the fast-path rejection must use the FULL (-score, id) ordering:
+    // rejecting on score alone drops equal-score/lower-id elements that
+    // trim would keep, making results depend on partitioning
+    def beats(x: (Long, Double), y: (Long, Double)): Boolean =
+      x._2 > y._2 || (x._2 == y._2 && x._1 < y._1)
+    if (buf.size < k || beats(a, buf.last)) trim(buf :+ a) else buf
+  }
 
   override def merge(b1: Seq[(Long, Double)],
                      b2: Seq[(Long, Double)]): Seq[(Long, Double)] =

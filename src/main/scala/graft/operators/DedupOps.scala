@@ -33,15 +33,28 @@ object DedupOps {
     Tables(s, dir, "documents")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
-  /** doc_id + exploded distinct 3-gram token shingles. */
+  /** Distinct 3-gram shingle array for a doc's token column. Documents
+    * shorter than N tokens yield an empty set (guard required: Spark's
+    * `sequence(0, -1)` is a DESCENDING range, and slice(tok, 0, ..) then
+    * throws — not an empty array).
+    */
+  private def shingleArr: org.apache.spark.sql.Column = {
+    val tok = split(col("text"), " ")
+    when(size(tok) >= N,
+      array_distinct(transform(
+        sequence(lit(0), size(tok) - N),
+        i => concat_ws(" ", slice(tok, i + lit(1), lit(N))))))
+      .otherwise(array())
+  }
+
+  /** doc_id + shingle-set size + exploded distinct shingles — the single
+    * source of the shingle rule for both ngramJaccard and minhashLsh.
+    */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tok = split($"text", " ")
-    val sh = array_distinct(transform(
-      sequence(lit(0), size(tok) - N),
-      i => concat_ws(" ", slice(tok, i + lit(1), lit(N)))))
     docsParallel(s, dir)
-      .select($"doc_id", explode(sh).as("s"))
+      .select($"doc_id", shingleArr.as("shs"))
+      .select($"doc_id", size($"shs").as("n"), explode($"shs").as("s"))
   }
 
   /** All document pairs with 3-gram Jaccard ≥ threshold. Jaccard is an
@@ -51,15 +64,9 @@ object DedupOps {
   def ngramJaccard(s: SparkSession, dir: String,
                    threshold: Double = 0.5): DataFrame = {
     import s.implicits._
-    val tok = split($"text", " ")
-    val shArr = array_distinct(transform(
-      sequence(lit(0), size(tok) - N),
-      i => concat_ws(" ", slice(tok, i + lit(1), lit(N)))))
     // set size rides along with each exploded shingle — saves two
     // doc-size joins after the pair aggregation
-    val sh = docsParallel(s, dir)
-      .select($"doc_id", shArr.as("shs"))
-      .select($"doc_id", size($"shs").as("n"), explode($"shs").as("s"))
+    val sh = shingles(s, dir)
     val a = sh.toDF("da", "na", "sa")
     val b = sh.toDF("db", "nb", "sb")
     a.join(b, $"sa" === $"sb" && $"da" < $"db")
@@ -70,24 +77,27 @@ object DedupOps {
       .orderBy($"da", $"db")
   }
 
-  /** MinHash (k=8) + LSH banding (4 bands × 2 rows): emit candidate pairs
-    * sharing ≥1 band with how many bands they share. Collision probability
-    * per band is j² (j = true Jaccard), so low-sim pairs are pruned
-    * without ever being compared.
+  /** MinHash (k=16) + LSH banding (8 bands × 2 rows): emit candidate
+    * pairs sharing ≥1 band with how many bands they share. Collision
+    * probability per band is j² (j = true Jaccard), so low-sim pairs are
+    * pruned without ever being compared; 8 bands put the miss rate for a
+    * j≈0.7 near-dup below 1% ((1−j²)^8).
     *
-    * The 8 hash functions are the 8 disjoint 4-hex slices of ONE md5 per
-    * shingle (16-bit hashes each) — one digest instead of eight, same
+    * The 16 hash functions are the disjoint 4-hex slices of TWO md5s per
+    * shingle (16-bit hashes each) — two digests instead of sixteen, same
     * md5-reproducibility in the DuckDB oracle.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir).withColumn("d", md5($"s"))
-    val mins = (0 until 8).map(i =>
+    val sh = shingles(s, dir)
+      .withColumn("d", concat(md5($"s"), md5(concat(lit("x:"), $"s"))))
+    val mins = (0 until 16).map(i =>
       min(substring($"d", 4 * i + 1, 4)).as(s"h$i"))
     val mh = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
     val bands = mh.selectExpr("doc_id",
-      "stack(4, 0, md5(concat(h0, h1)), 1, md5(concat(h2, h3)), " +
-        "2, md5(concat(h4, h5)), 3, md5(concat(h6, h7))) AS (band, sig)")
+      "stack(8, " + (0 until 8).map(j =>
+        s"$j, md5(concat(h${2 * j}, h${2 * j + 1}))").mkString(", ") +
+        ") AS (band, sig)")
     val a = bands.toDF("da", "band_a", "sig_a")
     val b = bands.toDF("db", "band_b", "sig_b")
     a.join(b, $"band_a" === $"band_b" && $"sig_a" === $"sig_b" &&
@@ -142,10 +152,10 @@ object DedupOps {
         |ORDER BY da, db""".stripMargin
 
   val minhashOracle: String = {
-    val mins = (0 until 8)
-      .map(i => s"min(substring(md5(s), ${4 * i + 1}, 4)) AS h$i")
+    val mins = (0 until 16)
+      .map(i => s"min(substring(md5(s) || md5('x:' || s), ${4 * i + 1}, 4)) AS h$i")
       .mkString(", ")
-    val bands = (0 until 4).map(j =>
+    val bands = (0 until 8).map(j =>
       s"SELECT doc_id, $j AS band, md5(h${2 * j} || h${2 * j + 1}) AS sig FROM mh")
       .mkString(" UNION ALL ")
     shingleCte +

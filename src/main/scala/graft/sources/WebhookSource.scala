@@ -48,16 +48,26 @@ object WebhookQueue {
   @volatile private var server: HttpServer = _
   val maxRetained = 100000
 
-  def post(topic: String, body: String): Long = {
-    val id = seq.incrementAndGet()
-    buf.put(id, (System.currentTimeMillis() * 1000L, topic, body))
-    // bounded queue: shed oldest uncommitted beyond capacity (back-pressure
-    // in a real deployment; deterministic cap here)
-    while (buf.size() > maxRetained) buf.pollFirstEntry()
-    id
+  /** Enqueue one delivery. Returns the sequence id, or -1 when the queue
+    * is at capacity (caller answers 503 — real back-pressure; shedding
+    * retained-but-uncommitted entries would silently break at-least-once).
+    *
+    * Synchronized so `latest` can never observe a sequence number whose
+    * entry hasn't landed in the map yet — otherwise a concurrent
+    * latestOffset()/planInputPartitions() pair could plan a batch that
+    * skips the in-flight entry and the committed offset would pass it
+    * unread (permanent loss despite the 200 response).
+    */
+  def post(topic: String, body: String): Long = synchronized {
+    if (buf.size() >= maxRetained) -1L
+    else {
+      val id = seq.incrementAndGet()
+      buf.put(id, (System.currentTimeMillis() * 1000L, topic, body))
+      id
+    }
   }
 
-  def latest: Long = seq.get()
+  def latest: Long = synchronized { seq.get() }
 
   def slice(fromExclusive: Long, toInclusive: Long)
   : Array[(Long, Long, String, String)] =
@@ -87,9 +97,15 @@ object WebhookQueue {
             val body = new String(x.getRequestBody.readAllBytes(),
               java.nio.charset.StandardCharsets.UTF_8)
             val id = post(topic, body)
-            val resp = s"""{"accepted":$id}""".getBytes
-            x.sendResponseHeaders(200, resp.length)
-            x.getResponseBody.write(resp)
+            if (id < 0) {
+              val resp = """{"error":"queue full, retry later"}""".getBytes
+              x.sendResponseHeaders(503, resp.length)
+              x.getResponseBody.write(resp)
+            } else {
+              val resp = s"""{"accepted":$id}""".getBytes
+              x.sendResponseHeaders(200, resp.length)
+              x.getResponseBody.write(resp)
+            }
           } else x.sendResponseHeaders(405, -1)
           x.close()
         }

@@ -71,5 +71,12 @@ class PropertySpec extends SparkSpec {
         .head()
       assert(got == expected, s"topk mismatch: $got vs $expected")
     }
+    // tie regression: equal scores must resolve by id regardless of
+    // arrival order / partitioning (the reduce fast path once dropped
+    // equal-score lower-id elements)
+    val ties = List((9L, 0.5), (3L, 0.5), (7L, 0.5))
+    val gotTies = ties.toDS().repartition(3)
+      .select(new TopKAggregator(1).toColumn).head()
+    assert(gotTies == Seq((3L, 0.5)), s"tie-break broken: $gotTies")
   }
 }

@@ -56,6 +56,15 @@ class CosineSimilaritySpec extends SparkSpec {
     val r = spark.sql(
       "SELECT cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(1.0F))").collect()
     assert(r.head.isNullAt(0))
+    // ragged lengths and null elements → NULL, not a silently truncated
+    // or zero-padded similarity
+    val ragged = spark.sql(
+      "SELECT cosine_sim(array(1.0F, 2.0F), array(1.0F))").collect()
+    assert(ragged.head.isNullAt(0), "length mismatch must yield NULL")
+    val nullElem = spark.sql(
+      "SELECT cosine_sim(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 1.0F))")
+      .collect()
+    assert(nullElem.head.isNullAt(0), "null element must yield NULL")
     val err = intercept[Exception] {
       spark.sql("SELECT cosine_sim('not an array', array(1.0F))").collect()
     }

@@ -112,6 +112,26 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(0L) == fps(3L) && fps(0L) != fps(1L))
   }
 
+  test("shingle ops survive documents shorter than the shingle width") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "one", "en", "src0", 3L),
+      (1L, "two words", "en", "src0", 9L),
+      (2L, "three word doc", "en", "src0", 14L),
+      (3L, "three word doc", "en", "src1", 14L)) // exact dup of 2
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_short").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // must not throw (sequence(0,-1) is a descending range in Spark);
+    // docs 2 and 3 share their single shingle → jaccard 1.0
+    val pairs = DedupOps.ngramJaccard(spark, dir, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((2L, 3L, 1.0)))
+    val cands = DedupOps.minhashLsh(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(cands.map(c => (c._1, c._2)).toSet == Set((2L, 3L)))
+  }
+
   test("multimodal featurization is deterministic and normalized") {
     val a = Multimodal.mediaFeatures(spark, sfTest).collect()
     val b = Multimodal.mediaFeatures(spark, sfTest).collect()
