@@ -52,6 +52,39 @@ object Experiment {
         .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
         .orderBy(desc("rev")).limit(10).count()
     }
+    // minhash stage isolation
+    val tok = split($"text", " ")
+    val shArr = when(size(tok) >= 3, array_distinct(transform(
+      sequence(lit(0), size(tok) - 3),
+      i => concat_ws(" ", slice(tok, i + lit(1), lit(3)))))).otherwise(array())
+    def sh0 = Tables(spark, sfDir, "documents").repartition(32)
+      .select($"doc_id", shArr.as("shs"))
+      .select($"doc_id", explode($"shs").as("s"))
+    time("mh_explode_only") { sh0.count() }
+    def shFlat = Tables(spark, sfDir, "documents").repartition(32)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(' ')
+        if (t.length < 3) Iterator.empty
+        else {
+          val seen = new scala.collection.mutable.HashSet[String]
+          (0 to t.length - 3).iterator
+            .map(i => t(i) + " " + t(i + 1) + " " + t(i + 2))
+            .filter(seen.add)
+            .map(s => (id, s))
+        }
+      }.toDF("doc_id", "s")
+    time("mh_explode_flatmap") { shFlat.count() }
+    val distinctOff = Tables(spark, sfDir, "documents").repartition(32)
+      .select($"doc_id", explode(transform(
+        sequence(lit(0), size(split($"text"," ")) - 3),
+        i => concat_ws(" ", slice(split($"text"," "), i + lit(1), lit(3))))).as("s"))
+    time("mh_explode_nodistinct") { distinctOff.count() }
+    time("mh_md5") { sh0.withColumn("d", concat(md5($"s"), md5(concat(lit("x:"), $"s")))).count() }
+    val mins16 = (0 until 16).map(i => min(substring($"d", 4 * i + 1, 4)).as(s"h$i"))
+    time("mh_agg16") { sh0.withColumn("d", concat(md5($"s"), md5(concat(lit("x:"), $"s"))))
+      .groupBy($"doc_id").agg(mins16.head, mins16.tail: _*).count() }
+    time("mh_full") { graft.operators.DedupOps.minhashLsh(spark, sfDir).count() }
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_exp_sink").toString
     graft.sinks.Sinks.writePartitioned(
       Tables(spark, sfDir, "documents"), s"$sinkDir/docs", "lang")

@@ -33,28 +33,37 @@ object DedupOps {
     Tables(s, dir, "documents")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
-  /** Distinct 3-gram shingle array for a doc's token column. Documents
-    * shorter than N tokens yield an empty set (guard required: Spark's
-    * `sequence(0, -1)` is a DESCENDING range, and slice(tok, 0, ..) then
-    * throws — not an empty array).
-    */
-  private def shingleArr: org.apache.spark.sql.Column = {
-    val tok = split(col("text"), " ")
-    when(size(tok) >= N,
-      array_distinct(transform(
-        sequence(lit(0), size(tok) - N),
-        i => concat_ws(" ", slice(tok, i + lit(1), lit(N))))))
-      .otherwise(array())
-  }
-
   /** doc_id + shingle-set size + exploded distinct shingles — the single
     * source of the shingle rule for both ngramJaccard and minhashLsh.
+    *
+    * Deliberately a typed flatMap, not expression composition: the
+    * declarative form (`array_distinct(transform(sequence(...), slice))`)
+    * measured 12× slower at sf0.1 (3.9 s vs 0.3 s for the same 260k
+    * shingles) — array_distinct over string arrays is quadratic and falls
+    * out of codegen — and Spark's `sequence(0, -1)` descending-range
+    * behavior made the short-document guard fragile. One pass with a
+    * per-doc HashSet dedups, counts the set size, and guards length < N
+    * for free.
     */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docsParallel(s, dir)
-      .select($"doc_id", shingleArr.as("shs"))
-      .select($"doc_id", size($"shs").as("n"), explode($"shs").as("s"))
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(' ')
+        if (t.length < N) Iterator.empty
+        else {
+          val seen = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          while (i <= t.length - N) {
+            seen.add(t(i) + " " + t(i + 1) + " " + t(i + 2))
+            i += 1
+          }
+          val n = seen.size
+          seen.iterator.map(sh => (id, n, sh))
+        }
+      }
+      .toDF("doc_id", "n", "s")
   }
 
   /** All document pairs with 3-gram Jaccard ≥ threshold. Jaccard is an
