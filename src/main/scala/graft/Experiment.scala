@@ -52,6 +52,23 @@ object Experiment {
         .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
         .orderBy(desc("rev")).limit(10).count()
     }
+    val slideUs = 900L * 1000000L
+    val floorStart = expr(s"unix_micros(ts) div $slideUs") * slideUs
+    val starts4 = transform(sequence(lit(0L), lit(3L)), i => floorStart - i * slideUs)
+    time("slide_serial") {
+      Tables(spark, sfDir, "events")
+        .select($"event_type", $"value", explode(starts4).as("ws"))
+        .groupBy(date_format(timestamp_micros($"ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"window_start", $"event_type").count()
+    }
+    time("slide_repart") {
+      Tables(spark, sfDir, "events").repartition(32)
+        .select($"event_type", $"value", explode(starts4).as("ws"))
+        .groupBy(date_format(timestamp_micros($"ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"window_start", $"event_type").count()
+    }
     // minhash stage isolation
     val tok = split($"text", " ")
     val shArr = when(size(tok) >= 3, array_distinct(transform(

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{Event, StreamOps}
+
+/** Streaming throughput bench: replays the events table through the three
+  * stateful streaming pipelines (tumbling agg, exactly-once dedup, session
+  * windows) via MemoryStream in fixed-size micro-batches and reports
+  * events/second per pipeline as one JSON line. Complements graft.Bench
+  * (batch latency) on the stream-processor side of the engine.
+  *
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.StreamBench"
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val batchSize = 10000
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables(spark, sfDir, "events").as[Event].collect()
+
+    def run(name: String,
+            pipe: org.apache.spark.sql.DataFrame =>
+              org.apache.spark.sql.DataFrame,
+            mode: String): (String, Double) = {
+      val ms = MemoryStream[Event]
+      val q = pipe(ms.toDF())
+        .writeStream.format("memory").queryName(s"sb_$name")
+        .outputMode(mode).start()
+      val t0 = System.nanoTime()
+      events.grouped(batchSize).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      name -> (events.length / secs)
+    }
+
+    val results = Seq(
+      run("tumbling", StreamOps.tumbling, "update"),
+      run("dedup", StreamOps.dedup, "append"),
+      run("sessions", StreamOps.sessions, "append"))
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"stream_events_per_sec","pipelines":$qs,""" +
+      s""""n_events":${events.length},"batch_size":$batchSize,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
