@@ -122,8 +122,16 @@ object DedupOps {
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // typed one-pass distinct for the same reason as shingles():
+    // array_distinct over string arrays is quadratic and non-codegen
     val words = docsParallel(s, dir)
-      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val seen = new scala.collection.mutable.LinkedHashSet[String]
+        text.split(' ').foreach(seen.add)
+        seen.iterator.map(w => (id, w))
+      }
+      .toDF("doc_id", "w")
     val sums = (1 to 16).map(i =>
       sum(when(substring(md5($"w"), i, 1).between("0", "7"), -1)
         .otherwise(1)).as(s"s$i"))
