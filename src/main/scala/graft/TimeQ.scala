@@ -9,11 +9,9 @@ object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // mirror Bench's session exactly (incl. hot-table cache)
+    val spark = GraftSession.builder(cpus)
+      .config("spark.graft.cacheTables", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val name = args(0)

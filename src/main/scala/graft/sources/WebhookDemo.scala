@@ -15,12 +15,7 @@ object WebhookDemo {
     val runMs = if (args.length > 1) args(1).toLong else 20000L
     val bound = WebhookQueue.startServer(port)
     println(s"WEBHOOK_LISTENING=$bound")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder("4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val payloadSchema = StructType(Seq(
       StructField("event_id", LongType),

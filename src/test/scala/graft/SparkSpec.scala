@@ -7,12 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * session config: UTC, small shuffle-partition count).
   */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
 
   val sfTest = "/root/testdata/sf0.001"
 }
