@@ -69,6 +69,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "q_dedup_minhash" -> (DedupOps.minhashLsh _),
     "q_dedup_simhash" -> (DedupOps.simhash _),
+    "q_dedup_simhash_pairs" ->
+      ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
     // multimodal plumbing (stubbed codec, real Spark shape)
     "q_multimodal" -> (Multimodal.mediaFeatures _),
   )
@@ -174,7 +176,7 @@ object SparkEntry {
         |FROM (SELECT p_partkey, p_name,
         |   SUM(l_extendedprice*(1-l_discount)) AS rev
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  GROUP BY p_partkey, p_name ORDER BY rev DESC LIMIT 10)
+        |  GROUP BY p_partkey, p_name ORDER BY rev DESC, p_partkey LIMIT 10)
         |ORDER BY revenue DESC, p_partkey""".stripMargin,
     "q_setops" ->
       """SELECT c_custkey FROM (
@@ -296,5 +298,6 @@ object SparkEntry {
     "q_dedup_ngram" -> DedupOps.ngramOracle,
     "q_dedup_minhash" -> DedupOps.minhashOracle,
     "q_dedup_simhash" -> DedupOps.simhashOracle,
+    "q_dedup_simhash_pairs" -> DedupOps.simhashPairsOracle,
   )
 }

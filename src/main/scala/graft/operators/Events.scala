@@ -60,7 +60,13 @@ object Events {
   def sliding15m(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val slideUs = 900L * 1000000L
-    val floorStart = expr(s"unix_micros(ts) div $slideUs") * slideUs
+    // floor-to-slide via pmod (positive remainder), not `div`: div truncates
+    // toward zero while the DuckDB oracle's `//` floors toward -inf, so the
+    // two diverge for pre-epoch (negative unix_micros) timestamps. x -
+    // pmod(x, s) floors for every sign, keeping window assignment aligned
+    // without a post-1970 fixture assumption.
+    val floorStart =
+      expr(s"unix_micros(ts) - pmod(unix_micros(ts), $slideUs)")
     val starts = transform(sequence(lit(0L), lit(3L)),
       i => floorStart - i * slideUs)
     Tables(s, dir, "events")

@@ -147,7 +147,10 @@ object Relational {
     Tables(s, dir, "lineitem")
       .groupBy($"l_partkey")
       .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
-      .orderBy(desc("rev"))
+      // l_partkey tie-break: an exact (or cross-engine float-accumulation
+      // near-) tie at the rank-10 boundary must pick the same part in both
+      // engines; the oracle sorts identically
+      .orderBy(desc("rev"), $"l_partkey")
       .limit(10)
       .join(broadcast(Tables(s, dir, "part")), $"l_partkey" === $"p_partkey")
       .select($"p_partkey", $"p_name", round($"rev").cast("long").as("revenue"))

@@ -132,6 +132,51 @@ class OperatorsSpec extends SparkSpec {
     assert(cands.map(c => (c._1, c._2)).toSet == Set((2L, 3L)))
   }
 
+  test("stop-shingle guard bounds a synthetic hot shingle's pair blow-up") {
+    import spark.implicits._
+    // 30 docs all sharing one boilerplate shingle ("all rights reserved")
+    // plus unique content; 2 true near-dups sharing real content
+    val boiler = "all rights reserved"
+    val docs = (0L until 30L).map { i =>
+      val text = s"$boiler unique$i content$i for document number$i"
+      (i, text, "en", s"src$i", text.length.toLong)
+    } ++ Seq(
+      (30L, "the quick brown fox jumps over lazy dogs daily", "en", "srcA", 47L),
+      (31L, "the quick brown fox jumps over lazy dogs nightly", "en", "srcB", 48L))
+    val dir = Files.createTempDirectory("graft_hot").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // uncapped: the boilerplate shingle alone generates 30*29/2 = 435
+    // pairs at jaccard 1/11; capped at df>10 it contributes none
+    val capped = DedupOps.ngramJaccard(spark, dir, threshold = 0.05, maxDf = 10)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val uncapped = DedupOps.ngramJaccard(spark, dir, threshold = 0.05, maxDf = 1000)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(uncapped.size >= 435, s"hot shingle should blow up uncapped: ${uncapped.size}")
+    assert(capped.size < 40, s"cap must drop boilerplate-only pairs: ${capped.size}")
+    assert(capped.contains((30L, 31L)), "true near-dups must survive the cap")
+  }
+
+  test("simhash banding retrieves exactly the brute-force hamming ball") {
+    import spark.implicits._
+    // banded candidate generation (4×16-bit bands over the 64-bit sig)
+    // must equal the quadratic scan — pigeonhole has no false negatives,
+    // and the exact hamming filter removes every false positive
+    val banded = DedupOps.simhashPairs(spark, sfTest)
+      .as[(Long, Long, Long)].collect().toSet
+    val sigs = DedupOps.simhash64(spark, sfTest)
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (a, ahi, alo) <- sigs.iterator
+      (b, bhi, blo) <- sigs.iterator if a < b
+      h = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size}")
+    assert(banded.nonEmpty)
+  }
+
   test("multimodal featurization is deterministic and normalized") {
     val a = Multimodal.mediaFeatures(spark, sfTest).collect()
     val b = Multimodal.mediaFeatures(spark, sfTest).collect()
