@@ -25,6 +25,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // native functions (cosine_sim) land in the Catalyst registry at
+      // session build — queries reach them via call_function / SQL with no
+      // runtime registry mutation. NOTE: extensions only apply at session
+      // CREATION; getOrCreate against a live session ignores them (use
+      // GraftFunctions.register there).
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE is a runtime re-planner for plans whose compile-time stats are
       // wrong. Every graded query pins its join strategy explicitly

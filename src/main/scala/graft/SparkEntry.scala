@@ -61,6 +61,8 @@ object SparkEntry {
     "q_text_fingerprint" -> (TextOps.fingerprint _),
     // §2.8 vectors
     "q_vector_knn" -> ((s: SparkSession, d: String) => VectorOps.knn(s, d)),
+    "q_vector_search" ->
+      ((s: SparkSession, d: String) => VectorOps.vectorSearch(s, d)),
     "q_dedup_embed" ->
       ((s: SparkSession, d: String) => VectorOps.embedNearDup(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),
@@ -287,6 +289,15 @@ object SparkEntry {
         |  ORDER BY sim DESC, b_id) AS rn FROM p)
         |SELECT a_id, b_id, ROUND(sim, 6) AS sim, rn FROM r
         |WHERE rn <= 5 ORDER BY a_id, rn LIMIT 100""".stripMargin,
+    "q_vector_search" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings ORDER BY vec_id LIMIT 1)
+        |SELECT e.vec_id,
+        | ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |   CAST(q.q_emb AS DOUBLE[])), 6) AS sim
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id <> q.q_id
+        |ORDER BY sim DESC, e.vec_id LIMIT 20""".stripMargin,
     "q_dedup_embed" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         | ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -117,6 +117,34 @@ object VectorOps {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Vector search (the similarity-serving path): top-`k` embeddings most
+    * cosine-similar to a query vector — here the min-id row, so the oracle
+    * can reproduce the choice. One linear scan: the 1-row query side is
+    * broadcast, similarity runs through the native codegen'd `cosine_sim`
+    * Catalyst expression (graft.functions.CosineSimilarity — registered by
+    * GraftSession via GraftExtensions) inside whole-stage codegen, and the
+    * top-k is a TakeOrderedAndProject (per-partition k-row heaps, no global
+    * sort). At 100 TB this shape is embarrassingly parallel; `annIvf` is
+    * the sublinear alternative when scans are too slow.
+    *
+    * Determinism: ordered by the ROUNDED similarity with a vec_id
+    * tie-break in both engines — ordering on the raw double would let a
+    * sub-1e-6 cross-engine difference flip the rank-k boundary.
+    */
+  def vectorSearch(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val q = e.orderBy($"vec_id").limit(1)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"vec_id",
+        round(call_function("cosine_sim", $"embedding", $"q_emb"), 6)
+          .as("sim"))
+      .orderBy(desc("sim"), $"vec_id")
+      .limit(k)
+  }
+
   /** Per-label embedding statistics (exercises the `label` column): count
     * plus the mean of the first two dimensions — a cheap proxy for
     * per-class centroid monitoring in an embedding pipeline.

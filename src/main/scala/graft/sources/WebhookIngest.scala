@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.sinks.Sinks
+
+/** Payload parsing for the webhook stream, with dead-lettering
+  * (SURVEY.md §1.3: "malformed → null row / dead-letter").
+  *
+  * A malformed body must neither kill the pipeline nor silently flow on as
+  * an all-null row: it is routed to a dead-letter lane carrying the RAW
+  * payload (for replay after the producer bug is fixed) plus a reason tag.
+  */
+object WebhookIngest {
+
+  /** Split one DataFrame of raw deliveries into (parsed, deadLetters).
+    * Pure column logic — works identically on a batch DataFrame or inside
+    * a micro-batch.
+    *
+    * Detection uses PERMISSIVE mode's corrupt-record column, not a
+    * null-struct check: `from_json` answers malformed input with a struct
+    * of all-null FIELDS (so the struct itself is non-null), while the
+    * corrupt column is populated exactly when parsing failed. A parseable
+    * body with missing fields is a schema question for downstream, not a
+    * dead-letter.
+    */
+  def parseOrDeadLetter(raw: DataFrame, payloadSchema: StructType)
+  : (DataFrame, DataFrame) = {
+    require(!payloadSchema.fieldNames.contains(CorruptCol))
+    val withCorrupt = payloadSchema.add(CorruptCol, "string")
+    val parsed = raw.withColumn("e",
+      from_json(col("body"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> CorruptCol, "mode" -> "PERMISSIVE")))
+    val good = parsed.filter(col(s"e.$CorruptCol").isNull)
+      .select(col("seq"), col("ingest_ts"), col("topic"), col("e.*"))
+      .drop(CorruptCol)
+    val dead = parsed.filter(col(s"e.$CorruptCol").isNotNull)
+      .select(col("seq"), col("ingest_ts"), col("topic"), col("body"),
+        lit("malformed_json").as("reason"))
+    (good, dead)
+  }
+
+  private val CorruptCol = "_graft_corrupt"
+
+  /** Run the webhook stream as ONE query that fans each micro-batch out to
+    * a good sink and a dead-letter sink.
+    *
+    * Deliberately a single foreachBatch query, not two writeStream queries
+    * over the same source: each streaming query commits offsets
+    * independently, and the webhook queue truncates on commit — a second
+    * query racing the first's commit could find its slice already
+    * truncated (data loss). One query → one offset log → at-least-once
+    * holds for BOTH lanes.
+    */
+  def streamWithDeadLetter(raw: DataFrame, payloadSchema: StructType,
+                           checkpoint: String)
+                          (goodSink: DataFrame => Unit)
+                          (deadSink: DataFrame => Unit): StreamingQuery =
+    Sinks.streamForeachBatch(raw, checkpoint) { (batch, _) =>
+      val (good, dead) = parseOrDeadLetter(batch, payloadSchema)
+      goodSink(good)
+      deadSink(dead)
+    }
+}

@@ -45,6 +45,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object WebhookQueue {
   private val buf = new ConcurrentSkipListMap[Long, (Long, String, String)]()
   private val seq = new AtomicLong(0L)
+  // retained-entry count tracked separately: ConcurrentSkipListMap.size()
+  // is an O(n) traversal, and post() runs it under the global lock on
+  // every request — exactly when a backlog makes n large. The counter can
+  // only over-count transiently (truncate removes, then decrements), which
+  // errs toward 503, never toward shedding.
+  private val retained = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var server: HttpServer = _
   val maxRetained = 100000
 
@@ -59,10 +65,11 @@ object WebhookQueue {
     * unread (permanent loss despite the 200 response).
     */
   def post(topic: String, body: String): Long = synchronized {
-    if (buf.size() >= maxRetained) -1L
+    if (retained.get() >= maxRetained) -1L
     else {
       val id = seq.incrementAndGet()
       buf.put(id, (System.currentTimeMillis() * 1000L, topic, body))
+      retained.incrementAndGet()
       id
     }
   }
@@ -81,10 +88,12 @@ object WebhookQueue {
     */
   def truncate(uptoInclusive: Long): Unit = {
     val it = buf.headMap(uptoInclusive, true).keySet().iterator()
-    while (it.hasNext) { it.next(); it.remove() }
+    var removed = 0
+    while (it.hasNext) { it.next(); it.remove(); removed += 1 }
+    retained.addAndGet(-removed)
   }
 
-  def clear(): Unit = buf.clear()
+  def clear(): Unit = synchronized { buf.clear(); retained.set(0) }
 
   def startServer(port: Int): Int = synchronized {
     if (server == null) {

@@ -80,33 +80,54 @@ object StreamOps {
     * micro-batches via flatMapGroupsWithState. (cf. the alarm-verification
     * pattern in PAPERS.md.)
     *
-    * State is one Int per user. At 100 TB-scale you'd evict idle users'
-    * state with an event-time timeout (`EventTimeTimeout` +
-    * `state.setTimeoutTimestamp(watermark + horizon)`); a processing-time
-    * timeout is avoided deliberately — it forces the engine into
-    * continuous empty micro-batches just to poll timers.
+    * State is one Int per user, and it is EVICTED: each update arms an
+    * event-time timeout at watermark + `idleHorizon`, so a user who goes
+    * quiet has their counter removed once the stream's event time moves
+    * past the horizon — without eviction, per-user state grows with the
+    * all-time user count at 100 TB/day. A processing-time timeout is
+    * avoided deliberately — it forces the engine into continuous empty
+    * micro-batches just to poll timers. Semantics note: eviction only
+    * forgets idle users' partial runs; an error run that resumes after >
+    * `idleHorizon` of event-time silence restarts from zero, which is the
+    * intended alarm meaning ("consecutive" within an activity window).
     */
-  def errorAlarms(events: Dataset[Event], threshold: Int = 3)
-  : Dataset[ErrorAlarm] = {
+  def errorAlarms(events: Dataset[Event], threshold: Int = 3,
+                  idleHorizon: String = "2 hours"): Dataset[ErrorAlarm] = {
     import events.sparkSession.implicits._
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(idleHorizon)).microseconds / 1000L
     events
+      .withWatermark("ts", idleHorizon)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Int, ErrorAlarm](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[Int]) =>
-          var run = state.getOption.getOrElse(0)
-          val alarms = scala.collection.mutable.ArrayBuffer[ErrorAlarm]()
-          // within-batch order: sort by event time (micro-batches don't
-          // guarantee per-key arrival order across partitions)
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            if (e.event_type == "error") {
-              run += 1
-              if (run == threshold)
-                alarms += ErrorAlarm(userId, run, e.ts)
-            } else run = 0
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var run = state.getOption.getOrElse(0)
+            var maxTs = 0L
+            val alarms = scala.collection.mutable.ArrayBuffer[ErrorAlarm]()
+            // within-batch order: sort by event time (micro-batches don't
+            // guarantee per-key arrival order across partitions)
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              if (e.event_type == "error") {
+                run += 1
+                if (run == threshold)
+                  alarms += ErrorAlarm(userId, run, e.ts)
+              } else run = 0
+            }
+            state.update(run)
+            // arm off the user's own latest event time (the watermark term
+            // only matters on the first batch, where the watermark is 0 and
+            // setTimeoutTimestamp must still be > it… it always is here)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + horizonMs)
+            alarms.iterator
           }
-          state.update(run)
-          alarms.iterator
       }
   }
 }

@@ -59,4 +59,47 @@ class WebhookSourceSpec extends SparkSpec {
       assert(getStatus == 405)
     } finally WebhookQueue.stopServer()
   }
+
+  test("malformed payloads are dead-lettered; well-formed rows unaffected") {
+    val port = WebhookQueue.startServer(0)
+    try {
+      WebhookQueue.clear()
+      val client = HttpClient.newHttpClient()
+      def post(body: String): Int = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/webhook/orders"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+
+      val payloadSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val good = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      val dead = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+      val checkpoint =
+        java.nio.file.Files.createTempDirectory("graft_dl").toString
+      val raw = spark.readStream
+        .format("graft.sources.WebhookSourceProvider").load()
+      val q = WebhookIngest.streamWithDeadLetter(raw, payloadSchema,
+        checkpoint) { g =>
+        g.collect().foreach(r =>
+          good.add((r.getAs[Long]("event_id"), r.getAs[String]("event_type"))))
+      } { d =>
+        d.collect().foreach(r =>
+          dead.add((r.getAs[String]("body"), r.getAs[String]("reason"))))
+      }
+
+      assert(post("""{"event_id":1,"event_type":"click","value":1.0}""") == 200)
+      assert(post("""{{{ definitely broken""") == 200) // accepted, then dead-lettered
+      assert(post("""{"event_id":2,"event_type":"view","value":2.0}""") == 200)
+      q.processAllAvailable()
+      q.stop()
+
+      import scala.jdk.CollectionConverters._
+      assert(good.asScala.toSet == Set((1L, "click"), (2L, "view")))
+      assert(dead.asScala.toSet ==
+        Set(("{{{ definitely broken", "malformed_json")))
+    } finally WebhookQueue.stopServer()
+  }
 }

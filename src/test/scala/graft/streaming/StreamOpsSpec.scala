@@ -186,4 +186,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(alarms.toSet == Set((1L, 3), (2L, 3)),
       s"got ${alarms.toSeq} — state must carry runs across micro-batches")
   }
+
+  test("idle users' alarm state is evicted by the event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.errorAlarms(ms.toDS())
+      .writeStream.format("memory").queryName("t_evict")
+      .outputMode("append").start()
+    // user 1 builds a partial run (2 of 3 errors), armed to time out at
+    // 10:01 + 2h = 12:01 event time
+    ms.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "error", 0.0),
+      ev(2, "2024-01-01 10:01:00", 1, "error", 0.0)))
+    q.processAllAvailable()
+    // advance the watermark far past 12:01 (sentinel user, next day);
+    // watermark updates between batches, so a second tick lets the
+    // timeout actually fire and remove user 1's counter
+    ms.addData(Seq(ev(90, "2024-01-02 00:00:00", 42, "click", 0.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(ev(91, "2024-01-02 00:05:00", 42, "click", 0.0)))
+    q.processAllAvailable()
+    // user 1 returns with a third error: with state evicted this is run 1
+    // of a fresh window — no alarm may fire
+    ms.addData(Seq(ev(3, "2024-01-02 01:00:00", 1, "error", 0.0)))
+    q.processAllAvailable()
+    val alarms = spark.sql("select user_id from t_evict").collect()
+    q.stop()
+    assert(alarms.isEmpty,
+      s"stale run survived eviction and alarmed: ${alarms.toSeq}")
+  }
 }
