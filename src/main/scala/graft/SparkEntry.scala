@@ -49,6 +49,10 @@ object SparkEntry {
     "q_label_stats" -> (VectorOps.labelStats _),
     // §2.2 semi-structured
     "q_json_extract" -> (Events.jsonExtract _),
+    // temporal joins (range / as-of)
+    "q_range_join" ->
+      ((s: SparkSession, d: String) => Events.rangeJoinErrors(s, d)),
+    "q_asof_lookup" -> (Events.asofPurchase _),
     // §2.9 streaming batch twins
     "q_tumbling_1h" -> (Events.tumbling1h _),
     "q_sliding_15m" -> (Events.sliding15m _),
@@ -191,6 +195,24 @@ object SparkEntry {
         | CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
         | ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  value, event_type FROM events)
+        |SELECT a.event_id, COUNT(*) AS n_prior,
+        | ROUND(SUM(b.value), 2) AS sum_prior
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts - INTERVAL 24 HOUR AND b.ts < a.ts
+        |WHERE a.event_type = 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_lookup" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  value, event_type FROM events)
+        |SELECT event_id,
+        | ROUND(last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |   IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2)
+        |   AS last_purchase
+        |FROM e ORDER BY event_id""".stripMargin,
     "q_supplier_nation" ->
       """SELECT n_name,
         | CAST(ROUND(SUM(l_extendedprice*(1-l_discount))) AS BIGINT) AS revenue,

@@ -96,6 +96,70 @@ object Events {
       .orderBy($"c_mktsegment")
   }
 
+  /** Distributed range join (inequality band join): for each 'error'
+    * event, aggregate the same user's events in the trailing 24 h
+    * (ts ∈ [error_ts − band, error_ts)).
+    *
+    * Spark has no native range-join operator, and a raw inequality join
+    * plans as a nested loop. This is the standard bucketization rewrite:
+    * both sides key on (user, ⌊ts/band⌋); a probe row explodes into its
+    * own bucket and the previous one — together they cover every row
+    * within one band width back — and the exact band predicate filters
+    * after the equi-join. Cost is Σ_(user,bucket) probe×build instead of
+    * per-user quadratic, bounded because a bucket spans one band width;
+    * at 100 TB the bucket key simply gets more granular with the band.
+    */
+  def rangeJoinErrors(s: SparkSession, dir: String,
+                      bandSec: Long = 86400): DataFrame = {
+    import s.implicits._
+    val bandUs = bandSec * 1000000L
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"value", $"event_type",
+        unix_micros($"ts").as("tus"))
+    val probe = ev.filter($"event_type" === "error")
+      .select($"event_id".as("a_id"), $"user_id".as("a_user"),
+        $"tus".as("a_tus"))
+      .withColumn("bucket", explode(array(
+        expr(s"a_tus div $bandUs"), expr(s"a_tus div $bandUs") - 1)))
+    val build = ev
+      .select($"user_id".as("b_user"), $"tus".as("b_tus"),
+        $"value".as("b_value"))
+      .withColumn("b_bucket", expr(s"b_tus div $bandUs"))
+    probe.join(build,
+        $"bucket" === $"b_bucket" && $"a_user" === $"b_user")
+      .filter($"b_tus" >= $"a_tus" - bandUs && $"b_tus" < $"a_tus")
+      .groupBy($"a_id")
+      .agg(count(lit(1)).as("n_prior"),
+        round(sum($"b_value"), 2).as("sum_prior"))
+      .select($"a_id".as("event_id"), $"n_prior", $"sum_prior")
+      .orderBy($"event_id")
+  }
+
+  /** As-of (point-in-time) lookup: each event annotated with the value of
+    * the same user's most recent strictly-earlier 'purchase' event —
+    * the classic trades⋈quotes as-of join, against the purchase
+    * sub-stream of the same table.
+    *
+    * Composed from existing operators per the custom-op preference order:
+    * a running `last(..., ignoreNulls)` over (user, time) — one shuffle on
+    * the join key, each key's timeline resolved in a single sorted pass,
+    * which is exactly the merge an as-of join performs. Events before the
+    * user's first purchase yield NULL (both engines agree).
+    */
+  def asofPurchase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts", $"value", $"event_type")
+      .withColumn("last_purchase",
+        round(last(when($"event_type" === "purchase", $"value"),
+          ignoreNulls = true).over(w), 2))
+      .select($"event_id", $"last_purchase")
+      .orderBy($"event_id")
+  }
+
   /** Batch twin of the streaming tumbling-window aggregate: per-hour,
     * per-type count + sum(value). Hour is emitted as a string so the
     * ns(DuckDB)↔µs(Spark) timestamp precision difference can't affect the
