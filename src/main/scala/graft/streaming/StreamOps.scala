@@ -75,6 +75,37 @@ object StreamOps {
     events.join(customer,
       events("user_id") === customer("c_custkey"), "left_outer")
 
+  /** Stream–stream interval join: purchases attributed to the same user's
+    * clicks within the following hour (click → purchase conversion).
+    *
+    * Both sides carry watermarks and the join condition bounds event time
+    * in BOTH directions, so Spark can expire state: a buffered click is
+    * held only until the purchase-side watermark passes click_ts + 1 h,
+    * and vice versa — state is O(events inside the interval), not O(all
+    * history). Without the time bound a stream–stream inner join would
+    * buffer both streams forever; this shape is what makes the operator
+    * 100 TB-viable. Join state shards by user_id with the shuffle, like
+    * every other stateful op here.
+    */
+  def conversionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p, expr(
+      """c_user = p_user AND
+        |purchase_ts >= click_ts AND
+        |purchase_ts <= click_ts + interval 1 hour""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+
   /** Custom stateful detector: alarm when a user produces `threshold`
     * consecutive 'error' events; the run counter carries across
     * micro-batches via flatMapGroupsWithState. (cf. the alarm-verification

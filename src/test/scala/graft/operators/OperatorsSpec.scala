@@ -177,6 +177,33 @@ class OperatorsSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("bucketized range join equals the naive inequality join") {
+    import spark.implicits._
+    // the bucket rewrite (explode into own + previous bucket, exact band
+    // filter after) must lose no pair and invent none vs the direct
+    // inequality join it replaces
+    val bandUs = 86400L * 1000000L
+    val ev = Tables(spark, sfTest, "events")
+      .select($"event_id", $"user_id", $"value", $"event_type",
+        unix_micros($"ts").as("tus"))
+    val a = ev.filter($"event_type" === "error")
+      .select($"event_id".as("a_id"), $"user_id".as("a_user"),
+        $"tus".as("a_tus"))
+    val b = ev.select($"user_id".as("b_user"), $"tus".as("b_tus"),
+      $"value".as("b_value"))
+    val naive = a.join(b, $"a_user" === $"b_user" &&
+        $"b_tus" >= $"a_tus" - bandUs && $"b_tus" < $"a_tus")
+      .groupBy($"a_id")
+      .agg(count(lit(1)).as("n_prior"),
+        round(sum($"b_value"), 2).as("sum_prior"))
+      .orderBy($"a_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bucketized = Events.rangeJoinErrors(spark, sfTest)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(bucketized.nonEmpty)
+    assert(bucketized.toSeq == naive.toSeq)
+  }
+
   test("multimodal featurization is deterministic and normalized") {
     val a = Multimodal.mediaFeatures(spark, sfTest).collect()
     val b = Multimodal.mediaFeatures(spark, sfTest).collect()

@@ -187,6 +187,32 @@ class StreamOpsSpec extends SparkSpec {
       s"got ${alarms.toSeq} — state must carry runs across micro-batches")
   }
 
+  test("stream-stream interval join attributes purchases to clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.conversionJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("t_conv")
+      .outputMode("append").start()
+    clicks.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+      ev(2, "2024-01-01 12:00:00", 1, "click", 0.0),
+      ev(3, "2024-01-01 10:05:00", 2, "click", 0.0)))
+    purchases.addData(Seq(
+      ev(10, "2024-01-01 10:30:00", 1, "purchase", 9.99), // ← click 1 only
+      ev(11, "2024-01-01 12:45:00", 1, "purchase", 5.00), // ← click 2 only
+      ev(12, "2024-01-01 11:30:00", 2, "purchase", 1.00), // > 1h after click 3
+      ev(13, "2024-01-01 10:20:00", 3, "purchase", 2.00))) // user never clicked
+    q.processAllAvailable()
+    val got = spark.sql(
+      "select click_id, purchase_id from t_conv order by click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(got.toSeq == Seq((1L, 10L), (2L, 11L)),
+      s"interval-join attribution wrong: ${got.toSeq}")
+  }
+
   test("idle users' alarm state is evicted by the event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
