@@ -134,6 +134,33 @@ object DedupOps {
       .orderBy($"da", $"db")
   }
 
+  /** Lowercase hex md5 — byte-identical to Spark's `md5()` and DuckDB's
+    * `md5()` over the same UTF-8 input, which is what keeps the typed
+    * signature pipelines below in lockstep with the SQL oracles. One
+    * MessageDigest per partition, reset per call.
+    */
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = "0123456789abcdef"
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hex.charAt((d(i) & 0xff) >> 4)
+      out(2 * i + 1) = hex.charAt(d(i) & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Distinct non-empty tokens of one document — the single token rule
+    * (empty tokens dropped, insertion order preserved).
+    */
+  private def tokenSet(text: String): scala.collection.mutable.LinkedHashSet[String] = {
+    val seen = new scala.collection.mutable.LinkedHashSet[String]
+    text.split(' ').filter(_.nonEmpty).foreach(seen.add)
+    seen
+  }
+
   /** MinHash (k=16) + LSH banding (8 bands × 2 rows): emit candidate
     * pairs sharing ≥1 band with how many bands they share. Collision
     * probability per band is j² (j = true Jaccard), so low-sim pairs are
@@ -142,19 +169,46 @@ object DedupOps {
     *
     * The 16 hash functions are the disjoint 4-hex slices of TWO md5s per
     * shingle (16-bit hashes each) — two digests instead of sixteen, same
-    * md5-reproducibility in the DuckDB oracle.
+    * md5-reproducibility in the DuckDB oracle. Signatures and band keys
+    * are computed in ONE typed pass over the (cached, pre-spread)
+    * documents table — per-doc state is 16 four-char strings, nothing is
+    * exploded or shuffled until the 8 band rows per doc hit the band
+    * self-join. The declarative twin (explode → 16 min() aggregate
+    * columns → stack) shuffles the full shingle explosion; this one
+    * shuffles 8 rows per document.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir)
-      .withColumn("d", concat(md5($"s"), md5(concat(lit("x:"), $"s"))))
-    val mins = (0 until 16).map(i =>
-      min(substring($"d", 4 * i + 1, 4)).as(s"h$i"))
-    val mh = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
-    val bands = mh.selectExpr("doc_id",
-      "stack(8, " + (0 until 8).map(j =>
-        s"$j, md5(concat(h${2 * j}, h${2 * j + 1}))").mkString(", ") +
-        ") AS (band, sig)")
+    val bands = docsParallel(s, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val t = text.split(' ').filter(_.nonEmpty)
+          if (t.length < N) Iterator.empty
+          else {
+            val seen = new scala.collection.mutable.LinkedHashSet[String]
+            var i = 0
+            while (i <= t.length - N) {
+              seen.add(t(i) + " " + t(i + 1) + " " + t(i + 2))
+              i += 1
+            }
+            val mins = Array.fill(16)("￿") // > any 4-hex substring
+            seen.foreach { sh =>
+              val d = md5Hex(md, sh) + md5Hex(md, "x:" + sh)
+              var k = 0
+              while (k < 16) {
+                val sub = d.substring(4 * k, 4 * k + 4)
+                if (sub < mins(k)) mins(k) = sub
+                k += 1
+              }
+            }
+            (0 until 8).iterator.map(j =>
+              (id, j, md5Hex(md, mins(2 * j) + mins(2 * j + 1))))
+          }
+        }
+      }
+      .toDF("doc_id", "band", "sig")
     val a = bands.toDF("da", "band_a", "sig_a")
     val b = bands.toDF("db", "band_b", "sig_b")
     a.join(b, $"band_a" === $"band_b" && $"sig_a" === $"sig_b" &&
@@ -165,29 +219,35 @@ object DedupOps {
 
   /** 16-bit SimHash per document: dimension i flips ±1 on the i-th hex
     * digit of each distinct token's md5 (≥'8' → +1), bit set where the
-    * sum is positive. Near-dup lookup is then a hamming-ball scan over
-    * 2-byte signatures (SimHashSpec covers the pairing).
+    * sum is positive. Computed in one typed pass per document (per-doc
+    * state: 16 ints) — the declarative twin explodes every distinct token
+    * and shuffles it into a 16-SUM aggregate; here nothing shuffles at
+    * all before the final ORDER BY. Near-dup pair retrieval lives in
+    * `simhashPairs` (on the 64-bit signature).
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // typed one-pass distinct for the same reason as shingles():
-    // array_distinct over string arrays is quadratic and non-codegen
-    val words = docsParallel(s, dir)
+    docsParallel(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val seen = new scala.collection.mutable.LinkedHashSet[String]
-        text.split(' ').filter(_.nonEmpty).foreach(seen.add)
-        seen.iterator.map(w => (id, w))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val acc = new Array[Int](16)
+          tokenSet(text).foreach { w =>
+            val h = md5Hex(md, w)
+            var i = 0
+            while (i < 16) {
+              acc(i) += (if (h.charAt(i) >= '8') 1 else -1)
+              i += 1
+            }
+          }
+          var sig = 0L
+          var i = 0
+          while (i < 16) { if (acc(i) > 0) sig |= 1L << i; i += 1 }
+          (id, sig)
+        }
       }
-      .toDF("doc_id", "w")
-    val sums = (1 to 16).map(i =>
-      sum(when(substring(md5($"w"), i, 1).between("0", "7"), -1)
-        .otherwise(1)).as(s"s$i"))
-    val sig: Column = (1 to 16)
-      .map(i => when(col(s"s$i") > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
-      .reduce(_ + _)
-    words.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
-      .select($"doc_id", sig.cast("long").as("simhash"))
+      .toDF("doc_id", "simhash")
       .orderBy($"doc_id")
   }
 
@@ -205,25 +265,28 @@ object DedupOps {
     */
   private[operators] def simhash64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = docsParallel(s, dir)
+    docsParallel(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val seen = new scala.collection.mutable.LinkedHashSet[String]
-        text.split(' ').filter(_.nonEmpty).foreach(seen.add)
-        seen.iterator.map(w => (id, w))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val acc = new Array[Int](64)
+          tokenSet(text).foreach { w =>
+            val d = md5Hex(md, w) + md5Hex(md, "y:" + w)
+            var i = 0
+            while (i < 64) {
+              acc(i) += (if (d.charAt(i) >= '8') 1 else -1)
+              i += 1
+            }
+          }
+          var hi = 0L; var lo = 0L
+          var i = 0
+          while (i < 32) { if (acc(i) > 0) hi |= 1L << i; i += 1 }
+          while (i < 64) { if (acc(i) > 0) lo |= 1L << (i - 32); i += 1 }
+          (id, hi, lo)
+        }
       }
-      .toDF("doc_id", "w")
-      .withColumn("d", concat(md5($"w"), md5(concat(lit("y:"), $"w"))))
-    val sums = (1 to 64).map(i =>
-      sum(when(substring($"d", i, 1).between("0", "7"), -1)
-        .otherwise(1)).as(s"s$i"))
-    def half(lowBit: Int): Column = (lowBit to lowBit + 31)
-      .map(i => when(col(s"s$i") > 0, lit(1L << (i - lowBit))).otherwise(lit(0L)))
-      .reduce(_ + _)
-    words.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
-      .select($"doc_id",
-        half(1).cast("long").as("sig_hi"),
-        half(33).cast("long").as("sig_lo"))
+      .toDF("doc_id", "sig_hi", "sig_lo")
   }
 
   /** Near-duplicate pair retrieval from 64-bit SimHash signatures: all
