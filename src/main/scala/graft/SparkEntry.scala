@@ -40,6 +40,7 @@ object SparkEntry {
     "q_sessionize" -> (Windows.sessionize _),
     // §2.6 sort/limit/set ops
     "q_topk_parts" -> (Relational.topkParts _),
+    "q_topk_brand" -> (Relational.topkBrand _),
     "q_setops" -> (Relational.setops _),
     // schema-breadth queries (supplier FK edge, date buckets, catalog,
     // embedding labels)
@@ -184,6 +185,16 @@ object SparkEntry {
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_partkey, p_name ORDER BY rev DESC, p_partkey LIMIT 10)
         |ORDER BY revenue DESC, p_partkey""".stripMargin,
+    "q_topk_brand" ->
+      """SELECT p_brand, p_partkey, CAST(ROUND(rev) AS BIGINT) AS revenue, rn
+        |FROM (SELECT p_brand, p_partkey, rev,
+        |   ROW_NUMBER() OVER (PARTITION BY p_brand
+        |     ORDER BY rev DESC, p_partkey) AS rn
+        |  FROM (SELECT p_brand, p_partkey,
+        |     SUM(l_extendedprice*(1-l_discount)) AS rev
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    GROUP BY 1, 2))
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
     "q_setops" ->
       """SELECT c_custkey FROM (
         |  SELECT c_custkey FROM customer

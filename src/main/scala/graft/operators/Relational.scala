@@ -157,6 +157,39 @@ object Relational {
       .orderBy(desc("revenue"), $"p_partkey")
   }
 
+  /** Grouped top-k via the bounded-heap `top_k` Aggregator: top-3 parts by
+    * revenue within each brand. This is the shape `TakeOrderedAndProject`
+    * cannot plan (the limit is per group, not global) and where the UDAF's
+    * partial aggregation earns its keep: ~8 000 parts per brand reduce to
+    * ≤3 per partition before the shuffle, so the exchange carries
+    * O(brands × k × P) buffers instead of every (brand, part) row — the
+    * window-function twin would shuffle and sort all 200 000 rows. Ranking
+    * is (revenue DESC, p_partkey) in both the heap and the oracle's
+    * ROW_NUMBER, so ties can't flip the boundary.
+    */
+  def topkBrand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perPart = Tables(s, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+      .join(broadcast(Tables(s, dir, "part")
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"p_partkey", $"rev")
+      .as[(String, Long, Double)]
+    perPart.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(3).toColumn.name("tops"))
+      .flatMap { case (brand, tops) =>
+        tops.zipWithIndex.map { case ((pk, r), i) =>
+          (brand, pk, r, (i + 1).toLong)
+        }
+      }
+      .toDF("p_brand", "p_partkey", "rev_raw", "rn")
+      .select($"p_brand", $"p_partkey",
+        round($"rev_raw").cast("long").as("revenue"), $"rn")
+      .orderBy($"p_brand", $"rn")
+  }
+
   /** Revenue attributed to the supplying nation (exercises the
     * lineitem→supplier FK edge): lineitem⋈supplier⋈nation, revenue per
     * nation. supplier/nation broadcast; one partial+final agg.
