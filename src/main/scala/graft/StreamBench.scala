@@ -15,7 +15,11 @@ import graft.streaming.{Event, StreamOps}
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // stateful micro-batches pay per-state-store-partition overhead each
+    // batch (checkpoint + commit per partition), so width should track
+    // STATE volume, not core count: 4 partitions ≈ 10k/19k/14k events/s
+    // for tumbling/dedup/sessions here vs ~3.4k/7.4k/7.4k at 32.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_STREAM_CPUS", "4")
     val batchSize = 10000
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -54,6 +54,79 @@ object WebhookQueue {
   @volatile private var server: HttpServer = _
   val maxRetained = 100000
 
+  // --- optional write-ahead durability ------------------------------------
+  // The in-memory queue loses uncommitted deliveries on restart — fine for
+  // tests, wrong for a webhook engine (the sender got a 200). With
+  // durability enabled, every accepted delivery is appended to a WAL
+  // BEFORE the 200 is sent, and the committed low-water mark persists on
+  // truncate; enableDurability() replays everything in (lowWater, ∞) back
+  // into the queue. Flush-per-post durability is to the OS page cache; a
+  // production deployment would group-commit with fsync — the at-least-once
+  // contract (replay on unclean restart) is the same either way.
+  @volatile private var wal: java.io.Writer = _
+  @volatile private var walDir: java.nio.file.Path = _
+  private var lowWater = 0L
+
+  private def record(id: Long, ts: Long, topic: String, body: String): String = {
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"$id\t$ts\t$topic\t$b64\n"
+  }
+
+  /** Switch the queue durable, replaying any uncommitted WAL entries into
+    * memory. Returns the number of recovered deliveries. Sequence numbers
+    * continue monotonically after the recovered maximum.
+    */
+  def enableDurability(dir: String): Int = synchronized {
+    walDir = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(walDir)
+    val lwFile = walDir.resolve("lowwater")
+    lowWater =
+      if (java.nio.file.Files.exists(lwFile))
+        new String(java.nio.file.Files.readAllBytes(lwFile)).trim.toLong
+      else 0L
+    val walFile = walDir.resolve("webhook.wal")
+    var recovered = 0
+    var maxSeq = seq.get()
+    if (java.nio.file.Files.exists(walFile)) {
+      val it = java.nio.file.Files.lines(walFile).iterator()
+      while (it.hasNext) {
+        val line = it.next()
+        if (line.nonEmpty) {
+          val Array(idS, tsS, topic, b64) = line.split("\t", 4)
+          val id = idS.toLong
+          maxSeq = math.max(maxSeq, id)
+          if (id > lowWater && !buf.containsKey(id)) {
+            buf.put(id, (tsS.toLong, topic, new String(
+              java.util.Base64.getDecoder.decode(b64),
+              java.nio.charset.StandardCharsets.UTF_8)))
+            retained.incrementAndGet()
+            recovered += 1
+          }
+        }
+      }
+    }
+    seq.set(maxSeq)
+    wal = java.nio.file.Files.newBufferedWriter(walFile,
+      java.nio.charset.StandardCharsets.UTF_8,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    recovered
+  }
+
+  /** Close the WAL (files stay for a later recovery). */
+  def disableDurability(): Unit = synchronized {
+    if (wal != null) { wal.close(); wal = null; walDir = null; lowWater = 0L }
+  }
+
+  private def persistLowWater(): Unit = {
+    val tmp = walDir.resolve("lowwater.tmp")
+    java.nio.file.Files.write(tmp, lowWater.toString.getBytes)
+    java.nio.file.Files.move(tmp, walDir.resolve("lowwater"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Enqueue one delivery. Returns the sequence id, or -1 when the queue
     * is at capacity (caller answers 503 — real back-pressure; shedding
     * retained-but-uncommitted entries would silently break at-least-once).
@@ -68,8 +141,13 @@ object WebhookQueue {
     if (retained.get() >= maxRetained) -1L
     else {
       val id = seq.incrementAndGet()
-      buf.put(id, (System.currentTimeMillis() * 1000L, topic, body))
+      val ts = System.currentTimeMillis() * 1000L
+      buf.put(id, (ts, topic, body))
       retained.incrementAndGet()
+      if (wal != null) { // write-ahead: land in the log before the 200
+        wal.write(record(id, ts, topic, body))
+        wal.flush()
+      }
       id
     }
   }
@@ -78,21 +156,30 @@ object WebhookQueue {
 
   def slice(fromExclusive: Long, toInclusive: Long)
   : Array[(Long, Long, String, String)] =
+    // iterator, not entrySet().asScala: mapping the Set wrapper rebuilds a
+    // hash set and loses the skip list's ascending-seq order
     buf.subMap(fromExclusive, false, toInclusive, true)
-      .entrySet().asScala
+      .entrySet().iterator().asScala
       .map(e => (e.getKey, e.getValue._1, e.getValue._2, e.getValue._3))
       .toArray
 
   /** At-least-once retention: entries survive until the committed offset
     * passes them.
     */
-  def truncate(uptoInclusive: Long): Unit = {
+  def truncate(uptoInclusive: Long): Unit = synchronized {
     val it = buf.headMap(uptoInclusive, true).keySet().iterator()
     var removed = 0
     while (it.hasNext) { it.next(); it.remove(); removed += 1 }
     retained.addAndGet(-removed)
+    if (walDir != null && uptoInclusive > lowWater) {
+      lowWater = uptoInclusive
+      persistLowWater()
+    }
   }
 
+  /** Drop in-memory state only — a durable log (if any) survives, which is
+    * exactly what `enableDurability` recovers from.
+    */
   def clear(): Unit = synchronized { buf.clear(); retained.set(0) }
 
   def startServer(port: Int): Int = synchronized {

@@ -60,6 +60,39 @@ class WebhookSourceSpec extends SparkSpec {
     } finally WebhookQueue.stopServer()
   }
 
+  test("durable queue recovers uncommitted deliveries across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wal").toString
+    WebhookQueue.clear()
+    try {
+      assert(WebhookQueue.enableDurability(dir) == 0)
+      val id1 = WebhookQueue.post("orders", """{"event_id":1}""")
+      val id2 = WebhookQueue.post("orders", """{"event_id":2}""")
+      val id3 = WebhookQueue.post("alerts", """{"event_id":3}""")
+      WebhookQueue.truncate(id1) // engine committed through id1
+      // crash: WAL closed, all in-memory state lost
+      WebhookQueue.disableDurability()
+      WebhookQueue.clear()
+      assert(WebhookQueue.slice(0L, Long.MaxValue).isEmpty)
+      // restart: only the uncommitted tail comes back
+      assert(WebhookQueue.enableDurability(dir) == 2)
+      val back = WebhookQueue.slice(0L, Long.MaxValue)
+      assert(back.map(_._1).toSeq == Seq(id2, id3))
+      assert(back.map(e => (e._3, e._4)).toSeq == Seq(
+        ("orders", """{"event_id":2}"""), ("alerts", """{"event_id":3}""")))
+      // sequence numbers continue monotonically past the recovered max
+      val id4 = WebhookQueue.post("orders", """{"event_id":4}""")
+      assert(id4 == id3 + 1)
+      // a second recovery after committing everything replays nothing
+      WebhookQueue.truncate(id4)
+      WebhookQueue.disableDurability()
+      WebhookQueue.clear()
+      assert(WebhookQueue.enableDurability(dir) == 0)
+    } finally {
+      WebhookQueue.disableDurability()
+      WebhookQueue.clear()
+    }
+  }
+
   test("malformed payloads are dead-lettered; well-formed rows unaffected") {
     val port = WebhookQueue.startServer(0)
     try {
