@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Event record as it flows through the streaming pipelines (mirrors
   * events.parquet / the webhook payload schema — FIXTURES.md).
@@ -74,6 +74,80 @@ object StreamOps {
   def enrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(customer,
       events("user_id") === customer("c_custkey"), "left_outer")
+
+  /** Per-user alarm state for [[AlarmProcessor]]: the current consecutive-
+    * error run plus the user's latest event time (for idle-eviction
+    * staleness checks when a timer fires).
+    */
+  case class AlarmState(run: Int, lastSeenMs: Long)
+
+  /** `transformWithState` implementation of the consecutive-error alarm —
+    * the Spark 4 arbitrary-state API (SURVEY §2.9 row s_stateful names
+    * both). Semantics are identical to [[StreamOps.errorAlarms]]; the specs
+    * replay both against the same batches. Differences that matter at
+    * scale: typed state handles (`ValueState` here; List/Map state for
+    * richer operators) live in RocksDB — state can exceed executor heap —
+    * and eviction uses explicit event-time timers instead of a single
+    * per-key timeout slot. Timers registered across batches accumulate, so
+    * an expiry re-checks staleness against the stored last-seen time
+    * before clearing.
+    */
+  private class AlarmProcessor(threshold: Int, horizonMs: Long)
+    extends StatefulProcessor[Long, Event, ErrorAlarm] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[AlarmState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[AlarmState]("alarm",
+        Encoders.product[AlarmState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[ErrorAlarm] = {
+      val prev = if (state.exists()) state.get() else AlarmState(0, 0L)
+      var run = prev.run
+      var maxTs = prev.lastSeenMs
+      val alarms = scala.collection.mutable.ArrayBuffer[ErrorAlarm]()
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        maxTs = math.max(maxTs, e.ts.getTime)
+        if (e.event_type == "error") {
+          run += 1
+          if (run == threshold) alarms += ErrorAlarm(userId, run, e.ts)
+        } else run = 0
+      }
+      state.update(AlarmState(run, maxTs))
+      getHandle.registerTimer(
+        math.max(tv.getCurrentWatermarkInMs(), maxTs) + horizonMs)
+      alarms.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[ErrorAlarm] = {
+      // stale-run eviction — but only if the user is genuinely idle (a
+      // later batch may have re-armed a newer timer for the same key)
+      if (state.exists() &&
+          tv.getCurrentWatermarkInMs() >= state.get().lastSeenMs + horizonMs)
+        state.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[errorAlarms]] on the Spark 4 `transformWithState` API (RocksDB
+    * state store required — set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider on the session). Same alarm semantics, same eviction
+    * behavior; see [[AlarmProcessor]] for what the new API changes.
+    */
+  def errorAlarmsTws(events: Dataset[Event], threshold: Int = 3,
+                     idleHorizon: String = "2 hours"): Dataset[ErrorAlarm] = {
+    import events.sparkSession.implicits._
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(idleHorizon)).microseconds / 1000L
+    events
+      .withWatermark("ts", idleHorizon)
+      .groupByKey(_.user_id)
+      .transformWithState(new AlarmProcessor(threshold, horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Stream–stream interval join: purchases attributed to the same user's
     * clicks within the following hour (click → purchase conversion).

@@ -213,6 +213,45 @@ class StreamOpsSpec extends SparkSpec {
       s"interval-join attribution wrong: ${got.toSeq}")
   }
 
+  test("transformWithState alarm matches flatMapGroupsWithState on replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.errorAlarmsTws(ms.toDS())
+        .writeStream.format("memory").queryName("t_tws")
+        .outputMode("append").start()
+      // same replay as the fMGWS test: user 1 alarms in batch 1, user 2's
+      // run carries across the batch boundary and alarms in batch 2
+      ms.addData(Seq(
+        ev(1, "2024-01-01 10:00:00", 1, "error", 0.0),
+        ev(2, "2024-01-01 10:01:00", 1, "error", 0.0),
+        ev(3, "2024-01-01 10:02:00", 1, "error", 0.0),
+        ev(4, "2024-01-01 10:00:00", 2, "error", 0.0),
+        ev(5, "2024-01-01 10:01:00", 2, "click", 0.0),
+        ev(6, "2024-01-01 10:02:00", 2, "error", 0.0),
+        ev(7, "2024-01-01 10:03:00", 2, "error", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(8, "2024-01-01 10:04:00", 2, "error", 0.0)))
+      q.processAllAvailable()
+      val alarms = spark.sql(
+        "select user_id, consecutive_errors from t_tws").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      q.stop()
+      assert(alarms.toSet == Set((1L, 3), (2L, 3)),
+        s"got ${alarms.toSeq} — transformWithState must match fMGWS semantics")
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("idle users' alarm state is evicted by the event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
