@@ -43,24 +43,41 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
-  /** Batch sessionization: 30-minute-gap sessions via lag + cumulative sum
-    * of gap-breaks, then per-session aggregation. The streaming twin is
+  /** Batch sessionization: 30-minute-gap sessions. The streaming twin is
     * `session_window` in graft.streaming.StreamOps.
+    *
+    * One typed pass per user instead of the declarative lag + cumulative-
+    * sum + re-aggregate pipeline: a user's whole timeline already sits in
+    * one task after the key shuffle, so a single in-memory sort + walk
+    * produces the finished session rows — the window form pays two
+    * window sorts plus a second hash aggregation over the same shuffle.
+    * Per-group memory is one user's events (the same bound the window
+    * sort already requires).
     */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 1800L * 1000000L
     Tables(s, dir, "events")
-      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
-      .withColumn("new_sess",
-        when($"prev_ts".isNull ||
-          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1)
-          .otherwise(0))
-      .withColumn("session_id", sum($"new_sess").over(cum).cast("long"))
-      .groupBy($"user_id", $"session_id")
-      .agg(count(lit(1)).as("n_events"),
-        round(sum($"value"), 2).as("sum_value"))
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"), $"value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user, it) =>
+        val evs = it.toArray.sortBy(e => (e._3, e._2)) // (ts, event_id)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+        var sess = 0L; var n = 0L; var sum = 0.0; var prevTs = Long.MinValue
+        evs.foreach { case (_, _, tus, v) =>
+          if (sess == 0L || tus - prevTs > gapUs) {
+            if (sess > 0L) out += ((user, sess, n, sum))
+            sess += 1; n = 0L; sum = 0.0
+          }
+          n += 1; sum += v; prevTs = tus
+        }
+        if (sess > 0L) out += ((user, sess, n, sum))
+        out.iterator
+      }
+      .toDF("user_id", "session_id", "n_events", "sum_raw")
+      .select($"user_id", $"session_id", $"n_events",
+        round($"sum_raw", 2).as("sum_value"))
       .orderBy($"user_id", $"session_id")
   }
 }

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** JSON-lines archive of the webhook event stream (SURVEY §2.1 source
+  * breadth): the batch replay path for payloads that already left the
+  * queue. Schema is DECLARED, never inferred — at 100 TB an inference
+  * pass is a full extra read, and a malformed line would silently widen a
+  * column for the whole archive. Reading uses the same PERMISSIVE
+  * corrupt-record convention as the live path (WebhookIngest), so a
+  * damaged archive line surfaces as a row with `_corrupt` set instead of
+  * failing the job or vanishing.
+  */
+object Archive {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Spark's default JSON timestamp format carries milliseconds only —
+    * an archive written with it silently truncates the µs the live path
+    * keeps. Pinned to full microsecond precision on both sides.
+    */
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def writeEvents(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", TsFormat)
+      .json(path)
+
+  /** Archived events plus a `_corrupt` column (null on clean rows). */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(eventSchema.add("_corrupt", StringType))
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("mode", "PERMISSIVE")
+      .option("timestampFormat", TsFormat)
+      .json(path)
+}
