@@ -177,6 +177,28 @@ class OperatorsSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("salted join equals the plain join and scatters the hot key") {
+    import spark.implicits._
+    // 5k rows of one hot key + a uniform tail, joined to a 10-row dim
+    val left = ((1 to 5000).map(i => (1L, i.toLong)) ++
+      (1 to 500).map(i => ((i % 10).toLong, i.toLong)))
+      .toDF("k", "payload")
+    val right = (0L to 9L).map(k => (k, s"dim$k")).toDF("k", "label")
+    val plain = left.join(right, Seq("k"), "inner")
+      .select($"k", $"payload", $"label")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewOps.saltedJoin(left, right, "k", salts = 8)
+      .select($"k", $"payload", $"label")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain, "salting must not change the join result")
+    // the hot key's rows really spread: count distinct salts it lands on
+    val hotSalts = left.filter($"k" === 1L)
+      .withColumn("_salt",
+        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .select($"_salt").distinct().count()
+    assert(hotSalts > 1, "hot key must scatter across salt sub-keys")
+  }
+
   test("bucketized range join equals the naive inequality join") {
     import spark.implicits._
     // the bucket rewrite (explode into own + previous bucket, exact band
