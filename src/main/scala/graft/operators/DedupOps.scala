@@ -315,13 +315,17 @@ object DedupOps {
         posexplode(bandCols).as(Seq("band", "key")))
     val a = bands.toDF("da", "hi_a", "lo_a", "band_a", "key_a")
     val b = bands.toDF("db", "hi_b", "lo_b", "band_b", "key_b")
+    // hamming filter BEFORE the multi-band dedup: a qualifying pair
+    // collides in up to all 4 bands and most collisions are 16-bit
+    // coincidences, so filtering first shrinks the distinct-agg input to
+    // the true-pair fraction instead of aggregating every collision
     a.join(b, $"band_a" === $"band_b" && $"key_a" === $"key_b" &&
         $"da" < $"db")
-      .groupBy($"da", $"db", $"hi_a", $"lo_a", $"hi_b", $"lo_b")
-      .agg(count(lit(1)).as("n_bands"))
       .withColumn("hamming",
         expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("long"))
       .filter($"hamming" <= maxHamming)
+      .groupBy($"da", $"db", $"hamming")
+      .agg(count(lit(1)).as("n_bands"))
       .select($"da", $"db", $"hamming")
       .orderBy($"da", $"db")
   }
