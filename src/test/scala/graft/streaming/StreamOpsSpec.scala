@@ -187,6 +187,42 @@ class StreamOpsSpec extends SparkSpec {
       s"got ${alarms.toSeq} — state must carry runs across micro-batches")
   }
 
+  test("dedup pipeline resumes exactly-once from its checkpoint after restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_out").toString
+    val ms = MemoryStream[Event]
+    def start() = StreamOps.dedup(ms.toDF())
+      .select($"event_id", $"user_id", $"value")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+
+    val q1 = start()
+    ms.addData((1 to 20).map(i =>
+      ev(i, f"2024-01-01 10:${i % 60}%02d:00", i % 3, "click", 1.0)))
+    q1.processAllAvailable()
+    q1.stop() // planned or unplanned — the checkpoint carries the offsets
+
+    // restart against the SAME checkpoint: replayed + new data arrive
+    val q2 = start()
+    ms.addData((1 to 20).map(i => // full replay of batch 1 (retry storm)
+      ev(i, f"2024-01-01 10:${i % 60}%02d:00", i % 3, "click", 1.0)))
+    ms.addData((21 to 30).map(i =>
+      ev(i, f"2024-01-01 11:${i % 60}%02d:00", i % 3, "view", 2.0)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir).select($"event_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.length == 30,
+      s"restart must neither lose nor duplicate: ${got.length} rows")
+    assert(got.toSeq == (1L to 30L))
+  }
+
   test("stream-stream interval join attributes purchases to clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
