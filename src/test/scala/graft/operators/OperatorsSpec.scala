@@ -177,6 +177,22 @@ class OperatorsSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("prefix-filtered ngram jaccard equals the naive all-shingle join") {
+    import spark.implicits._
+    // real corpus at two thresholds (0.5 exercises short prefixes; 0.2
+    // exercises long ones) — prefix filtering must lose nothing the
+    // all-shingle self-join finds, and verification must invent nothing
+    for (t <- Seq(0.5, 0.2)) {
+      val prefix = DedupOps.ngramJaccardPrefix(spark, sfTest, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val direct = DedupOps.ngramJaccard(spark, sfTest, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix == direct,
+        s"t=$t: prefix=${prefix.size} direct=${direct.size}")
+      assert(prefix.nonEmpty || t > 0.4)
+    }
+  }
+
   test("salted join equals the plain join and scatters the hot key") {
     import spark.implicits._
     // 5k rows of one hot key + a uniform tail, joined to a 10-row dim
