@@ -42,6 +42,7 @@ object SparkEntry {
     "q_topk_parts" -> (Relational.topkParts _),
     "q_topk_brand" -> (Relational.topkBrand _),
     "q_setops" -> (Relational.setops _),
+    "q_percentiles" -> (Relational.percentiles _),
     // schema-breadth queries (supplier FK edge, date buckets, catalog,
     // embedding labels)
     "q_supplier_nation" -> (Relational.supplierNation _),
@@ -195,6 +196,13 @@ object SparkEntry {
         |    FROM lineitem JOIN part ON l_partkey = p_partkey
         |    GROUP BY 1, 2))
         |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+    "q_percentiles" ->
+      """SELECT c_mktsegment,
+        | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        | COUNT(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_setops" ->
       """SELECT c_custkey FROM (
         |  SELECT c_custkey FROM customer

@@ -233,6 +233,28 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** Exact quantiles per market segment: median and p95 of order value.
+    * Spark's `percentile` and DuckDB's `quantile_cont` both compute the
+    * linearly-interpolated (type-7) quantile over the sorted values, so
+    * the results align to the rounded digit. Exact quantiles buffer a
+    * group's values in one task — correct while a (segment) group's
+    * orders fit an executor; the 100 TB form swaps in
+    * `approx_percentile` (t-digest-style mergeable sketch, map-side
+    * combinable) exactly as `q_approx_distinct` twins `q_distinct_users`.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Set operation: INTERSECT of customer keys with ordering custkeys.
     * Spark rewrites intersect as an aggregate+semi-join under the hood.
     */
