@@ -18,8 +18,12 @@ object StreamBench {
     // stateful micro-batches pay per-state-store-partition overhead each
     // batch (checkpoint + commit per partition), so width should track
     // STATE volume, not core count: 4 partitions ≈ 10k/19k/14k events/s
-    // for tumbling/dedup/sessions here vs ~3.4k/7.4k/7.4k at 32.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_STREAM_CPUS", "4")
+    // for tumbling/dedup/sessions here vs ~3.4k/7.4k/7.4k at 32. An
+    // explicit SPARK_GRAFT_STREAM_CPUS (or the general SPARK_GRAFT_CPUS
+    // contract variable) still wins over the measured default.
+    val cpus = sys.env.get("SPARK_GRAFT_STREAM_CPUS")
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS"))
+      .getOrElse("4")
     val batchSize = 10000
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

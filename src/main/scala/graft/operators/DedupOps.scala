@@ -58,23 +58,30 @@ object DedupOps {
     * and DuckDB `string_split` disagree on empty-token retention, so both
     * sides filter them out (`list_filter(tok, t -> t <> '')` in the CTE).
     */
+  /** One document's distinct shingle set — THE single copy of the shingle
+    * rule (tokenization, empty-token drop, width-N window, per-doc dedup)
+    * shared by ngramJaccard(+Prefix) via [[shingles]] and by minhashLsh's
+    * signature pass. Empty iterator for documents shorter than N tokens.
+    */
+  private def shingleSet(text: String)
+  : scala.collection.mutable.LinkedHashSet[String] = {
+    val seen = new scala.collection.mutable.LinkedHashSet[String]
+    val t = text.split(' ').filter(_.nonEmpty)
+    if (t.length >= N) {
+      var i = 0
+      while (i <= t.length - N) {
+        seen.add(t(i) + " " + t(i + 1) + " " + t(i + 2))
+        i += 1
+      }
+    }
+    seen
+  }
+
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docsParallel(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val t = text.split(' ').filter(_.nonEmpty)
-        if (t.length < N) Iterator.empty
-        else {
-          val seen = new scala.collection.mutable.LinkedHashSet[String]
-          var i = 0
-          while (i <= t.length - N) {
-            seen.add(t(i) + " " + t(i + 1) + " " + t(i + 2))
-            i += 1
-          }
-          seen.iterator.map(sh => (id, sh))
-        }
-      }
+      .flatMap { case (id, text) => shingleSet(text).iterator.map((id, _)) }
       .toDF("doc_id", "s")
   }
 
@@ -169,9 +176,20 @@ object DedupOps {
       s: SparkSession, dir: String, threshold: Double = 0.5,
       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
-    val perShingle = shingles(s, dir)
-      .as[(Long, String)]
-      .groupByKey(_._2)
+    // the two consumers below share one shuffled grouping (identical
+    // exchange subtrees dedup via ReuseExchange); each branch re-runs only
+    // its OWN group pass, so the sizes branch costs O(df) per shingle —
+    // re-deriving sizes from a pair-emitting pass would re-execute the
+    // O(df²) pair generation just to discard it
+    val grouped = shingles(s, dir).as[(Long, String)].groupByKey(_._2)
+    val sizes = grouped
+      .flatMapGroups { (_, rows) =>
+        val docs = rows.map(_._1).toArray
+        if (docs.length > maxDf) Iterator.empty else docs.iterator
+      }
+      .toDF("da")
+      .groupBy($"da").agg(count(lit(1)).as("n"))
+    val pairs = grouped
       .flatMapGroups { (_, rows) =>
         val docs = rows.map(_._1).toArray
         if (docs.length > maxDf) Iterator.empty
@@ -180,7 +198,6 @@ object DedupOps {
           val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
           var i = 0
           while (i < docs.length) {
-            out += ((docs(i), -1L)) // size marker: one kept shingle
             var j = i + 1
             while (j < docs.length) {
               out += ((docs(i), docs(j)))
@@ -192,9 +209,7 @@ object DedupOps {
         }
       }
       .toDF("da", "db")
-    val sizes = perShingle.filter($"db" === -1L)
-      .groupBy($"da").agg(count(lit(1)).as("n"))
-    perShingle.filter($"db" >= 0L)
+    pairs
       .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
       .join(broadcast(sizes.toDF("da", "na")), "da")
       .join(broadcast(sizes.toDF("db", "nb")), "db")
@@ -254,15 +269,9 @@ object DedupOps {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          val t = text.split(' ').filter(_.nonEmpty)
-          if (t.length < N) Iterator.empty
+          val seen = shingleSet(text)
+          if (seen.isEmpty) Iterator.empty
           else {
-            val seen = new scala.collection.mutable.LinkedHashSet[String]
-            var i = 0
-            while (i <= t.length - N) {
-              seen.add(t(i) + " " + t(i + 1) + " " + t(i + 2))
-              i += 1
-            }
             val mins = Array.fill(16)("￿") // > any 4-hex substring
             seen.foreach { sh =>
               val d = md5Hex(md, sh) + md5Hex(md, "x:" + sh)

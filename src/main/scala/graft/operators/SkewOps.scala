@@ -33,6 +33,10 @@ object SkewOps {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // withColumn would silently overwrite (and drop() then delete) a
+    // caller's column of the same name, breaking row-identity
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "inputs must not already carry a _salt column")
     // any per-row value works as salt — matching pairs are preserved for
     // every salt assignment; a round-robin id spreads evenly by construction
     val l = left.withColumn("_salt",

@@ -34,12 +34,18 @@ object WebhookIngest {
     val parsed = raw.withColumn("e",
       from_json(col("body"), withCorrupt,
         Map("columnNameOfCorruptRecord" -> CorruptCol, "mode" -> "PERMISSIVE")))
-    val good = parsed.filter(col(s"e.$CorruptCol").isNull)
+    // two dead shapes: unparseable body → corrupt column set; empty /
+    // whitespace / literal-null body → from_json returns a NULL STRUCT
+    // (no record, no corrupt marker) which would otherwise slip into the
+    // good lane as an all-null row
+    val isDead = col(s"e.$CorruptCol").isNotNull || col("e").isNull
+    val good = parsed.filter(!isDead)
       .select(col("seq"), col("ingest_ts"), col("topic"), col("e.*"))
       .drop(CorruptCol)
-    val dead = parsed.filter(col(s"e.$CorruptCol").isNotNull)
+    val dead = parsed.filter(isDead)
       .select(col("seq"), col("ingest_ts"), col("topic"), col("body"),
-        lit("malformed_json").as("reason"))
+        when(col("e").isNull, "empty_body").otherwise("malformed_json")
+          .as("reason"))
     (good, dead)
   }
 

@@ -76,8 +76,18 @@ object WebhookQueue {
   /** Switch the queue durable, replaying any uncommitted WAL entries into
     * memory. Returns the number of recovered deliveries. Sequence numbers
     * continue monotonically after the recovered maximum.
+    *
+    * Torn-tail tolerance: a crash mid-append can leave a partial final
+    * line (flush is to the page cache; appends aren't atomic). Recovery
+    * parses defensively and STOPS at the first malformed line — the valid
+    * prefix is recovered instead of aborting the whole replay, which
+    * would defeat the WAL in exactly the crash it exists for. Recovery
+    * also COMPACTS: the rewritten WAL holds only the live tail, so file
+    * size and restart time track the uncommitted backlog, not lifetime
+    * traffic.
     */
   def enableDurability(dir: String): Int = synchronized {
+    if (wal != null) { wal.close(); wal = null }
     walDir = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(walDir)
     val lwFile = walDir.resolve("lowwater")
@@ -89,30 +99,68 @@ object WebhookQueue {
     var recovered = 0
     var maxSeq = seq.get()
     if (java.nio.file.Files.exists(walFile)) {
-      val it = java.nio.file.Files.lines(walFile).iterator()
-      while (it.hasNext) {
-        val line = it.next()
-        if (line.nonEmpty) {
-          val Array(idS, tsS, topic, b64) = line.split("\t", 4)
-          val id = idS.toLong
-          maxSeq = math.max(maxSeq, id)
-          if (id > lowWater && !buf.containsKey(id)) {
-            buf.put(id, (tsS.toLong, topic, new String(
-              java.util.Base64.getDecoder.decode(b64),
-              java.nio.charset.StandardCharsets.UTF_8)))
-            retained.incrementAndGet()
-            recovered += 1
+      val stream = java.nio.file.Files.lines(walFile)
+      try {
+        val it = stream.iterator()
+        var ok = true
+        while (ok && it.hasNext) {
+          val line = it.next()
+          if (line.nonEmpty) {
+            line.split("\t", 4) match {
+              case Array(idS, tsS, topic, b64) =>
+                try {
+                  val id = idS.toLong
+                  val ts = tsS.toLong
+                  val body = new String(
+                    java.util.Base64.getDecoder.decode(b64),
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  maxSeq = math.max(maxSeq, id)
+                  if (id > lowWater && !buf.containsKey(id)) {
+                    buf.put(id, (ts, topic, body))
+                    retained.incrementAndGet()
+                    recovered += 1
+                  }
+                } catch { case _: IllegalArgumentException => ok = false }
+              case _ => ok = false // torn tail — keep the valid prefix
+            }
           }
         }
-      }
+      } finally stream.close()
     }
     seq.set(maxSeq)
+    compactWal()
+    recovered
+  }
+
+  /** Rewrite the WAL to only the live (uncommitted) entries, atomically,
+    * and reopen the appender. Caller holds the queue lock.
+    */
+  private def compactWal(): Unit = {
+    if (wal != null) wal.close()
+    val walFile = walDir.resolve("webhook.wal")
+    val tmp = walDir.resolve("webhook.wal.tmp")
+    val w = java.nio.file.Files.newBufferedWriter(tmp,
+      java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      buf.entrySet().iterator().asScala.foreach { e =>
+        w.write(record(e.getKey, e.getValue._1, e.getValue._2, e.getValue._3))
+      }
+    } finally w.close()
+    java.nio.file.Files.move(tmp, walFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     wal = java.nio.file.Files.newBufferedWriter(walFile,
       java.nio.charset.StandardCharsets.UTF_8,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
-    recovered
+    walCommitted = 0L
   }
+
+  // committed-but-still-logged entries since the last compaction; once
+  // they dominate the live backlog, truncate() rotates the log so disk
+  // and future recovery time track the uncommitted tail, not lifetime
+  // traffic
+  private var walCommitted = 0L
 
   /** Close the WAL (files stay for a later recovery). */
   def disableDurability(): Unit = synchronized {
@@ -174,6 +222,9 @@ object WebhookQueue {
     if (walDir != null && uptoInclusive > lowWater) {
       lowWater = uptoInclusive
       persistLowWater()
+      walCommitted += removed
+      if (walCommitted > math.max(1024L, retained.get().toLong))
+        compactWal()
     }
   }
 

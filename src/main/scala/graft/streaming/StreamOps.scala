@@ -139,9 +139,7 @@ object StreamOps {
   def errorAlarmsTws(events: Dataset[Event], threshold: Int = 3,
                      idleHorizon: String = "2 hours"): Dataset[ErrorAlarm] = {
     import events.sparkSession.implicits._
-    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
-        .fromString(idleHorizon)).microseconds / 1000L
+    val horizonMs = horizonToMs(idleHorizon)
     events
       .withWatermark("ts", idleHorizon)
       .groupByKey(_.user_id)
@@ -196,12 +194,24 @@ object StreamOps {
     * `idleHorizon` of event-time silence restarts from zero, which is the
     * intended alarm meaning ("consecutive" within an activity window).
     */
+  /** idleHorizon → milliseconds, honoring the days field ("1 day" parses
+    * into CalendarInterval.days with 0 microseconds — reading micros alone
+    * would silently arm every timer at lastSeen + 0 and evict immediately).
+    * Month-grain horizons are rejected: they have no fixed duration.
+    */
+  private def horizonToMs(idleHorizon: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(idleHorizon))
+    require(iv.months == 0,
+      s"idleHorizon must be a fixed duration, got '$idleHorizon'")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
   def errorAlarms(events: Dataset[Event], threshold: Int = 3,
                   idleHorizon: String = "2 hours"): Dataset[ErrorAlarm] = {
     import events.sparkSession.implicits._
-    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
-        .fromString(idleHorizon)).microseconds / 1000L
+    val horizonMs = horizonToMs(idleHorizon)
     events
       .withWatermark("ts", idleHorizon)
       .groupByKey(_.user_id)

@@ -125,14 +125,16 @@ class WebhookSourceSpec extends SparkSpec {
 
       assert(post("""{"event_id":1,"event_type":"click","value":1.0}""") == 200)
       assert(post("""{{{ definitely broken""") == 200) // accepted, then dead-lettered
+      assert(post("") == 200) // empty body: NULL struct, not a corrupt marker
       assert(post("""{"event_id":2,"event_type":"view","value":2.0}""") == 200)
       q.processAllAvailable()
       q.stop()
 
       import scala.jdk.CollectionConverters._
       assert(good.asScala.toSet == Set((1L, "click"), (2L, "view")))
-      assert(dead.asScala.toSet ==
-        Set(("{{{ definitely broken", "malformed_json")))
+      assert(dead.asScala.toSet == Set(
+        ("{{{ definitely broken", "malformed_json"),
+        ("", "empty_body")))
     } finally WebhookQueue.stopServer()
   }
 }
