@@ -43,6 +43,7 @@ object SparkEntry {
     "q_topk_brand" -> (Relational.topkBrand _),
     "q_setops" -> (Relational.setops _),
     "q_percentiles" -> (Relational.percentiles _),
+    "q_above_avg" -> (Relational.aboveAvg _),
     // schema-breadth queries (supplier FK edge, date buckets, catalog,
     // embedding labels)
     "q_supplier_nation" -> (Relational.supplierNation _),
@@ -196,6 +197,17 @@ object SparkEntry {
         |    FROM lineitem JOIN part ON l_partkey = p_partkey
         |    GROUP BY 1, 2))
         |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+    "q_above_avg" ->
+      """WITH o AS (SELECT *, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tc
+        |  FROM orders),
+        |a AS (SELECT o_custkey AS ck,
+        |  CAST(SUM(tc) AS BIGINT) AS sum_cents, COUNT(*) AS n
+        |  FROM o GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        | CAST((2 * sum_cents + n) // (2 * n) AS BIGINT) AS cust_avg_cents
+        |FROM o JOIN a ON o_custkey = ck
+        |WHERE tc * n > sum_cents
+        |ORDER BY o_orderkey""".stripMargin,
     "q_percentiles" ->
       """SELECT c_mktsegment,
         | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -233,6 +233,38 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** Orders strictly above their own customer's average order value — the
+    * correlated-scalar-subquery pattern in its decorrelated form: one
+    * partial+final aggregate builds per-customer totals (one row per
+    * customer), which broadcast back onto the fact table; the fact side
+    * never shuffles.
+    *
+    * The boundary predicate runs ENTIRELY in integer cents:
+    * `t_cents · n > Σ cents` — no division, no float accumulation, no
+    * rounding. A float formulation (`price > round(avg, 2)`) measurably
+    * diverges across engines: monetary averages land exactly on `.xx5`
+    * whenever the order count is a power of two, and Spark's `round`
+    * (HALF_UP on the shortest-decimal rendering) disagrees with DuckDB's
+    * (on the binary value) for ~9% of customers. Integer arithmetic is
+    * order-independent, so both engines agree bit-for-bit; the reported
+    * average is likewise integer: ⌊(Σ + n/2) / n⌋ in cents.
+    */
+  def aboveAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = round($"o_totalprice" * 100).cast("long")
+    val custAgg = Tables(s, dir, "orders")
+      .select($"o_custkey".as("ck"), cents.as("tc"))
+      .groupBy($"ck")
+      .agg(sum($"tc").as("sum_cents"), count(lit(1)).as("n"))
+    Tables(s, dir, "orders")
+      .withColumn("tc", cents)
+      .join(broadcast(custAgg), $"o_custkey" === $"ck")
+      .filter($"tc" * $"n" > $"sum_cents")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        expr("(2 * sum_cents + n) div (2 * n)").as("cust_avg_cents"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Exact quantiles per market segment: median and p95 of order value.
     * Spark's `percentile` and DuckDB's `quantile_cont` both compute the
     * linearly-interpolated (type-7) quantile over the sorted values, so

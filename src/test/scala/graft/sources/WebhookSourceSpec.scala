@@ -3,6 +3,8 @@ package graft.sources
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.SparkSpec
@@ -87,6 +89,32 @@ class WebhookSourceSpec extends SparkSpec {
       WebhookQueue.disableDurability()
       WebhookQueue.clear()
       assert(WebhookQueue.enableDurability(dir) == 0)
+    } finally {
+      WebhookQueue.disableDurability()
+      WebhookQueue.clear()
+    }
+  }
+
+  test("WAL recovery survives a torn tail line and compacts the log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wal2").toString
+    WebhookQueue.clear()
+    try {
+      WebhookQueue.enableDurability(dir)
+      val id1 = WebhookQueue.post("orders", """{"event_id":1}""")
+      val id2 = WebhookQueue.post("orders", """{"event_id":2}""")
+      WebhookQueue.disableDurability()
+      WebhookQueue.clear()
+      // crash mid-append: partial final line (no tabs / truncated base64)
+      val wal = java.nio.file.Paths.get(dir, "webhook.wal")
+      java.nio.file.Files.writeString(wal, s"${id2 + 1}\t17",
+        java.nio.file.StandardOpenOption.APPEND)
+      // recovery keeps the valid prefix instead of throwing
+      assert(WebhookQueue.enableDurability(dir) == 2)
+      val back = WebhookQueue.slice(0L, Long.MaxValue)
+      assert(back.map(_._1).toSeq == Seq(id1, id2))
+      // recovery compacted: the torn line is gone from disk
+      val lines = java.nio.file.Files.readAllLines(wal)
+      assert(lines.size == 2 && lines.asScala.forall(_.split("\t").length == 4))
     } finally {
       WebhookQueue.disableDurability()
       WebhookQueue.clear()
