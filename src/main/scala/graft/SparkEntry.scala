@@ -100,13 +100,13 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
-        | CAST(ROUND(SUM(l_extendedprice)) AS BIGINT) AS sum_base,
-        | CAST(ROUND(SUM(l_extendedprice*(1-l_discount))) AS BIGINT) AS sum_disc,
-        | CAST(ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax))) AS BIGINT) AS sum_charge,
-        | ROUND(AVG(l_quantity), 4) AS avg_qty,
-        | ROUND(AVG(l_extendedprice), 4) AS avg_price,
-        | ROUND(AVG(l_discount), 4) AS avg_disc,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)))) AS BIGINT) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))) AS BIGINT) AS sum_base,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))*CAST(1-l_discount AS DECIMAL(4,2)))) AS BIGINT) AS sum_disc,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))*CAST(1-l_discount AS DECIMAL(4,2))*CAST(1+l_tax AS DECIMAL(4,2)))) AS BIGINT) AS sum_charge,
+        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*), 4) AS avg_qty,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*), 4) AS avg_price,
+        | ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)/COUNT(*), 4) AS avg_disc,
         | COUNT(*) AS n
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
@@ -116,7 +116,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT r_name, n_name,
-        | CAST(ROUND(SUM(l_extendedprice*(1-l_discount))) AS BIGINT) AS revenue,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))*CAST(1-l_discount AS DECIMAL(4,2)))) AS BIGINT) AS revenue,
         | COUNT(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -127,13 +127,13 @@ object SparkEntry {
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
     "q_join_segment" ->
       """SELECT c_mktsegment,
-        | CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS revenue,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS BIGINT) AS revenue,
         | COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_5way" ->
       """SELECT r_name, n_name,
-        | CAST(ROUND(SUM(l_extendedprice*(1-l_discount))) AS BIGINT) AS revenue,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))*CAST(1-l_discount AS DECIMAL(4,2)))) AS BIGINT) AS revenue,
         | COUNT(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -246,7 +246,7 @@ object SparkEntry {
         |FROM e ORDER BY event_id""".stripMargin,
     "q_supplier_nation" ->
       """SELECT n_name,
-        | CAST(ROUND(SUM(l_extendedprice*(1-l_discount))) AS BIGINT) AS revenue,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))*CAST(1-l_discount AS DECIMAL(4,2)))) AS BIGINT) AS revenue,
         | COUNT(*) AS n_lines
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -255,7 +255,7 @@ object SparkEntry {
     "q_priority_years" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
         | o_orderpriority, COUNT(*) AS n_orders,
-        | CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS revenue
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS BIGINT) AS revenue
         |FROM orders GROUP BY 1, 2
         |ORDER BY order_year, o_orderpriority""".stripMargin,
     "q_brand_stats" ->

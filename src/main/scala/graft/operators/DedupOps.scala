@@ -8,10 +8,11 @@ import graft.Tables
   * family (driver mandate; SURVEY.md §2.7 stretch goals made first-class):
   *
   *  - exact dedup: TextOps.dedupDocs / TextOps.fingerprint
-  *  - n-gram Jaccard: shingle → explode → shuffle-on-shingle self-join.
-  *    The join is on the *shingle*, never doc×doc, so cost is
-  *    Σ_shingle count² — at 100 TB you'd additionally drop ultra-frequent
-  *    shingles (stop-shingles) to bound the worst key.
+  *  - n-gram Jaccard: shingle → explode → one shuffle into bounded
+  *    per-shingle posting lists → pairs by double-explode. Pair cost is
+  *    Σ_shingle count², keyed on the *shingle*, never doc×doc; the
+  *    stop-shingle guard (bounded collect, cap maxDf) bounds the worst
+  *    key at maxDf² and its group state at maxDf+1 ids.
   *  - MinHash + LSH banding: constant-size signature (8 hashes) per doc,
   *    band-bucket join — candidate generation cost is independent of
   *    document length and near-linear in corpus size. THE scale path.
@@ -134,7 +135,11 @@ object DedupOps {
     val a = prefixes.toDF("da", "na", "sa")
     val b = prefixes.toDF("db", "nb", "sb")
     val candidates = a.join(b, $"sa" === $"sb" && $"da" < $"db")
-      .filter(least($"na", $"nb") >= greatest($"na", $"nb") * threshold)
+      // −1e-9 mirrors the prefix-length guard above: at an exact rational
+      // boundary (t=0.1, na=3, nb=30) the double product can round UP
+      // (30*0.1 > 3.0) and drop a qualifying pair — a false negative exact
+      // verification can't recover. Over-generating is safe; verify prunes.
+      .filter(least($"na", $"nb") >= greatest($"na", $"nb") * threshold - 1e-9)
       .select($"da", $"db", $"na", $"nb")
       .distinct()
     // exact verification: fetch both (small) candidate docs' shingle sets
@@ -162,55 +167,42 @@ object DedupOps {
     * an exact integer ratio (|A∩B| / (|A|+|B|−|A∩B|)) so the double
     * compare is deterministic across engines.
     *
-    * Shape: ONE shuffle of the exploded shingle table (group by shingle),
-    * then everything the shingle group knows falls out of a single typed
-    * pass — the stop-shingle guard (df > maxDf groups emit nothing,
-    * bounding any key at maxDf² pairs), the candidate pairs (da < db
-    * within the group — never doc×doc across shingles), and each doc's
-    * post-guard set-size contribution (encoded as a (doc, −1) marker row,
-    * so sizes reflect the filtered universe and Jaccard stays a true set
-    * ratio). The pair aggregation then shuffles only pair keys, and the
-    * per-doc sizes (one row per doc) broadcast back onto the result.
+    * Shape: ONE shuffle of the exploded shingle table into per-shingle
+    * posting lists via a BOUNDED collect ([[graft.functions.BoundedCollect]]
+    * — the aggregation buffer caps at maxDf+1 doc ids, so a boilerplate
+    * shingle with a billion-document posting list costs 51 longs of group
+    * state, never the full list). Overflowed groups (`size > maxDf`) are
+    * the stop-shingles and emit nothing, bounding any key's pair cost at
+    * maxDf² — the same `hot`/`kept` semantics as the oracle's CTEs. Pairs
+    * then fall out of a double-explode of each (short) posting list —
+    * never doc×doc across shingles, and no self-join: the posting list
+    * already IS the join group. Per-doc post-guard set sizes re-derive
+    * from the kept lists so Jaccard stays a true set ratio, and broadcast
+    * onto the aggregated pairs.
+    *
+    * Measured at sf0.1 (warm, local[32]): this plan 1.2–1.4 s; the
+    * declarative kept-shingle self-join 1.5–1.9 s (extra exchange for the
+    * join's other side); the round-2 typed `groupByKey`/`flatMapGroups`
+    * form 9.4 s on the driver bench (tuple encoding on every exploded row,
+    * twice — reverted).
     */
   def ngramJaccard(
       s: SparkSession, dir: String, threshold: Double = 0.5,
       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
-    // the two consumers below share one shuffled grouping (identical
-    // exchange subtrees dedup via ReuseExchange); each branch re-runs only
-    // its OWN group pass, so the sizes branch costs O(df) per shingle —
-    // re-deriving sizes from a pair-emitting pass would re-execute the
-    // O(df²) pair generation just to discard it
-    val grouped = shingles(s, dir).as[(Long, String)].groupByKey(_._2)
-    val sizes = grouped
-      .flatMapGroups { (_, rows) =>
-        val docs = rows.map(_._1).toArray
-        if (docs.length > maxDf) Iterator.empty else docs.iterator
-      }
-      .toDF("da")
-      .groupBy($"da").agg(count(lit(1)).as("n"))
+    val sh = shingles(s, dir)
+    val grouped = sh.groupBy($"s")
+      .agg(graft.functions.BoundedCollect.boundedCollectLong(maxDf)($"doc_id")
+        .as("docs"))
+      .filter(size($"docs") <= maxDf)
+    // sizes over the FILTERED universe, so Jaccard stays a true set ratio
+    val sizes = grouped.select(explode($"docs").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = grouped
-      .flatMapGroups { (_, rows) =>
-        val docs = rows.map(_._1).toArray
-        if (docs.length > maxDf) Iterator.empty
-        else {
-          java.util.Arrays.sort(docs)
-          val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-          var i = 0
-          while (i < docs.length) {
-            var j = i + 1
-            while (j < docs.length) {
-              out += ((docs(i), docs(j)))
-              j += 1
-            }
-            i += 1
-          }
-          out.iterator
-        }
-      }
-      .toDF("da", "db")
-    pairs
-      .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+      .select(explode($"docs").as("da"), $"docs")
+      .select($"da", explode($"docs").as("db"))
+      .filter($"da" < $"db")
+    pairs.groupBy($"da", $"db").agg(count(lit(1)).as("i"))
       .join(broadcast(sizes.toDF("da", "na")), "da")
       .join(broadcast(sizes.toDF("db", "nb")), "db")
       .withColumn("jac", $"i".cast("double") / ($"na" + $"nb" - $"i"))

@@ -7,9 +7,17 @@ import graft.Tables
 /** Relational operator inventory (SURVEY.md §2.1–2.6, minus windows).
   *
   * Determinism rules (SURVEY §5.1): every query ends in a total ORDER BY;
-  * float sums whose accumulation order differs between engines are rounded
-  * (big sums → integer cents-scale BIGINT, averages → 4 decimals); computed
-  * integers are cast to LongType so the DuckDB oracle types line up.
+  * computed integers are cast to LongType so the DuckDB oracle types line
+  * up. Money aggregates run in exact DECIMAL, never double: a double sum's
+  * low bits depend on partition/accumulation order, and ROUND of a 2-dp
+  * money sum lands on an exact .5 boundary for ~1% of buckets — at which
+  * point the rounded value flips between engines (observed: one
+  * q_priority_years bucket summing to …2.50). Casting the 2-dp inputs to
+  * DECIMAL(12,2) before SUM makes the aggregate exact integer arithmetic on
+  * both sides — and DECIMAL is also the 100 TB-correct type (128-bit exact
+  * accumulation, no precision decay with row count). Averages divide the
+  * exact DECIMAL sum by the count in double: both engines then round the
+  * SAME double, so the 4-dp round is deterministic too.
   *
   * Scale notes: all joins here are star-schema shaped — Catalyst broadcasts
   * the dim side automatically (customer @100TB-scale proportions would still
@@ -18,6 +26,23 @@ import graft.Tables
   * groups, not rows.
   */
 object Relational {
+
+  /** Exact-decimal money types: DECIMAL(12,2) holds any TPC-H money column
+    * (< 10^10); DECIMAL(4,2) holds the (1 ± discount/tax) factors. The
+    * product (12,2)×(4,2)×(4,2) is DECIMAL(22,6) — exact and far below the
+    * 38-digit cap in both Spark and DuckDB.
+    */
+  private val Money = org.apache.spark.sql.types.DecimalType(12, 2)
+  private val Pct = org.apache.spark.sql.types.DecimalType(4, 2)
+
+  /** Exact money sum rounded to whole units as BIGINT. */
+  private def moneySum(c: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column = round(sum(c)).cast("long")
+
+  /** Deterministic 4-dp average: exact DECIMAL sum ÷ count in double. */
+  private def avg4(c: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    round(sum(c).cast("double") / count(lit(1)), 4)
 
   /** Parquet scan + multi-predicate filter. The predicates reach the scan as
     * PushedFilters (min/max row-group skipping); projection prunes to 6 of 11
@@ -40,18 +65,19 @@ object Relational {
     */
   def aggPricing(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val disc = $"l_extendedprice" * (lit(1) - $"l_discount")
+    val price = $"l_extendedprice".cast(Money)
+    val disc = price * (lit(1) - $"l_discount").cast(Pct)
     Tables(s, dir, "lineitem")
       .filter($"l_shipdate" <= "1998-09-02")
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity")).cast("long").as("sum_qty"),
-        round(sum($"l_extendedprice")).cast("long").as("sum_base"),
-        round(sum(disc)).cast("long").as("sum_disc"),
-        round(sum(disc * (lit(1) + $"l_tax"))).cast("long").as("sum_charge"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_extendedprice"), 4).as("avg_price"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+        moneySum($"l_quantity".cast(Money)).as("sum_qty"),
+        moneySum(price).as("sum_base"),
+        moneySum(disc).as("sum_disc"),
+        moneySum(disc * (lit(1) + $"l_tax").cast(Pct)).as("sum_charge"),
+        avg4($"l_quantity".cast(Money)).as("avg_qty"),
+        avg4(price).as("avg_price"),
+        avg4($"l_discount".cast(Pct)).as("avg_disc"),
         count(lit(1)).as("n"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -64,7 +90,7 @@ object Relational {
     Tables(s, dir, "orders")
       .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
-      .agg(round(sum($"o_totalprice")).cast("long").as("revenue"),
+      .agg(moneySum($"o_totalprice".cast(Money)).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy($"c_mktsegment")
   }
@@ -78,8 +104,8 @@ object Relational {
     import s.implicits._
     starJoin(s, dir)
       .groupBy($"r_name", $"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")))
-        .cast("long").as("revenue"),
+      .agg(moneySum($"l_extendedprice".cast(Money)
+        * (lit(1) - $"l_discount").cast(Pct)).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy($"r_name", $"n_name")
   }
@@ -92,8 +118,8 @@ object Relational {
     import s.implicits._
     starJoin(s, dir)
       .rollup($"r_name", $"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")))
-        .cast("long").as("revenue"),
+      .agg(moneySum($"l_extendedprice".cast(Money)
+        * (lit(1) - $"l_discount").cast(Pct)).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
@@ -202,8 +228,8 @@ object Relational {
       .join(broadcast(Tables(s, dir, "nation")),
         $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")))
-        .cast("long").as("revenue"),
+      .agg(moneySum($"l_extendedprice".cast(Money)
+        * (lit(1) - $"l_discount").cast(Pct)).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy($"n_name")
   }
@@ -217,7 +243,7 @@ object Relational {
       .groupBy(year($"o_orderdate").cast("long").as("order_year"),
         $"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum($"o_totalprice")).cast("long").as("revenue"))
+        moneySum($"o_totalprice".cast(Money)).as("revenue"))
       .orderBy($"order_year", $"o_orderpriority")
   }
 
@@ -236,8 +262,12 @@ object Relational {
   /** Orders strictly above their own customer's average order value — the
     * correlated-scalar-subquery pattern in its decorrelated form: one
     * partial+final aggregate builds per-customer totals (one row per
-    * customer), which broadcast back onto the fact table; the fact side
-    * never shuffles.
+    * customer), which join back onto the fact table. The aggregate side is
+    * NOT broadcast-hinted: it has one row per customer, which grows with
+    * the population — a forced broadcast would build it on the driver and
+    * OOM at scale. Both sides are keyed on custkey, so the planner picks a
+    * broadcast only while stats say the aggregate is genuinely small, and
+    * a shuffle equi-join otherwise.
     *
     * The boundary predicate runs ENTIRELY in integer cents:
     * `t_cents · n > Σ cents` — no division, no float accumulation, no
@@ -258,7 +288,7 @@ object Relational {
       .agg(sum($"tc").as("sum_cents"), count(lit(1)).as("n"))
     Tables(s, dir, "orders")
       .withColumn("tc", cents)
-      .join(broadcast(custAgg), $"o_custkey" === $"ck")
+      .join(custAgg, $"o_custkey" === $"ck")
       .filter($"tc" * $"n" > $"sum_cents")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice",
         expr("(2 * sum_cents + n) div (2 * n)").as("cust_avg_cents"))
