@@ -7,15 +7,21 @@ import graft.Tables
 /** Vector / similarity-search operators over the `embeddings` table
   * (64-d float vectors; SURVEY.md §2.8 + §4.3).
   *
-  * The brute-force k-NN is implemented as broadcast + mapPartitions with a
-  * per-row bounded top-k, NOT as a 4M-row self-join + window sort: the
-  * candidate matrix (n×64 floats, 512 KB at sf0.1) is broadcast once, each
-  * partition streams its vectors against it, and only k rows per vector
-  * survive. This eliminates the O(n²) shuffle and the global sort — the
-  * designed-for-100TB shape (at real scale the broadcast side becomes the
-  * IVF centroid table, see `annIvf`).
+  * The brute-force family (`knn`, `embedNearDup`) is a broadcast-hash
+  * self-join through the native codegen'd `cosine_sim` expression, NOT an
+  * n²-row shuffle + window sort and NOT a driver-side collect: the small
+  * side enters Spark's own BroadcastExchange straight from the Dataset, so
+  * the only driver involvement is the broadcast build that Spark already
+  * manages (and refuses past `spark.sql.autoBroadcastJoinThreshold` /
+  * 8 GiB, instead of OOMing silently). Per-query top-k runs as the
+  * bounded-heap `top_k` Aggregator inside a partial+final hash aggregate —
+  * k rows per query per partition cross the shuffle, never the n² pairs.
+  * When one side stops fitting a broadcast, `annIvf` is the scale path
+  * (centroid-bucketed, only nlist rows ever collected) and
+  * `embedNearDupLsh` the banded near-dup path.
   *
-  * Cosine is accumulated left-to-right in double, matching DuckDB's
+  * Cosine is accumulated left-to-right in double (both in `cosine_sim`'s
+  * generated code and in the local `cosine`), matching DuckDB's
   * list_cosine_similarity over CAST(embedding AS DOUBLE[]) bit-for-bit
   * closely enough that round(sim, 6) hashes identically.
   */
@@ -28,26 +34,6 @@ object VectorOps {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
-
-  /** Memoized per sfDir: knn / embedNearDup / annIvf all broadcast the same
-    * candidate matrix, and the bench harness calls each twice — collecting
-    * the table once per directory is index reuse, not caching a result.
-    * (~1 MB at sf0.1; the table is immutable driver testdata.)
-    */
-  private val vectorCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Double])]]()
-
-  private def collectVectors(s: SparkSession, dir: String)
-  : Array[(Long, Array[Double])] =
-    vectorCache.computeIfAbsent(dir, { _ =>
-      import s.implicits._
-      Tables(s, dir, "embeddings")
-        .select($"vec_id", $"embedding")
-        .as[(Long, Array[Float])]
-        .collect()
-        .sortBy(_._1)
-        .map { case (id, v) => (id, v.map(_.toDouble)) }
-    })
 
   /** Query side spread across the full task width: the source is one
     * parquet row group → one scan task, and the O(n·d) per-row probe loop
@@ -63,58 +49,145 @@ object VectorOps {
       .as[(Long, Array[Float])]
   }
 
+  /** The two sides of the brute-force self-join: the probe side spread to
+    * task width (the n·d work is CPU-bound), the build side untouched for
+    * Spark's BroadcastExchange.
+    */
+  private def selfJoinSides(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val width = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    (e.repartition(width).toDF("a_id", "ea"), e.toDF("b_id", "eb"))
+  }
+
   /** Brute-force k-NN: for each vector, top-5 cosine-similar vectors with a
     * larger vec_id (a.vec_id < b.vec_id pair dedup), presented ordered by
     * (a_id, rank) and limited to 100 rows.
+    *
+    * Broadcast-hash self-join (build side materialized by Spark's own
+    * broadcast machinery — no driver `.collect()`), `cosine_sim` inside
+    * whole-stage codegen, then the bounded-heap `top_k` Aggregator as a
+    * partial+final hash aggregate: each partition reduces to ≤ k rows per
+    * query before the shuffle, so the n² pair stream dies map-side. The
+    * heap orders (-sim, b_id) exactly like the oracle's ROW_NUMBER.
     */
   def knn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import s.implicits._
-    val all = collectVectors(s, dir)
-    val bc = s.sparkContext.broadcast(all)
-    val out = vectorsParallel(s, dir)
-      .mapPartitions { it =>
-        val data = bc.value
-        it.flatMap { case (aId, aF) =>
-          val a = aF.map(_.toDouble)
-          data.iterator
-            .filter(_._1 > aId)
-            .map { case (bId, b) => (bId, cosine(a, b)) }
-            .toArray
-            .sortBy { case (bId, sim) => (-sim, bId) }
-            .take(k)
-            .zipWithIndex
-            .map { case ((bId, sim), i) => (aId, bId, sim, (i + 1).toLong) }
-        }
-      }
-      .toDF("a_id", "b_id", "sim_raw", "rn")
-    out.select($"a_id", $"b_id", round($"sim_raw", 6).as("sim"), $"rn")
+    val (a, b) = selfJoinSides(s, dir)
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    a.join(broadcast(b), $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        call_function("cosine_sim", $"ea", $"eb").as("sim_raw"))
+      .groupBy($"a_id")
+      .agg(topk($"b_id", $"sim_raw").as("tops"))
+      .select($"a_id", posexplode($"tops"))
+      .select($"a_id", $"col._1".as("b_id"),
+        round($"col._2", 6).as("sim"), ($"pos" + 1).cast("long").as("rn"))
       .orderBy($"a_id", $"rn")
       .limit(100)
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs (a<b) with cosine ≥
-    * threshold. Same broadcast/mapPartitions shape as `knn`; output is
+    * threshold. Same broadcast self-join shape as `knn`; output is
     * filtered, not top-k, so it stays small even when n² is large.
+    * [[embedNearDupLsh]] is the banded candidate-generation twin for the
+    * corpus-scale near-dup regime.
     */
   def embedNearDup(s: SparkSession, dir: String,
                    threshold: Double = 0.4): DataFrame = {
     import s.implicits._
-    val all = collectVectors(s, dir)
-    val bc = s.sparkContext.broadcast(all)
-    vectorsParallel(s, dir)
-      .mapPartitions { it =>
-        val data = bc.value
-        it.flatMap { case (aId, aF) =>
-          val a = aF.map(_.toDouble)
-          data.iterator
-            .filter(_._1 > aId)
-            .map { case (bId, b) => (aId, bId, cosine(a, b)) }
-            .filter(_._3 >= threshold)
-        }
-      }
-      .toDF("a_id", "b_id", "sim_raw")
+    val (a, b) = selfJoinSides(s, dir)
+    a.join(broadcast(b), $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        call_function("cosine_sim", $"ea", $"eb").as("sim_raw"))
+      .filter($"sim_raw" >= threshold)
       .select($"a_id", $"b_id", round($"sim_raw", 6).as("sim"))
       .orderBy($"a_id", $"b_id")
+  }
+
+  /** Banded near-duplicate candidate generation for embeddings — the
+    * 100 TB twin of [[embedNearDup]]'s all-pairs scan, completing the LSH
+    * family (text got MinHash banding + prefix filtering; this is the
+    * vector-space leg).
+    *
+    * Signatures are random-hyperplane (SRP) sign bits (Charikar, STOC'02):
+    * bit r of band b is sign⟨v, h_{b·R+r}⟩ for md5-seeded Gaussian
+    * hyperplanes (deterministic across runs/engines — no RNG state).
+    * Candidates are pairs colliding on ≥ 1 of the `bands` R-bit band keys
+    * (the simhashPairs band-join shape: cost Σ_bucket count², never
+    * doc×doc); survivors are verified with EXACT cosine, so output ⊆ the
+    * brute-force output at the same threshold, with misses only where two
+    * qualifying vectors collide in no band.
+    *
+    * P(sign bits agree) = 1 − θ/π, so band recall is 1−(1−p^R)^B — choose
+    * the operating point by regime (see SCALE.md §embedding-near-dup):
+    * near-dup thresholds (t ≥ ~0.9, p ≥ 0.86) prune hard with R=8 while
+    * keeping recall ≈ 1; the default here is the low-threshold AUDIT
+    * configuration (R=2, B=32: per-pair miss < 1e-6 at t=0.4 — recall ≈ 1
+    * but 4 buckets/band, i.e. no pruning), because the fixture corpus has
+    * no high-similarity pairs. At a loose threshold like 0.4 NO banding
+    * can both prune and stay complete (p ≈ 0.63 ⇒ selective bands lose
+    * recall exponentially) — that regime belongs to `annIvf`/scans.
+    */
+  def embedNearDupLsh(s: SparkSession, dir: String, threshold: Double = 0.4,
+                      bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    import s.implicits._
+    val nBits = bands * rowsPerBand
+    val sig = vectorsParallel(s, dir)
+      .mapPartitions { it =>
+        var planes: Array[Array[Double]] = null // lazily sized off dim
+        it.flatMap { case (id, vf) =>
+          if (planes == null) planes = hyperplanes(nBits, vf.length)
+          val v = vf.map(_.toDouble)
+          (0 until bands).iterator.map { b =>
+            var key = 0L
+            var r = 0
+            while (r < rowsPerBand) {
+              val h = planes(b * rowsPerBand + r)
+              var dot = 0.0
+              var i = 0
+              while (i < v.length) { dot += v(i) * h(i); i += 1 }
+              if (dot > 0) key |= 1L << r
+              r += 1
+            }
+            (id, b, key)
+          }
+        }
+      }
+      .toDF("vec_id", "band", "key")
+    val aS = sig.toDF("da", "band_a", "key_a")
+    val bS = sig.toDF("db", "band_b", "key_b")
+    val cand = aS.join(bS, $"band_a" === $"band_b" && $"key_a" === $"key_b"
+        && $"da" < $"db")
+      .select($"da", $"db").distinct()
+    val e = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    cand
+      .join(e.toDF("da", "ea"), "da")
+      .join(e.toDF("db", "eb"), "db")
+      .select($"da".as("a_id"), $"db".as("b_id"),
+        call_function("cosine_sim", $"ea", $"eb").as("sim_raw"))
+      .filter($"sim_raw" >= threshold)
+      .select($"a_id", $"b_id", round($"sim_raw", 6).as("sim"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Deterministic Gaussian hyperplanes: component (p, d) is Box-Muller
+    * over two md5-derived uniforms — reproducible everywhere with no RNG
+    * state, the same trick as the md5-keyed MinHash/SimHash signatures.
+    */
+  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def unit(tag: String): Double = {
+      val h = md.digest(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val x = java.nio.ByteBuffer.wrap(h).getLong & ((1L << 52) - 1)
+      (x + 0.5) / (1L << 52).toDouble // in (0, 1), never exactly 0
+    }
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val u1 = unit(s"srp:$p:$d:1")
+      val u2 = unit(s"srp:$p:$d:2")
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+    }
   }
 
   /** Vector search (the similarity-serving path): top-`k` embeddings most

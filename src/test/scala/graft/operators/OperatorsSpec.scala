@@ -177,6 +177,50 @@ class OperatorsSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("SRP-LSH embedding near-dup equals brute force at the audit banding") {
+    import spark.implicits._
+    // audit configuration (R=2, B=32): per-pair miss probability < 1e-6
+    // even at the loose t=0.4 threshold, and the hyperplanes are md5-fixed,
+    // so twin ≡ brute force is a deterministic property of this corpus
+    val lsh = VectorOps.embedNearDupLsh(spark, sfTest, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = VectorOps.embedNearDup(spark, sfTest, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
+    assert(lsh.nonEmpty)
+  }
+
+  test("SRP-LSH banding stays exact in the selective near-dup regime") {
+    import spark.implicits._
+    // planted ground truth: 150 random unit-ish vectors plus 30 perturbed
+    // copies (cosine ≈ 0.995 to their source; unrelated pairs stay far
+    // below 0.9 — 64-d random cosines concentrate near 0). The SELECTIVE
+    // banding (R=8 → 256 buckets/band, B=16) must still find every planted
+    // pair: p = 1−θ/π ≈ 0.97 ⇒ per-pair miss ≈ 6e-11. This is the
+    // configuration that prunes at corpus scale; the audit config above
+    // covers the loose-threshold regime.
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 150).map(i => (i.toLong, vec()))
+    val dups = (0 until 30).map { i =>
+      val (srcId, v) = bases(i * 5)
+      val w = v.map(x => (x + 0.1f * rnd.nextGaussian().toFloat))
+      (1000L + srcId, w)
+    }
+    val dir = Files.createTempDirectory("graft_emb").toString
+    (bases ++ dups).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0L))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val lsh = VectorOps.embedNearDupLsh(spark, dir, threshold = 0.9,
+      bands = 16, rowsPerBand = 8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val brute = VectorOps.embedNearDup(spark, dir, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(brute.size >= 30, s"fixture must plant >=30 true pairs: ${brute.size}")
+    assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
+  }
+
   test("prefix-filtered ngram jaccard equals the naive all-shingle join") {
     import spark.implicits._
     // real corpus at two thresholds (0.5 exercises short prefixes; 0.2
