@@ -43,6 +43,7 @@ object SparkEntry {
     "q_topk_brand" -> (Relational.topkBrand _),
     "q_setops" -> (Relational.setops _),
     "q_percentiles" -> (Relational.percentiles _),
+    "q_approx_percentiles" -> (Relational.approxPercentiles _),
     "q_above_avg" -> (Relational.aboveAvg _),
     // schema-breadth queries (supplier FK edge, date buckets, catalog,
     // embedding labels)
@@ -84,11 +85,12 @@ object SparkEntry {
     "q_multimodal" -> (Multimodal.mediaFeatures _),
   )
 
-  /** DuckDB-dialect oracle per query — 31 of the 34 queries. Omitted
-    * (→ driver rows-only check): q_approx_distinct (sketch impls differ),
-    * q_ann_ivf (not SQL-expressible at reasonable cost), q_multimodal
-    * (stubbed codec); each is covered by bounded-error / recall /
-    * determinism assertions in the test suite instead.
+  /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
+    * q_approx_distinct and q_approx_percentiles (sketch impls differ
+    * across engines by design), q_ann_ivf (not SQL-expressible at
+    * reasonable cost), q_multimodal (stubbed codec); each is covered by
+    * bounded-error / recall / determinism assertions in the test suite
+    * instead.
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->

@@ -317,6 +317,34 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** The 100 TB twin of [[percentiles]]: `approx_percentile`
+    * (Greenwald–Khanna-style mergeable sketch). Where exact `percentile`
+    * buffers every one of a group's values in a single task — billions of
+    * doubles per market segment at corpus scale — the sketch is
+    * constant-size per group, map-side combinable, and merges across
+    * partitions, so the shuffle carries sketches, not values. Accuracy is
+    * 1/10000 relative rank error here (sketch size grows with the inverse).
+    *
+    * No DuckDB oracle — sketch implementations differ across engines by
+    * design (the `q_approx_distinct` precedent); the bounded-error spec
+    * pins |approx − exact| per segment instead, and the driver records a
+    * rows-only check.
+    */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4)
+          .as("p50"),
+        round(expr("approx_percentile(o_totalprice, 0.95, 10000)"), 4)
+          .as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Set operation: INTERSECT of customer keys with ordering custkeys.
     * Spark rewrites intersect as an aggregate+semi-join under the hood.
     */

@@ -38,9 +38,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale notes: one HTTP listener feeds one queue — at production scale
   * this class sits behind a real pub-sub/broker (one listener per
   * executor, or a durable log); the MicroBatchStream contract is identical
-  * either way, which is the point of keeping ingest behind DSv2. A single
-  * InputPartition per batch is correct for the in-memory queue (data lives
-  * on the driver); a partition-per-broker-shard is the drop-in extension.
+  * either way, which is the point of keeping ingest behind DSv2. Each
+  * micro-batch is planned as task-width-many InputPartitions (contiguous
+  * seq ranges), so downstream parsing/enrichment runs wide even before the
+  * partition-per-broker-shard production extension.
   */
 object WebhookQueue {
   private val buf = new ConcurrentSkipListMap[Long, (Long, String, String)]()
@@ -67,10 +68,30 @@ object WebhookQueue {
   @volatile private var walDir: java.nio.file.Path = _
   private var lowWater = 0L
 
+  /** One WAL record = one line of exactly 5 tab-separated tokens:
+    * `id \t ts \t b64(topic) \t b64(body) \t crc32`. BOTH variable fields
+    * are base64-encoded — the topic comes from a URL path where %09/%0A
+    * decode to tab/newline, and a raw topic containing either would corrupt
+    * the framing so recovery's stop-at-first-malformed-line policy silently
+    * discarded every later 200-acked delivery. The trailing CRC32 (over the
+    * first four tokens) catches the torn tail a 4-char base64 boundary
+    * hides: a truncated body can still parse and decode, and without the
+    * checksum it would be recovered and delivered as if intact.
+    */
   private def record(id: Long, ts: Long, topic: String, body: String): String = {
-    val b64 = java.util.Base64.getEncoder
-      .encodeToString(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    s"$id\t$ts\t$topic\t$b64\n"
+    val enc = java.util.Base64.getEncoder
+    val t64 = enc.encodeToString(
+      topic.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val b64 = enc.encodeToString(
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val payload = s"$id\t$ts\t$t64\t$b64"
+    s"$payload\t${crc32(payload)}\n"
+  }
+
+  private def crc32(s: String): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    c.getValue
   }
 
   /** Switch the queue durable, replaying any uncommitted WAL entries into
@@ -106,19 +127,25 @@ object WebhookQueue {
         while (ok && it.hasNext) {
           val line = it.next()
           if (line.nonEmpty) {
-            line.split("\t", 4) match {
-              case Array(idS, tsS, topic, b64) =>
+            line.split("\t", 5) match {
+              case Array(idS, tsS, t64, b64, crcS) =>
                 try {
-                  val id = idS.toLong
-                  val ts = tsS.toLong
-                  val body = new String(
-                    java.util.Base64.getDecoder.decode(b64),
-                    java.nio.charset.StandardCharsets.UTF_8)
-                  maxSeq = math.max(maxSeq, id)
-                  if (id > lowWater && !buf.containsKey(id)) {
-                    buf.put(id, (ts, topic, body))
-                    retained.incrementAndGet()
-                    recovered += 1
+                  if (crc32(s"$idS\t$tsS\t$t64\t$b64") != crcS.toLong)
+                    ok = false // truncated-but-parseable tail
+                  else {
+                    val id = idS.toLong
+                    val ts = tsS.toLong
+                    val dec = java.util.Base64.getDecoder
+                    val topic = new String(dec.decode(t64),
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    val body = new String(dec.decode(b64),
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    maxSeq = math.max(maxSeq, id)
+                    if (id > lowWater && !buf.containsKey(id)) {
+                      buf.put(id, (ts, topic, body))
+                      retained.incrementAndGet()
+                      recovered += 1
+                    }
                   }
                 } catch { case _: IllegalArgumentException => ok = false }
               case _ => ok = false // torn tail — keep the valid prefix
@@ -315,13 +342,25 @@ class WebhookMicroBatchStream extends MicroBatchStream {
     WebhookQueue.truncate(end.asInstanceOf[WebhookOffset].seqNo)
   override def stop(): Unit = ()
 
+  /** The batch slice is split across the session's task width — one
+    * partition per batch would serialize the whole micro-batch through a
+    * single task, a choke the broker-sharded production variant never has.
+    * Chunks are contiguous seq ranges, so per-partition order is ascending
+    * and a range maps 1:1 onto a future broker shard.
+    */
   override def planInputPartitions(start: Offset, end: Offset)
   : Array[InputPartition] = {
     val rows = WebhookQueue.slice(
       start.asInstanceOf[WebhookOffset].seqNo,
       end.asInstanceOf[WebhookOffset].seqNo)
     if (rows.isEmpty) Array.empty
-    else Array(WebhookInputPartition(rows))
+    else {
+      val width = math.max(1, org.apache.spark.sql.SparkSession.active
+        .conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      val chunk = (rows.length + width - 1) / width
+      rows.grouped(chunk)
+        .map(WebhookInputPartition(_): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

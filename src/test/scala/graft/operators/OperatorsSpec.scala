@@ -43,6 +43,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile tracks the exact interpolated quantiles") {
+    import spark.implicits._
+    // the sketch returns some OBSERVED value whose rank is within 1/acc of
+    // the target rank; the exact quantile interpolates between observed
+    // values — so the two agree within the local value spread around the
+    // target rank. 1% of the segment's value RANGE is a conservative
+    // envelope for accuracy=10000 on this data, and fails loudly if the
+    // sketch ever degrades to, say, a median-of-partitions shortcut.
+    val exact = Relational.percentiles(spark, sfTest).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Relational.approxPercentiles(spark, sfTest).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    val range = Tables(spark, sfTest, "orders")
+      .agg(max($"o_totalprice") - min($"o_totalprice")).head().getDouble(0)
+    exact.foreach { case (seg, (p50, p95)) =>
+      val (a50, a95) = approx(seg)
+      assert(math.abs(a50 - p50) <= range * 0.01, s"$seg p50: $a50 vs $p50")
+      assert(math.abs(a95 - p95) <= range * 0.01, s"$seg p95: $a95 vs $p95")
+    }
+  }
+
   test("IVF ANN achieves usable recall against brute-force k-NN") {
     import spark.implicits._
     val exact = VectorOps.knn(spark, sfTest).as[(Long, Long, Double, Long)]

@@ -114,11 +114,64 @@ class WebhookSourceSpec extends SparkSpec {
       assert(back.map(_._1).toSeq == Seq(id1, id2))
       // recovery compacted: the torn line is gone from disk
       val lines = java.nio.file.Files.readAllLines(wal)
-      assert(lines.size == 2 && lines.asScala.forall(_.split("\t").length == 4))
+      assert(lines.size == 2 && lines.asScala.forall(_.split("\t").length == 5))
     } finally {
       WebhookQueue.disableDurability()
       WebhookQueue.clear()
     }
+  }
+
+  test("WAL framing survives hostile topics and catches truncated bodies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wal3").toString
+    WebhookQueue.clear()
+    try {
+      WebhookQueue.enableDurability(dir)
+      // a topic with tab+newline (URL %09/%0A decode to these) must not
+      // corrupt record framing for deliveries logged after it
+      val id1 = WebhookQueue.post("or\tders\nx", """{"event_id":1}""")
+      val id2 = WebhookQueue.post("plain", """{"event_id":2}""")
+      WebhookQueue.disableDurability()
+      WebhookQueue.clear()
+      assert(WebhookQueue.enableDurability(dir) == 2)
+      val back = WebhookQueue.slice(0L, Long.MaxValue)
+      assert(back.map(e => (e._1, e._3)).toSeq ==
+        Seq((id1, "or\tders\nx"), (id2, "plain")))
+
+      // torn tail on a 4-char base64 boundary: the line still parses and
+      // decodes, but the CRC unmasks the truncation
+      WebhookQueue.disableDurability()
+      WebhookQueue.clear()
+      val wal = java.nio.file.Paths.get(dir, "webhook.wal")
+      val good = java.nio.file.Files.readAllLines(wal).get(0).split("\t")
+      val torn = (good.take(3) :+ good(3).dropRight(4) :+ good(4))
+        .mkString("\t")
+      java.nio.file.Files.writeString(wal, torn + "\n",
+        java.nio.file.StandardOpenOption.APPEND)
+      assert(WebhookQueue.enableDurability(dir) == 2,
+        "truncated-but-parseable tail must be rejected by the CRC")
+      assert(WebhookQueue.slice(0L, Long.MaxValue).map(_._1).toSeq ==
+        Seq(id1, id2))
+    } finally {
+      WebhookQueue.disableDurability()
+      WebhookQueue.clear()
+    }
+  }
+
+  test("a multi-row micro-batch spans more than one input partition") {
+    WebhookQueue.clear()
+    try {
+      (1 to 10).foreach(i => WebhookQueue.post("t", s"""{"event_id":$i}"""))
+      // make sure a session exists so planning can read the task width
+      assert(spark.sparkContext.isLocal)
+      val stream = new WebhookMicroBatchStream
+      val parts = stream.planInputPartitions(
+        WebhookOffset(0L), WebhookOffset(WebhookQueue.latest))
+      assert(parts.length > 1, s"expected >1 partition, got ${parts.length}")
+      val seqs = parts.flatMap(
+        _.asInstanceOf[WebhookInputPartition].rows.map(_._1))
+      assert(seqs.toSeq == seqs.sorted.toSeq) // contiguous ranges, in order
+      assert(seqs.length == 10 && seqs.distinct.length == 10)
+    } finally WebhookQueue.clear()
   }
 
   test("malformed payloads are dead-lettered; well-formed rows unaffected") {
