@@ -37,7 +37,15 @@ object Bench {
     // failed queries report -1 per-query but must not shrink the headline
     // total (a failure would otherwise make the run look FASTER)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // machine fingerprint: driver-vs-local deltas have run 1.5-4x across
+    // rounds; recording cores/heap/master/cache makes them attributable
+    val rt = Runtime.getRuntime
+    val env = s""""env":{"cores":${rt.availableProcessors},""" +
+      s""""max_heap_mb":${rt.maxMemory / (1024 * 1024)},""" +
+      s""""master":"${spark.sparkContext.master}",""" +
+      s""""cache_tables":${spark.conf.get("spark.graft.cacheTables")},""" +
+      s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
     spark.stop()
   }
 }

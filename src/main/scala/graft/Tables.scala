@@ -49,13 +49,20 @@ object Tables {
     */
   private val spreadOnCache = Set("lineitem", "orders", "events", "documents")
 
-  private val cache = new ConcurrentHashMap[(String, String), DataFrame]()
+  // Keyed by the owning session, not just (dir, name): a cached DataFrame
+  // is bound to the SparkSession that created it, so serving it to a later
+  // session in the same JVM would hand out plans rooted in a stopped
+  // session. Files rewritten under the same dir within one session still
+  // require an explicit clearCache() — tests that materialize over these
+  // dirs must call it.
+  private val cache =
+    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (!spark.conf.get("spark.graft.cacheTables", "false").toBoolean)
       load(spark, sfDir, name)
     else
-      cache.computeIfAbsent((sfDir, name), { _ =>
+      cache.computeIfAbsent((spark, sfDir, name), { _ =>
         val df = load(spark, sfDir, name)
         val prepped =
           if (spreadOnCache(name))

@@ -236,10 +236,17 @@ object VectorOps {
   }
 
   /** IVF-style approximate nearest neighbours (the 100 TB scale path for
-    * `knn`): deterministic coarse quantizer (first `nlist` vectors by id as
-    * centroids — no iterative k-means, so the result is reproducible),
-    * assign every vector to its nearest centroid, then search only the
-    * `nprobe` closest cells per query vector.
+    * `knn`): a deterministic sample-trained coarse quantizer (spherical
+    * k-means on the lowest-id `sampleN` vectors: Gonzalez farthest-point
+    * init, fixed Lloyd iteration count, sequential driver arithmetic — no
+    * RNG state, so the result is reproducible), assign every vector to its
+    * nearest centroid, then search only the `nprobe` closest cells per
+    * query vector. Training on a bounded sample is the standard IVF build
+    * (FAISS-style): quantizer quality saturates long before the sample
+    * stops fitting on the driver, and it lifts measured recall@5 at
+    * nprobe=4/nlist=16 from 0.49 (first-n-as-centroids) to 0.60 on this
+    * corpus — whose random near-orthogonal embeddings cap what ANY
+    * quantizer can do at low nprobe (see the AnnExp sweep / SCALE.md).
     *
     * Fully distributed build + probe — the ONLY driver-side collect is the
     * `nlist` centroid rows (16 vectors):
@@ -261,18 +268,50 @@ object VectorOps {
     * brute force is asserted in OperatorsSpec; the driver records a
     * rows-only check.
     */
+  /** Spherical k-means over the (normalized) training sample: Gonzalez
+    * farthest-point init seeded from the lowest-id vector, then a fixed
+    * number of Lloyd iterations (assign to max-cosine centroid, recenter on
+    * the normalized member mean; an emptied cell keeps its old centroid).
+    * Everything is sequential driver arithmetic over a bounded sample, so
+    * the quantizer — and with it the whole index — is bit-reproducible.
+    */
+  private def trainQuantizer(sample: Array[Array[Double]], nlist: Int,
+                             iters: Int = 10): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val pts = sample.map(normalize)
+    if (pts.length <= nlist) return pts
+    val chosen = scala.collection.mutable.ArrayBuffer(pts(0))
+    while (chosen.length < nlist)
+      chosen += pts.maxBy(v => -chosen.map(c => cosine(v, c)).max)
+    var cent = chosen.toArray
+    for (_ <- 0 until iters) {
+      val assign = pts.groupBy(v => cent.indices.maxBy(c => cosine(v, cent(c))))
+      cent = cent.indices.map { c =>
+        assign.get(c).fold(cent(c)) { members =>
+          normalize(members.head.indices
+            .map(d => members.map(_(d)).sum).toArray)
+        }
+      }.toArray
+    }
+    cent
+  }
+
   def annIvf(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 16,
-             nprobe: Int = 4): DataFrame = {
+             nprobe: Int = 4, sampleN: Int = 512): DataFrame = {
     import s.implicits._
-    val centroids: Array[Array[Double]] =
+    val sample: Array[Array[Double]] =
       Tables(s, dir, "embeddings")
         .select($"vec_id", $"embedding")
         .orderBy($"vec_id")
-        .limit(nlist)
+        .limit(sampleN)
         .as[(Long, Array[Float])]
         .collect()
         .sortBy(_._1)
         .map(_._2.map(_.toDouble))
+    val centroids = trainQuantizer(sample, nlist)
     val bcCent = s.sparkContext.broadcast(centroids)
     val vecs = vectorsParallel(s, dir)
     // executor-side cell assignment: (cell, vec_id, vector)

@@ -76,10 +76,13 @@ object StreamOps {
       events("user_id") === customer("c_custkey"), "left_outer")
 
   /** Per-user alarm state for [[AlarmProcessor]]: the current consecutive-
-    * error run plus the user's latest event time (for idle-eviction
-    * staleness checks when a timer fires).
+    * error run, the user's latest event time (for idle-eviction staleness
+    * checks when a timer fires), and the currently armed timer timestamp
+    * so each batch can delete the timer it supersedes — without that, an
+    * active key accumulates one pending timer per batch it appears in, and
+    * timer-state size grows with batch count instead of key count.
     */
-  case class AlarmState(run: Int, lastSeenMs: Long)
+  case class AlarmState(run: Int, lastSeenMs: Long, armedTimerMs: Long)
 
   /** `transformWithState` implementation of the consecutive-error alarm —
     * the Spark 4 arbitrary-state API (SURVEY §2.9 row s_stateful names
@@ -88,9 +91,9 @@ object StreamOps {
     * scale: typed state handles (`ValueState` here; List/Map state for
     * richer operators) live in RocksDB — state can exceed executor heap —
     * and eviction uses explicit event-time timers instead of a single
-    * per-key timeout slot. Timers registered across batches accumulate, so
-    * an expiry re-checks staleness against the stored last-seen time
-    * before clearing.
+    * per-key timeout slot — each batch deletes the timer it supersedes so
+    * a key holds exactly one, and an expiry still re-checks staleness
+    * against the stored last-seen time before clearing.
     */
   private class AlarmProcessor(threshold: Int, horizonMs: Long)
     extends StatefulProcessor[Long, Event, ErrorAlarm] {
@@ -102,7 +105,7 @@ object StreamOps {
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
                                  tv: TimerValues): Iterator[ErrorAlarm] = {
-      val prev = if (state.exists()) state.get() else AlarmState(0, 0L)
+      val prev = if (state.exists()) state.get() else AlarmState(0, 0L, 0L)
       var run = prev.run
       var maxTs = prev.lastSeenMs
       val alarms = scala.collection.mutable.ArrayBuffer[ErrorAlarm]()
@@ -113,9 +116,14 @@ object StreamOps {
           if (run == threshold) alarms += ErrorAlarm(userId, run, e.ts)
         } else run = 0
       }
-      state.update(AlarmState(run, maxTs))
-      getHandle.registerTimer(
-        math.max(tv.getCurrentWatermarkInMs(), maxTs) + horizonMs)
+      // one pending timer per key: delete the one the previous batch armed
+      // before registering its replacement (the staleness re-check in
+      // handleExpiredTimer stays as a belt-and-braces guard)
+      val timer = math.max(tv.getCurrentWatermarkInMs(), maxTs) + horizonMs
+      if (prev.armedTimerMs != 0L && prev.armedTimerMs != timer)
+        getHandle.deleteTimer(prev.armedTimerMs)
+      getHandle.registerTimer(timer)
+      state.update(AlarmState(run, maxTs, timer))
       alarms.iterator
     }
 

