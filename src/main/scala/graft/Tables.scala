@@ -61,7 +61,8 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (!spark.conf.get("spark.graft.cacheTables", "false").toBoolean)
       load(spark, sfDir, name)
-    else
+    else {
+      evictStopped()
       cache.computeIfAbsent((spark, sfDir, name), { _ =>
         val df = load(spark, sfDir, name)
         val prepped =
@@ -72,10 +73,24 @@ object Tables {
         prepped.count() // materialize eagerly so first use pays once
         prepped
       })
+    }
 
-  /** Drop all cached tables (test isolation). */
+  /** Entries for stopped sessions pin the session (and its plans) via the
+    * map's strong refs; drop them on the next cache access. Their cached
+    * blocks died with the session's BlockManager, so no unpersist needed.
+    */
+  private def evictStopped(): Unit =
+    cache.keySet().removeIf { case (s, _, _) => s.sparkContext.isStopped }
+
+  /** Drop all cached tables (test isolation). unpersist() on a DataFrame
+    * whose session has stopped throws IllegalStateException — swallow it so
+    * one dead entry can't abort the clear and leak the rest of the map.
+    */
   def clearCache(): Unit = {
-    cache.values().forEach(df => df.unpersist())
+    cache.values().forEach { df =>
+      try df.unpersist()
+      catch { case _: IllegalStateException => () }
+    }
     cache.clear()
   }
 

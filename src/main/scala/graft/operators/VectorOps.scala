@@ -12,8 +12,14 @@ import graft.Tables
   * n²-row shuffle + window sort and NOT a driver-side collect: the small
   * side enters Spark's own BroadcastExchange straight from the Dataset, so
   * the only driver involvement is the broadcast build that Spark already
-  * manages (and refuses past `spark.sql.autoBroadcastJoinThreshold` /
-  * 8 GiB, instead of OOMing silently). Per-query top-k runs as the
+  * manages. Caveat: the explicit `broadcast()` hint BYPASSES
+  * `spark.sql.autoBroadcastJoinThreshold` — only the hard BroadcastExchange
+  * limits (8 GiB / 512M rows) still guard, so a multi-GiB build can OOM a
+  * smaller driver before the limit trips. The hint is deliberate for this
+  * table (64-d floats; ~300 B/row ⇒ the hard limit implies ≲ 8 GiB build,
+  * sized for the bench driver), and past that regime the answer is not a
+  * bigger broadcast but the `annIvf` / `embedNearDupLsh` scale paths
+  * below. Per-query top-k runs as the
   * bounded-heap `top_k` Aggregator inside a partial+final hash aggregate —
   * k rows per query per partition cross the shuffle, never the n² pairs.
   * When one side stops fitting a broadcast, `annIvf` is the scale path

@@ -124,6 +124,23 @@ object WebhookQueue {
       try {
         val it = stream.iterator()
         var ok = true
+        // Restores one fully-parsed entry into the live buffer. Shared by
+        // the current CRC-framed format and the legacy no-CRC format.
+        def restore(idS: String, tsS: String, t64: String, b64: String): Unit = {
+          val id = idS.toLong
+          val ts = tsS.toLong
+          val dec = java.util.Base64.getDecoder
+          val topic = new String(dec.decode(t64),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val body = new String(dec.decode(b64),
+            java.nio.charset.StandardCharsets.UTF_8)
+          maxSeq = math.max(maxSeq, id)
+          if (id > lowWater && !buf.containsKey(id)) {
+            buf.put(id, (ts, topic, body))
+            retained.incrementAndGet()
+            recovered += 1
+          }
+        }
         while (ok && it.hasNext) {
           val line = it.next()
           if (line.nonEmpty) {
@@ -132,26 +149,25 @@ object WebhookQueue {
                 try {
                   if (crc32(s"$idS\t$tsS\t$t64\t$b64") != crcS.toLong)
                     ok = false // truncated-but-parseable tail
-                  else {
-                    val id = idS.toLong
-                    val ts = tsS.toLong
-                    val dec = java.util.Base64.getDecoder
-                    val topic = new String(dec.decode(t64),
-                      java.nio.charset.StandardCharsets.UTF_8)
-                    val body = new String(dec.decode(b64),
-                      java.nio.charset.StandardCharsets.UTF_8)
-                    maxSeq = math.max(maxSeq, id)
-                    if (id > lowWater && !buf.containsKey(id)) {
-                      buf.put(id, (ts, topic, body))
-                      retained.incrementAndGet()
-                      recovered += 1
-                    }
-                  }
+                  else restore(idS, tsS, t64, b64)
                 } catch { case _: IllegalArgumentException => ok = false }
+              case Array(idS, tsS, t64, b64) =>
+                // Legacy pre-CRC 4-token framing (id, ts, topic64, body64):
+                // a pre-upgrade WAL must survive the format upgrade, so
+                // accept it when every field parses. (This also admits a
+                // CRC-format line torn exactly at the last tab — the
+                // payload there is intact, only its checksum is lost.)
+                try restore(idS, tsS, t64, b64)
+                catch { case _: IllegalArgumentException => ok = false }
               case _ => ok = false // torn tail — keep the valid prefix
             }
           }
         }
+        if (recovered == 0 && maxSeq == seq.get() &&
+            java.nio.file.Files.size(walFile) > 0)
+          System.err.println(
+            s"[WebhookQueue] WARNING: non-empty WAL $walFile recovered 0 " +
+              "entries — unrecognized framing? Compaction will rewrite it.")
       } finally stream.close()
     }
     seq.set(maxSeq)
@@ -334,6 +350,17 @@ case class WebhookOffset(seqNo: Long) extends Offset {
 }
 
 class WebhookMicroBatchStream extends MicroBatchStream {
+  /** Task width for batch splitting, captured ONCE at stream construction
+    * (driver-side, inside the owning query's startup, where the query's
+    * session is the active one). Resolving `SparkSession.active` per batch
+    * would throw on a thread with no active/default session and would
+    * silently follow whichever session happens to be active, not the
+    * query's own.
+    */
+  private val width: Int = math.max(1,
+    scala.util.Try(org.apache.spark.sql.SparkSession.active
+      .conf.get("spark.sql.shuffle.partitions", "32").toInt).getOrElse(32))
+
   override def initialOffset(): Offset = WebhookOffset(0L)
   override def latestOffset(): Offset = WebhookOffset(WebhookQueue.latest)
   override def deserializeOffset(json: String): Offset =
@@ -355,8 +382,6 @@ class WebhookMicroBatchStream extends MicroBatchStream {
       end.asInstanceOf[WebhookOffset].seqNo)
     if (rows.isEmpty) Array.empty
     else {
-      val width = math.max(1, org.apache.spark.sql.SparkSession.active
-        .conf.get("spark.sql.shuffle.partitions", "32").toInt)
       val chunk = (rows.length + width - 1) / width
       rows.grouped(chunk)
         .map(WebhookInputPartition(_): InputPartition).toArray

@@ -121,6 +121,33 @@ class WebhookSourceSpec extends SparkSpec {
     }
   }
 
+  test("WAL recovery accepts a legacy pre-CRC 4-token log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wal4")
+    WebhookQueue.clear()
+    try {
+      // a pre-upgrade WAL: id \t ts \t base64(topic) \t base64(body), no CRC
+      val enc = java.util.Base64.getEncoder
+      def legacy(id: Long, topic: String, body: String): String =
+        s"$id\t1000\t${enc.encodeToString(topic.getBytes("UTF-8"))}\t" +
+          s"${enc.encodeToString(body.getBytes("UTF-8"))}\n"
+      java.nio.file.Files.writeString(dir.resolve("webhook.wal"),
+        legacy(1, "orders", """{"event_id":1}""") +
+          legacy(2, "alerts", """{"event_id":2}"""))
+      assert(WebhookQueue.enableDurability(dir.toString) == 2,
+        "legacy 4-token lines must recover, not be discarded")
+      val back = WebhookQueue.slice(0L, Long.MaxValue)
+      assert(back.map(e => (e._1, e._3, e._4)).toSeq == Seq(
+        (1L, "orders", """{"event_id":1}"""),
+        (2L, "alerts", """{"event_id":2}""")))
+      // compaction upgraded the surviving entries to the CRC framing
+      val lines = java.nio.file.Files.readAllLines(dir.resolve("webhook.wal"))
+      assert(lines.size == 2 && lines.asScala.forall(_.split("\t").length == 5))
+    } finally {
+      WebhookQueue.disableDurability()
+      WebhookQueue.clear()
+    }
+  }
+
   test("WAL framing survives hostile topics and catches truncated bodies") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wal3").toString
     WebhookQueue.clear()
