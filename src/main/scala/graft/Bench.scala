@@ -28,9 +28,15 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val w = timeOnce(fn) // untimed JIT/cache warmup
+      // Heavy queries (the md5 signature passes, the IVF probe) measurably
+      // keep dropping through execution ~4 as C2 recompiles the hot loops
+      // (e.g. q_dedup_simhash_pairs 1.01 → 0.86 → 0.76 s); one extra
+      // untimed run for those moves the timed pair onto the steady state
+      // the cheap queries already reach after one.
+      val w2 = if (w > 0.4) timeOnce(fn) else w
       val a = timeOnce(fn)
       val b = timeOnce(fn)
-      name -> (if (w < 0 || a < 0 || b < 0) -1.0 else math.min(a, b))
+      name -> (if (w < 0 || w2 < 0 || a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
