@@ -67,6 +67,8 @@ object SparkEntry {
     "q_text_stats" -> (TextOps.textStats _),
     "q_text_langid" -> (TextOps.langId _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
+    "q_quality_filter" ->
+      ((s: SparkSession, d: String) => TextOps.qualityFilter(s, d)),
     // §2.8 vectors
     "q_vector_knn" -> ((s: SparkSession, d: String) => VectorOps.knn(s, d)),
     "q_vector_search" ->
@@ -313,6 +315,28 @@ object SparkEntry {
         | ROUND((CAST(n_uniq AS DOUBLE) / n_tokens)
         |   * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) AS quality
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q_quality_filter" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok
+        |  FROM documents),
+        |u AS (SELECT doc_id, lang, CAST(len(tok) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(tok)) AS BIGINT) AS n_uniq,
+        |  CAST(list_sum(list_transform(tok, t -> (length(t) + 3) // 4))
+        |    AS BIGINT) AS n_bpe_est FROM t),
+        |g AS (SELECT lang, n_bpe_est,
+        |  (CAST(n_uniq AS DOUBLE) / n_tokens)
+        |    * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) AS quality,
+        |  ((CAST(n_uniq AS DOUBLE) / n_tokens)
+        |    * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) >= 0.35
+        |    AND n_tokens >= 30) AS kept FROM u)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS keep_rate,
+        |  ROUND(AVG(CASE WHEN kept THEN quality END), 4)
+        |    AS avg_kept_quality,
+        |  CAST(SUM(CASE WHEN kept THEN n_bpe_est ELSE 0 END) AS BIGINT)
+        |    AS kept_bpe_est
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok
         |  FROM documents),

@@ -104,6 +104,43 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Quality-gate retention report — the composition a training-data
+    * pipeline runs after scoring: apply the admission gates (quality ≥ 0.35
+    * AND ≥ 30 tokens, thresholds that split this corpus ~57/43) and report,
+    * per language, how much survives and what token budget the survivors
+    * contribute (`kept_bpe_est` — the number the downstream tokenizer
+    * actually consumes). One narrow projection + one 5-group aggregate; the
+    * document text never crosses the shuffle, only the per-doc scalars.
+    */
+  def qualityFilter(s: SparkSession, dir: String,
+                    minQuality: Double = 0.35,
+                    minTokens: Long = 30L): DataFrame = {
+    import s.implicits._
+    val tok = split($"text", " ")
+    val scored = docs(s, dir)
+      .select($"doc_id", $"lang",
+        size(tok).cast("long").as("n_tokens"),
+        size(array_distinct(tok)).cast("long").as("n_uniq"),
+        expr("aggregate(split(text, ' '), 0L, " +
+          "(acc, t) -> acc + (length(t) + 3) div 4)").as("n_bpe_est"))
+      .withColumn("quality",
+        ($"n_uniq".cast("double") / $"n_tokens") *
+          least(lit(1.0), $"n_tokens".cast("double") / lit(50.0)))
+      .withColumn("kept",
+        $"quality" >= minQuality && $"n_tokens" >= minTokens)
+    scored.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        round(avg(when($"kept", $"quality")), 4).as("avg_kept_quality"),
+        sum(when($"kept", $"n_bpe_est").otherwise(0L)).as("kept_bpe_est"))
+      .withColumn("keep_rate",
+        round($"n_kept".cast("double") / $"n_docs", 4))
+      .select($"lang", $"n_docs", $"n_kept", $"keep_rate",
+        $"avg_kept_quality", $"kept_bpe_est")
+      .orderBy($"lang")
+  }
+
   /** Bag-of-words document fingerprint: md5 over the sorted token list.
     * Catches shuffled-token duplicates that raw-text dedup misses; at scale
     * the 32-hex fingerprint (not the document) is what crosses the shuffle.

@@ -369,6 +369,20 @@ class OperatorsSpec extends SparkSpec {
       frames.last.last == bytes.last, "frames span the whole blob")
   }
 
+  test("quality filter partitions the corpus and its rates are consistent") {
+    val rows = TextOps.qualityFilter(spark, sfTest).collect()
+    val total = Tables(spark, sfTest, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total) // every doc lands in a lang
+    rows.foreach { r =>
+      val (nDocs, nKept, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nKept <= nDocs)
+      assert(math.abs(rate - nKept.toDouble / nDocs) < 1e-4)
+    }
+    // the gates must actually split the corpus, not pass/drop everything
+    val kept = rows.map(_.getLong(2)).sum
+    assert(kept > 0 && kept < total)
+  }
+
   test("dedup clusters: chain graph converges to per-component min labels") {
     import spark.implicits._
     // 1-2-3-4 is a diameter-3 chain — forces ≥3 propagation rounds — and
