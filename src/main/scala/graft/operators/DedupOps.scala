@@ -442,13 +442,29 @@ object DedupOps {
   private[operators] def clusterPairs(s: SparkSession, pairs: DataFrame,
                                       maxRounds: Int = 200): DataFrame = {
     import s.implicits._
-    val edges = pairs.toDF("src0", "dst0")
+    // LAZY localCheckpoint throughout: the per-round convergence-sum action
+    // materializes the checkpoint in the SAME job (eager would pay a
+    // separate materialization job per round — measured ~2× the loop cost
+    // at sf0.1's ~5 rounds).
+    val edges0 = pairs.toDF("src0", "dst0")
       .select(col("src0").as("src"), col("dst0").as("dst"))
       .union(pairs.toDF("a", "b").select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select($"src".as("doc_id")).distinct()
+      .localCheckpoint(false)
+    // Loop parallelism follows the EDGE count, not the session's
+    // corpus-width shuffle setting: the pair graph is tiny relative to the
+    // corpus, and a 32-task exchange over ~10³ rows is pure scheduling
+    // overhead (the coalescing AQE would apply per-stage on a cluster; AQE
+    // is off on the local harness). Edges and labels are hash-partitioned
+    // on their join keys at that width, so each round's join adds NO
+    // exchange and the one repartition before the min-aggregate is the
+    // round's only shuffle.
+    val sp = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val width = math.max(1, math.min(sp, (edges0.count() / 50000L + 1L).toInt))
+    val edges = edges0.repartition(width, $"dst").localCheckpoint(false)
+    var labels = edges.select($"src".as("doc_id"))
+      .repartition(width, $"doc_id").distinct()
       .select($"doc_id", $"doc_id".as("cluster_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum($"cluster_id"), lit(0L))).as[Long].head()
     var prev = labelSum(labels)
@@ -463,8 +479,9 @@ object DedupOps {
       val next = edges.join(labels, $"dst" === $"doc_id")
         .select($"src".as("doc_id"), $"cluster_id")
         .union(labels)
+        .repartition(width, $"doc_id")
         .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cur = labelSum(next)
       done = cur == prev
       prev = cur
