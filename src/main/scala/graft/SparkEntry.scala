@@ -78,7 +78,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),
     // LLM-pipeline near-dup family
     "q_dedup_ngram" ->
-      ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
+      ((s: SparkSession, d: String) => DedupOps.ngramDedupAuto(s, d)),
     "q_dedup_minhash" -> (DedupOps.minhashLsh _),
     "q_dedup_simhash" -> (DedupOps.simhash _),
     "q_dedup_simhash_pairs" ->

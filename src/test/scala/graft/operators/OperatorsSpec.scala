@@ -383,6 +383,14 @@ class OperatorsSpec extends SparkSpec {
     assert(kept > 0 && kept < total)
   }
 
+  test("auto ngram dedup equals the direct join below the crossover") {
+    assert(Tables(spark, sfTest, "documents").count()
+      <= DedupOps.PrefixCrossoverDocs)
+    val auto = DedupOps.ngramDedupAuto(spark, sfTest).collect().toSeq
+    val direct = DedupOps.ngramJaccard(spark, sfTest).collect().toSeq
+    assert(auto == direct && auto.nonEmpty)
+  }
+
   test("dedup clusters: chain graph converges to per-component min labels") {
     import spark.implicits._
     // 1-2-3-4 is a diameter-3 chain — forces ≥3 propagation rounds — and
