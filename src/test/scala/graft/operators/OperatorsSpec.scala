@@ -369,6 +369,39 @@ class OperatorsSpec extends SparkSpec {
       frames.last.last == bytes.last, "frames span the whole blob")
   }
 
+  test("Misra-Gries heavy hitters: bounds hold when the sketch overflows") {
+    import spark.implicits._
+    // 3 heavy words + 400 singletons, m=16 ≪ 403 distinct — the eviction
+    // path runs constantly; shuffled deterministically
+    val rnd = new scala.util.Random(7)
+    val data = rnd.shuffle(
+      Seq.fill(300)("alpha") ++ Seq.fill(200)("beta") ++
+        Seq.fill(120)("gamma") ++ (1 to 400).map(i => s"rare$i"))
+    val n = data.size
+    val m = 16
+    for (parts <- Seq(1, 8)) {
+      val ds = spark.createDataset(data).repartition(parts).as[String]
+      val got = TextOps.mgTopK(ds, 10, m).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      // every word with frequency > n/m must surface, with its estimate a
+      // lower bound within n/m of exact — under ANY partitioning
+      for ((w, exact) <- Seq("alpha" -> 300L, "beta" -> 200L,
+          "gamma" -> 120L)) {
+        assert(got.contains(w), s"$w missing at parts=$parts")
+        assert(got(w) <= exact && got(w) >= exact - n.toDouble / m,
+          s"$w est=${got(w)} exact=$exact parts=$parts")
+      }
+    }
+  }
+
+  test("Misra-Gries is exact when capacity exceeds the vocabulary") {
+    val approx = TextOps.approxTopK(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = TextOps.wordcount(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(approx == exact)
+  }
+
   test("quality filter partitions the corpus and its rates are consistent") {
     val rows = TextOps.qualityFilter(spark, sfTest).collect()
     val total = Tables(spark, sfTest, "documents").count()
