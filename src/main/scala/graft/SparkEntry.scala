@@ -71,6 +71,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.qualityFilter(s, d)),
     "q_approx_topk" ->
       ((s: SparkSession, d: String) => TextOps.approxTopK(s, d)),
+    "q_split_assign" -> (TextOps.splitAssign _),
     // §2.8 vectors
     "q_vector_knn" -> ((s: SparkSession, d: String) => VectorOps.knn(s, d)),
     "q_vector_search" ->
@@ -317,6 +318,12 @@ object SparkEntry {
         | ROUND((CAST(n_uniq AS DOUBLE) / n_tokens)
         |   * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) AS quality
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q_split_assign" ->
+      """SELECT lang,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |    THEN 'train' ELSE 'eval' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     // exact BECAUSE the corpus vocabulary (31 words) is far below the
     // sketch capacity m=1024 — no Misra-Gries counter is ever evicted, so
     // the summed lower bounds equal the exact counts (see TextOps Scaladoc;

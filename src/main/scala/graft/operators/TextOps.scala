@@ -198,6 +198,26 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Deterministic train/eval corpus split — reproducible partitioning is
+    * a training-pipeline requirement (the same doc must land in the same
+    * split on every run, every machine, every engine): the first two hex
+    * digits of md5(doc_id) give a uniform 0–255 draw, `< 'e6'` (230/256 ≈
+    * 90%) sends it to train. Pure per-row map + one small aggregate; no
+    * RNG state anywhere. At corpus scale you'd hash a CONTENT fingerprint
+    * instead of the id so splits survive re-ingestion/re-iding — the
+    * `fingerprint` column below is exactly that key.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"lang",
+        when(substring(md5($"doc_id".cast("string")), 1, 2) < "e6", "train")
+          .otherwise("eval").as("split"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"split")
+  }
+
   /** Bag-of-words document fingerprint: md5 over the sorted token list.
     * Catches shuffled-token duplicates that raw-text dedup misses; at scale
     * the 32-hex fingerprint (not the document) is what crosses the shuffle.

@@ -402,6 +402,19 @@ class OperatorsSpec extends SparkSpec {
     assert(approx == exact)
   }
 
+  test("hash split is reproducible and near the 90/10 target") {
+    val rows = TextOps.splitAssign(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == TextOps.splitAssign(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq)
+    val total = rows.map(_._3).sum
+    val train = rows.filter(_._2 == "train").map(_._3).sum
+    assert(total == Tables(spark, sfTest, "documents").count())
+    // 230/256 ≈ 0.898 expected; wide tolerance for the small test corpus
+    val frac = train.toDouble / total
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
+  }
+
   test("quality filter partitions the corpus and its rates are consistent") {
     val rows = TextOps.qualityFilter(spark, sfTest).collect()
     val total = Tables(spark, sfTest, "documents").count()
