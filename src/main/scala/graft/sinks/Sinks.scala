@@ -25,6 +25,27 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
+  /** Size-targeted parquet write — the small-files/row-group lever. Two
+    * failure modes at 100 TB: thousands of tiny files per partition (one
+    * per task; NameNode pressure, per-file open cost on every read) and
+    * the opposite one this harness's own testdata exhibits — one giant
+    * row group, which caps scan parallelism at ONE task no matter how
+    * many executors exist. `maxRecordsPerFile` bounds file size without a
+    * shuffle (a task rolls to a new file at the limit); the optional
+    * `targetFiles` repartition additionally coalesces a fragmented
+    * upstream (e.g. post-filter partitions at 1% fill) into evenly-sized
+    * outputs, at the cost of one round-robin exchange. Streaming jobs get
+    * the same effect from `maxRecordsPerFile` plus trigger sizing; a
+    * separate compaction pass over closed partitions is the usual cure
+    * for what that still leaves behind.
+    */
+  def writeCompacted(df: DataFrame, path: String, maxRecordsPerFile: Long,
+                     targetFiles: Option[Int] = None): Unit =
+    targetFiles.fold(df)(df.repartition(_))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** Streaming append to parquet with exactly-once file commit via the
     * checkpoint's write-ahead log.
     */

@@ -27,6 +27,25 @@ class SinksSpec extends SparkSpec {
       s"lang predicate did not reach partition pruning:\n$planStr")
   }
 
+  test("compacted write bounds file sizes and the file count") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sinkc").toString
+    val events = Tables(spark, sfTest, "events") // 1 000 rows at sf0.001
+    // 4 target files of ≤ 300 rows each: the roll-at-limit and the
+    // repartition coalesce must both be visible in the layout
+    Sinks.writeCompacted(events, s"$dir/ev", 300L, Some(4))
+    val files = new java.io.File(s"$dir/ev").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected >=4 files, got ${files.length}")
+    val back = spark.read.parquet(s"$dir/ev")
+    assert(back.count() == events.count())
+    // no file holds more than maxRecordsPerFile rows
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getAbsolutePath).count() <= 300L,
+        s"${f.getName} exceeds maxRecordsPerFile")
+    }
+  }
+
   test("streaming parquet sink appends exactly the arriving rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
