@@ -485,9 +485,14 @@ object DedupOps {
     val sp = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val width = math.max(1, math.min(sp, (edges0.count() / 50000L + 1L).toInt))
     val edges = edges0.repartition(width, $"dst").localCheckpoint(false)
-    var labels = edges.select($"src".as("doc_id"))
-      .repartition(width, $"doc_id").distinct()
-      .select($"doc_id", $"doc_id".as("cluster_id"))
+    // Initial labels FUSE the first propagation round: every node's label
+    // starts at min(itself, its neighbours) — one aggregate over the
+    // already-partitioned edges — instead of label=self followed by a full
+    // join round that computes the same thing. (Symmetric edges ⇒ every
+    // node appears as a dst.)
+    var labels = edges
+      .groupBy($"dst").agg(min($"src").as("mn"))
+      .select($"dst".as("doc_id"), least($"mn", $"dst").as("cluster_id"))
       .localCheckpoint(false)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum($"cluster_id"), lit(0L))).as[Long].head()

@@ -48,6 +48,19 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Per-hour per-type APPROXIMATE distinct users — the streaming form of
+    * `q_approx_distinct`. HLL++ buffers are mergeable, so the sketch
+    * composes across micro-batches exactly like count/sum: constant state
+    * per (window, type) key no matter how many users stream through —
+    * the exact-distinct form would hold every user id in state. Replay-
+    * checked equal to the batch twin over the same events.
+    */
+  def tumblingUniques(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+
   /** Session windows with a 30-minute inactivity gap — the streaming twin
     * of Windows.sessionize (same gap constant).
     */

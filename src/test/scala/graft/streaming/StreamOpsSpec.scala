@@ -46,6 +46,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream windowed approx-distinct equals its batch twin on sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfTest, "events").as[Event].collect()
+
+    val ms = MemoryStream[Event]
+    val q = StreamOps.tumblingUniques(ms.toDF())
+      .writeStream.format("memory").queryName("t_uniq")
+      .outputMode("complete").start()
+    // two batches: the HLL state must MERGE across micro-batches, not
+    // restart — a non-mergeable sketch would diverge from batch here
+    val (first, second) = events.splitAt(events.length / 2)
+    ms.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+
+    val streamed = spark.sql(
+      "select window.start as hour, event_type, n_users_approx from t_uniq")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = Tables(spark, sfTest, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("n_users_approx"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2))
+      .toMap
+    q.stop()
+    // same sketch, same data → identical estimates, however it was batched
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark yields exactly-once from replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
