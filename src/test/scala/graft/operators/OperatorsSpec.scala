@@ -394,6 +394,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries property: bounds hold on random streams and capacities") {
+    import spark.implicits._
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(100 + seed)
+      // zipf-ish: word w_i drawn proportional to 1/(i+1)
+      val n = 600
+      val data = Seq.fill(n) {
+        val u = rnd.nextDouble()
+        val i = math.min(40, (math.pow(41.0, u) - 1).toInt)
+        s"w$i"
+      }
+      val m = 6 + seed * 3
+      val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = TextOps.mgTopK(
+        spark.createDataset(data).repartition(1 + seed % 4).as[String],
+        100, m) // k=100 > distinct count: nothing trimmed by the top-k
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val bound = n.toDouble / (m + 1)
+      got.foreach { case (w, est) =>
+        assert(est <= exact(w), s"seed=$seed $w overestimates")
+        assert(est >= exact(w) - bound, s"seed=$seed $w below lower bound")
+      }
+      exact.collect { case (w, c) if c > bound =>
+        assert(got.contains(w), s"seed=$seed heavy hitter $w missing")
+      }
+    }
+  }
+
   test("Misra-Gries is exact when capacity exceeds the vocabulary") {
     val approx = TextOps.approxTopK(spark, sfTest).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
