@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -335,21 +335,52 @@ class WebhookTable extends Table with SupportsRead {
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
   : ScanBuilder = new ScanBuilder {
-    override def build(): Scan = new WebhookScan
+    // admission control: .option("maxRowsPerBatch", n) caps every
+    // micro-batch at n deliveries (the Kafka maxOffsetsPerTrigger analog)
+    private val maxRows =
+      Option(options.get("maxRowsPerBatch")).map(_.toLong)
+    override def build(): Scan = new WebhookScan(maxRows)
   }
 }
 
-class WebhookScan extends Scan {
+class WebhookScan(maxRows: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = WebhookSource.schema
   override def toMicroBatchStream(checkpointLocation: String)
-  : MicroBatchStream = new WebhookMicroBatchStream
+  : MicroBatchStream = new WebhookMicroBatchStream(maxRows)
 }
 
 case class WebhookOffset(seqNo: Long) extends Offset {
   override def json(): String = s"""{"seq":$seqNo}"""
 }
 
-class WebhookMicroBatchStream extends MicroBatchStream {
+/** Micro-batch stream over the webhook queue. With `maxRows` set the
+  * stream declares a rows-per-batch ReadLimit (DSv2 admission control),
+  * and `latestOffset(start, limit)` advances at most that many sequence
+  * numbers per trigger — backpressure that turns an ingest burst into a
+  * series of bounded batches instead of one giant one (bounding per-batch
+  * task memory and commit latency), exactly the Kafka-source
+  * `maxOffsetsPerTrigger` contract. Deliveries beyond the cap stay queued
+  * (and WAL-retained when durability is on) for the next trigger.
+  */
+class WebhookMicroBatchStream(maxRows: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRows.fold(ReadLimit.allAvailable())(n => ReadLimit.maxRows(n))
+
+  /** Seq numbers are contiguous (the queue's AtomicLong), so a rows cap
+    * is an offset-range cap.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startSeq = start.asInstanceOf[WebhookOffset].seqNo
+    val latest = WebhookQueue.latest
+    limit match {
+      case r: ReadMaxRows =>
+        WebhookOffset(math.min(latest, startSeq + r.maxRows()))
+      case _ => WebhookOffset(latest)
+    }
+  }
+
   /** Task width for batch splitting, captured ONCE at stream construction
     * (driver-side, inside the owning query's startup, where the query's
     * session is the active one). Resolving `SparkSession.active` per batch

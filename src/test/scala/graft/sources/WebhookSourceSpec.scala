@@ -184,6 +184,33 @@ class WebhookSourceSpec extends SparkSpec {
     }
   }
 
+  test("maxRowsPerBatch caps every micro-batch and loses nothing") {
+    WebhookQueue.clear()
+    try {
+      (1 to 250).foreach(i => WebhookQueue.post("t", s"""{"i":$i}"""))
+      val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+      val seqs = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = spark.readStream
+        .format("graft.sources.WebhookSourceProvider")
+        .option("maxRowsPerBatch", "40")
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val s = df.select("seq").collect().map(_.getLong(0))
+          batchSizes.synchronized { batchSizes += s.length; seqs ++= s }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sizes = batchSizes.filter(_ > 0)
+      assert(sizes.forall(_ <= 40), s"batch over the cap: $sizes")
+      assert(sizes.length >= 7, s"burst not split: $sizes") // ceil(250/40)
+      assert(seqs.sorted.toSeq == seqs.min.to(seqs.min + 249).toSeq,
+        "every delivery exactly once, in sequence")
+    } finally WebhookQueue.clear()
+  }
+
   test("a multi-row micro-batch spans more than one input partition") {
     WebhookQueue.clear()
     try {
