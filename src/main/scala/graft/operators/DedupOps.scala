@@ -176,8 +176,10 @@ object DedupOps {
 
   /** The graded ngram near-dup entry: picks the direct shingle self-join
     * or the prefix-filtered twin by corpus size, so the graded query IS
-    * the scale query. One count() against the (cached) documents table
-    * decides; outputs are byte-identical either way.
+    * the scale query. One count() against the documents table decides —
+    * O(1) on the hot-table cache and metadata-only (row-group footers, no
+    * data read) on a raw parquet scan, so the decision stays cheap at any
+    * corpus size. Outputs are byte-identical either way.
     */
   def ngramDedupAuto(s: SparkSession, dir: String,
                      threshold: Double = 0.5,
@@ -214,6 +216,17 @@ object DedupOps {
       s: SparkSession, dir: String, threshold: Double = 0.5,
       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
+    ngramPairs(s, dir, threshold, maxDf).orderBy($"da", $"db")
+  }
+
+  /** [[ngramJaccard]] minus the presentation ORDER BY — the form consumers
+    * that immediately reshuffle (the cluster query) should take, so the
+    * global sort isn't paid just to be destroyed.
+    */
+  private[operators] def ngramPairs(
+      s: SparkSession, dir: String, threshold: Double,
+      maxDf: Int): DataFrame = {
+    import s.implicits._
     val sh = shingles(s, dir)
     val grouped = sh.groupBy($"s")
       .agg(graft.functions.BoundedCollect.boundedCollectLong(maxDf)($"doc_id")
@@ -232,7 +245,6 @@ object DedupOps {
       .withColumn("jac", $"i".cast("double") / ($"na" + $"nb" - $"i"))
       .filter($"jac" >= threshold)
       .select($"da", $"db", round($"jac", 6).as("jac"))
-      .orderBy($"da", $"db")
   }
 
   /** Lowercase hex md5 — byte-identical to Spark's `md5()` and DuckDB's
@@ -437,9 +449,17 @@ object DedupOps {
     */
   def dedupClusters(s: SparkSession, dir: String,
                     threshold: Double = 0.5,
-                    maxDf: Int = DefaultMaxShingleDf): DataFrame =
-    clusterPairs(s, ngramDedupAuto(s, dir, threshold, maxDf)
-      .select(col("da"), col("db")))
+                    maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    // same corpus-size plan choice as the graded pair query, but the
+    // direct-join branch skips the presentation sort — the loop
+    // repartitions the pairs immediately, so a global ORDER BY here would
+    // be paid only to be destroyed
+    val pairs =
+      if (Tables(s, dir, "documents").count() > PrefixCrossoverDocs)
+        ngramJaccardPrefix(s, dir, threshold, maxDf)
+      else ngramPairs(s, dir, threshold, maxDf)
+    clusterPairs(s, pairs.select(col("da"), col("db")))
+  }
 
   /** Distributed connected components by min-label propagation: every doc
     * starts labeled with its own id; each round, every doc takes the min

@@ -104,25 +104,35 @@ object TextOps {
     * quality score (TTR damped by a length prior). All ratios are exact
     * integer divisions in double — deterministic across engines.
     */
-  def textStats(s: SparkSession, dir: String): DataFrame = {
+  /** Single source of the per-doc scoring formulas (token/distinct/BPE
+    * counts and the unrounded quality score) shared by [[textStats]] and
+    * [[qualityFilter]] — one Scala copy, so a formula tweak can't
+    * desynchronize the stats report from the admission gate.
+    */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = split($"text", " ")
     docs(s, dir)
-      .select($"doc_id",
+      .select($"doc_id", $"lang", $"n_chars",
         size(tok).cast("long").as("n_tokens"),
         size(array_distinct(tok)).cast("long").as("n_uniq"),
-        $"n_chars",
         // BPE-ish token estimate: ⌈len/4⌉ subword units per word —
         // integer arithmetic, exact in both engines
         expr("aggregate(split(text, ' '), 0L, " +
           "(acc, t) -> acc + (length(t) + 3) div 4)").as("n_bpe_est"))
-      .withColumn("ttr", round($"n_uniq".cast("double") / $"n_tokens", 4))
-      .withColumn("avg_token_len",
+      .withColumn("quality_raw",
+        ($"n_uniq".cast("double") / $"n_tokens") *
+          least(lit(1.0), $"n_tokens".cast("double") / lit(50.0)))
+  }
+
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    scoredDocs(s, dir)
+      .select($"doc_id", $"n_tokens", $"n_uniq", $"n_chars", $"n_bpe_est",
+        round($"n_uniq".cast("double") / $"n_tokens", 4).as("ttr"),
         round(($"n_chars" - ($"n_tokens" - lit(1))).cast("double") /
-          $"n_tokens", 4))
-      .withColumn("quality",
-        round(($"n_uniq".cast("double") / $"n_tokens") *
-          least(lit(1.0), $"n_tokens".cast("double") / lit(50.0)), 4))
+          $"n_tokens", 4).as("avg_token_len"),
+        round($"quality_raw", 4).as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -173,23 +183,14 @@ object TextOps {
                     minQuality: Double = 0.35,
                     minTokens: Long = 30L): DataFrame = {
     import s.implicits._
-    val tok = split($"text", " ")
-    val scored = docs(s, dir)
-      .select($"doc_id", $"lang",
-        size(tok).cast("long").as("n_tokens"),
-        size(array_distinct(tok)).cast("long").as("n_uniq"),
-        expr("aggregate(split(text, ' '), 0L, " +
-          "(acc, t) -> acc + (length(t) + 3) div 4)").as("n_bpe_est"))
-      .withColumn("quality",
-        ($"n_uniq".cast("double") / $"n_tokens") *
-          least(lit(1.0), $"n_tokens".cast("double") / lit(50.0)))
+    val scored = scoredDocs(s, dir)
       .withColumn("kept",
-        $"quality" >= minQuality && $"n_tokens" >= minTokens)
+        $"quality_raw" >= minQuality && $"n_tokens" >= minTokens)
     scored.groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
-        round(avg(when($"kept", $"quality")), 4).as("avg_kept_quality"),
+        round(avg(when($"kept", $"quality_raw")), 4).as("avg_kept_quality"),
         sum(when($"kept", $"n_bpe_est").otherwise(0L)).as("kept_bpe_est"))
       .withColumn("keep_rate",
         round($"n_kept".cast("double") / $"n_docs", 4))

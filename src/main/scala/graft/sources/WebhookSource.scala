@@ -120,10 +120,27 @@ object WebhookQueue {
     var recovered = 0
     var maxSeq = seq.get()
     if (java.nio.file.Files.exists(walFile)) {
+      // Format detection BEFORE parsing: a 4-token line is acceptable
+      // legacy framing only in a file the legacy writer produced — i.e.
+      // one with NO 5-token lines anywhere. In a CRC-format file a 4-token
+      // line can only be a line torn before its checksum (Base64 decodes
+      // most truncation points without complaint), and accepting it would
+      // launder a truncated body into the next compaction with a fresh
+      // valid CRC — exactly the corruption the CRC exists to catch. Mixed
+      // files don't occur: recovery compacts legacy logs to CRC framing
+      // wholesale. The pre-scan is one cheap pass; compaction keeps the
+      // file bounded by the uncommitted backlog.
+      val crcFormat = {
+        val probe = java.nio.file.Files.lines(walFile)
+        try probe.iterator().asScala
+          .exists(l => l.nonEmpty && l.split("\t", 5).length == 5)
+        finally probe.close()
+      }
       val stream = java.nio.file.Files.lines(walFile)
       try {
         val it = stream.iterator()
         var ok = true
+        var parsed = 0
         // Restores one fully-parsed entry into the live buffer. Shared by
         // the current CRC-framed format and the legacy no-CRC format.
         def restore(idS: String, tsS: String, t64: String, b64: String): Unit = {
@@ -149,25 +166,26 @@ object WebhookQueue {
                 try {
                   if (crc32(s"$idS\t$tsS\t$t64\t$b64") != crcS.toLong)
                     ok = false // truncated-but-parseable tail
-                  else restore(idS, tsS, t64, b64)
+                  else { restore(idS, tsS, t64, b64); parsed += 1 }
                 } catch { case _: IllegalArgumentException => ok = false }
-              case Array(idS, tsS, t64, b64) =>
-                // Legacy pre-CRC 4-token framing (id, ts, topic64, body64):
-                // a pre-upgrade WAL must survive the format upgrade, so
-                // accept it when every field parses. (This also admits a
-                // CRC-format line torn exactly at the last tab — the
-                // payload there is intact, only its checksum is lost.)
-                try restore(idS, tsS, t64, b64)
+              case Array(idS, tsS, t64, b64) if !crcFormat =>
+                // legacy pre-CRC framing (id, ts, topic64, body64): a
+                // pre-upgrade WAL must survive the format upgrade; the
+                // crcFormat pre-scan guarantees this branch never fires
+                // on a torn current-format line
+                try { restore(idS, tsS, t64, b64); parsed += 1 }
                 catch { case _: IllegalArgumentException => ok = false }
               case _ => ok = false // torn tail — keep the valid prefix
             }
           }
         }
-        if (recovered == 0 && maxSeq == seq.get() &&
-            java.nio.file.Files.size(walFile) > 0)
+        // `parsed`, not `recovered`: a fully-committed or already-buffered
+        // WAL parses fine and legitimately restores nothing — only a file
+        // where no line parsed at all suggests foreign framing
+        if (parsed == 0 && java.nio.file.Files.size(walFile) > 0)
           System.err.println(
-            s"[WebhookQueue] WARNING: non-empty WAL $walFile recovered 0 " +
-              "entries — unrecognized framing? Compaction will rewrite it.")
+            s"[WebhookQueue] WARNING: non-empty WAL $walFile parsed 0 " +
+              "lines — unrecognized framing? Compaction will rewrite it.")
       } finally stream.close()
     }
     seq.set(maxSeq)

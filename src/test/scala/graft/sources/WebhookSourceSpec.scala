@@ -148,6 +148,36 @@ class WebhookSourceSpec extends SparkSpec {
     }
   }
 
+  test("a CRC-format line torn before its checksum is rejected, not read as legacy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wal5")
+    WebhookQueue.clear()
+    try {
+      WebhookQueue.enableDurability(dir.toString)
+      val id1 = WebhookQueue.post("orders", """{"event_id":1}""")
+      val id2 = WebhookQueue.post("orders", """{"event_id":2,"note":"longer body here"}""")
+      WebhookQueue.disableDurability()
+      WebhookQueue.clear()
+      // tear the LAST line mid-body so the CRC token is lost entirely:
+      // 4 tokens remain and the truncated base64 still decodes (length
+      // divisible by 4) — without format detection this would restore a
+      // silently shortened body and compaction would re-CRC it
+      val wal = dir.resolve("webhook.wal")
+      val lines = java.nio.file.Files.readAllLines(wal)
+      val last = lines.get(1).split("\t")
+      val torn = (last.take(3) :+ last(3).substring(0, 8)).mkString("\t")
+      java.nio.file.Files.write(wal,
+        java.util.List.of(lines.get(0), torn))
+      assert(WebhookQueue.enableDurability(dir.toString) == 1,
+        "the torn 4-token tail of a CRC-format WAL must not recover")
+      val back = WebhookQueue.slice(0L, Long.MaxValue)
+      assert(back.map(_._1).toSeq == Seq(id1))
+      assert(id2 > id1) // only the intact prefix survives
+    } finally {
+      WebhookQueue.disableDurability()
+      WebhookQueue.clear()
+    }
+  }
+
   test("WAL framing survives hostile topics and catches truncated bodies") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wal3").toString
     WebhookQueue.clear()
