@@ -79,6 +79,8 @@ object SparkEntry {
     "q_dedup_embed" ->
       ((s: SparkSession, d: String) => VectorOps.embedNearDup(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),
+    "q_ann_ivfpq" ->
+      ((s: SparkSession, d: String) => VectorOps.annIvfPq(s, d)),
     // LLM-pipeline near-dup family
     "q_dedup_ngram" ->
       ((s: SparkSession, d: String) => DedupOps.ngramDedupAuto(s, d)),

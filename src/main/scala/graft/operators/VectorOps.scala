@@ -305,6 +305,155 @@ object VectorOps {
     cent
   }
 
+  /** Plain L2 k-means for one PQ subspace (Gonzalez farthest-point init,
+    * fixed Lloyd iterations, empty cells keep their centroid) — the same
+    * deterministic-training discipline as [[trainQuantizer]], but in the
+    * subspace metric PQ quantizes (L2 on raw subvectors, no
+    * normalization).
+    */
+  private def trainCodebook(pts: Array[Array[Double]], k: Int,
+                            iters: Int = 10): Array[Array[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    if (pts.length <= k) return pts
+    val chosen = scala.collection.mutable.ArrayBuffer(pts(0))
+    while (chosen.length < k)
+      chosen += pts.maxBy(v => chosen.map(c => d2(v, c)).min)
+    var cent = chosen.toArray
+    for (_ <- 0 until iters) {
+      val assign = pts.groupBy(v => cent.indices.minBy(c => d2(v, cent(c))))
+      cent = cent.indices.map { c =>
+        assign.get(c).fold(cent(c)) { members =>
+          members.head.indices.map(d => members.map(_(d)).sum / members.length)
+            .toArray
+        }
+      }.toArray
+    }
+    cent
+  }
+
+  /** IVF-PQ: the MEMORY-scale ANN path. [[annIvf]] keeps every raw vector
+    * in its inverted list (256 B at d=64 float); here each list entry is
+    * an `m`-byte PQ code plus the exact norm (8+8 B — a 16× list
+    * compression at these settings, growing with dimension), so the
+    * resident index for a corpus that no longer fits as raw vectors still
+    * fits as codes. Search is the standard two-stage form (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI'11):
+    *
+    *  1. ADC shortlist — per probed cell, the query builds one `m`×`ksub`
+    *     table of subspace dot products, scores every member code in
+    *     O(m) adds (never touching raw vectors), and keeps the
+    *     `shortlist` best candidates;
+    *  2. exact re-rank — only the ≤ nprobe·shortlist surviving ids join
+    *     back to the embeddings table for exact `cosine_sim`, restoring
+    *     exact ordering over the shortlist.
+    *
+    * With `shortlist` ≥ cell size the shortlist is every cell member and
+    * the result is BYTE-IDENTICAL to [[annIvf]] (spec-pinned) — the
+    * approximation is then purely the IVF cell pruning; tightening
+    * `shortlist` trades re-rank work for ADC-ranking risk. Training
+    * (coarse quantizer + per-subspace codebooks) runs on the same bounded
+    * lowest-id sample, sequential driver arithmetic — bit-reproducible,
+    * constant driver memory at any corpus size. No oracle (rows-only);
+    * recall and the annIvf-equivalence are spec-asserted.
+    */
+  def annIvfPq(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 16,
+               nprobe: Int = 4, sampleN: Int = 512, m: Int = 8,
+               ksub: Int = 16, shortlist: Int = 32): DataFrame = {
+    import s.implicits._
+    val sample: Array[Array[Double]] =
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding")
+        .orderBy($"vec_id")
+        .limit(sampleN)
+        .as[(Long, Array[Float])]
+        .collect()
+        .sortBy(_._1)
+        .map(_._2.map(_.toDouble))
+    val centroids = trainQuantizer(sample, nlist)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j =>
+        trainCodebook(sample.map(_.slice(j * sub, (j + 1) * sub)), ksub))
+    val bcCent = s.sparkContext.broadcast(centroids)
+    val bcBooks = s.sparkContext.broadcast(books)
+    val vecs = vectorsParallel(s, dir)
+    // inverted lists hold (cell, id, m-byte code, exact norm) — the raw
+    // vector never enters the index
+    val indexed = vecs.map { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val cent = bcCent.value; val bk = bcBooks.value
+      val cell = cent.indices.maxBy(c => cosine(v, cent(c)))
+      val codes = Array.tabulate(m) { j =>
+        val s0 = j * sub
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < bk(j).length) {
+          var d = 0.0; var i = 0
+          while (i < sub) {
+            val x = v(s0 + i) - bk(j)(c)(i); d += x * x; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best.toByte
+      }
+      (cell, id, codes, math.sqrt(v.map(x => x * x).sum))
+    }
+    val probes = vecs.flatMap { case (id, vf) =>
+      val a = vf.map(_.toDouble)
+      val cent = bcCent.value
+      cent.indices.sortBy(c => -cosine(a, cent(c))).take(nprobe)
+        .map(c => (c, id, a))
+    }
+    // ADC: one dot-product table per (query, cell), O(m) adds per member
+    val cands = indexed.groupByKey(_._1).cogroup(probes.groupByKey(_._1)) {
+      (_, members, queries) =>
+        val mem = members.map { case (_, id, codes, norm) =>
+          (id, codes, norm)
+        }.toArray
+        val bk = bcBooks.value
+        queries.flatMap { case (_, aId, a) =>
+          val aNorm = math.sqrt(a.map(x => x * x).sum)
+          val table = Array.tabulate(m, ksub) { (j, c) =>
+            if (c < bk(j).length) {
+              var d = 0.0; var i = 0
+              while (i < sub) { d += a(j * sub + i) * bk(j)(c)(i); i += 1 }
+              d
+            } else 0.0
+          }
+          mem.iterator
+            .filter(_._1 != aId)
+            .map { case (bId, codes, bNorm) =>
+              var dot = 0.0; var j = 0
+              while (j < m) { dot += table(j)(codes(j) & 0xff); j += 1 }
+              (aId, bId, dot / (aNorm * bNorm))
+            }
+            .toArray
+            .sortBy { case (_, bId, approx) => (-approx, bId) }
+            .take(shortlist)
+        }
+    }.toDF("a_id", "b_id", "approx")
+    // exact re-rank of the union of per-cell shortlists
+    val e = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"a_id").orderBy(desc("sim_raw"), $"b_id")
+    cands.select($"a_id", $"b_id")
+      .join(e.toDF("a_id", "ea"), "a_id")
+      .join(e.toDF("b_id", "eb"), "b_id")
+      .select($"a_id", $"b_id",
+        call_function("cosine_sim", $"ea", $"eb").as("sim_raw"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+      .select($"a_id", $"b_id", round($"sim_raw", 6).as("sim"), $"rn")
+      .orderBy($"a_id", $"rn")
+  }
+
   def annIvf(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 16,
              nprobe: Int = 4, sampleN: Int = 512): DataFrame = {
     import s.implicits._

@@ -120,6 +120,36 @@ class OperatorsSpec extends SparkSpec {
     assert(r(16) == 1.0, f"exhaustive probe must equal exact, got ${r(16)}%.3f")
   }
 
+  test("IVF-PQ with an exhaustive shortlist is byte-identical to IVF-Flat") {
+    // shortlist >= any cell size => ADC prunes nothing and the exact
+    // re-rank sees every probed member: the ONLY approximation left is
+    // the shared IVF cell structure, so the outputs must match exactly.
+    // A codebook/ADC bug that misorders candidates at the shortlist
+    // boundary escapes this test only if it also survives the recall bar
+    // below.
+    val flat = VectorOps.annIvf(spark, sfTest).collect().toSeq
+    val pq = VectorOps.annIvfPq(spark, sfTest, shortlist = Int.MaxValue)
+      .collect().toSeq
+    assert(pq == flat && pq.nonEmpty)
+  }
+
+  test("IVF-PQ recall with a tight shortlist stays near IVF-Flat") {
+    import spark.implicits._
+    val flat = VectorOps.annIvf(spark, sfTest)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).toSet }
+    val pq = VectorOps.annIvfPq(spark, sfTest) // shortlist = 32
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).toSet }
+    val recalls = flat.map { case (a, nbrs) =>
+      (nbrs intersect pq.getOrElse(a, Set.empty)).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    // vs the flat index, not vs brute force: this isolates what PQ itself
+    // costs (ADC shortlisting) from what the shared cell pruning costs
+    assert(mean >= 0.85, f"PQ@32 shortlist recall vs flat = $mean%.2f")
+  }
+
   test("cosine similarity laws: sim(a,a)=1, sim within [-1,1]") {
     import spark.implicits._
     val sims = VectorOps.knn(spark, sfTest).select($"sim").as[Double]
