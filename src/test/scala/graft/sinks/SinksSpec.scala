@@ -46,6 +46,43 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    // separate session: conf changes here must not leak into the shared
+    // spec session (broadcast is disabled to force the join the bucketing
+    // claim is about)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val wh = Files.createTempDirectory("graft_buckets").toString
+    try {
+      Tables(spark, sfTest, "orders")
+        .write.format("parquet").bucketBy(4, "o_custkey")
+        .option("path", s"$wh/orders_b").mode("overwrite")
+        .saveAsTable("graft_orders_b")
+      Tables(spark, sfTest, "customer")
+        .write.format("parquet").bucketBy(4, "c_custkey")
+        .option("path", s"$wh/customer_b").mode("overwrite")
+        .saveAsTable("graft_customer_b")
+      val j = s2.table("graft_orders_b")
+        .join(s2.table("graft_customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      // both sides are hash-bucketed on the join key at the same width, so
+      // the sort-merge join consumes the on-disk layout directly — THE
+      // co-located-join seam SCALE.md describes for repeated fact joins
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not re-shuffle either side:\n$plan")
+      val expected = Tables(spark, sfTest, "orders")
+        .join(Tables(spark, sfTest, "customer"),
+          col("o_custkey") === col("c_custkey")).count()
+      assert(j.count() == expected && expected > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_customer_b")
+    }
+  }
+
   test("streaming parquet sink appends exactly the arriving rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
