@@ -72,6 +72,7 @@ object SparkEntry {
     "q_approx_topk" ->
       ((s: SparkSession, d: String) => TextOps.approxTopK(s, d)),
     "q_split_assign" -> (TextOps.splitAssign _),
+    "q_mix_sources" -> (TextOps.mixSources _),
     // §2.8 vectors
     "q_vector_knn" -> ((s: SparkSession, d: String) => VectorOps.knn(s, d)),
     "q_vector_search" ->
@@ -320,6 +321,28 @@ object SparkEntry {
         | ROUND((CAST(n_uniq AS DOUBLE) / n_tokens)
         |   * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 4) AS quality
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q_mix_sources" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |    THEN 2 ELSE 1 END AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, COUNT(*) AS n_docs FROM d GROUP BY 1, 2),
+        |t AS (SELECT SUM(n_docs) AS n_total, SUM(w) AS sum_w FROM c),
+        |p AS (SELECT source, n_docs,
+        |  (t.n_total * w) // (2 * t.sum_w) AS target_n,
+        |  ((t.n_total * w) // (2 * t.sum_w) * 65536) // n_docs AS threshold
+        |  FROM c, t),
+        |k AS (SELECT d.source, COUNT(*) AS n_kept
+        |  FROM d JOIN p ON d.source = p.source
+        |  WHERE p.threshold >= 65536
+        |    OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |       < printf('%04x', CAST(p.threshold AS INT))
+        |  GROUP BY 1)
+        |SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs,
+        |  CAST(p.target_n AS BIGINT) AS target_n,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM p LEFT JOIN k ON p.source = k.source
+        |ORDER BY p.source""".stripMargin,
     "q_split_assign" ->
       """SELECT lang,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'

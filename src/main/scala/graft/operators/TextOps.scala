@@ -219,6 +219,50 @@ object TextOps {
       .orderBy($"lang", $"split")
   }
 
+  /** Deterministic mixture sampling — the data-mixing step of a
+    * pretraining pipeline: given per-source weights and a total budget,
+    * sample each source at the rate that moves the corpus toward the
+    * target mixture, reproducibly. The demo mixture doubles even-indexed
+    * sources at a half-corpus budget.
+    *
+    * Everything is INTEGER arithmetic so the acceptance thresholds are
+    * bit-identical in any engine: target_n = N_total·w_s ÷ (2·Σw) (integer
+    * division), threshold = target_n·65536 ÷ n_s, and a doc is kept iff
+    * the first 4 hex digits of md5(doc_id) — a uniform 0–65535 draw —
+    * fall below it (or the source is fully kept). Acceptance is per-doc
+    * content-free hashing, so the sample is stable under corpus
+    * re-partitioning and (with a fingerprint key instead of the id)
+    * re-ingestion. Output reports the per-source plan vs what the hash
+    * gate actually admitted: kept counts are binomial around target_n,
+    * never above it in expectation, and exactly reproducible run-to-run.
+    */
+  def mixSources(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+      .select($"doc_id", $"source",
+        (substring($"source", 4, 10).cast("int") % 2 === 0).as("even"))
+      .withColumn("w", when($"even", 2L).otherwise(1L))
+    val counts = d.groupBy($"source", $"w")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum($"n_docs").as("n_total"),
+      sum($"w" * lit(1L)).as("sum_w"))
+    val planned = counts.crossJoin(broadcast(totals))
+      .withColumn("target_n",
+        expr("(n_total * w) div (2 * sum_w)"))
+      .withColumn("threshold", expr("(target_n * 65536) div n_docs"))
+    val kept = d
+      .join(broadcast(planned.select($"source", $"threshold")), "source")
+      .filter($"threshold" >= 65536L ||
+        substring(md5($"doc_id".cast("string")), 1, 4) <
+          format_string("%04x", $"threshold"))
+      .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+    planned.select($"source", $"n_docs", $"target_n")
+      .join(kept, Seq("source"), "left_outer")
+      .select($"source", $"n_docs", $"target_n",
+        coalesce($"n_kept", lit(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
   /** Bag-of-words document fingerprint: md5 over the sorted token list.
     * Catches shuffled-token duplicates that raw-text dedup misses; at scale
     * the 32-hex fingerprint (not the document) is what crosses the shuffle.

@@ -473,6 +473,25 @@ class OperatorsSpec extends SparkSpec {
     assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
   }
 
+  test("mixture sampling is reproducible and tracks its per-source targets") {
+    val rows = TextOps.mixSources(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows sameElements TextOps.mixSources(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(rows.length == 20)
+    rows.foreach { case (src, nDocs, target, kept) =>
+      assert(kept <= nDocs)
+      // hash acceptance is binomial around the target: allow generous
+      // slack for the small test corpus but demand the gate actually cut
+      val slack = math.max(6.0, 4 * math.sqrt(target.toDouble))
+      assert(math.abs(kept - target) <= slack,
+        s"$src kept=$kept target=$target")
+    }
+    // even-indexed sources get double weight — their targets must be ~2×
+    val (even, odd) = rows.partition(_._1.drop(3).toInt % 2 == 0)
+    assert(even.map(_._3).sum > 3 * odd.map(_._3).sum / 2)
+  }
+
   test("quality filter partitions the corpus and its rates are consistent") {
     val rows = TextOps.qualityFilter(spark, sfTest).collect()
     val total = Tables(spark, sfTest, "documents").count()
