@@ -174,17 +174,42 @@ object DedupOps {
     */
   val PrefixCrossoverDocs = 100000L
 
+  /** Conservative on-disk bytes/document for the stats fallback below —
+    * the driver's synthetic corpus compresses to ~120 B/doc; real prose is
+    * bigger, so dividing by 128 over-estimates the doc count and flips to
+    * the prefix-filtered branch EARLY, which is the safe direction (its
+    * cost is bounded; the direct join's pair volume is what explodes).
+    */
+  private val EstDocBytes = 128L
+
+  /** Plan-time document-count estimate for the crossover decision — reads
+    * the logical plan's statistics instead of running a count() job. On
+    * the hot-table cache the InMemoryRelation carries an exact rowCount
+    * after materialization; on a raw parquet scan only sizeInBytes (file
+    * footprint) is known, so divide by [[EstDocBytes]]. At cluster scale
+    * the catalog's ANALYZE stats land in the same `rowCount` slot. The
+    * branch choice is purely a cost decision (outputs are spec-pinned
+    * byte-identical), so an estimate is exactly as good as a count here.
+    */
+  private[operators] def estimatedDocs(df: DataFrame): Long = {
+    val st = df.queryExecution.optimizedPlan.stats
+    st.rowCount match {
+      case Some(n) => n.toLong
+      case None    => (st.sizeInBytes / EstDocBytes).toLong.max(1L)
+    }
+  }
+
   /** The graded ngram near-dup entry: picks the direct shingle self-join
     * or the prefix-filtered twin by corpus size, so the graded query IS
-    * the scale query. One count() against the documents table decides —
-    * O(1) on the hot-table cache and metadata-only (row-group footers, no
-    * data read) on a raw parquet scan, so the decision stays cheap at any
-    * corpus size. Outputs are byte-identical either way.
+    * the scale query. The decision is plan-time ([[estimatedDocs]] —
+    * logical-plan statistics, no job), so the graded query launches zero
+    * extra Spark jobs for the crossover. Outputs are byte-identical either
+    * way.
     */
   def ngramDedupAuto(s: SparkSession, dir: String,
                      threshold: Double = 0.5,
                      maxDf: Int = DefaultMaxShingleDf): DataFrame =
-    if (Tables(s, dir, "documents").count() > PrefixCrossoverDocs)
+    if (estimatedDocs(Tables(s, dir, "documents")) > PrefixCrossoverDocs)
       ngramJaccardPrefix(s, dir, threshold, maxDf)
     else ngramJaccard(s, dir, threshold, maxDf)
 
@@ -450,12 +475,12 @@ object DedupOps {
   def dedupClusters(s: SparkSession, dir: String,
                     threshold: Double = 0.5,
                     maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    // same corpus-size plan choice as the graded pair query, but the
+    // same plan-time corpus-size choice as the graded pair query, but the
     // direct-join branch skips the presentation sort — the loop
     // repartitions the pairs immediately, so a global ORDER BY here would
     // be paid only to be destroyed
     val pairs =
-      if (Tables(s, dir, "documents").count() > PrefixCrossoverDocs)
+      if (estimatedDocs(Tables(s, dir, "documents")) > PrefixCrossoverDocs)
         ngramJaccardPrefix(s, dir, threshold, maxDf)
       else ngramPairs(s, dir, threshold, maxDf)
     clusterPairs(s, pairs.select(col("da"), col("db")))
@@ -473,27 +498,37 @@ object DedupOps {
     * dense blobs of diameter ≲ 4 (the graded corpus converges in 3) — so
     * the round count is small and independent of corpus size; each round
     * shuffles only the 2·|pairs| edge rows and |clustered docs| label rows,
-    * never the corpus. For pathological long-chain graphs the
-    * O(log n)-round large-star/small-star alternation (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14) is the
-    * drop-in replacement; the `maxRounds` guard turns that corpus into a
-    * loud error instead of a silent crawl. Per-round `localCheckpoint`
-    * (eager) cuts the growing lineage so round N's plan doesn't replay
-    * rounds 1..N−1; superseded checkpoints lose their last reference and
-    * the ContextCleaner reclaims them. On a cluster, `checkpoint` against
+    * never the corpus. A pathological long-chain graph (diameter ≫ rounds)
+    * AUTO-SWITCHES after `switchRounds` rounds to the O(log² n)-round
+    * large-star/small-star alternation ([[starContract]]) instead of
+    * crawling diameter-many rounds or dying at a guard — min-label stays
+    * the fast path for the realistic regime, star contraction the
+    * diameter-proof one. Per-round `localCheckpoint` (lazy) cuts the
+    * growing lineage so round N's plan doesn't replay rounds 1..N−1;
+    * superseded checkpoints lose their last reference and the
+    * ContextCleaner reclaims them. On a cluster, `checkpoint` against
     * the fault-tolerant checkpoint dir is the same seam.
     */
   private[operators] def clusterPairs(s: SparkSession, pairs: DataFrame,
-                                      maxRounds: Int = 200): DataFrame = {
+                                      switchRounds: Int = 20): DataFrame = {
     import s.implicits._
     // LAZY localCheckpoint throughout: the per-round convergence-sum action
     // materializes the checkpoint in the SAME job (eager would pay a
     // separate materialization job per round — measured ~2× the loop cost
     // at sf0.1's ~5 rounds).
-    val edges0 = pairs.toDF("src0", "dst0")
-      .select(col("src0").as("src"), col("dst0").as("dst"))
-      .union(pairs.toDF("a", "b").select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(false)
+    //
+    // The pair pipeline is checkpointed BEFORE the symmetrizing union:
+    // otherwise the (expensive — full ngram dedup) `pairs` plan appears in
+    // BOTH union branches and ReuseExchange is the only thing standing
+    // between the loop and paying it twice. The count() below — needed
+    // anyway to size the loop's parallelism — is the materializing action:
+    // it runs over p's own RDD (single branch, so the pair pipeline
+    // executes exactly once), and the union then reads the checkpointed
+    // rows.
+    val p = pairs.toDF("a", "b").localCheckpoint(false)
+    val nEdges = p.count() * 2
+    val edges0 = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
     // Loop parallelism follows the EDGE count, not the session's
     // corpus-width shuffle setting: the pair graph is tiny relative to the
     // corpus, and a 32-task exchange over ~10³ rows is pure scheduling
@@ -503,7 +538,7 @@ object DedupOps {
     // exchange and the one repartition before the min-aggregate is the
     // round's only shuffle.
     val sp = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val width = math.max(1, math.min(sp, (edges0.count() / 50000L + 1L).toInt))
+    val width = math.max(1, math.min(sp, (nEdges / 50000L + 1L).toInt))
     val edges = edges0.repartition(width, $"dst").localCheckpoint(false)
     // Initial labels FUSE the first propagation round: every node's label
     // starts at min(itself, its neighbours) — one aggregate over the
@@ -519,12 +554,8 @@ object DedupOps {
     var prev = labelSum(labels)
     var round = 0
     var done = prev == 0L && labels.isEmpty
-    while (!done) {
+    while (!done && round < switchRounds) {
       round += 1
-      if (round > maxRounds)
-        throw new IllegalStateException(
-          s"connected components did not converge in $maxRounds rounds — " +
-            "pathological chain graph; use a star-contraction variant")
       val next = edges.join(labels, $"dst" === $"doc_id")
         .select($"src".as("doc_id"), $"cluster_id")
         .union(labels)
@@ -536,9 +567,79 @@ object DedupOps {
       prev = cur
       labels = next
     }
-    labels
+    // diameter > switchRounds: hand the original (checkpointed) pair list
+    // to the diameter-proof alternation instead of crawling on
+    val resolved = if (done) labels else starContract(s, p)
+    resolved
       .select($"cluster_id", $"doc_id", ($"doc_id" === $"cluster_id").as("keep"))
       .orderBy($"cluster_id", $"doc_id")
+  }
+
+  /** Large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — public algorithm) —
+    * the fallback [[clusterPairs]] switches to when min-label propagation
+    * hasn't converged after `switchRounds` rounds. Min-label needs
+    * diameter-many rounds; the alternation needs O(log² n) regardless of
+    * diameter, because each step rewires whole neighbourhoods at once:
+    *
+    *  - large-star(u): every neighbour v > u re-attaches to min(Γ⁺(u)) —
+    *    emit (min(Γ⁺(u)), v);
+    *  - small-star(u): u and all its smaller neighbours attach to their
+    *    minimum — over canonical (lo, hi) edges grouped by hi.
+    *
+    * Both steps preserve connectivity (paper §3); the fixpoint is one star
+    * per component rooted at the component minimum — exactly the labels
+    * min-label converges to, so the two paths are output-identical. Each
+    * alternation is two grouped mins + two joins over EDGE-sized data
+    * (node labels never materialize until the end), lazily
+    * localCheckpoint'd like the min-label loop. Convergence is a set
+    * identity (count + one-sided `except`): unlike min-label's decreasing
+    * label sum, no cheap scalar witness survives the rewiring, so the
+    * extra per-alternation action is the price of the diameter-proof
+    * bound — paid only on graphs that already defeated the fast path.
+    */
+  private[operators] def starContract(s: SparkSession, pairs: DataFrame,
+                                      maxAlternations: Int = 64): DataFrame = {
+    import s.implicits._
+    var edges = pairs.toDF("a", "b")
+      .select(least($"a", $"b").as("lo"), greatest($"a", $"b").as("hi"))
+      .filter($"lo" < $"hi")
+      .distinct()
+      .localCheckpoint(false)
+    var n = edges.count()
+    var done = n == 0L
+    var rounds = 0
+    while (!done) {
+      rounds += 1
+      if (rounds > maxAlternations)
+        throw new IllegalStateException(
+          s"star contraction did not converge in $maxAlternations " +
+            "alternations — should be impossible below ~2^64 nodes")
+      // large-star over the symmetric adjacency
+      val sym = edges.select($"lo".as("u"), $"hi".as("v"))
+        .union(edges.select($"hi".as("u"), $"lo".as("v")))
+      val lmin = sym.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      val large = sym.join(lmin, "u").filter($"v" > $"u")
+        .select($"m".as("lo"), $"v".as("hi"))
+        .distinct()
+      // small-star, edges oriented hi → lo: for each edge (lo, hi) with
+      // group-min m(hi): lo == m attaches hi itself, otherwise lo
+      val smin = large.groupBy($"hi").agg(min($"lo").as("m"))
+      val next = large.join(smin, "hi")
+        .select($"m", when($"lo" === $"m", $"hi").otherwise($"lo").as("v"))
+        .filter($"v" =!= $"m")
+        .select($"m".as("lo"), $"v".as("hi"))
+        .distinct()
+        .localCheckpoint(false)
+      val nn = next.count()
+      done = nn == n && next.except(edges).isEmpty
+      n = nn
+      edges = next
+    }
+    // stars: hi = member, lo = component-min center; centers label themselves
+    edges.select($"hi".as("doc_id"), $"lo".as("cluster_id"))
+      .union(edges.select($"lo".as("doc_id"), $"lo".as("cluster_id")).distinct())
   }
 
   /** Oracle SQL fragments shared by SparkEntry (generated so the 16-term

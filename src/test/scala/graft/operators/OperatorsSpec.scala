@@ -555,6 +555,29 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.clusterPairs(spark, empty).collect().isEmpty)
   }
 
+  test("1000-node path graph converges via the star-contraction switch") {
+    import spark.implicits._
+    // diameter 999 ≫ switchRounds — min-label alone would need 999 rounds;
+    // the auto-switch must land the same component-min labels in O(log n)
+    // alternations
+    val path = (0L until 999L).map(i => (i, i + 1)).toDF("da", "db")
+    val got = DedupOps.clusterPairs(spark, path, switchRounds = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == (0L until 1000L).map(d => (0L, d, d == 0L)))
+  }
+
+  test("star contraction equals min-label propagation on the fixture graph") {
+    import spark.implicits._
+    val pairs = DedupOps.ngramJaccard(spark, sfTest)
+      .select(col("da"), col("db"))
+    val viaStars = DedupOps.starContract(spark, pairs)
+      .select($"cluster_id", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaLabels = DedupOps.clusterPairs(spark, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaStars == viaLabels && viaStars.nonEmpty)
+  }
+
   test("sessionize is invariant to input row order") {
     import spark.implicits._
     val base = Windows.sessionize(spark, sfTest).collect().toSeq
