@@ -150,6 +150,32 @@ class OperatorsSpec extends SparkSpec {
     assert(mean >= 0.85, f"PQ@32 shortlist recall vs flat = $mean%.2f")
   }
 
+  test("IVF-PQ recall is monotone in shortlist") {
+    import spark.implicits._
+    // per query the shortlist is a prefix of the ADC candidate order, so a
+    // larger shortlist hands the exact re-rank a superset of candidates —
+    // recall vs IVF-Flat (the shared cell structure) must be monotone,
+    // the shortlist analog of the IVF nprobe-monotonicity law above; the
+    // exhaustive end of the sweep (shortlist ≥ cell size ⇒ byte-identical
+    // to IVF-Flat) is the separate equality spec.
+    val flat = VectorOps.annIvf(spark, sfTest)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).toSet }
+    def recallAt(sl: Int): Double = {
+      val pq = VectorOps.annIvfPq(spark, sfTest, shortlist = sl)
+        .as[(Long, Long, Double, Long)].collect()
+        .groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).toSet }
+      val recalls = flat.map { case (a, nbrs) =>
+        (nbrs intersect pq.getOrElse(a, Set.empty)).size.toDouble / nbrs.size
+      }
+      assert(recalls.nonEmpty)
+      recalls.sum / recalls.size
+    }
+    val r = Seq(8, 16, 32).map(sl => sl -> recallAt(sl)).toMap
+    assert(r(8) <= r(16) + 1e-12 && r(16) <= r(32) + 1e-12,
+      s"recall not monotone in shortlist: $r")
+  }
+
   test("cosine similarity laws: sim(a,a)=1, sim within [-1,1]") {
     import spark.implicits._
     val sims = VectorOps.knn(spark, sfTest).select($"sim").as[Double]
