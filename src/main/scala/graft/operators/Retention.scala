@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sinks.Sinks
+
+/** The end of the training-data pipeline: everything upstream (scoring,
+  * gating, near-dup detection, clustering) produces VERDICTS about
+  * documents; this operator applies them and materializes the curated
+  * corpus as a size-targeted parquet layout — the artifact a tokenizer
+  * job actually reads.
+  */
+object Retention {
+
+  /** Curate `documents` into `outPath`: admission-gate on the shared
+    * quality formulas ([[TextOps.admittedDocs]] — same source as
+    * `q_quality_filter`), drop every non-canonical member of a near-dup
+    * cluster (`q_dedup_clusters` drop list), and write through
+    * [[Sinks.writeCompacted]] so the output layout avoids both 100 TB
+    * file-size failure modes. Returns the curated DataFrame (the plan,
+    * re-runnable; the parquet under `outPath` is the committed copy).
+    *
+    * Join shapes: LEFT SEMI against the gate survivors and LEFT ANTI
+    * against the drop list, both keyed on `doc_id` and both UNHINTED —
+    * the gate output is corpus-sized (never broadcastable) and the drop
+    * list, while usually small, is unbounded under heavy duplication
+    * (a 10× duplicated corpus has a drop list 90% of corpus size), so
+    * the strategy belongs to the planner's stats (AQE at cluster scale),
+    * not to a hint.
+    */
+  def curate(s: SparkSession, dir: String, outPath: String,
+             minQuality: Double = 0.35, minTokens: Long = 30L,
+             threshold: Double = 0.5,
+             maxRecordsPerFile: Long = 1L << 20,
+             targetFiles: Option[Int] = None): DataFrame = {
+    val admitted = TextOps.admittedDocs(s, dir, minQuality, minTokens)
+    val drops = DedupOps.dedupClusters(s, dir, threshold)
+      .filter(!col("keep"))
+      .select(col("doc_id"))
+    val curated = Tables(s, dir, "documents")
+      .join(admitted, Seq("doc_id"), "left_semi")
+      .join(drops, Seq("doc_id"), "left_anti")
+    Sinks.writeCompacted(curated, outPath, maxRecordsPerFile, targetFiles)
+    curated
+  }
+}

@@ -125,6 +125,21 @@ object TextOps {
           least(lit(1.0), $"n_tokens".cast("double") / lit(50.0)))
   }
 
+  /** Doc ids that pass the admission gates — the same formula source as
+    * [[qualityFilter]] (which reports the per-language funnel) but as a
+    * joinable key set, for pipelines that materialize the gated corpus
+    * ([[Retention.curate]]). One narrow projection; text never leaves the
+    * map side.
+    */
+  def admittedDocs(s: SparkSession, dir: String,
+                   minQuality: Double = 0.35,
+                   minTokens: Long = 30L): DataFrame = {
+    import s.implicits._
+    scoredDocs(s, dir)
+      .filter($"quality_raw" >= minQuality && $"n_tokens" >= minTokens)
+      .select($"doc_id")
+  }
+
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     scoredDocs(s, dir)

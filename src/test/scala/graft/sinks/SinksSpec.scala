@@ -46,6 +46,30 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("retention pipeline materializes the gated deduped corpus compacted") {
+    import spark.implicits._
+    import graft.operators.{DedupOps, Retention, TextOps}
+    val dir = Files.createTempDirectory("graft_curated").toString
+    val out = s"$dir/documents.parquet"
+    Retention.curate(spark, sfTest, out, maxRecordsPerFile = 100L)
+    val back = spark.read.parquet(out)
+    val ids = back.select($"doc_id").as[Long].collect().toSet
+    // funnel arithmetic: survivors = admitted − near-dup drop list
+    val admitted = TextOps.admittedDocs(spark, sfTest)
+      .as[Long].collect().toSet
+    val drops = DedupOps.dedupClusters(spark, sfTest)
+      .filter(!$"keep").select($"doc_id").as[Long].collect().toSet
+    assert(ids == (admitted -- drops) && ids.nonEmpty)
+    // layout: the compaction budget holds per output file
+    val perFile = back.groupBy(input_file_name()).count()
+      .as[(String, Long)].collect()
+    assert(perFile.nonEmpty && perFile.forall(_._2 <= 100L),
+      s"file over the row budget: ${perFile.maxBy(_._2)}")
+    // full rows survive, not just ids (schema intact for the tokenizer)
+    assert(back.columns.toSeq ==
+      Tables(spark, sfTest, "documents").columns.toSeq)
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import org.apache.spark.sql.functions.col
     // separate session: conf changes here must not leak into the shared
