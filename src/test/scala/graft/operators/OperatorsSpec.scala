@@ -614,4 +614,65 @@ class OperatorsSpec extends SparkSpec {
     val again = Windows.sessionize(spark, shuffledDir).collect().toSeq
     assert(base == again)
   }
+
+  test("stratified sample: exact quotas and row-order invariance") {
+    import spark.implicits._
+    val sample = TextOps.sampleStratified(spark, sfTest, quota = 30)
+    val got = sample.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq
+    val perLang = Tables(spark, sfTest, "documents")
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = got.groupBy(_._1).view.mapValues(_.size).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(counts.getOrElse(lang, 0) == math.min(30L, n))
+    }
+    // same sample from a shuffled copy of the corpus
+    val shuffledDir = Files.createTempDirectory("graft_docs").toString
+    Tables(spark, sfTest, "documents").orderBy(rand(7))
+      .write.mode("overwrite").parquet(s"$shuffledDir/documents.parquet")
+    val again = TextOps.sampleStratified(spark, shuffledDir, quota = 30)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == again)
+  }
+
+  test("repetition score: internal consistency and a known-repetitive doc") {
+    import spark.implicits._
+    val rows = TextOps.textRepetition(spark, sfTest).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSh, nUniq) = (r.getLong(2), r.getLong(3))
+      assert(nUniq >= 1 && nUniq <= nSh)
+      // flag is the integer form of rep_frac > 0.1, and rep_frac agrees
+      assert(r.getBoolean(5) == ((nSh - nUniq) * 10 > nSh))
+      assert(math.abs(r.getDouble(4) - (1.0 - nUniq.toDouble / nSh)) < 1e-6)
+    }
+    // synthetic: "a b c" * 12 has 34 shingles but only 3 distinct
+    val dir = Files.createTempDirectory("graft_rep").toString
+    Seq((1L, Seq.fill(12)("a b c").mkString(" "), "en", "s0", 0L),
+        (2L, (1 to 40).map(i => s"w$i").mkString(" "), "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val syn = TextOps.textRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getBoolean(5))).toMap
+    assert(syn(1L) == ((34L, 3L, true)))
+    assert(syn(2L) == ((38L, 38L, false)))
+  }
+
+  test("decontamination reports only train docs and real overlaps") {
+    import spark.implicits._
+    val out = DedupOps.decontaminate(spark, sfTest).collect()
+    assert(out.nonEmpty)
+    val trainIds = Tables(spark, sfTest, "documents")
+      .select($"doc_id")
+      .filter(substring(md5($"doc_id".cast("string")), 1, 2) < "e6")
+      .as[Long].collect().toSet
+    val nEval = Tables(spark, sfTest, "documents").count() - trainIds.size
+    out.foreach { r =>
+      assert(trainIds.contains(r.getLong(0)))
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
+      assert(r.getLong(2) <= nEval)
+    }
+  }
 }
