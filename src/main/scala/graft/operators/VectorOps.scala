@@ -454,6 +454,67 @@ object VectorOps {
       .orderBy($"a_id", $"rn")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup",
+    * 2023): coarse k-means partitions the embedding space, near-duplicate
+    * detection runs only WITHIN each cluster (cost Σ_cell n_c² instead of
+    * n²), and a vector is dropped iff a SMALLER-id vector in its cell is
+    * within the cosine threshold — deterministic and order-free, the
+    * embedding-space analog of the ngram family's min-id keep policy.
+    * Output: each dropped vec_id with its minimal kept witness and the
+    * witness cosine.
+    *
+    * Training reuses [[annIvf]]'s discipline: vec_id-ordered `sampleN`
+    * rows are the ONLY driver-side collect (constant-size), farthest-point
+    * init + fixed Lloyd iterations make the quantizer deterministic, and
+    * cell assignment happens executor-side under a centroids-only
+    * broadcast. Pair generation is an equi-join on the cell key — vectors
+    * meet co-partitioned, the codegen'd `cosine_sim` runs inside the join
+    * projection, and only (id, id, sim) survivors leave the stage. At
+    * 100 TB, `nlist` scales with corpus size (the FAISS ~4√n rule) so
+    * cells stay bounded and Σ n_c² stays linear-ish; recall lost to pairs
+    * split across cell boundaries is the SemDeDup trade — the spec pins
+    * the measured floor on the fixture.
+    *
+    * No SQL oracle (k-means is not SQL-expressible at reasonable cost):
+    * driver does the rows-only check; specs pin drops ⊆ brute-force
+    * near-dup pairs, recall vs the brute-force droppable set, and
+    * input-order invariance.
+    */
+  def semanticDedup(s: SparkSession, dir: String, threshold: Double = 0.4,
+                    nlist: Int = 16, sampleN: Int = 512): DataFrame = {
+    import s.implicits._
+    val sample: Array[Array[Double]] =
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding")
+        .orderBy($"vec_id")
+        .limit(sampleN)
+        .as[(Long, Array[Float])]
+        .collect()
+        .sortBy(_._1)
+        .map(_._2.map(_.toDouble))
+    val bcCent = s.sparkContext.broadcast(trainQuantizer(sample, nlist))
+    val idx = vectorsParallel(s, dir)
+      .map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        val cent = bcCent.value
+        (cent.indices.maxBy(c => cosine(v, cent(c))), id, vf)
+      }
+    val a = idx.toDF("cell", "a_id", "va")
+    val b = idx.toDF("cell", "b_id", "vb")
+    a.join(b, Seq("cell")).where($"a_id" < $"b_id")
+      .select($"b_id",
+        struct($"a_id", call_function("cosine_sim", $"va", $"vb")
+          .as("sim_raw")).as("w"))
+      .where($"w.sim_raw" >= threshold)
+      .groupBy($"b_id")
+      // min over (a_id, sim) structs = smallest qualifying witness id,
+      // carrying ITS cosine along
+      .agg(min($"w").as("w"))
+      .select($"b_id".as("vec_id"), $"w.a_id".as("kept_id"),
+        round($"w.sim_raw", 6).as("sim"))
+      .orderBy($"vec_id")
+  }
+
   def annIvf(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 16,
              nprobe: Int = 4, sampleN: Int = 512): DataFrame = {
     import s.implicits._

@@ -660,6 +660,37 @@ class OperatorsSpec extends SparkSpec {
     assert(syn(2L) == ((38L, 38L, false)))
   }
 
+  test("semantic dedup: drops are true near-dups, recall holds, order-free") {
+    import spark.implicits._
+    val t = 0.4
+    val brute = VectorOps.embedNearDup(spark, sfTest, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val droppable = brute.map(_._2) // ids with any smaller-id partner ≥ t
+    val out = VectorOps.semanticDedup(spark, sfTest, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    println(s"SEMDEDUP brute_pairs=${brute.size} " +
+      s"droppable=${droppable.size} dropped=${out.length}")
+    assert(out.nonEmpty)
+    // every drop has an exact-cosine witness pair in the brute-force set
+    out.foreach { case (vec, kept, sim) =>
+      assert(kept < vec && brute.contains((kept, vec)), s"($kept,$vec)")
+      assert(sim >= t - 1e-9)
+    }
+    // recall vs the brute-force droppable set: only pairs split across
+    // cell boundaries are missed
+    val recall = out.count(o => droppable.contains(o._1)).toDouble /
+      droppable.size
+    println(f"SEMDEDUP recall=$recall%.3f")
+    assert(recall >= 0.5, f"semantic dedup recall $recall%.2f")
+    // input-order invariance: same drops from a shuffled corpus copy
+    val dir = Files.createTempDirectory("graft_emb").toString
+    Tables(spark, sfTest, "embeddings").orderBy(rand(11))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val again = VectorOps.semanticDedup(spark, dir, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("decontamination reports only train docs and real overlaps") {
     import spark.implicits._
     val out = DedupOps.decontaminate(spark, sfTest).collect()
