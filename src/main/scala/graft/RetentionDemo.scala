@@ -12,12 +12,12 @@ object RetentionDemo {
     val spark = GraftSession.builder(GraftSession.envCpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val total = Tables(spark, dir, "documents").count()
-    val dropped = operators.DedupOps.dedupClusters(spark, dir)
-      .filter(!org.apache.spark.sql.functions.col("keep")).count()
+    val admitted = operators.TextOps.admittedDocs(spark, dir).count()
     operators.Retention.curate(spark, dir, s"$out/documents.parquet")
     val kept = spark.read.parquet(s"$out/documents.parquet").count()
-    println(s"RETENTION total=$total near_dup_dropped=$dropped " +
-      s"kept=$kept out=$out/documents.parquet")
+    println(s"RETENTION total=$total admitted=$admitted " +
+      s"near_dup_dropped=${admitted - kept} kept=$kept " +
+      s"out=$out/documents.parquet")
     spark.stop()
   }
 }

@@ -174,13 +174,16 @@ object DedupOps {
     */
   val PrefixCrossoverDocs = 100000L
 
-  /** Conservative on-disk bytes/document for the stats fallback below —
-    * the driver's synthetic corpus compresses to ~120 B/doc; real prose is
-    * bigger, so dividing by 128 over-estimates the doc count and flips to
-    * the prefix-filtered branch EARLY, which is the safe direction (its
-    * cost is bounded; the direct join's pair volume is what explodes).
+  /** Conservative on-disk bytes/document for the stats fallback below.
+    * The driver's synthetic corpus compresses to ~120 B/doc — the
+    * SMALLEST per-doc footprint we've measured — so the divisor sits
+    * well below it at 64: size/64 genuinely over-counts docs on every
+    * known corpus and flips to the prefix-filtered branch EARLY, the
+    * safe direction (its cost is bounded; the direct join's pair volume
+    * is what explodes). A divisor at or above the measured 120 would
+    * under-count on the one corpus actually measured and cross late.
     */
-  private val EstDocBytes = 128L
+  private val EstDocBytes = 64L
 
   /** Plan-time document-count estimate for the crossover decision — reads
     * the logical plan's statistics instead of running a count() job. On
@@ -612,9 +615,18 @@ object DedupOps {
     while (!done) {
       rounds += 1
       if (rounds > maxAlternations)
+        // loud-failure backstop, not a claimed impossibility: the proven
+        // Kiveris et al. bound is O(log² n) alternations (so 64 only
+        // provably covers small n); convergence in ~log n is what we
+        // observe empirically, and 64 alternations of edge-shrinking
+        // steps not converging means something is structurally wrong
+        // (e.g. a non-terminating edge cycle from bad input), which
+        // should surface as an error, not an infinite loop.
         throw new IllegalStateException(
           s"star contraction did not converge in $maxAlternations " +
-            "alternations — should be impossible below ~2^64 nodes")
+            "alternations — far beyond the empirical ~log n and the " +
+            "proven O(log^2 n) envelope for any realistic graph; " +
+            "inspect the pair graph for malformed input")
       // large-star over the symmetric adjacency
       val sym = edges.select($"lo".as("u"), $"hi".as("v"))
         .union(edges.select($"hi".as("u"), $"lo".as("v")))
@@ -651,28 +663,36 @@ object DedupOps {
     * shared [[shingleSet]]. Output: per contaminated train doc, how many
     * distinct shingles it shares and with how many eval docs.
     *
-    * Scale shape: signatures (shingles), never documents, cross the
-    * shuffle; the [[DefaultMaxShingleDf]] stop-shingle cap bounds any join
-    * key's fanout at maxDf² exactly as in the ngram dedup family — a
-    * boilerplate shingle shared by half the corpus must not manufacture a
-    * quadratic join. At 100 TB the eval side is a benchmark suite —
-    * thousands of docs against billions — so the planner broadcasts it
-    * from stats; no hint is given so the symmetric-corpus graded case
-    * stays a shuffle join.
+    * Scale shape: the same bounded posting-list idiom as [[ngramPairs]] —
+    * ONE shuffle of the exploded shingle table into per-shingle doc lists
+    * via [[graft.functions.BoundedCollect]] (group state caps at maxDf+1
+    * ids; overflowed shingles are the stop-shingles and emit nothing,
+    * bounding any shingle's train×eval fanout at maxDf²), then
+    * train×eval pairs fall out of a double-explode of each short list.
+    * The shingle pipeline executes exactly once (it has one consumer),
+    * documents never cross a shuffle, and there is NO self-join — the
+    * posting list already is the join group. The train/eval tag is
+    * re-derived from the doc id inside the explode (it's a pure hash of
+    * the id), so the lists carry ids only. At 100 TB the eval side is a
+    * benchmark suite — thousands of docs against billions — so eval hits
+    * inside each posting list are rare and the pair fanout is tiny; a
+    * broadcast-the-eval-side join would instead force a second full
+    * shingle pipeline for the probe side.
     */
   def decontaminate(s: SparkSession, dir: String,
                     maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
-    val tagged = shingles(s, dir)
-      .withColumn("split",
-        when(substring(md5($"doc_id".cast("string")), 1, 2) < "e6", "train")
-          .otherwise("eval"))
-    val hot = tagged.groupBy($"s")
-      .agg(count(lit(1)).as("df")).filter($"df" > maxDf).select($"s")
-    val kept = tagged.join(hot, Seq("s"), "left_anti")
-    kept.filter($"split" === "train").select($"doc_id".as("train_id"), $"s")
-      .join(kept.filter($"split" === "eval")
-        .select($"doc_id".as("eval_id"), $"s"), "s")
+    def isTrain(id: org.apache.spark.sql.Column) =
+      substring(md5(id.cast("string")), 1, 2) < "e6"
+    val grouped = shingles(s, dir).groupBy($"s")
+      .agg(graft.functions.BoundedCollect.boundedCollectLong(maxDf)($"doc_id")
+        .as("docs"))
+      .filter(size($"docs") <= maxDf)
+    grouped
+      .select($"s", explode($"docs").as("train_id"), $"docs")
+      .filter(isTrain($"train_id"))
+      .select($"s", $"train_id", explode($"docs").as("eval_id"))
+      .filter(!isTrain($"eval_id"))
       .groupBy($"train_id")
       .agg(countDistinct($"s").as("n_shared"),
         countDistinct($"eval_id").as("n_eval_docs"))

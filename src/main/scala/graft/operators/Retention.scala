@@ -21,13 +21,25 @@ object Retention {
     * file-size failure modes. Returns the curated DataFrame (the plan,
     * re-runnable; the parquet under `outPath` is the committed copy).
     *
+    * Canonical election happens AMONG the gate survivors, not globally:
+    * `q_dedup_clusters`' canonical is the cluster-wide min doc_id, but if
+    * that document fails the admission gate the family would lose every
+    * member (canonical dropped by the gate, members dropped as
+    * non-canonical) even though an admittable representative existed. So
+    * the drop list here is recomputed per cluster as "admitted members
+    * that are not the minimum ADMITTED member" — every near-dup family
+    * with at least one admitted member keeps exactly one copy, and a
+    * family whose members all fail the gate vanishes because the gate
+    * says so, not because of canonical roulette.
+    *
     * Join shapes: LEFT SEMI against the gate survivors and LEFT ANTI
     * against the drop list, both keyed on `doc_id` and both UNHINTED —
     * the gate output is corpus-sized (never broadcastable) and the drop
     * list, while usually small, is unbounded under heavy duplication
     * (a 10× duplicated corpus has a drop list 90% of corpus size), so
     * the strategy belongs to the planner's stats (AQE at cluster scale),
-    * not to a hint.
+    * not to a hint. The re-election itself is one window min over
+    * cluster-member rows — pair-graph-sized, never corpus-sized.
     */
   def curate(s: SparkSession, dir: String, outPath: String,
              minQuality: Double = 0.35, minTokens: Long = 30L,
@@ -35,8 +47,13 @@ object Retention {
              maxRecordsPerFile: Long = 1L << 20,
              targetFiles: Option[Int] = None): DataFrame = {
     val admitted = TextOps.admittedDocs(s, dir, minQuality, minTokens)
-    val drops = DedupOps.dedupClusters(s, dir, threshold)
-      .filter(!col("keep"))
+    val admittedMembers = DedupOps.dedupClusters(s, dir, threshold)
+      .select(col("cluster_id"), col("doc_id"))
+      .join(admitted, Seq("doc_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    val drops = admittedMembers
+      .withColumn("canon", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("canon"))
       .select(col("doc_id"))
     val curated = Tables(s, dir, "documents")
       .join(admitted, Seq("doc_id"), "left_semi")

@@ -460,8 +460,15 @@ object VectorOps {
     * n²), and a vector is dropped iff a SMALLER-id vector in its cell is
     * within the cosine threshold — deterministic and order-free, the
     * embedding-space analog of the ngram family's min-id keep policy.
-    * Output: each dropped vec_id with its minimal kept witness and the
-    * witness cosine.
+    * Output: each dropped vec_id with its minimal qualifying WITNESS and
+    * the witness cosine. The witness is the smallest same-cell id within
+    * threshold — it proves the drop, but in a transitive chain (a~b, b~c,
+    * a≁c) witness b is itself dropped by a, so `witness_id` is NOT
+    * necessarily a surviving canonical. Survivors are exactly the ids
+    * absent from this list; a caller that needs a dropped→survivor map
+    * should run connected components over the pair list
+    * ([[DedupOps.dedupClusters]]' machinery) — SemDeDup itself only
+    * defines the drop set.
     *
     * Training reuses [[annIvf]]'s discipline: vec_id-ordered `sampleN`
     * rows are the ONLY driver-side collect (constant-size), farthest-point
@@ -472,8 +479,10 @@ object VectorOps {
     * projection, and only (id, id, sim) survivors leave the stage. At
     * 100 TB, `nlist` scales with corpus size (the FAISS ~4√n rule) so
     * cells stay bounded and Σ n_c² stays linear-ish; recall lost to pairs
-    * split across cell boundaries is the SemDeDup trade — the spec pins
-    * the measured floor on the fixture.
+    * split across cell boundaries is the SemDeDup trade. Top-2
+    * multi-assignment bounds that loss (measured on the fixture: 0.27
+    * single-assignment → 0.68 recall vs the brute-force droppable set;
+    * the spec pins the floor at 0.5).
     *
     * No SQL oracle (k-means is not SQL-expressible at reasonable cost):
     * driver does the rows-only check; specs pin drops ⊆ brute-force
@@ -493,11 +502,21 @@ object VectorOps {
         .sortBy(_._1)
         .map(_._2.map(_.toDouble))
     val bcCent = s.sparkContext.broadcast(trainQuantizer(sample, nlist))
+    // multi-assignment (nassign=2): each vector is indexed into its TWO
+    // nearest cells, so a near-dup pair is caught whenever the pair shares
+    // EITHER vector's runner-up cell, not only an exact cell tie — the
+    // standard recall repair for quantizer boundary splits (soft
+    // assignment; cf. FAISS multiple-assignment / Philbin et al. 2008).
+    // Cost is bounded: 2× index rows ⇒ ≤4× within-cell pair candidates,
+    // still Σ_cell n_c² — far from the n² the coarse quantizer avoids.
+    // The duplicate discovery of one pair in two shared cells collapses
+    // in the min-witness aggregate below.
     val idx = vectorsParallel(s, dir)
-      .map { case (id, vf) =>
+      .flatMap { case (id, vf) =>
         val v = vf.map(_.toDouble)
         val cent = bcCent.value
-        (cent.indices.maxBy(c => cosine(v, cent(c))), id, vf)
+        cent.indices.sortBy(c => -cosine(v, cent(c))).take(2)
+          .map(c => (c, id, vf))
       }
     val a = idx.toDF("cell", "a_id", "va")
     val b = idx.toDF("cell", "b_id", "vb")
@@ -510,7 +529,7 @@ object VectorOps {
       // min over (a_id, sim) structs = smallest qualifying witness id,
       // carrying ITS cosine along
       .agg(min($"w").as("w"))
-      .select($"b_id".as("vec_id"), $"w.a_id".as("kept_id"),
+      .select($"b_id".as("vec_id"), $"w.a_id".as("witness_id"),
         round($"w.sim_raw", 6).as("sim"))
       .orderBy($"vec_id")
   }

@@ -86,14 +86,23 @@ object ShardedWebhookQueue {
   def shard(i: Int): Shard = shards(i)
 
   /** Broker-key routing: same topic → same shard → per-topic FIFO. */
-  def route(topic: String): Int =
-    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(topic),
-      shards.length)
+  def route(topic: String): Int = routeIn(shards, topic)
 
-  /** In-process producer path: key-route then post. Returns (shard, seq). */
+  private def routeIn(sh: Array[Shard], topic: String): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(topic),
+      sh.length)
+
+  /** In-process producer path: key-route then post. Returns (shard, seq).
+    * The @volatile shards array is captured ONCE so the routed index and
+    * the posted shard always come from the same array — a concurrent
+    * init() to a smaller shard count can no longer land the post between
+    * the two reads (index from the old array, shard from the new one:
+    * out-of-range or inconsistent routing).
+    */
   def post(topic: String, body: String): (Int, Long) = {
-    val i = route(topic)
-    (i, shards(i).post(topic, body))
+    val sh = shards
+    val i = routeIn(sh, topic)
+    (i, sh(i).post(topic, body))
   }
 
   def latestVector: Seq[Long] = shards.map(_.latest).toSeq

@@ -666,14 +666,19 @@ class OperatorsSpec extends SparkSpec {
     val brute = VectorOps.embedNearDup(spark, sfTest, t).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val droppable = brute.map(_._2) // ids with any smaller-id partner ≥ t
-    val out = VectorOps.semanticDedup(spark, sfTest, t).collect()
+    val outDf = VectorOps.semanticDedup(spark, sfTest, t)
+    // the second column is a WITNESS (proves the drop), not a surviving
+    // canonical — in a transitive chain the witness is itself dropped
+    assert(outDf.columns.toSeq == Seq("vec_id", "witness_id", "sim"))
+    val out = outDf.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     println(s"SEMDEDUP brute_pairs=${brute.size} " +
       s"droppable=${droppable.size} dropped=${out.length}")
     assert(out.nonEmpty)
     // every drop has an exact-cosine witness pair in the brute-force set
-    out.foreach { case (vec, kept, sim) =>
-      assert(kept < vec && brute.contains((kept, vec)), s"($kept,$vec)")
+    out.foreach { case (vec, witness, sim) =>
+      assert(witness < vec && brute.contains((witness, vec)),
+        s"($witness,$vec)")
       assert(sim >= t - 1e-9)
     }
     // recall vs the brute-force droppable set: only pairs split across

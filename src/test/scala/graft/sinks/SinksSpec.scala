@@ -54,12 +54,24 @@ class SinksSpec extends SparkSpec {
     Retention.curate(spark, sfTest, out, maxRecordsPerFile = 100L)
     val back = spark.read.parquet(out)
     val ids = back.select($"doc_id").as[Long].collect().toSet
-    // funnel arithmetic: survivors = admitted − near-dup drop list
+    // funnel arithmetic: survivors = admitted − per-cluster re-elected
+    // drop list (canonical = min ADMITTED member, so a family whose
+    // global canonical failed the gate still keeps one copy)
     val admitted = TextOps.admittedDocs(spark, sfTest)
       .as[Long].collect().toSet
-    val drops = DedupOps.dedupClusters(spark, sfTest)
-      .filter(!$"keep").select($"doc_id").as[Long].collect().toSet
+    val clusters = DedupOps.dedupClusters(spark, sfTest)
+      .select($"cluster_id", $"doc_id").as[(Long, Long)].collect()
+    val byCluster = clusters.groupBy(_._1)
+      .view.mapValues(_.map(_._2).filter(admitted).sorted).toMap
+    val drops = byCluster.values.flatMap(_.drop(1)).toSet
     assert(ids == (admitted -- drops) && ids.nonEmpty)
+    // re-election property: every cluster with >=1 admitted member keeps
+    // EXACTLY one (its min admitted id); all-inadmissible clusters keep 0
+    byCluster.foreach { case (c, adm) =>
+      val kept = adm.filter(ids)
+      assert(kept.toSeq == adm.take(1).toSeq,
+        s"cluster $c kept $kept, expected ${adm.take(1).toSeq}")
+    }
     // layout: the compaction budget holds per output file
     val perFile = back.groupBy(input_file_name()).count()
       .as[(String, Long)].collect()
@@ -68,6 +80,32 @@ class SinksSpec extends SparkSpec {
     // full rows survive, not just ids (schema intact for the tokenizer)
     assert(back.columns.toSeq ==
       Tables(spark, sfTest, "documents").columns.toSeq)
+  }
+
+  test("curate re-elects the canonical when the global one fails the gate") {
+    import spark.implicits._
+    import graft.operators.Retention
+    // doc 1 (global canonical of the {1,2} near-dup family) fails the
+    // admission gate (28 tokens < 30); doc 2 — same text plus a tail,
+    // 3-gram Jaccard 26/31 ≈ 0.84 — passes. The old min-id policy lost
+    // the whole family (1 gated out, 2 dropped as non-canonical); the
+    // re-elected policy keeps 2. Family {4,5} has BOTH admitted, so the
+    // plain min rule applies there: 4 kept, 5 dropped. 3 is a singleton.
+    val base = (1 to 28).map(i => s"x$i").mkString(" ")
+    val dir = Files.createTempDirectory("graft_reelect").toString
+    Seq(
+      (1L, base, "en", "s0", 0L),
+      (2L, base + " " + (1 to 5).map(i => s"y$i").mkString(" "), "en", "s0", 0L),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "), "en", "s0", 0L),
+      (4L, (1 to 35).map(i => s"p$i").mkString(" "), "en", "s0", 0L),
+      (5L, (1 to 35).map(i => s"p$i").mkString(" ") + " q1 q2 q3", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = s"$dir/curated"
+    Retention.curate(spark, dir, out, maxRecordsPerFile = 100L)
+    val kept = spark.read.parquet(out).select($"doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), s"curated $kept")
   }
 
   test("bucketed tables join without any shuffle exchange") {
