@@ -27,16 +27,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val w = timeOnce(fn) // untimed JIT/cache warmup
-      // Heavy queries (the md5 signature passes, the IVF probe) measurably
-      // keep dropping through execution ~4 as C2 recompiles the hot loops
-      // (e.g. q_dedup_simhash_pairs 1.01 → 0.86 → 0.76 s); one extra
-      // untimed run for those moves the timed pair onto the steady state
-      // the cheap queries already reach after one.
-      val w2 = if (w > 0.4) timeOnce(fn) else w
+      // Untimed warmups run until the run-over-run improvement plateaus
+      // (JMH-style steady-state detection, ≤4 runs): cheap fully-codegen'd
+      // queries settle after one, but the typed hot loops (the md5
+      // signature passes, the IVF/PQ cogroups) keep dropping through
+      // execution ~4-5 as C2 recompiles them (measured: q_ann_ivfpq
+      // 6.6 → 0.87 → 0.74 → 0.72 → 0.60 s) — a fixed warmup count times
+      // those mid-slope, and driver-machine load multiplies the error.
+      var w = timeOnce(fn)
+      var prev = Double.MaxValue
+      var n = 1
+      while (w >= 0 && n < 4 && w > 0.4 && w < prev * 0.85) {
+        prev = w; w = timeOnce(fn); n += 1
+      }
       val a = timeOnce(fn)
       val b = timeOnce(fn)
-      name -> (if (w < 0 || w2 < 0 || a < 0 || b < 0) -1.0 else math.min(a, b))
+      name -> (if (w < 0 || a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -76,6 +76,8 @@ object SparkEntry {
     "q_sample_stratified" ->
       ((s: SparkSession, d: String) => TextOps.sampleStratified(s, d)),
     "q_text_repetition" -> (TextOps.textRepetition _),
+    "q_pack_sequences" ->
+      ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "q_decontaminate" ->
       ((s: SparkSession, d: String) => DedupOps.decontaminate(s, d)),
     // §2.8 vectors
@@ -87,6 +89,8 @@ object SparkEntry {
     "q_ann_ivf" -> ((s: SparkSession, d: String) => VectorOps.annIvf(s, d)),
     "q_ann_ivfpq" ->
       ((s: SparkSession, d: String) => VectorOps.annIvfPq(s, d)),
+    "q_semantic_dedup" ->
+      ((s: SparkSession, d: String) => VectorOps.semanticDedup(s, d)),
     // LLM-pipeline near-dup family
     "q_dedup_ngram" ->
       ((s: SparkSession, d: String) => DedupOps.ngramDedupAuto(s, d)),
@@ -102,7 +106,8 @@ object SparkEntry {
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
     * q_approx_distinct and q_approx_percentiles (sketch impls differ
-    * across engines by design), q_ann_ivf (not SQL-expressible at
+    * across engines by design), q_ann_ivf / q_ann_ivfpq /
+    * q_semantic_dedup (k-means quantizers are not SQL-expressible at
     * reasonable cost), q_multimodal (stubbed codec); each is covered by
     * bounded-error / recall / determinism assertions in the test suite
     * instead.
@@ -380,6 +385,24 @@ object SparkEntry {
         |  (n_sh - n_uniq) * 10 > n_sh AS repetitive
         |FROM r WHERE n_sh > 0 ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> DedupOps.decontaminateOracle,
+    // the oracle states the SEMANTICS as the naive full-corpus window
+    // cumsum; the Spark side computes the same prefix sum via the
+    // two-level bucketed form (no single-partition corpus window)
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_off
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, start_off,
+        |  start_off // 2048 AS pack_id,
+        |  (start_off + n_tokens - 1) // 2048 AS pack_last,
+        |  start_off // 2048 <> (start_off + n_tokens - 1) // 2048
+        |    AS crosses
+        |FROM o ORDER BY doc_id""".stripMargin,
     // exact BECAUSE the corpus vocabulary (31 words) is far below the
     // sketch capacity m=1024 — no Misra-Gries counter is ever evicted, so
     // the summed lower bounds equal the exact counts (see TextOps Scaladoc;

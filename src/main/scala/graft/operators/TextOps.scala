@@ -290,6 +290,58 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Concat-and-chunk sequence packing — the step between a curated
+    * corpus and a training run: documents are (conceptually) concatenated
+    * in doc_id order and sliced into fixed `context`-token sequences, and
+    * each document reports where it lands: its global token `start_off`,
+    * the pack holding its first token (`pack_id`), the pack holding its
+    * last (`pack_last`), and whether it straddles a pack boundary
+    * (`crosses`) — exactly the bookkeeping an attention-masked packed
+    * loader needs. Token rule is the shared one (`size(split(text,' '))`,
+    * same as `q_text_stats`).
+    *
+    * The global running offset is a prefix sum, and the naive form —
+    * `sum().over(Window.orderBy("doc_id"))` with no partitioning — is a
+    * SINGLE-PARTITION window: one task sorts and scans the whole corpus,
+    * the canonical 100 TB failure mode. This runs the two-level scalable
+    * form instead, entirely declaratively: doc_id buckets (contiguous id
+    * ranges, so bucket order = doc order) get their intra-bucket cumsum
+    * in parallel from a PARTITIONED window; per-bucket totals — one row
+    * per bucket — get the tiny cross-bucket cumsum on a single partition
+    * that only ever sees #buckets rows; a broadcast join adds the bucket
+    * base offset back. Scale knob: `bucketSize` ids per bucket keeps
+    * intra-bucket windows executor-sized while the bucket-total table
+    * stays driver-trivial (10⁹ docs / 2²⁰-id buckets ≈ 10³ rows).
+    *
+    * Zero-token docs are excluded (they occupy no pack; keeps `pack_last`
+    * well-defined as (start+n−1)/C in both engines).
+    */
+  def packSequences(s: SparkSession, dir: String, context: Long = 2048L,
+                    bucketSize: Long = 256L): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(s, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .filter($"n_tokens" > 0L)
+      .withColumn("bkt", floor($"doc_id" / bucketSize))
+    val wIn = Window.partitionBy($"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBkt = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktOff = t.groupBy($"bkt").agg(sum($"n_tokens").as("tot"))
+      .withColumn("bkt_off", coalesce(sum($"tot").over(wBkt), lit(0L)))
+      .select($"bkt", $"bkt_off")
+    t.withColumn("off_in", coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+      .join(broadcast(bktOff), "bkt")
+      .withColumn("start_off", $"off_in" + $"bkt_off")
+      .select($"doc_id", $"n_tokens", $"start_off",
+        floor($"start_off" / context).as("pack_id"),
+        floor(($"start_off" + $"n_tokens" - 1L) / context).as("pack_last"))
+      .withColumn("crosses", $"pack_id" =!= $"pack_last")
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic stratified (per-language quota) sampling — the curation
     * step that balances a skewed corpus: within each language, rank docs by
     * md5(doc_id) (a uniform, engine-independent draw; doc_id tie-break for

@@ -14,6 +14,12 @@ case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class ErrorAlarm(user_id: Long, consecutive_errors: Int,
                       last_ts: java.sql.Timestamp)
 
+/** One sketch counter emitted by the streaming frequent-items operator:
+  * the current Misra-Gries lower bound for `token` within its hash
+  * bucket's sub-stream.
+  */
+case class TokenCount(bucket: Int, token: String, est: Long)
+
 /** Structured Streaming operator inventory (SURVEY.md §2.9). Each takes a
   * *streaming* DataFrame with the Event schema and returns the transformed
   * streaming DataFrame — callers pick the sink. The same logical plans run
@@ -166,6 +172,80 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(new AlarmProcessor(threshold, horizonMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Per-bucket Misra-Gries state machine for [[streamTopK]]. The sketch
+    * lives in a `MapState[String, Long]` (≤ m entries per bucket — RocksDB-
+    * backed, so a wide sketch never pressures executor heap), and each
+    * micro-batch applies the SAME amortized-O(1) update rule as the batch
+    * twin (`TextOps.mgTopK`): increment a present counter, admit below
+    * capacity, else decrement-all. Sequential MG over batch boundaries IS
+    * Misra-Gries over the concatenated stream — the algorithm never needed
+    * to see its input in one piece, which is exactly why it streams — so
+    * every per-bucket guarantee carries over: each counter is a lower
+    * bound within n_bucket/(m+1) of that token's true bucket count, and a
+    * token's whole count lives in ONE bucket (hash routing), never split.
+    *
+    * Emission is Update-mode: a batch re-emits the counters it touched;
+    * the sink keeps the latest snapshot per bucket (the serving pattern
+    * for a live "trending tokens" board). State writes are diffed —
+    * untouched counters are not rewritten, evicted ones are removed.
+    */
+  private class TopKProcessor(m: Int)
+    extends StatefulProcessor[Int, String, TokenCount] {
+    @transient private var state: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getMapState[String, Long]("mg",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(bucket: Int, rows: Iterator[String],
+                                 tv: TimerValues): Iterator[TokenCount] = {
+      val counts = new scala.collection.mutable.HashMap[String, Long]
+      state.iterator().foreach { case (t, c) => counts(t) = c }
+      val before = counts.toMap
+      rows.foreach { w =>
+        counts.get(w) match {
+          case Some(c) => counts(w) = c + 1
+          case None if counts.size < m => counts(w) = 1L
+          case None =>
+            val dead = List.newBuilder[String]
+            counts.foreach { case (t, c) =>
+              if (c == 1L) dead += t else counts(t) = c - 1
+            }
+            dead.result().foreach(counts.remove)
+        }
+      }
+      before.keysIterator
+        .filterNot(counts.contains).foreach(state.removeKey)
+      counts.foreach { case (t, c) =>
+        if (!before.get(t).contains(c)) state.updateValue(t, c)
+      }
+      counts.iterator.map { case (t, c) => TokenCount(bucket, t, c) }
+    }
+  }
+
+  /** Streaming frequent items — the streaming form of `q_approx_topk`
+    * (completing the mergeable-sketch family's streaming column next to
+    * s_uniques' HLL): a token stream is hash-routed into `buckets`
+    * sub-streams, each maintaining a bounded Misra-Gries sketch across
+    * micro-batches via `transformWithState`. Total state is ≤ buckets·m
+    * counters FOREVER, no matter how many tokens stream through — the
+    * exact streaming `groupBy(token).count()` would hold one counter per
+    * distinct token (unbounded at web scale). Top-k is served by merging
+    * the ≤ buckets·m snapshot rows sink-side (each token's count lives in
+    * exactly one bucket, so the merge is a sort, not a re-aggregation).
+    * `buckets` plays the role the partition count plays in the batch twin:
+    * it shards sketch work across the cluster's state-store partitions.
+    */
+  def streamTopK(tokens: Dataset[String], m: Int = 1024,
+                 buckets: Int = 32): Dataset[TokenCount] = {
+    import tokens.sparkSession.implicits._
+    tokens
+      .groupByKey(t =>
+        math.floorMod(scala.util.hashing.MurmurHash3.stringHash(t), buckets))
+      .transformWithState(new TopKProcessor(m),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream–stream interval join: purchases attributed to the same user's

@@ -660,6 +660,46 @@ class OperatorsSpec extends SparkSpec {
     assert(syn(2L) == ((38L, 38L, false)))
   }
 
+  test("sequence packing: contiguous offsets, bucketed == naive window") {
+    import spark.implicits._
+    val ctx = 512L
+    val out = TextOps.packSequences(spark, sfTest, ctx, bucketSize = 64L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    // the prefix sum is fully pinned by contiguity: first doc starts at 0,
+    // every next doc starts where the previous ended (doc_id order)
+    var expect = 0L
+    out.foreach { case (id, n, start, packId, packLast, crosses) =>
+      assert(start == expect, s"doc $id start $start, expected $expect")
+      expect = start + n
+      assert(packId == start / ctx && packLast == (start + n - 1) / ctx)
+      assert(crosses == (packId != packLast))
+    }
+    // the fixture must actually exercise boundary crossings
+    assert(out.exists(_._6) && out.exists(!_._6))
+    // bucketed two-level form == the naive single-partition window cumsum
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = Tables(spark, sfTest, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .filter($"n" > 0L)
+      .withColumn("start_off", coalesce(sum($"n").over(w), lit(0L)))
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.map(t => (t._1, t._3)).toSeq == naive.toSeq)
+    // input layout invariance: a shuffled corpus copy packs identically
+    val dir = Files.createTempDirectory("graft_pack").toString
+    Tables(spark, sfTest, "documents").orderBy(rand(13))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val again = TextOps.packSequences(spark, dir, ctx, bucketSize = 64L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("semantic dedup: drops are true near-dups, recall holds, order-free") {
     import spark.implicits._
     val t = 0.4

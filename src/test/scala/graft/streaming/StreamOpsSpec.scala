@@ -322,6 +322,84 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming top-k sketch equals exact counts across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val buckets = 8
+      // Update-mode snapshot sink: latest counter per (bucket, token) —
+      // the serving pattern the operator's Scaladoc describes
+      val snapshot =
+        scala.collection.concurrent.TrieMap[(Int, String), Long]()
+      val ms = MemoryStream[String]
+      val q = StreamOps.streamTopK(ms.toDS(), m = 1024, buckets = buckets)
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            snapshot((r.getInt(0), r.getString(1))) = r.getLong(2))
+        }.start()
+      // the corpus token stream, replayed in three uneven micro-batches —
+      // sequential MG across batch boundaries must equal MG over the
+      // concatenation (and the vocab 31 ≪ m regime makes that EXACT)
+      val tokens = Tables(spark, sfTest, "documents")
+        .select(explode(split(lower($"text"), " ")).as("w"))
+        .as[String].collect()
+      val (b1, rest) = tokens.splitAt(tokens.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 5)
+      Seq(b1, b2, b3).foreach { b =>
+        ms.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      q.stop()
+      val exact = tokens.groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      // a token's entire count lives in ONE bucket, so the snapshot is
+      // directly comparable token-by-token
+      val got = snapshot.map { case ((_, t), c) => t -> c }.toMap
+      assert(got == exact,
+        s"sketch != exact: missing=${exact.keySet -- got.keySet} " +
+          s"diff=${got.collect { case (t, c) if exact.get(t).exists(_ != c) => (t, c, exact(t)) }}")
+      // overflow regime: m=4 per bucket forces evictions; every counter
+      // must stay a lower bound within n_bucket/(m+1) of exact
+      val snap2 =
+        scala.collection.concurrent.TrieMap[(Int, String), Long]()
+      val ms2 = MemoryStream[String]
+      val q2 = StreamOps.streamTopK(ms2.toDS(), m = 4, buckets = buckets)
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            snapshot2Put(snap2, r))
+        }.start()
+      Seq(b1, b2, b3).foreach { b =>
+        ms2.addData(b.toIndexedSeq); q2.processAllAvailable()
+      }
+      q2.stop()
+      val bucketOf = (t: String) =>
+        math.floorMod(scala.util.hashing.MurmurHash3.stringHash(t), buckets)
+      val nBucket = tokens.groupBy(bucketOf).view
+        .mapValues(_.length.toLong).toMap
+      snap2.foreach { case ((bkt, t), c) =>
+        assert(bucketOf(t) == bkt)
+        assert(c <= exact(t), s"$t overcounted: $c > ${exact(t)}")
+        assert(c >= exact(t) - nBucket(bkt) / 5,
+          s"$t below the MG error bound")
+      }
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private def snapshot2Put(
+      m: scala.collection.concurrent.TrieMap[(Int, String), Long],
+      r: org.apache.spark.sql.Row): Unit =
+    m((r.getInt(0), r.getString(1))) = r.getLong(2)
+
   test("idle users' alarm state is evicted by the event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
