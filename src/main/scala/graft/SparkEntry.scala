@@ -38,6 +38,7 @@ object SparkEntry {
     "q_window_rank" -> (Windows.windowRank _),
     "q_window_running" -> (Windows.windowRunning _),
     "q_sessionize" -> (Windows.sessionize _),
+    "q_user_deltas" -> (Windows.userDeltas _),
     // §2.6 sort/limit/set ops
     "q_topk_parts" -> (Relational.topkParts _),
     "q_topk_brand" -> (Relational.topkBrand _),
@@ -202,6 +203,17 @@ object SparkEntry {
         | ROUND(SUM(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_user_deltas" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |  epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS gap_us
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_gaps, MAX(gap_us) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_topk_parts" ->
       """SELECT p_partkey, p_name, CAST(ROUND(rev) AS BIGINT) AS revenue
         |FROM (SELECT p_partkey, p_name,

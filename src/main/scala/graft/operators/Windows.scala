@@ -43,6 +43,30 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Inter-event gap analysis per user — the lag/lead member of the window
+    * family (rank and frame-sum above; [[sessionize]] deliberately trades
+    * the declarative lag form for a typed pass, so this keeps the
+    * offset-window primitive itself exercised end-to-end). Gap arithmetic
+    * runs on integer epoch microseconds (`unix_micros`) so both engines
+    * agg exact integers — no float interval rounding can split the hash.
+    * Scale shape: identical to every window here — one hash shuffle on
+    * user_id, per-key window sort, then a map-side-combining aggregate.
+    */
+  def userDeltas(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("gap_us",
+        unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+      .filter($"gap_us".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        max($"gap_us").as("max_gap_us"),
+        sum($"gap_us").as("sum_gap_us"))
+      .orderBy($"user_id")
+  }
+
   /** Batch sessionization: 30-minute-gap sessions. The streaming twin is
     * `session_window` in graft.streaming.StreamOps.
     *

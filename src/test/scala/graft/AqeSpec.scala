@@ -35,7 +35,9 @@ class AqeSpec extends SparkSpec {
     "q_window_running", "q_sessionize", "q_topk_parts", "q_topk_brand",
     "q_setops", "q_rollup_revenue", "q_dedup_docs", "q_dedup_ngram",
     "q_dedup_minhash", "q_dedup_clusters", "q_vector_knn",
-    "q_vector_search", "q_text_stats", "q_mix_sources")
+    "q_vector_search", "q_text_stats", "q_mix_sources",
+    "q_pack_sequences", "q_decontaminate", "q_user_deltas",
+    "q_semantic_dedup")
 
   test("headline queries are result-identical with AQE on") {
     headline.foreach { name =>

@@ -660,6 +660,25 @@ class OperatorsSpec extends SparkSpec {
     assert(syn(2L) == ((38L, 38L, false)))
   }
 
+  test("user deltas: gap counts and extremes match a local recompute") {
+    import spark.implicits._
+    val out = Windows.userDeltas(spark, sfTest).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val local = Tables(spark, sfTest, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues { evs =>
+        val ts = evs.sortBy(e => (e._3, e._2)).map(_._3)
+        val gaps = ts.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+        (gaps.size.toLong, if (gaps.isEmpty) 0L else gaps.max, gaps.sum)
+      }.toMap
+    assert(out == local.filter(_._2._1 > 0L),
+      "lag-window gaps diverge from the local recompute")
+    // ordered by (ts, event_id) ⇒ every gap is non-negative
+    assert(out.values.forall(v => v._2 >= 0L && v._3 >= 0L))
+  }
+
   test("sequence packing: contiguous offsets, bucketed == naive window") {
     import spark.implicits._
     val ctx = 512L

@@ -70,4 +70,35 @@ class PlanSpec extends SparkSpec {
     val p = physical("q_agg_pricing")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("sequence packing never runs a corpus-wide single-partition window") {
+    val windows = SparkEntry.queries("q_pack_sequences")(spark, sfTest)
+      .queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(windows.size == 2, s"expected the two-level form, got $windows")
+    val (partitioned, global) = windows.partition(_.partitionSpec.nonEmpty)
+    // the corpus-sized cumsum is the PARTITIONED window; the single
+    // unpartitioned window may only ever see bucket-total rows — its
+    // subtree must aggregate (one row per bucket) before anything reaches
+    // it, never feed it raw corpus rows
+    assert(partitioned.size == 1 && global.size == 1)
+    val aggBelow = global.head.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggBelow.nonEmpty,
+      "the unpartitioned window is not fed by the bucket-total aggregate")
+  }
+
+  test("decontamination reads the shingle pipeline exactly once") {
+    // the r5 form referenced the tagged-shingle plan in the hot-set agg,
+    // the anti-join probe, AND both self-join sides; the posting-list form
+    // must keep a single documents scan in the whole plan
+    val scans = SparkEntry.queries("q_decontaminate")(spark, sfTest)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scans.size == 1,
+      s"expected one documents scan, got ${scans.size}")
+  }
 }
