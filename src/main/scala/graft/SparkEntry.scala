@@ -101,6 +101,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" ->
       ((s: SparkSession, d: String) => DedupOps.dedupClusters(s, d)),
+    "q_dedup_incremental" ->
+      ((s: SparkSession, d: String) => DedupOps.ngramIncremental(s, d)),
     // multimodal plumbing (stubbed codec, real Spark shape)
     "q_multimodal" -> (Multimodal.mediaFeatures _),
   )
@@ -397,6 +399,7 @@ object SparkEntry {
         |  (n_sh - n_uniq) * 10 > n_sh AS repetitive
         |FROM r WHERE n_sh > 0 ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> DedupOps.decontaminateOracle,
+    "q_dedup_incremental" -> DedupOps.ngramIncrementalOracle,
     // the oracle states the SEMANTICS as the naive full-corpus window
     // cumsum; the Spark side computes the same prefix sum via the
     // two-level bucketed form (no single-partition corpus window)

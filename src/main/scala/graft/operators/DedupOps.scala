@@ -699,6 +699,83 @@ object DedupOps {
       .orderBy($"train_id")
   }
 
+  /** Incremental ingest dedup — the shape a daily pipeline actually runs:
+    * a small NEW batch (the ~10% of docs whose md5 prefix ≥ 'e6'; same
+    * hash rule as `q_split_assign`, inverted) arrives against the large
+    * HISTORICAL corpus (the other ~90%, already deduped), and the question
+    * is only "which new docs are near-dups of something we already have".
+    * Output: per contaminated new doc, its best historical match (highest
+    * Jaccard, min-id tie-break) — the incremental drop list.
+    *
+    * Scale shape: the same one-shuffle bounded posting-list idiom as
+    * [[ngramPairs]], but the double-explode pairs an OLD member with a NEW
+    * member only — the old×old bulk, quadratic in the corpus and already
+    * settled by yesterday's run, is never generated. Per-shingle fanout is
+    * ≤ |old∩list|·|new∩list| ≤ maxDf²/4; with a 10% increment the pair
+    * volume is ~9% of the full run's. Sizes are computed over the same
+    * kept-shingle universe as the batch family, so every (old, new) pair
+    * here carries EXACTLY the Jaccard the full `ngramJaccard` run would
+    * assign it — incremental ≡ full-run-restricted-to-cross-pairs is
+    * spec-pinned, and the df cap must keep counting old+new together for
+    * that to hold (a boilerplate shingle does not become "rare" just
+    * because the increment is small).
+    */
+  def ngramIncremental(s: SparkSession, dir: String,
+                       threshold: Double = 0.5,
+                       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import s.implicits._
+    def isNew(id: org.apache.spark.sql.Column) =
+      substring(md5(id.cast("string")), 1, 2) >= "e6"
+    val grouped = shingles(s, dir).groupBy($"s")
+      .agg(graft.functions.BoundedCollect.boundedCollectLong(maxDf)($"doc_id")
+        .as("docs"))
+      .filter(size($"docs") <= maxDf)
+    val sizes = grouped.select(explode($"docs").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = grouped
+      .select(explode($"docs").as("old_id"), $"docs")
+      .filter(!isNew($"old_id"))
+      .select($"old_id", explode($"docs").as("new_id"))
+      .filter(isNew($"new_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"new_id").orderBy(desc("jac_raw"), $"old_id")
+    pairs.groupBy($"new_id", $"old_id").agg(count(lit(1)).as("i"))
+      .join(broadcast(sizes.toDF("new_id", "nn")), "new_id")
+      .join(broadcast(sizes.toDF("old_id", "no")), "old_id")
+      .withColumn("jac_raw", $"i".cast("double") / ($"nn" + $"no" - $"i"))
+      .filter($"jac_raw" >= threshold)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"new_id", $"old_id", round($"jac_raw", 6).as("jac"))
+      .orderBy($"new_id")
+  }
+
+  // lazy: declared above shingleCte in source order
+  lazy val ngramIncrementalOracle: String =
+    shingleCte +
+      s""",
+        |hot AS (SELECT s FROM sh GROUP BY s
+        |  HAVING COUNT(*) > $DefaultMaxShingleDf),
+        |kept AS (SELECT doc_id, s FROM sh
+        |  WHERE s NOT IN (SELECT s FROM hot)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |inter AS (SELECT o.doc_id AS old_id, nw.doc_id AS new_id,
+        |    COUNT(*) AS i
+        |  FROM kept o JOIN kept nw ON o.s = nw.s
+        |  WHERE substring(md5(CAST(o.doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |    AND substring(md5(CAST(nw.doc_id AS VARCHAR)), 1, 2) >= 'e6'
+        |  GROUP BY 1, 2),
+        |j AS (SELECT new_id, old_id,
+        |    CAST(i AS DOUBLE) / (so.n + sn.n - i) AS jac_raw
+        |  FROM inter
+        |  JOIN sizes so ON so.doc_id = old_id
+        |  JOIN sizes sn ON sn.doc_id = new_id)
+        |SELECT new_id, old_id, ROUND(jac_raw, 6) AS jac FROM j
+        |WHERE jac_raw >= 0.5
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY new_id
+        |  ORDER BY jac_raw DESC, old_id) = 1
+        |ORDER BY new_id""".stripMargin
+
   /** Oracle SQL fragments shared by SparkEntry (generated so the 16-term
     * simhash CASE chain stays in lockstep with the Scala side).
     */

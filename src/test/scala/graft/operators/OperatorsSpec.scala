@@ -660,6 +660,36 @@ class OperatorsSpec extends SparkSpec {
     assert(syn(2L) == ((38L, 38L, false)))
   }
 
+  test("incremental dedup == full batch run restricted to old-new pairs") {
+    import spark.implicits._
+    val isNew = (id: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      hex >= "e6"
+    }
+    // full-batch pairs carry the same kept-shingle universe, so the
+    // incremental run must surface EXACTLY the cross-split pairs, with
+    // identical Jaccard, reduced to each new doc's best old match
+    val full = DedupOps.ngramDedupAuto(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cross = full.flatMap { case (a, b, j) =>
+      (isNew(a), isNew(b)) match {
+        case (false, true) => Some((b, a, j)) // (new, old, jac)
+        case (true, false) => Some((a, b, j))
+        case _             => None
+      }
+    }
+    val expected = cross.groupBy(_._1).view.mapValues { ms =>
+      val best = ms.minBy(m => (-m._3, m._2))
+      (best._2, best._3)
+    }.toMap
+    val got = DedupOps.ngramIncremental(spark, sfTest).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected, s"incremental diverges: got=$got")
+    assert(got.nonEmpty && got.keySet.forall(isNew))
+  }
+
   test("user deltas: gap counts and extremes match a local recompute") {
     import spark.implicits._
     val out = Windows.userDeltas(spark, sfTest).collect()
