@@ -108,6 +108,45 @@ class SinksSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L), s"curated $kept")
   }
 
+  test("z-ordered layout gives every file a small (a,b) rectangle") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val events = Tables(spark, sfTest, "events")
+      .select($"event_id", $"user_id", $"value")
+    Sinks.writeZOrdered(events, s"$dir/z", "user_id", "value",
+      bits = 8, targetFiles = 16, maxRecordsPerFile = 1L << 20)
+    Sinks.writeCompacted(events, s"$dir/flat", 1L << 20, Some(16))
+    // lossless roundtrip first
+    assert(spark.read.parquet(s"$dir/z").count() == events.count())
+    // min/max pruning works iff each file covers a small rectangle of
+    // (user_id, value) space; round-robin files each span ~everything
+    def rects(path: String): Array[(Double, Double, Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min($"user_id").cast("double"), max($"user_id").cast("double"),
+          min($"value"), max($"value"))
+        .collect()
+        .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4)))
+    val all = rects(s"$dir/flat")
+    val loA = all.map(_._1).min; val hiA = all.map(_._2).max
+    val loB = all.map(_._3).min; val hiB = all.map(_._4).max
+    def areaSum(rs: Array[(Double, Double, Double, Double)]): Double =
+      rs.map { case (a0, a1, b0, b1) =>
+        ((a1 - a0) / (hiA - loA)) * ((b1 - b0) / (hiB - loB))
+      }.sum
+    val zs = rects(s"$dir/z")
+    assert(zs.length >= 8, s"expected >=8 z files, got ${zs.length}")
+    val (zArea, flatArea) = (areaSum(zs), areaSum(all))
+    assert(zArea * 2 < flatArea,
+      f"z-order rectangles not tighter: z=$zArea%.2f flat=$flatArea%.2f")
+    // the skipping this buys: a point predicate on EITHER column now
+    // matches only the files whose min/max straddle it
+    val midA = (loA + hiA) / 2; val midB = (loB + hiB) / 2
+    assert(zs.count(r => r._1 <= midA && midA <= r._2) < zs.length)
+    assert(zs.count(r => r._3 <= midB && midB <= r._4) < zs.length)
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import org.apache.spark.sql.functions.col
     // separate session: conf changes here must not leak into the shared
