@@ -37,7 +37,7 @@ class AqeSpec extends SparkSpec {
     "q_dedup_minhash", "q_dedup_clusters", "q_vector_knn",
     "q_vector_search", "q_text_stats", "q_mix_sources",
     "q_pack_sequences", "q_decontaminate", "q_user_deltas",
-    "q_semantic_dedup")
+    "q_semantic_dedup", "q_dedup_incremental")
 
   test("headline queries are result-identical with AQE on") {
     headline.foreach { name =>
