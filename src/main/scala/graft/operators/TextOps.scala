@@ -282,11 +282,19 @@ object TextOps {
     * Catches shuffled-token duplicates that raw-text dedup misses; at scale
     * the 32-hex fingerprint (not the document) is what crosses the shuffle.
     */
+  /** The bag-of-words fingerprint column — THE single formula source,
+    * shared by the batch [[fingerprint]] query and the streaming ingest
+    * dedup (`StreamOps.dedupAgainstCorpus`), so the live path can never
+    * drift from the index it joins against.
+    */
+  def fingerprintCol(text: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    md5(concat_ws(" ", sort_array(split(text, " "))))
+
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .select($"doc_id",
-        md5(concat_ws(" ", sort_array(split($"text", " ")))).as("fp"))
+      .select($"doc_id", fingerprintCol($"text").as("fp"))
       .orderBy($"doc_id")
   }
 

@@ -248,6 +248,30 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming ingest dedup against the historical corpus — the live half
+    * of `q_dedup_incremental`: documents arriving on a stream are dropped
+    * when their bag-of-words fingerprint (same formula source as
+    * `q_text_fingerprint` — `TextOps.fingerprintCol`, so the live path
+    * cannot drift from the index) already exists in the static corpus
+    * index, and deduped within the stream on the same key so a doc that
+    * arrives twice is admitted once.
+    *
+    * Shapes: the corpus side is a stream–static LEFT ANTI join (the index
+    * re-resolves per micro-batch, so a nightly index refresh is picked up
+    * without restarting the query); the in-stream side is streaming
+    * `dropDuplicates` keyed on the 32-char fingerprint — state holds one
+    * entry per DISTINCT admitted fingerprint, which is the product
+    * contract here (an ingest gate remembers everything it admitted). A
+    * deployment that can bound re-delivery lag should instead carry an
+    * event-time column and use `dropDuplicatesWithinWatermark` (see
+    * [[dedup]]) to cap that state.
+    */
+  def dedupAgainstCorpus(docs: DataFrame, corpusFp: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", graft.operators.TextOps.fingerprintCol(col("text")))
+      .join(corpusFp.select(col("fp")), Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+
   /** Stream–stream interval join: purchases attributed to the same user's
     * clicks within the following hour (click → purchase conversion).
     *

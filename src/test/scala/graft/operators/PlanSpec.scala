@@ -90,6 +90,13 @@ class PlanSpec extends SparkSpec {
       "the unpartitioned window is not fed by the bucket-total aggregate")
   }
 
+  test("incremental dedup shares the posting-list exchange, never recomputes it") {
+    // sizes and pairs both consume the grouped posting lists; the heavy
+    // scan→shingle→BoundedCollect pipeline must be shared via exchange
+    // reuse, not re-executed per consumer
+    assert(physical("q_dedup_incremental").contains("ReusedExchange"))
+  }
+
   test("decontamination reads the shingle pipeline exactly once") {
     // the r5 form referenced the tagged-shingle plan in the hot-set agg,
     // the anti-join probe, AND both self-join sides; the posting-list form

@@ -400,6 +400,33 @@ class StreamOpsSpec extends SparkSpec {
       r: org.apache.spark.sql.Row): Unit =
     m((r.getInt(0), r.getString(1))) = r.getLong(2)
 
+  test("streaming ingest dedup drops corpus dups, shuffled dups, and replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.operators.TextOps.fingerprint(spark, sfTest)
+    val known = Tables(spark, sfTest, "documents")
+      .select($"text").as[String].head(2)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupAgainstCorpus(
+        ms.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("t_ingest")
+      .outputMode("append").start()
+    val fresh = "entirely new document text never seen in the corpus"
+    ms.addData(Seq(
+      (9001L, known(0)), // verbatim corpus dup → dropped
+      // word-permuted corpus dup → same bag-of-words fp → dropped
+      (9002L, known(1).split(' ').reverse.mkString(" ")),
+      (9003L, fresh))) // genuinely new → admitted
+    q.processAllAvailable()
+    // replay of the admitted doc in a later batch → in-stream dedup
+    ms.addData(Seq((9004L, fresh)))
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id from t_ingest").collect()
+      .map(_.getLong(0)).toSeq
+    q.stop()
+    assert(got == Seq(9003L), s"ingest gate admitted $got")
+  }
+
   test("idle users' alarm state is evicted by the event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
