@@ -22,24 +22,18 @@ class AqeSpec extends SparkSpec {
     s
   }
 
-  /** Broad slice of the inventory: every join family, window, rollup,
-    * set-op, subquery, sketchless dedup signature, CC loop, and vector
-    * path. Excluded by design: the approx sketches (HLL/KLL/Misra-Gries
-    * merge order varies with partitioning — their contracts are
-    * bounded-error, not byte equality) and the ANN paths (sample-trained;
-    * own recall specs).
+  /** EVERY oracle-backed query (the oracle set is deterministic by
+    * construction — ORDER BY + rounded floats — or its DuckDB hash diff
+    * could never pass), plus the deterministic sample-trained vector
+    * entries. Excluded by design: the approx sketches (HLL/KLL merge
+    * order varies with partitioning — their contracts are bounded-error,
+    * not byte equality), the ANN recall paths (own specs), and the
+    * multimodal stub.
     */
-  private val headline = Seq(
-    "q_agg_pricing", "q_join_5way", "q_semi_join", "q_anti_join",
-    "q_above_avg", "q_range_join", "q_asof_lookup", "q_window_rank",
-    "q_window_running", "q_sessionize", "q_topk_parts", "q_topk_brand",
-    "q_setops", "q_rollup_revenue", "q_dedup_docs", "q_dedup_ngram",
-    "q_dedup_minhash", "q_dedup_clusters", "q_vector_knn",
-    "q_vector_search", "q_text_stats", "q_mix_sources",
-    "q_pack_sequences", "q_decontaminate", "q_user_deltas",
-    "q_semantic_dedup", "q_dedup_incremental")
+  private val headline =
+    SparkEntry.oracleSql.keys.toSeq.sorted :+ "q_semantic_dedup"
 
-  test("headline queries are result-identical with AQE on") {
+  test("all deterministic queries are result-identical with AQE on") {
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
       val off = fn(spark, sfTest).collect().toSeq

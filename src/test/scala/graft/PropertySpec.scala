@@ -79,4 +79,32 @@ class PropertySpec extends SparkSpec {
       .select(new TopKAggregator(1).toColumn).head()
     assert(gotTies == Seq((3L, 0.5)), s"tie-break broken: $gotTies")
   }
+
+  test("sequence packing: bucketed prefix sum is exact on any corpus shape") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // random corpora: sparse, duplicate-free random doc ids (buckets of
+    // wildly different fills, including empty ones) with random token
+    // counts — the law is pure prefix-sum contiguity in doc_id order
+    val corpusGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 4000L), Gen.choose(1, 60)))
+      .map(_.toMap.toList) // dedup ids
+    samples(corpusGen, 6).foreach { docs =>
+      val dir = Files.createTempDirectory("graft_packprop").toString
+      docs.map { case (id, n) =>
+        (id, (1 to n).map(i => s"t$i").mkString(" "), "en", "s0", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.operators.TextOps
+        .packSequences(spark, dir, context = 64L, bucketSize = 128L)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val expected = docs.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, off), (id, n)) => (id, off + n) }
+      // scanLeft pairs each doc with the offset BEFORE it
+      val offs = docs.sortBy(_._1).map(_._1)
+        .zip(expected.map(_._2).init)
+      assert(got.toSeq == offs,
+        s"prefix sum diverges on ${docs.size} docs")
+    }
+  }
 }
