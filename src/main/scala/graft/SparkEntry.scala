@@ -60,6 +60,7 @@ object SparkEntry {
     "q_asof_lookup" -> (Events.asofPurchase _),
     // §2.9 streaming batch twins
     "q_tumbling_1h" -> (Events.tumbling1h _),
+    "q_funnel" -> (Events.funnel _),
     "q_sliding_15m" -> (Events.sliding15m _),
     "q_enrich_segments" -> (Events.enrichSegments _),
     // §2.7 text
@@ -400,6 +401,7 @@ object SparkEntry {
         |FROM r WHERE n_sh > 0 ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> DedupOps.decontaminateOracle,
     "q_dedup_incremental" -> DedupOps.ngramIncrementalOracle,
+    "q_funnel" -> Events.funnelOracle,
     // the oracle states the SEMANTICS as the naive full-corpus window
     // cumsum; the Spark side computes the same prefix sum via the
     // two-level bucketed form (no single-partition corpus window)

@@ -160,6 +160,54 @@ object Events {
       .orderBy($"event_id")
   }
 
+  /** Ordered conversion funnel — the product-analytics signature query of
+    * a webhook event stream: how many users progressed view → click →
+    * purchase IN THAT ORDER (each later stage strictly after the user's
+    * earliest occurrence of the one before). Earliest-occurrence
+    * semantics make each stage a min-aggregate, so the whole funnel is
+    * three user-keyed aggregates chained by two user-keyed joins — one
+    * hash-partition family, no windows, no per-user event buffering; at
+    * 100 TB every stage shrinks the key set (funnels only narrow), so
+    * each successive join is cheaper than the last. Timestamps compare
+    * at the µs grain both engines share (FIXTURES.md ns note).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts")
+    def stage(typ: String, prev: Option[DataFrame]): DataFrame = {
+      val base = e.filter($"event_type" === typ)
+      prev.fold(base)(p => base.join(p, "user_id").where($"ts" > $"t"))
+        .groupBy($"user_id").agg(min($"ts").as("t"))
+    }
+    val v = stage("view", None)
+    val c = stage("click", Some(v))
+    val p = stage("purchase", Some(c))
+    def counted(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
+        $"n_users")
+    counted(v, "1_view")
+      .union(counted(c, "2_click"))
+      .union(counted(p, "3_purchase"))
+      .orderBy($"stage")
+  }
+
+  val funnelOracle: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |v AS (SELECT user_id, MIN(ts) AS t FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+      |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+      |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click', COUNT(*) FROM c
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+      |ORDER BY stage""".stripMargin
+
   /** Batch twin of the streaming tumbling-window aggregate: per-hour,
     * per-type count + sum(value). Hour is emitted as a string so the
     * ns(DuckDB)↔µs(Spark) timestamp precision difference can't affect the

@@ -660,6 +660,32 @@ class OperatorsSpec extends SparkSpec {
     assert(syn(2L) == ((38L, 38L, false)))
   }
 
+  test("funnel: stage counts match a local replay and only narrow") {
+    import spark.implicits._
+    val got = Events.funnel(spark, sfTest).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // local replay of earliest-occurrence-in-order semantics
+    val evs = Tables(spark, sfTest, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    var (nv, nc, np) = (0L, 0L, 0L)
+    evs.values.foreach { u =>
+      def firstAfter(typ: String, after: Long): Option[Long] =
+        u.collect { case (_, t, ts) if t == typ && ts > after => ts }
+          .minOption
+      firstAfter("view", Long.MinValue).foreach { t0 =>
+        nv += 1
+        firstAfter("click", t0).foreach { t1 =>
+          nc += 1
+          firstAfter("purchase", t1).foreach(_ => np += 1)
+        }
+      }
+    }
+    assert(got == Map("1_view" -> nv, "2_click" -> nc, "3_purchase" -> np),
+      s"funnel mismatch: $got vs ($nv, $nc, $np)")
+    assert(nv >= nc && nc >= np && np > 0, "funnel must narrow and be hit")
+  }
+
   test("incremental dedup == full batch run restricted to old-new pairs") {
     import spark.implicits._
     val isNew = (id: Long) => {
