@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -8,103 +13,316 @@ import graft.Tables
   * opaque `binary` columns with typed metadata; decode / feature-extract /
   * resize run as partition-batched functions over those bytes.
   *
-  * The media codecs themselves are STUBBED — this container has no
-  * image/audio libraries — with a deterministic fake (byte-histogram
-  * "features", size-based "dimensions"). Everything Spark-side is real and
-  * load-bearing: the schema (content binary + metadata struct), the
-  * mapPartitions batch shape (decode amortized per partition, not per
-  * row), the partition sizing, and the downstream aggregation. Swapping
-  * the stub for a real codec changes one function body.
+  * The codecs are REAL (round 6): PNG decode/encode/resize via the JDK's
+  * `javax.imageio` (`ImageIO.read` → `BufferedImage` pixels,
+  * `Graphics2D#drawImage` resample), WAV decode via
+  * `javax.sound.sampled.AudioSystem` (RIFF/WAVE container → 16-bit PCM
+  * frames), and video as a length-prefixed container of PNG frames with
+  * real per-frame image decode. What remains synthetic is only the test
+  * MEDIA — the fixture corpus has no image/audio files, so `mediaTable`
+  * renders a deterministic PNG / WAV / frame-container per document
+  * (pixels and samples derived from the doc's md5) and the pipeline then
+  * treats those bytes exactly as a binary-file datasource would: sniff
+  * the container magic, decode with the real codec, dead-letter rows
+  * whose bytes don't parse (`decode_ok = false`) instead of failing the
+  * job.
+  *
+  * Scale shape (unchanged): decode runs inside `mapPartitions`, one codec
+  * pass per row amortized per partition; raw bytes and pixel buffers
+  * never cross a shuffle — only (origin, codec, 16 floats) leave the
+  * executor.
   */
 object Multimodal {
 
-  /** STUB decode: stands in for an image/audio decoder. Deterministic:
-    * 16-bin byte histogram normalized to [0,1] as the "feature vector",
-    * byte-length-derived "width/height". Replace with a real codec call
-    * (e.g. javax.imageio / ffmpeg bindings) in production.
+  /** Number of feature dimensions every codec path emits. */
+  val FeatureBins = 16
+
+  // ---------------------------------------------------------------------
+  // Deterministic media synthesis (test fixture only — stands in for real
+  // files on disk; everything downstream of these bytes is a real codec).
+  // ---------------------------------------------------------------------
+
+  private def md5(bytes: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+
+  /** Render a small RGB image whose pixels are a deterministic function
+    * of the seed digest, and encode it as a REAL PNG via ImageIO. The JDK
+    * PNG writer emits no timestamps/ancillary chunks, so the bytes are
+    * stable across runs and JVMs.
     */
-  private[operators] def fakeDecode(bytes: Array[Byte])
-  : (Int, Int, Array[Float]) = {
-    val hist = new Array[Float](16)
+  private[operators] def synthesizePng(seed: Array[Byte], w: Int, h: Int)
+  : Array[Byte] = {
+    val d = md5(seed)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = d((x * 31 + y) & 15) & 0xff
+        val g = d((x * 7 + y * 3 + 5) & 15) & 0xff
+        val b = d((x + y * 11 + 9) & 15) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Synthesize ~0.1 s of 16-bit mono PCM (sine whose frequency/phase
+    * derive from the seed) and wrap it in a REAL RIFF/WAVE container via
+    * AudioSystem.
+    */
+  private[operators] def synthesizeWav(seed: Array[Byte], samples: Int = 800,
+                                       rate: Float = 8000f): Array[Byte] = {
+    val d = md5(seed)
+    val freq = 200.0 + (d(0) & 0xff) * 4.0
+    val phase = (d(1) & 0xff) / 256.0 * 2 * math.Pi
+    val pcm = new Array[Byte](samples * 2)
     var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xff) >> 4) += 1f
+    while (i < samples) {
+      val amp = (math.sin(phase + 2 * math.Pi * freq * i / rate) * 12000).toInt
+      pcm(2 * i) = (amp & 0xff).toByte // little-endian 16-bit
+      pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
       i += 1
     }
-    val n = math.max(bytes.length, 1).toFloat
-    var j = 0
-    while (j < 16) { hist(j) /= n; j += 1 }
-    (bytes.length % 640, bytes.length % 480, hist)
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+      samples.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
-  /** STUB resize: stands in for an image resize — deterministically
-    * re-bins the feature histogram to `bins` buckets (a real impl would
-    * resample pixels; the contract — fixed-size output regardless of
-    * input size — is the same).
+  /** Toy video container (honestly ours — the JDK has no video codec):
+    * magic "GFV1", int32 frame count, then per frame int32 length + REAL
+    * PNG bytes. Frame decode below goes through ImageIO like any image.
     */
-  private[operators] def fakeResize(feat: Array[Float], bins: Int)
-  : Array[Float] = {
-    val out = new Array[Float](bins)
+  private[operators] def synthesizeVideo(seed: Array[Byte], frames: Int = 4,
+                                         w: Int = 16, h: Int = 12)
+  : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeInt(0x47465631) // "GFV1"
+    dos.writeInt(frames)
+    var f = 0
+    while (f < frames) {
+      val png = synthesizePng(seed ++ Array(f.toByte), w, h)
+      dos.writeInt(png.length)
+      dos.write(png)
+      f += 1
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // Real decoders (JDK codecs; no external libraries).
+  // ---------------------------------------------------------------------
+
+  /** One decoded media row: dims are codec-specific ((w,h) for images,
+    * (sampleCount, sampleRate) for audio, (frameW, frameH) for video);
+    * `features` is always [[FeatureBins]] floats summing to ~1.
+    */
+  final case class Decoded(ok: Boolean, width: Int, height: Int,
+                           features: Array[Float])
+
+  private def normalize(hist: Array[Float]): Array[Float] = {
+    var s = 0f; var i = 0
+    while (i < hist.length) { s += hist(i); i += 1 }
+    if (s > 0) { i = 0; while (i < hist.length) { hist(i) /= s; i += 1 } }
+    hist
+  }
+
+  private def luminanceHistogram(img: BufferedImage): Array[Float] = {
+    val hist = new Array[Float](FeatureBins)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum >> 4) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    normalize(hist)
+  }
+
+  /** REAL image decode: ImageIO parses the PNG container, inflates IDAT,
+    * and hands back pixels; features = 16-bin luminance histogram.
+    */
+  private[operators] def decodeImage(bytes: Array[Byte]): Decoded = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) Decoded(ok = false, 0, 0, new Array[Float](FeatureBins))
+    else Decoded(ok = true, img.getWidth, img.getHeight,
+      luminanceHistogram(img))
+  }
+
+  /** REAL audio decode: AudioSystem parses the RIFF/WAVE header and
+    * yields the PCM frames; features = 16-slot RMS energy envelope over
+    * the sample stream (normalized), dims = (sampleCount, sampleRate).
+    */
+  private[operators] def decodeWav(bytes: Array[Byte]): Decoded = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      val n = ais.getFrameLength.toInt
+      val raw = ais.readAllBytes()
+      val env = new Array[Float](FeatureBins)
+      var i = 0
+      while (i < n) {
+        val lo = raw(2 * i) & 0xff
+        val hi = raw(2 * i + 1).toInt // signed high byte, little-endian
+        val s = (hi << 8) | lo
+        env(i * FeatureBins / math.max(n, 1)) += (s.toFloat * s) / 1e9f
+        i += 1
+      }
+      Decoded(ok = true, n, fmt.getSampleRate.toInt, normalize(env))
+    } finally ais.close()
+  }
+
+  /** Video decode: parse the GFV1 container, sample up to `sampleFrames`
+    * evenly spaced frames, REAL-decode each via ImageIO, average their
+    * histograms. Dims = first frame's (w, h).
+    */
+  private[operators] def decodeVideo(bytes: Array[Byte], sampleFrames: Int = 2)
+  : Decoded = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    if (in.readInt() != 0x47465631)
+      return Decoded(ok = false, 0, 0, new Array[Float](FeatureBins))
+    val total = in.readInt()
+    val frames = (0 until total).map { _ =>
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      buf
+    }
+    val picks =
+      if (frames.length <= sampleFrames) frames.indices
+      else (0 until sampleFrames).map(i =>
+        (frames.length - 1).toLong.toInt * i / math.max(sampleFrames - 1, 1))
+    val decoded = picks.map(i => decodeImage(frames(i)))
+    if (decoded.isEmpty || decoded.exists(!_.ok))
+      return Decoded(ok = false, 0, 0, new Array[Float](FeatureBins))
+    val acc = new Array[Float](FeatureBins)
+    decoded.foreach { d =>
+      var i = 0
+      while (i < FeatureBins) { acc(i) += d.features(i); i += 1 }
+    }
     var i = 0
-    while (i < feat.length) {
-      out(i * bins / feat.length) += feat(i)
-      i += 1
-    }
-    out
+    while (i < FeatureBins) { acc(i) /= decoded.length; i += 1 }
+    Decoded(ok = true, decoded.head.width, decoded.head.height, acc)
   }
 
-  /** STUB frame-sample: stands in for video frame extraction — takes
-    * `frames` evenly spaced fixed-width byte windows from the blob.
+  /** REAL image resize: Graphics2D resample to (w, h), re-encoded as PNG.
+    * Contract: the output decodes to exactly (w, h) regardless of input
+    * size.
     */
-  private[operators] def fakeFrameSample(bytes: Array[Byte], frames: Int,
-                                         width: Int = 16)
-  : Seq[Array[Byte]] = {
-    if (bytes.length <= width) Seq(bytes)
-    else (0 until frames).map { f =>
-      val start = (bytes.length - width).toLong * f / math.max(frames - 1, 1)
-      java.util.Arrays.copyOfRange(bytes, start.toInt, start.toInt + width)
+  private[operators] def resizeImage(bytes: Array[Byte], w: Int, h: Int)
+  : Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(src != null, "resizeImage: input is not a decodable image")
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  /** Container sniff + dispatch: PNG signature → image, RIFF → WAV, GFV1
+    * → video, anything else → dead-letter row. The metadata codec hint is
+    * advisory only — bytes win, as they must when payloads arrive from an
+    * untrusted webhook.
+    */
+  private[operators] def decodeAny(bytes: Array[Byte]): Decoded = {
+    def u(i: Int) = if (i < bytes.length) bytes(i) & 0xff else -1
+    try {
+      if (u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G')
+        decodeImage(bytes)
+      else if (u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F')
+        decodeWav(bytes)
+      else if (u(0) == 'G' && u(1) == 'F' && u(2) == 'V' && u(3) == '1')
+        decodeVideo(bytes)
+      else Decoded(ok = false, 0, 0, new Array[Float](FeatureBins))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        Decoded(ok = false, 0, 0, new Array[Float](FeatureBins))
     }
   }
 
-  /** Build a multimodal table from `documents`: the text bytes stand in
-    * for encoded media content; metadata is a typed struct. At scale this
-    * is the schema a binary-file datasource (or a webhook with base64
-    * payloads) would produce.
+  // ---------------------------------------------------------------------
+  // Spark pipeline.
+  // ---------------------------------------------------------------------
+
+  /** Build a multimodal table from `documents`: each doc becomes one REAL
+    * media blob — PNG (3 of every 5 docs), WAV (1/5), GFV1 frame
+    * container (1/5) — with a typed metadata struct. Media synthesis is
+    * partition-local and deterministic (seeded by the md5 of the doc
+    * text + id), so the table is stable across runs and partitionings; at
+    * scale this is the schema a binary-file datasource (or a webhook with
+    * base64 payloads) would produce.
     */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .select($"doc_id".as("media_id"),
-        encode($"text", "UTF-8").as("content"),
-        struct($"source".as("origin"), $"lang".as("codec_hint"),
-          $"n_chars".as("content_length")).as("meta"))
+      .select($"doc_id", $"text", $"source", $"lang")
+      .as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text, source, lang) =>
+          val seed = (id.toString + ":" + text).getBytes("UTF-8")
+          val (codec, bytes) = (id % 5) match {
+            case 3 => ("wav", synthesizeWav(seed))
+            case 4 => ("gfv1", synthesizeVideo(seed))
+            case _ =>
+              ("png", synthesizePng(seed, 24 + (id % 16).toInt,
+                16 + (id % 12).toInt))
+          }
+          (id, bytes, codec, source, lang)
+        }
+      }
+      .toDF("media_id", "content", "codec_hint", "origin", "lang")
+      .select($"media_id", $"content",
+        struct($"origin", $"codec_hint", length($"content")
+          .as("content_length")).as("meta"))
   }
 
-  /** Decode + featurize each media blob (partition-batched), then roll up
-    * mean feature energy per origin. Feature extraction never leaves the
-    * executor: only (origin, 16 floats) cross the shuffle.
+  /** Decode + featurize each media blob (partition-batched, REAL codecs),
+    * then roll up per (origin, codec): media count, decode failures,
+    * mean feature energy, mean width. Pixel/PCM buffers never leave the
+    * executor: only (origin, codec, scalars, 16 floats) cross the
+    * shuffle.
     */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val decoded = mediaTable(s, dir)
-      .select($"media_id", $"content", $"meta.origin".as("origin"))
-      .as[(Long, Array[Byte], String)]
+      .select($"media_id", $"content", $"meta.origin".as("origin"),
+        $"meta.codec_hint".as("codec"))
+      .as[(Long, Array[Byte], String, String)]
       .mapPartitions { it =>
-        // one decoder "session" per partition — the batch shape real
-        // codecs need (model/codec init amortized across the partition)
-        it.map { case (id, bytes, origin) =>
-          val (w, h, feat) = fakeDecode(bytes)
-          (id, origin, w, h, feat)
+        // one codec pass per partition — ImageIO/AudioSystem readers are
+        // instantiated inside, amortized across the partition's rows
+        it.map { case (id, bytes, origin, codec) =>
+          val d = decodeAny(bytes)
+          (id, origin, codec, d.ok, d.width, d.height, d.features)
         }
       }
-      .toDF("media_id", "origin", "width", "height", "features")
+      .toDF("media_id", "origin", "codec", "decode_ok", "width", "height",
+        "features")
     decoded
-      .select($"origin", $"media_id",
-        aggregate($"features", lit(0.0f),
-          (acc, x) => acc + x * x).as("energy"))
-      .groupBy($"origin")
+      .select($"origin", $"codec", $"decode_ok", $"width",
+        aggregate($"features", lit(0.0f), (acc, x) => acc + x * x)
+          .as("energy"))
+      .groupBy($"origin", $"codec")
       .agg(count(lit(1)).as("n_media"),
-        round(avg($"energy"), 4).as("avg_energy"))
-      .orderBy($"origin")
+        sum(when(!$"decode_ok", 1L).otherwise(0L)).as("n_failed"),
+        round(avg($"energy"), 4).as("avg_energy"),
+        round(avg($"width"), 2).as("avg_width"))
+      .orderBy($"origin", $"codec")
   }
 }

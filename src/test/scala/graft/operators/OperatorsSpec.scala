@@ -404,25 +404,66 @@ class OperatorsSpec extends SparkSpec {
     assert(bucketized.toSeq == naive.toSeq)
   }
 
-  test("multimodal featurization is deterministic and normalized") {
+  test("multimodal featurization is deterministic, normalized, and " +
+    "decodes every synthesized blob with the real JDK codecs") {
     val a = Multimodal.mediaFeatures(spark, sfTest).collect()
     val b = Multimodal.mediaFeatures(spark, sfTest).collect()
-    assert(a.toSeq == b.toSeq, "stub decode must be deterministic")
+    assert(a.toSeq == b.toSeq, "decode must be deterministic")
     assert(a.nonEmpty)
+    // all three codec paths present in the rollup
+    val codecs = a.map(_.getString(1)).toSet
+    assert(codecs == Set("png", "wav", "gfv1"))
+    // every synthesized blob decodes: zero dead-letter rows on clean data
+    assert(a.forall(r => r.getLong(3) == 0L),
+      s"decode failures on synthesized media: ${a.mkString(", ")}")
     // energy of a probability histogram lies in (0, 1]
-    assert(a.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
+    assert(a.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= 1.0))
   }
 
-  test("multimodal resize/frame-sample stubs honor their contracts") {
-    val feat = Array.tabulate(16)(_.toFloat)
-    val small = Multimodal.fakeResize(feat, 4)
-    assert(small.length == 4 && math.abs(small.sum - feat.sum) < 1e-3,
-      "resize must preserve mass at fixed output size")
-    val bytes = Array.tabulate(200)(_.toByte)
-    val frames = Multimodal.fakeFrameSample(bytes, 5)
-    assert(frames.length == 5 && frames.forall(_.length == 16))
-    assert(frames.head.head == 0.toByte &&
-      frames.last.last == bytes.last, "frames span the whole blob")
+  test("multimodal PNG round-trip: real ImageIO decode returns the " +
+    "synthesized dimensions and a normalized histogram") {
+    val png = Multimodal.synthesizePng("seed-1".getBytes, 24, 16)
+    // real PNG container: signature bytes
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val d = Multimodal.decodeImage(png)
+    assert(d.ok && d.width == 24 && d.height == 16)
+    assert(math.abs(d.features.sum - 1f) < 1e-3)
+    // deterministic synthesis: same seed → identical bytes
+    assert(java.util.Arrays.equals(png,
+      Multimodal.synthesizePng("seed-1".getBytes, 24, 16)))
+  }
+
+  test("multimodal WAV round-trip: real AudioSystem decode returns the " +
+    "PCM frame count and sample rate") {
+    val wav = Multimodal.synthesizeWav("seed-2".getBytes, samples = 800)
+    assert(wav(0) == 'R'.toByte && wav(1) == 'I'.toByte, "RIFF container")
+    val d = Multimodal.decodeWav(wav)
+    assert(d.ok && d.width == 800 && d.height == 8000)
+    assert(math.abs(d.features.sum - 1f) < 1e-3)
+  }
+
+  test("multimodal video container: frame sampling decodes real PNG " +
+    "frames; resize honors the target dimensions") {
+    val vid = Multimodal.synthesizeVideo("seed-3".getBytes, frames = 4)
+    val d = Multimodal.decodeVideo(vid, sampleFrames = 2)
+    assert(d.ok && d.width == 16 && d.height == 12)
+    assert(math.abs(d.features.sum - 1f) < 1e-3)
+    // real Graphics2D resize: output decodes to exactly the target dims
+    val png = Multimodal.synthesizePng("seed-4".getBytes, 40, 28)
+    val resized = Multimodal.resizeImage(png, 8, 6)
+    val rd = Multimodal.decodeImage(resized)
+    assert(rd.ok && rd.width == 8 && rd.height == 6)
+  }
+
+  test("multimodal corrupt payloads dead-letter instead of failing") {
+    val garbage = Array.tabulate(64)(_.toByte)
+    assert(!Multimodal.decodeAny(garbage).ok)
+    // truncated PNG: right magic, unparseable body
+    val png = Multimodal.synthesizePng("seed-5".getBytes, 24, 16)
+    val truncated = java.util.Arrays.copyOfRange(png, 0, 20)
+    assert(!Multimodal.decodeAny(truncated).ok)
+    val empty = Array.emptyByteArray
+    assert(!Multimodal.decodeAny(empty).ok)
   }
 
   test("Misra-Gries heavy hitters: bounds hold when the sketch overflows") {
