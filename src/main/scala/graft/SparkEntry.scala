@@ -104,8 +104,18 @@ object SparkEntry {
       ((s: SparkSession, d: String) => DedupOps.dedupClusters(s, d)),
     "q_dedup_incremental" ->
       ((s: SparkSession, d: String) => DedupOps.ngramIncremental(s, d)),
-    // multimodal plumbing (stubbed codec, real Spark shape)
+    // multimodal: real JDK codecs (ImageIO / AudioSystem) over synthesized
+    // PNG/WAV/frame-container blobs
     "q_multimodal" -> (Multimodal.mediaFeatures _),
+    // round 6 additions: pivot/cube/histogram/moments, gap-fill, tf-idf,
+    // corpus vocabulary
+    "q_pivot_priority" -> (Relational.pivotPriority _),
+    "q_cube_returns" -> (Relational.cubeReturns _),
+    "q_histogram" -> (Relational.histogramOrders _),
+    "q_stats_moments" -> (Relational.statsMoments _),
+    "q_gapfill" -> (Events.gapfillHourly _),
+    "q_tfidf" -> ((s: SparkSession, d: String) => TextOps.tfidf(s, d)),
+    "q_vocab_growth" -> (TextOps.vocabGrowth _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -506,5 +516,95 @@ object SparkEntry {
     "q_dedup_minhash" -> DedupOps.minhashOracle,
     "q_dedup_simhash" -> DedupOps.simhashOracle,
     "q_dedup_simhash_pairs" -> DedupOps.simhashPairsOracle,
+    "q_pivot_priority" ->
+      """SELECT c_mktsegment,
+        | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_urgent,
+        | CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+        |   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_high,
+        | CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_medium,
+        | CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_notspec,
+        | CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+        |   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_low
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_cube_returns" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        | l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        | COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_stats_moments" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+        |    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | ROUND(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 2) AS sd_price,
+        | ROUND((n * sxx - sx * sx) / (n * (n - 1.0)), 2) AS var_price,
+        | ROUND((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
+        |   * sqrt(n * syy - sy * sy)), 4) AS corr_qty_price,
+        | ROUND((n * sxy - sx * sy) / (n * (n - 1.0)), 2) AS cov_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q_gapfill" ->
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |  event_type, value FROM events),
+        |agg AS (SELECT h, event_type, COUNT(*) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value FROM e GROUP BY 1, 2),
+        |hours AS (SELECT UNNEST(generate_series((SELECT MIN(h) FROM e),
+        |  (SELECT MAX(h) FROM e), INTERVAL 1 HOUR)) AS h),
+        |types AS (SELECT DISTINCT event_type FROM e)
+        |SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        | types.event_type, COALESCE(agg.n, 0) AS n,
+        | COALESCE(agg.sum_value, 0.0) AS sum_value
+        |FROM hours CROSS JOIN types
+        |LEFT JOIN agg ON agg.h = hours.h AND agg.event_type = types.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |  UNNEST(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+        |  GROUP BY 1),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |r AS (SELECT doc_id, term, tf, df, n_docs,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tf * (CAST(n_docs AS DOUBLE) / df) DESC, term) AS rk
+        | FROM tf JOIN df USING (term) CROSS JOIN nd)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df,
+        | ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf_log
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_vocab_growth" ->
+      """WITH toks AS (SELECT source,
+        |  UNNEST(string_split(lower(text), ' ')) AS term FROM documents),
+        |pt AS (SELECT source, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+        |top AS (SELECT source, term AS top_term, n AS top_n FROM pt
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n DESC, term DESC) = 1),
+        |stats AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS vocab,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        | FROM pt GROUP BY 1)
+        |SELECT source, n_tokens, vocab, hapax, top_term, top_n,
+        | ROUND(CAST(vocab AS DOUBLE) / n_tokens, 6) AS ttr
+        |FROM stats JOIN top USING (source)
+        |ORDER BY source""".stripMargin,
   )
 }

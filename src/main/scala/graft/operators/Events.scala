@@ -223,4 +223,37 @@ object Events {
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
       .orderBy($"hour", $"event_type")
   }
+
+  /** Time-series gap-fill (resample): hourly event counts per type over
+    * the FULL [min hour, max hour] range, with missing (hour, type) cells
+    * zero-filled — the densification step every downstream charting /
+    * anomaly job needs, and the batch twin of what a streaming windowed
+    * agg emits implicitly.
+    *
+    * Shape for scale: the raw stream aggregates FIRST (partial+final hash
+    * agg — only group rows shuffle), then the dense dimension grid is
+    * built from a 2-scalar range aggregate exploded through `sequence()`
+    * × the distinct type set, both broadcast — so the left join that
+    * fills gaps is dims(BROADCAST) ⋈ agg with no extra shuffle of the
+    * fact side, and the grid is plan-constant size (hours · types), never
+    * data-sized.
+    */
+  def gapfillHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select(date_trunc("hour", $"ts").as("h"), $"event_type", $"value")
+    val agg = e.groupBy($"h", $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+    val range = e.agg(min($"h").as("lo"), max($"h").as("hi"))
+    val hours = range
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 hour")))
+        .as("h"))
+    val dims = hours.crossJoin(e.select($"event_type").distinct())
+    dims.join(agg, Seq("h", "event_type"), "left")
+      .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"sum_value", lit(0.0)).as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
 }

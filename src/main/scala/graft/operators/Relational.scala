@@ -354,4 +354,126 @@ object Relational {
     val o = Tables(s, dir, "orders").select($"o_custkey".as("c_custkey"))
     c.intersect(o).orderBy($"c_custkey").limit(100)
   }
+
+  /** Pivot: order revenue by market segment × order priority, one column
+    * per priority. The pivot value list is EXPLICIT (all five TPC-H
+    * priorities) — with an implicit list Spark runs an extra distinct job
+    * to discover values and the output column set depends on the data;
+    * pinning the list keeps the plan one-pass (single partial+final agg,
+    * no discovery scan) and the schema stable, which is also the 100 TB
+    * discipline: a pivot over an unbounded value domain is a bug, not a
+    * query. Columns are renamed to identifier-safe names matching the
+    * oracle's conditional-aggregation aliases.
+    */
+  def pivotPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderpriority",
+        $"o_totalprice".cast("decimal(12,2)").as("price"))
+      .groupBy($"c_mktsegment")
+      .pivot("o_orderpriority", priorities)
+      .agg(sum($"price"))
+      .select($"c_mktsegment",
+        col("1-URGENT").cast("double").as("p_urgent"),
+        col("2-HIGH").cast("double").as("p_high"),
+        col("3-MEDIUM").cast("double").as("p_medium"),
+        col("4-NOT SPECIFIED").cast("double").as("p_notspec"),
+        col("5-LOW").cast("double").as("p_low"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** CUBE over (returnflag, linestatus) with an explicit grouping_id —
+    * the grouping-sets sibling of `q_rollup_revenue` (ROLLUP emits the
+    * prefix lattice; CUBE emits all 2ⁿ subsets, including the
+    * linestatus-only slice a rollup can't produce). grouping_id
+    * disambiguates "NULL because aggregated away" from a genuine NULL
+    * key. Spark plans one Expand + single hash agg: each input row fans
+    * out to the 4 grouping sets map-side, so the shuffle still carries
+    * groups, not rows — the same shape a hand-written UNION ALL of 4
+    * aggregates would need 4 scans for.
+    */
+  def cubeReturns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_linestatus",
+        $"l_quantity".cast("decimal(12,2)").as("qty"))
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        sum($"qty").cast("long").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select($"gid", $"l_returnflag", $"l_linestatus", $"sum_qty", $"n")
+      .orderBy($"gid", asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+  }
+
+  /** Fixed-width histogram of order value: bucket = floor(price/25k).
+    * Bucketing is one IEEE division + floor on the same parquet doubles in
+    * both engines — bit-deterministic — and the aggregate is a single
+    * partial+final hash agg over ~30 buckets, so at any scale only the
+    * bucket rows cross the shuffle. The per-bucket min/max are the raw
+    * doubles (exact), the sum is exact DECIMAL.
+    */
+  def histogramOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select(floor($"o_totalprice" / 25000.0).cast("long").as("bucket"),
+        $"o_totalprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy($"bucket")
+  }
+
+  /** Statistical moments + bivariate aggregates per return flag: sample
+    * stddev/variance of extendedprice, Pearson correlation and sample
+    * covariance of (quantity, extendedprice).
+    *
+    * NOT the built-in `var_samp`/`corr`: those accumulate co-moments in
+    * double, where partition/merge order perturbs the low bits — at price
+    * scale (var ≈ 5·10⁸) the 2-dp round would need ~1e-11 relative
+    * agreement with a single-threaded oracle, inside the noise band.
+    * Instead this aggregates EXACT sufficient statistics — Σx, Σy, Σx²,
+    * Σy², Σxy in DECIMAL (inputs have 2 dp, so the products have 4 dp and
+    * the sums are exact integers scaled by 10⁴) — and finalizes with the
+    * textbook formulas in double. Both engines then round the SAME exact
+    * decimals to the SAME doubles and apply the SAME IEEE ops (÷, √ are
+    * correctly rounded), so the result is bit-deterministic.
+    *
+    * This is also the mergeable-at-scale shape: the shuffle carries 6
+    * exact scalars per group (associative, order-free), and a 100 TB
+    * two-pass Welford is unnecessary because DECIMAL(38,4) absorbs ~10³⁴
+    * before overflow.
+    */
+  def statsMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"l_extendedprice".cast("decimal(12,2)")
+    val y = $"l_quantity".cast("decimal(12,2)")
+    Tables(s, dir, "lineitem")
+      .select($"l_returnflag", x.as("x"), y.as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").cast("double").as("sx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y" * $"y").cast("double").as("syy"),
+        sum($"x" * $"y").cast("double").as("sxy"))
+      .select($"l_returnflag", $"n",
+        round(sqrt(($"n" * $"sxx" - $"sx" * $"sx") /
+          ($"n" * ($"n" - lit(1.0)))), 2).as("sd_price"),
+        round(($"n" * $"sxx" - $"sx" * $"sx") /
+          ($"n" * ($"n" - lit(1.0))), 2).as("var_price"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+            sqrt($"n" * $"syy" - $"sy" * $"sy")), 4).as("corr_qty_price"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * ($"n" - lit(1.0))), 2).as("cov_qty_price"))
+      .orderBy($"l_returnflag")
+  }
 }

@@ -408,4 +408,70 @@ object TextOps {
         (($"n_sh" - $"n_uniq") * 10L > $"n_sh").as("repetitive"))
       .orderBy($"doc_id")
   }
+
+  /** TF-IDF term weighting: for every document its top-3 terms. Two
+    * shuffles total — (doc, term) term frequencies, then term document
+    * frequencies broadcast back onto the tf rows (the df side is at most
+    * |vocabulary| rows, tiny by construction at any corpus scale).
+    *
+    * Determinism across engines: ranking uses the LINEAR-idf score
+    * `tf · (n_docs / df)` — one IEEE division and one multiply of small
+    * integers, bit-identical in Spark and DuckDB — with the term as tie
+    * break, so the top-3 cut can never flip on a transcendental's last
+    * ulp. The conventional `tf · ln(n/df)` is reported alongside rounded
+    * to 4 decimals (display only; both engines' `ln` agree far beyond 4
+    * places). At 100 TB the shape holds: tf agg shuffles (doc_id, term)
+    * pairs, df is a vocabulary-sized broadcast, and the per-doc top-3 is
+    * a partition-local window after one hash partition by doc.
+    */
+  def tfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"))
+    val nDocs = docs(s, dir).select(countDistinct($"doc_id").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id")
+      .orderBy(($"tf".cast("double") * ($"n_docs".cast("double") / $"df"))
+        .desc, $"term")
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"doc_id", $"rk", $"term", $"tf", $"df",
+        round($"tf" * log($"n_docs".cast("double") / $"df"), 4)
+          .as("tfidf_log"))
+      .orderBy($"doc_id", $"rk")
+  }
+
+  /** Corpus-level vocabulary statistics per source (the Heaps'-law view a
+    * corpus curator reads before training a tokenizer): total tokens,
+    * distinct vocabulary, hapax count (terms seen exactly once), and the
+    * most frequent term. One explode + two hash aggregations; the token
+    * stream shuffles once on (source, term) — at 100 TB you'd pre-agg
+    * per-partition (partial hash agg does this automatically) so only
+    * (source, term, count) rows cross the wire, which is what Spark's
+    * partial aggregation already gives this plan.
+    */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perTerm = docs(s, dir)
+      .select($"source", explode(split(lower($"text"), " ")).as("term"))
+      .groupBy($"source", $"term")
+      .agg(count(lit(1)).as("n"))
+    perTerm
+      .groupBy($"source")
+      .agg(sum($"n").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when($"n" === 1L, 1L).otherwise(0L)).as("hapax"),
+        max(struct($"n", $"term")).getField("term").as("top_term"),
+        max(struct($"n", $"term")).getField("n").as("top_n"))
+      .select($"source", $"n_tokens", $"vocab", $"hapax", $"top_term",
+        $"top_n",
+        round($"vocab".cast("double") / $"n_tokens", 6).as("ttr"))
+      .orderBy($"source")
+  }
 }

@@ -867,4 +867,105 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getLong(2) <= nEval)
     }
   }
+
+  test("tfidf is deterministic across runs and covers every doc with " +
+    "exactly ranks 1..3") {
+    val base = TextOps.tfidf(spark, sfTest).collect().toSeq
+    // the linear-idf ranking key has no accumulation-order freedom (one
+    // IEEE divide + multiply of exact integers), so reruns must be
+    // byte-identical — no flaky top-3 cut on float ties
+    val again = TextOps.tfidf(spark, sfTest).collect().toSeq
+    assert(base == again)
+    val docs = Tables(spark, sfTest, "documents")
+    val docIds = base.map(_.getLong(0)).distinct
+    assert(docIds.size == docs.count(),
+      "every document must contribute a top-3 row set")
+    base.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted == Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("gap-fill emits the dense hour×type grid with true zero fills") {
+    import spark.implicits._
+    val out = Events.gapfillHourly(spark, sfTest)
+    val rows = out.collect()
+    val types = Tables(spark, sfTest, "events")
+      .select($"event_type").distinct().count()
+    val hours = rows.map(_.getString(0)).distinct.length
+    assert(rows.length == hours * types,
+      s"grid must be dense: ${rows.length} != $hours*$types")
+    // this corpus is sparse enough at sf0.001 that real gaps exist, and
+    // every gap row is (0, 0.0)
+    val zeros = rows.filter(_.getLong(2) == 0L)
+    assert(zeros.nonEmpty, "fixture should contain empty (hour,type) cells")
+    assert(zeros.forall(_.getDouble(3) == 0.0))
+    // hour range is contiguous: first/last match the raw min/max
+    val bounds = Tables(spark, sfTest, "events")
+      .agg(date_format(date_trunc("hour", min($"ts")),
+        "yyyy-MM-dd HH:mm:ss"),
+        date_format(date_trunc("hour", max($"ts")), "yyyy-MM-dd HH:mm:ss"))
+      .head()
+    assert(rows.map(_.getString(0)).min == bounds.getString(0))
+    assert(rows.map(_.getString(0)).max == bounds.getString(1))
+  }
+
+  test("sufficient-statistics moments agree with Spark's built-in " +
+    "co-moment aggregates") {
+    import spark.implicits._
+    val exact = Relational.statsMoments(spark, sfTest).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val builtin = Tables(spark, sfTest, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(stddev_samp($"l_extendedprice").as("sd"),
+        var_samp($"l_extendedprice").as("v"),
+        corr($"l_quantity", $"l_extendedprice").as("c"),
+        covar_samp($"l_quantity", $"l_extendedprice").as("cv"))
+      .collect()
+    assert(builtin.nonEmpty)
+    builtin.foreach { r =>
+      val e = exact(r.getString(0))
+      assert(math.abs(e.getDouble(2) - r.getDouble(1)) < 0.02, "sd")
+      assert(math.abs(e.getDouble(3) / r.getDouble(2) - 1.0) < 1e-9, "var")
+      // e.corr is rounded to 4 dp, so agreement is rounding-bounded
+      assert(math.abs(e.getDouble(4) - r.getDouble(3)) < 1e-4, "corr")
+      // e.cov is rounded to 2 dp → absolute half-step bound
+      assert(math.abs(e.getDouble(5) - r.getDouble(4)) < 0.01, "cov")
+    }
+  }
+
+  test("pivot has a pinned schema and needs no value-discovery pass") {
+    val df = Relational.pivotPriority(spark, sfTest)
+    assert(df.columns.toSeq == Seq("c_mktsegment", "p_urgent", "p_high",
+      "p_medium", "p_notspec", "p_low"))
+    // explicit pivot values ⇒ the standard two-phase rewrite (partial agg
+    // per (segment, priority), then PivotFirst) over a SINGLE scan of the
+    // fact table — an implicit pivot would additionally run an eager
+    // distinct job at plan time to discover the column set
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size <= 2, s"expected two-phase pivot, got ${aggs.size}")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 2, "exactly one orders scan + one customer scan")
+    val rows = df.collect()
+    assert(rows.length == 5 && rows.forall(r => !r.anyNull))
+  }
+
+  test("cube emits all four grouping sets with postgres-style gids") {
+    val rows = Relational.cubeReturns(spark, sfTest).collect()
+    val gids = rows.map(_.getLong(0)).distinct.sorted.toSeq
+    assert(gids == Seq(0L, 1L, 2L, 3L))
+    // gid 3 = grand total: exactly one row, both keys null
+    val total = rows.filter(_.getLong(0) == 3L)
+    assert(total.length == 1 && total.head.isNullAt(1) &&
+      total.head.isNullAt(2))
+    // the gid-0 slice sums to the grand total
+    assert(rows.filter(_.getLong(0) == 0L).map(_.getLong(4)).sum ==
+      total.head.getLong(4))
+    // rollup misses the linestatus-only slice; cube must have it
+    assert(rows.exists(r => r.getLong(0) == 2L && r.isNullAt(1) &&
+      !r.isNullAt(2)))
+  }
 }
