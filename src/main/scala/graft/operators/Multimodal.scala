@@ -34,6 +34,13 @@ import graft.Tables
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE per read/write — at one
+  // file create+delete per media blob that dominates decode cost. The
+  // in-memory cache is strictly better for partition-batched blobs that
+  // are already byte arrays. (JVM-global, idempotent; set when this
+  // object first loads on the executor.)
+  ImageIO.setUseCache(false)
+
   /** Number of feature dimensions every codec path emits. */
   val FeatureBins = 16
 
@@ -54,6 +61,7 @@ object Multimodal {
   : Array[Byte] = {
     val d = md5(seed)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -61,11 +69,12 @@ object Multimodal {
         val r = d((x * 31 + y) & 15) & 0xff
         val g = d((x * 7 + y * 3 + 5) & 15) & 0xff
         val b = d((x + y * 11 + 9) & 15) & 0xff
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(y * w + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
@@ -138,17 +147,16 @@ object Multimodal {
 
   private def luminanceHistogram(img: BufferedImage): Array[Float] = {
     val hist = new Array[Float](FeatureBins)
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
-        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-          (rgb & 0xff) * 114) / 1000
-        hist(lum >> 4) += 1f
-        x += 1
-      }
-      y += 1
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+      hist(lum >> 4) += 1f
+      i += 1
     }
     normalize(hist)
   }

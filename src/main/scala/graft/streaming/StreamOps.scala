@@ -20,6 +20,12 @@ case class ErrorAlarm(user_id: Long, consecutive_errors: Int,
   */
 case class TokenCount(bucket: Int, token: String, est: Long)
 
+/** One funnel-stage transition emitted by the streaming funnel: `user_id`
+  * reached `stage` (1=view, 2=click, 3=purchase) at event time `ts`.
+  * Each (user, stage) is emitted at most once, at its final value.
+  */
+case class FunnelStage(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+
 /** Structured Streaming operator inventory (SURVEY.md §2.9). Each takes a
   * *streaming* DataFrame with the Event schema and returns the transformed
   * streaming DataFrame — callers pick the sink. The same logical plans run
@@ -246,6 +252,121 @@ object StreamOps {
         math.floorMod(scala.util.hashing.MurmurHash3.stringHash(t), buckets))
       .transformWithState(new TopKProcessor(m),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-user streaming-funnel state: the finalized stage chain (earliest
+    * view / earliest qualifying click / earliest qualifying purchase, in
+    * epoch ms; 0 = slot unfilled) plus the armed flush-timer timestamp
+    * (same one-timer-per-key discipline as [[AlarmProcessor]]).
+    */
+  case class FunnelChain(vMs: Long, cMs: Long, pMs: Long,
+                         armedTimerMs: Long)
+
+  /** Streaming ordered funnel — the stream twin of `q_funnel`, and the
+    * one operator here that genuinely needs watermark-delayed
+    * finalization: the chain folds events in EVENT-TIME order (a late
+    * `view` can re-qualify a click that a naive eager fold already
+    * rejected), so each user's events buffer in `ListState` until the
+    * watermark passes them, then drain in (ts, event_id) order through
+    * the stage machine. Within the allowed lateness the result is
+    * byte-equal to the batch funnel; events later than the watermark are
+    * dropped upstream by `withWatermark`, the same contract every
+    * watermarked operator here carries.
+    *
+    * State bound: the buffer holds at most one lateness-horizon of a
+    * user's events (flushed rows are removed, and once the chain
+    * completes the processor stops buffering entirely and clears the
+    * list), the chain is four longs — so state is O(users in the
+    * horizon), sharded by the same shuffle as the data. Emission is
+    * Append-mode and final: a (user, stage) row is emitted exactly once,
+    * when the watermark proves no earlier event can change it.
+    */
+  private class FunnelProcessor
+    extends StatefulProcessor[Long, Event, FunnelStage] {
+    @transient private var chain: org.apache.spark.sql.streaming.ValueState[FunnelChain] = _
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Event] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      chain = getHandle.getValueState[FunnelChain]("chain",
+        Encoders.product[FunnelChain], TTLConfig.NONE)
+      buf = getHandle.getListState[Event]("buf", Encoders.product[Event],
+        TTLConfig.NONE)
+    }
+
+    /** Drain buffered events finalized by `wmMs` through the stage
+      * machine in event-time order; rewrite the buffer with the still-
+      * pending tail; re-arm the flush timer iff anything is pending.
+      */
+    private def flush(userId: Long, wmMs: Long,
+                      prev: FunnelChain): (FunnelChain, List[FunnelStage]) = {
+      val (ready, pending) = buf.get().toSeq
+        .partition(_.ts.getTime <= wmMs)
+      var (v, c, p) = (prev.vMs, prev.cMs, prev.pMs)
+      val out = List.newBuilder[FunnelStage]
+      ready.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        e.event_type match {
+          case "view" if v == 0L =>
+            v = t; out += FunnelStage(userId, 1, e.ts)
+          case "click" if v != 0L && c == 0L && t > v =>
+            c = t; out += FunnelStage(userId, 2, e.ts)
+          case "purchase" if c != 0L && p == 0L && t > c =>
+            p = t; out += FunnelStage(userId, 3, e.ts)
+          case _ => ()
+        }
+      }
+      buf.clear()
+      if (p == 0L && pending.nonEmpty) buf.appendList(pending.toArray)
+      // flush exactly when the watermark reaches the oldest pending event
+      val timer =
+        if (p == 0L && pending.nonEmpty) pending.map(_.ts.getTime).min
+        else 0L
+      if (prev.armedTimerMs != 0L && prev.armedTimerMs != timer)
+        getHandle.deleteTimer(prev.armedTimerMs)
+      if (timer != 0L && timer != prev.armedTimerMs)
+        getHandle.registerTimer(timer)
+      (FunnelChain(v, c, p, timer), out.result())
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[FunnelStage] = {
+      val prev = if (chain.exists()) chain.get()
+                 else FunnelChain(0L, 0L, 0L, 0L)
+      // completed funnels ignore further events — nothing can change
+      if (prev.pMs != 0L) return Iterator.empty
+      val funnelRows = rows.filter(e =>
+        e.event_type == "view" || e.event_type == "click" ||
+          e.event_type == "purchase").toArray
+      if (funnelRows.nonEmpty) buf.appendList(funnelRows)
+      val (next, out) = flush(userId, tv.getCurrentWatermarkInMs(), prev)
+      chain.update(next)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+    : Iterator[FunnelStage] = {
+      val prev = if (chain.exists()) chain.get()
+                 else FunnelChain(0L, 0L, 0L, 0L)
+      val (next, out) = flush(userId, tv.getCurrentWatermarkInMs(),
+        prev.copy(armedTimerMs = 0L))
+      chain.update(next)
+      out.iterator
+    }
+  }
+
+  /** Streaming funnel entry point: ordered view→click→purchase stage
+    * transitions per user (see [[FunnelProcessor]]). `lateness` is both
+    * the replay-disorder tolerance and the finalization delay.
+    */
+  def funnelStages(events: Dataset[Event],
+                   lateness: String = "2 hours"): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming ingest dedup against the historical corpus — the live half

@@ -108,4 +108,39 @@ class PlanSpec extends SparkSpec {
     assert(scans.size == 1,
       s"expected one documents scan, got ${scans.size}")
   }
+
+  test("selective shuffle joins accept an injected runtime bloom filter") {
+    // The cluster-deployment lever SCALE.md relies on for fact⋈dim joins
+    // too big to broadcast: Spark's InjectRuntimeFilter builds a bloom
+    // filter from the selective (filtered) creation side and applies it
+    // as a semi-join-like row filter on the fact side BEFORE its shuffle,
+    // cutting exchange volume by the dim filter's selectivity. Local
+    // fixture tables sit under the application-side threshold, so the
+    // test lowers it (the knob a real deployment leaves at 10 GB) and
+    // pins (a) the rewrite fires and (b) results are unchanged.
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "1KB")
+    def q(sess: org.apache.spark.sql.SparkSession) = {
+      val li = graft.Tables(sess, sfTest, "lineitem")
+      val p = graft.Tables(sess, sfTest, "part")
+        .filter(col("p_brand") === "Brand#11")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("long")
+            .as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }
+    val filtered = q(s2)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+      s"runtime bloom filter not injected:\n$opt")
+    assert(filtered.collect().toSeq == q(spark).collect().toSeq,
+      "bloom-pruned join must not change results")
+  }
 }

@@ -456,4 +456,74 @@ class StreamOpsSpec extends SparkSpec {
     assert(alarms.isEmpty,
       s"stale run survived eviction and alarmed: ${alarms.toSeq}")
   }
+
+  test("streaming funnel finalizes out-of-order stages in event-time " +
+    "order and matches batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.funnelStages(ms.toDS())
+        .writeStream.format("memory").queryName("t_funnel")
+        .outputMode("append").start()
+      // user 1: clean ordered funnel (later duplicate view ignored)
+      // user 2: click BEFORE the first view must not qualify
+      // user 3: purchase before any click must not qualify; no conversion
+      // user 4: stages arrive out of order ACROSS batches — the view
+      //         comes in batch 2 with an EARLIER ts than user 4's click
+      //         from batch 1; an eager fold would have rejected the click
+      ms.addData(Seq(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        ev(2, "2024-01-01 10:10:00", 1, "click", 0.0),
+        ev(3, "2024-01-01 10:20:00", 1, "purchase", 5.0),
+        ev(4, "2024-01-01 10:30:00", 1, "view", 0.0),
+        ev(5, "2024-01-01 10:00:00", 2, "click", 0.0),
+        ev(6, "2024-01-01 10:05:00", 2, "view", 0.0),
+        ev(7, "2024-01-01 10:15:00", 2, "click", 0.0),
+        ev(8, "2024-01-01 10:20:00", 2, "purchase", 7.0),
+        ev(9, "2024-01-01 10:00:00", 3, "purchase", 1.0),
+        ev(10, "2024-01-01 10:05:00", 3, "view", 0.0),
+        ev(11, "2024-01-01 10:30:00", 3, "click", 0.0),
+        ev(12, "2024-01-01 10:10:00", 4, "click", 0.0),
+        ev(13, "2024-01-01 10:15:00", 4, "purchase", 9.0)))
+      q.processAllAvailable()
+      // nothing may finalize yet: the watermark (max ts − 2 h) is still
+      // behind every buffered event
+      assert(spark.sql("select * from t_funnel").collect().isEmpty,
+        "funnel emitted before the watermark finalized the order")
+      // user 4's view arrives late but within the watermark, with a ts
+      // BEFORE the click that is already buffered
+      ms.addData(Seq(ev(14, "2024-01-01 10:05:00", 4, "view", 0.0)))
+      q.processAllAvailable()
+      // sentinel (non-funnel type) pushes the watermark past everything
+      ms.addData(Seq(ev(99, "2024-01-02 00:00:00", 42, "ping", 0.0)))
+      q.processAllAvailable()
+      val got = spark.sql("select user_id, stage, ts from t_funnel")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getTimestamp(2).toString.substring(0, 19)))
+      q.stop()
+      val expected = Set(
+        (1L, 1, "2024-01-01 10:00:00"), (1L, 2, "2024-01-01 10:10:00"),
+        (1L, 3, "2024-01-01 10:20:00"),
+        (2L, 1, "2024-01-01 10:05:00"), (2L, 2, "2024-01-01 10:15:00"),
+        (2L, 3, "2024-01-01 10:20:00"),
+        (3L, 1, "2024-01-01 10:05:00"), (3L, 2, "2024-01-01 10:30:00"),
+        (4L, 1, "2024-01-01 10:05:00"), (4L, 2, "2024-01-01 10:10:00"),
+        (4L, 3, "2024-01-01 10:15:00"))
+      assert(got.toSet == expected, s"got ${got.sorted.toSeq}")
+      // append-mode finality: each (user, stage) exactly once
+      assert(got.length == expected.size,
+        s"duplicate stage emissions: ${got.sorted.toSeq}")
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
