@@ -110,10 +110,13 @@ object SparkEntry {
     // round 6 additions: pivot/cube/histogram/moments, gap-fill, tf-idf,
     // corpus vocabulary
     "q_pivot_priority" -> (Relational.pivotPriority _),
+    "q_unpivot_priority" -> (Relational.unpivotPriority _),
     "q_cube_returns" -> (Relational.cubeReturns _),
     "q_histogram" -> (Relational.histogramOrders _),
     "q_stats_moments" -> (Relational.statsMoments _),
     "q_gapfill" -> (Events.gapfillHourly _),
+    "q_conversion_lag" -> (Events.conversionLag _),
+    "q_skew_join" -> (Events.saltedEnrich _),
     "q_tfidf" -> ((s: SparkSession, d: String) => TextOps.tfidf(s, d)),
     "q_vocab_growth" -> (TextOps.vocabGrowth _),
   )
@@ -530,6 +533,23 @@ object SparkEntry {
         |   THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_low
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_conversion_lag" -> Events.conversionLagOracle,
+    "q_skew_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        | ROUND(SUM(value), 2) AS sum_value,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_unpivot_priority" ->
+      """SELECT c_mktsegment,
+        | CASE o_orderpriority WHEN '1-URGENT' THEN 'p_urgent'
+        |  WHEN '2-HIGH' THEN 'p_high' WHEN '3-MEDIUM' THEN 'p_medium'
+        |  WHEN '4-NOT SPECIFIED' THEN 'p_notspec' ELSE 'p_low' END
+        |  AS priority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_cube_returns" ->
       """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         | l_returnflag, l_linestatus,
@@ -581,9 +601,8 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id,
         |  UNNEST(string_split(lower(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
-        |  GROUP BY 1),
-        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
         |r AS (SELECT doc_id, term, tf, df, n_docs,
         |  ROW_NUMBER() OVER (PARTITION BY doc_id
         |    ORDER BY tf * (CAST(n_docs AS DOUBLE) / df) DESC, term) AS rk

@@ -171,7 +171,12 @@ object Events {
     * each successive join is cheaper than the last. Timestamps compare
     * at the µs grain both engines share (FIXTURES.md ns note).
     */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
+  /** The three funnel stage tables (earliest view / qualifying click /
+    * qualifying purchase per user) shared by [[funnel]] and
+    * [[conversionLag]] — one formula source for the chain rule.
+    */
+  private def funnelStageTimes(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val e = Tables(s, dir, "events")
       .select($"user_id", $"event_type", $"ts")
@@ -183,6 +188,12 @@ object Events {
     val v = stage("view", None)
     val c = stage("click", Some(v))
     val p = stage("purchase", Some(c))
+    (v, c, p)
+  }
+
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (v, c, p) = funnelStageTimes(s, dir)
     def counted(df: DataFrame, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
         $"n_users")
@@ -191,6 +202,49 @@ object Events {
       .union(counted(p, "3_purchase"))
       .orderBy($"stage")
   }
+
+  /** Time-to-convert profile over the funnel chain: for users who
+    * completed view→click→purchase in order, the view→purchase latency —
+    * conversion count, mean/median/extremes. Latencies are exact integer
+    * µs (both engines share the truncated-µs grain); the mean divides an
+    * exact integer sum by the count and the median interpolates two
+    * integers — the same one-IEEE-op determinism as `q_percentiles`.
+    * Scale shape: inherits the funnel's narrowing join family, then a
+    * single global aggregate over one row per CONVERTED user.
+    */
+  def conversionLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (v, _, p) = funnelStageTimes(s, dir)
+    v.select($"user_id", $"t".as("v_t"))
+      .join(p.select($"user_id", $"t".as("p_t")), "user_id")
+      .select((unix_micros($"p_t") - unix_micros($"v_t")).as("lag_us"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(sum($"lag_us").cast("double") / count(lit(1)) / 1e6, 4)
+          .as("avg_lag_s"),
+        round(expr("percentile(lag_us, 0.5)") / 1e6, 4).as("p50_lag_s"),
+        expr("min(lag_us) div 1000000").as("min_lag_s"),
+        expr("max(lag_us) div 1000000").as("max_lag_s"))
+  }
+
+  val conversionLagOracle: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |v AS (SELECT user_id, MIN(ts) AS t FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+      |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+      |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |lags AS (SELECT epoch_us(p.t) - epoch_us(v.t) AS lag_us
+      |  FROM v JOIN p ON v.user_id = p.user_id)
+      |SELECT COUNT(*) AS n_converted,
+      | ROUND(CAST(SUM(lag_us) AS DOUBLE) / COUNT(*) / 1e6, 4) AS avg_lag_s,
+      | ROUND(quantile_cont(lag_us, 0.5) / 1e6, 4) AS p50_lag_s,
+      | MIN(lag_us) // 1000000 AS min_lag_s,
+      | MAX(lag_us) // 1000000 AS max_lag_s
+      |FROM lags""".stripMargin
 
   val funnelOracle: String =
     """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
@@ -222,6 +276,29 @@ object Events {
         $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
       .orderBy($"hour", $"event_type")
+  }
+
+  /** The enrichment join run through the EXPLICIT skew-mitigation path
+    * ([[SkewOps.saltedJoin]], salts=8): events⋈customer on the user key
+    * with the fact side salted and the dim side replicated per salt.
+    * Row-identical to the plain join by construction (the oracle IS the
+    * plain-join SQL — the driver hash-compare proves the rewrite changes
+    * where rows meet, never which rows match). This is the graded entry
+    * for the middle regime where the dim side is too big to broadcast
+    * and one user is hot enough to serialize a task; AQE's runtime skew
+    * split covers the same regime planner-side (AqeSpec).
+    */
+  def saltedEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events").select($"user_id", $"value")
+    val c = Tables(s, dir, "customer")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    SkewOps.saltedJoin(e, c, "user_id", salts = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"c_mktsegment")
   }
 
   /** Time-series gap-fill (resample): hourly event counts per type over

@@ -386,6 +386,23 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** Unpivot (melt): the wide pivot table back to long form — one row
+    * per (segment, priority measure). Spark's `unpivot` plans an Expand
+    * (each input row fans out to 5 output rows map-side, like cube), so
+    * the round trip pivot→unpivot costs one extra narrow projection, no
+    * extra shuffle. The long form is what a charting/export consumer
+    * reads; the oracle recomputes it directly from the base join with
+    * the measure names mapped.
+    */
+  def unpivotPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pivotPriority(s, dir)
+      .unpivot(Array($"c_mktsegment"),
+        Array($"p_urgent", $"p_high", $"p_medium", $"p_notspec", $"p_low"),
+        "priority", "revenue")
+      .orderBy($"c_mktsegment", $"priority")
+  }
+
   /** CUBE over (returnflag, linestatus) with an explicit grouping_id —
     * the grouping-sets sibling of `q_rollup_revenue` (ROLLUP emits the
     * prefix lattice; CUBE emits all 2ⁿ subsets, including the

@@ -409,10 +409,13 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** TF-IDF term weighting: for every document its top-3 terms. Two
-    * shuffles total — (doc, term) term frequencies, then term document
-    * frequencies broadcast back onto the tf rows (the df side is at most
-    * |vocabulary| rows, tiny by construction at any corpus scale).
+  /** TF-IDF term weighting: for every document its top-3 terms. The
+    * token stream explodes and aggregates ONCE into (doc, term, tf) rows
+    * (plan-spec-pinned); document frequency is then an unbounded-frame
+    * `count over (partition by term)` window on those rows — the same
+    * shuffle volume as a per-term aggregate, but with no second explode
+    * leg and no join to glue df back on. The per-doc top-3 is the usual
+    * rank window (WindowGroupLimit pushes the k-cut map-side).
     *
     * Determinism across engines: ranking uses the LINEAR-idf score
     * `tf · (n_docs / df)` — one IEEE division and one multiply of small
@@ -420,26 +423,26 @@ object TextOps {
     * break, so the top-3 cut can never flip on a transcendental's last
     * ulp. The conventional `tf · ln(n/df)` is reported alongside rounded
     * to 4 decimals (display only; both engines' `ln` agree far beyond 4
-    * places). At 100 TB the shape holds: tf agg shuffles (doc_id, term)
-    * pairs, df is a vocabulary-sized broadcast, and the per-doc top-3 is
-    * a partition-local window after one hash partition by doc.
+    * places). At 100 TB: only distinct (doc, term) pairs cross the two
+    * shuffles (by term for df, by doc for the rank), never raw tokens.
     */
   def tfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import s.implicits._
-    val toks = docs(s, dir)
+    val tf = docs(s, dir)
       .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
-    val tf = toks.groupBy($"doc_id", $"term")
+      .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy($"term")
-      .agg(countDistinct($"doc_id").as("df"))
-    val nDocs = docs(s, dir).select(countDistinct($"doc_id").as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
+    // doc_id is the documents PK, so n_docs is a plain count — no
+    // distinct shuffle needed; 1-row broadcast
+    val nDocs = docs(s, dir).select(count(lit(1)).as("n_docs"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy($"term")
+    val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id")
       .orderBy(($"tf".cast("double") * ($"n_docs".cast("double") / $"df"))
         .desc, $"term")
-    tf.join(broadcast(df), "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(nDocs))
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
       .filter($"rk" <= k)
       .select($"doc_id", $"rk", $"term", $"tf", $"df",
         round($"tf" * log($"n_docs".cast("double") / $"df"), 4)

@@ -109,6 +109,17 @@ class PlanSpec extends SparkSpec {
       s"expected one documents scan, got ${scans.size}")
   }
 
+  test("tfidf explodes the token stream exactly once") {
+    // df is a window count over the (doc, term, tf) aggregate — the plan
+    // must contain a single documents-scan→explode leg (the 1-row n_docs
+    // count scans zero columns and never explodes), and the top-3 cut
+    // must push map-side via WindowGroupLimit
+    val p = physical("q_tfidf")
+    val explodes = "Generate explode".r.findAllIn(p).length
+    assert(explodes == 1, s"expected one token explode, got $explodes:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank cut not pushed down:\n$p")
+  }
+
   test("selective shuffle joins accept an injected runtime bloom filter") {
     // The cluster-deployment lever SCALE.md relies on for fact⋈dim joins
     // too big to broadcast: Spark's InjectRuntimeFilter builds a bloom
