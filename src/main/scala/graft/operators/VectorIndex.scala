@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Persistent IVF index: build once, probe many — the serving-side
+  * counterpart of [[VectorOps.annIvf]] (which trains and probes inside a
+  * single query, the right shape for one-shot batch jobs but wasteful
+  * when the same corpus serves many query batches).
+  *
+  * Layout on disk (all plain parquet — readable by any engine):
+  *   - `<path>/centroids`: (cell INT, centroid ARRAY<DOUBLE>) — nlist rows.
+  *   - `<path>/lists`: (vec_id, embedding), HIVE-PARTITIONED BY cell —
+  *     probing nprobe cells is a PARTITION-PRUNED scan that reads only
+  *     those directories; at 100 TB the other nlist−nprobe cells never
+  *     leave object storage (the plan's PartitionFilters prove it, and
+  *     the spec pins that).
+  *
+  * Build cost is one pass over the corpus (executor-side cell assignment
+  * against broadcast centroids) plus one shuffle by cell for the
+  * partitioned write. The quantizer is the SAME deterministic
+  * sample-trained k-means as `annIvf` (shared code), so a probe of the
+  * saved index reproduces `annIvf`'s candidate geometry exactly.
+  */
+object VectorIndex {
+
+  /** Train the coarse quantizer and materialize the inverted-list layout.
+    * Returns the centroid count actually written.
+    */
+  def buildIvf(s: SparkSession, dir: String, indexPath: String,
+               nlist: Int = 16, sampleN: Int = 512): Int = {
+    import s.implicits._
+    val sample: Array[Array[Double]] =
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding")
+        .orderBy($"vec_id")
+        .limit(sampleN)
+        .as[(Long, Array[Float])]
+        .collect()
+        .sortBy(_._1)
+        .map(_._2.map(_.toDouble))
+    val centroids = VectorOps.trainQuantizer(sample, nlist)
+    val bcCent = s.sparkContext.broadcast(centroids)
+    VectorOps.vectorsParallel(s, dir)
+      .map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        val cent = bcCent.value
+        (cent.indices.maxBy(c => VectorOps.cosine(v, cent(c))), id, vf)
+      }
+      .toDF("cell", "vec_id", "embedding")
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/lists")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+    centroids.length
+  }
+
+  /** Serve a batch of queries from the saved index: top-k cosine
+    * neighbors per query, probing each query's `nprobe` closest cells.
+    *
+    * The probe cells of the whole batch are resolved driver-side against
+    * the (nlist-row) centroid table and pushed into the scan as LITERAL
+    * partition predicates — `cell IN (…)` prunes at the file-listing
+    * level, which is what makes a 5-cell probe of a 10k-cell index read
+    * 0.05% of the corpus. Queries broadcast (a serving batch is small by
+    * definition); candidates never leave their cell partition until the
+    * final top-k rank over ≤ queries·nprobe·cellsize rows.
+    */
+  def probeIvf(s: SparkSession, indexPath: String,
+               queries: Seq[(Long, Array[Float])], k: Int = 5,
+               nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val centroids = s.read.parquet(s"$indexPath/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val probes: Seq[(Long, Array[Double], Int)] = queries.flatMap {
+      case (qId, qv) =>
+        val q = qv.map(_.toDouble)
+        centroids.indices.sortBy(c => -VectorOps.cosine(q, centroids(c)))
+          .take(nprobe).map(c => (qId, q, c))
+    }
+    val cells = probes.map(_._3).distinct.sorted
+    val lists = s.read.parquet(s"$indexPath/lists")
+      .filter($"cell".isin(cells: _*))
+      .select($"cell", $"vec_id", $"embedding")
+      .as[(Int, Long, Array[Float])]
+    val bcProbes = s.sparkContext.broadcast(
+      probes.groupBy(_._3).map { case (c, ps) =>
+        c -> ps.map(p => (p._1, p._2)).toArray
+      })
+    val cands = lists.mapPartitions { it =>
+      val byCell = bcProbes.value
+      it.flatMap { case (cell, bId, bf) =>
+        byCell.get(cell) match {
+          case None => Iterator.empty
+          case Some(qs) =>
+            val b = bf.map(_.toDouble)
+            qs.iterator.filter(_._1 != bId).map { case (qId, q) =>
+              (qId, bId, VectorOps.cosine(q, b))
+            }
+        }
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy(desc("sim_raw"), $"b_id")
+    cands.toDF("q_id", "b_id", "sim_raw")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+      .select($"q_id", $"b_id", round($"sim_raw", 6).as("sim"), $"rn")
+      .orderBy($"q_id", $"rn")
+  }
+}

@@ -33,7 +33,7 @@ import graft.Tables
   */
 object VectorOps {
 
-  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+  private[operators] def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
@@ -46,7 +46,7 @@ object VectorOps {
     * below is CPU-bound, so a cheap shuffle of the (small) vector table
     * buys 32-wide execution of the n² work.
     */
-  private def vectorsParallel(s: SparkSession, dir: String)
+  private[operators] def vectorsParallel(s: SparkSession, dir: String)
   : org.apache.spark.sql.Dataset[(Long, Array[Float])] = {
     import s.implicits._
     Tables(s, dir, "embeddings")
@@ -281,7 +281,7 @@ object VectorOps {
     * Everything is sequential driver arithmetic over a bounded sample, so
     * the quantizer — and with it the whole index — is bit-reproducible.
     */
-  private def trainQuantizer(sample: Array[Array[Double]], nlist: Int,
+  private[operators] def trainQuantizer(sample: Array[Array[Double]], nlist: Int,
                              iters: Int = 10): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)

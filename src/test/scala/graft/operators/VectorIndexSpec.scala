@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Build-once/probe-many IVF index: correctness against the in-query
+  * `annIvf` (same deterministic quantizer, so probes must reproduce its
+  * results exactly) and the layout property that makes it a serving
+  * index — probing nprobe cells partition-prunes the list scan.
+  */
+class VectorIndexSpec extends SparkSpec {
+
+  test("probing the saved index reproduces annIvf for the same queries " +
+    "and partition-prunes the list scan") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_ivf").toString
+    val nlist = VectorIndex.buildIvf(spark, sfTest, idx)
+    assert(nlist > 1)
+
+    val queries = Tables(spark, sfTest, "embeddings")
+      .select($"vec_id", $"embedding")
+      .orderBy($"vec_id").limit(8)
+      .as[(Long, Array[Float])].collect().toSeq
+    val probe = VectorIndex.probeIvf(spark, idx, queries)
+
+    // partition pruning: the scan of lists/ must carry the cell IN (…)
+    // partition filter — only the probed directories are read
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("lists") => f
+    }
+    assert(scans.nonEmpty)
+    val pf = scans.head.metadata("PartitionFilters")
+    assert(pf.contains("cell"), s"no cell partition filter: $pf")
+
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val qIds = queries.map(_._1).toSet
+    val expected = VectorOps.annIvf(spark, sfTest).collect()
+      .filter(r => qIds.contains(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq,
+      s"index probe diverged from annIvf:\n got ${got.take(8).toSeq}\n " +
+        s"exp ${expected.take(8).toSeq}")
+
+    // the saved layout is engine-neutral plain parquet
+    assert(spark.read.parquet(s"$idx/centroids").count() == nlist)
+    assert(spark.read.parquet(s"$idx/lists").count() ==
+      Tables(spark, sfTest, "embeddings").count())
+  }
+}
