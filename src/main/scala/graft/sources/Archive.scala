@@ -41,4 +41,30 @@ object Archive {
       .option("mode", "PERMISSIVE")
       .option("timestampFormat", TsFormat)
       .json(path)
+
+  /** CSV flavor of the archive (the export format partners actually
+    * send): same DECLARED schema, same PERMISSIVE dead-letter convention.
+    * A row with the wrong arity or an unparseable cell surfaces with
+    * `_corrupt` carrying the raw line — `malformed` splits the frame into
+    * (clean, dead-letter) halves the way `WebhookIngest` routes payloads.
+    * Header off by default: a 100 TB archive is thousands of part files,
+    * and header-per-file costs a skipped line and a schema trap each.
+    */
+  def writeEventsCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", TsFormat)
+      .csv(path)
+
+  def readEventsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(eventSchema.add("_corrupt", StringType))
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("mode", "PERMISSIVE")
+      .option("timestampFormat", TsFormat)
+      .csv(path)
+
+  /** (clean rows without the `_corrupt` column, dead-lettered raw lines). */
+  def malformed(read: DataFrame): (DataFrame, DataFrame) =
+    (read.filter(read("_corrupt").isNull).drop("_corrupt"),
+      read.filter(read("_corrupt").isNotNull).select(read("_corrupt")))
 }

@@ -26,6 +26,12 @@ case class TokenCount(bucket: Int, token: String, est: Long)
   */
 case class FunnelStage(user_id: Long, stage: Int, ts: java.sql.Timestamp)
 
+/** Silence alert: `user_id` produced no events for `silent_for_ms` of
+  * event time after `last_ts` (heartbeat-loss detection).
+  */
+case class SilenceAlert(user_id: Long, last_ts: java.sql.Timestamp,
+                        silent_for_ms: Long)
+
 /** Structured Streaming operator inventory (SURVEY.md §2.9). Each takes a
   * *streaming* DataFrame with the Event schema and returns the transformed
   * streaming DataFrame — callers pick the sink. The same logical plans run
@@ -353,6 +359,71 @@ object StreamOps {
       chain.update(next)
       out.iterator
     }
+  }
+
+  /** Per-user silence-detector state: latest event time seen and the
+    * armed timer (one per key, [[AlarmProcessor]] discipline).
+    */
+  case class SilenceState(lastSeenMs: Long, armedTimerMs: Long)
+
+  /** Heartbeat-loss detection — the NEGATIVE event no aggregation can
+    * produce: an alert that a key STOPPED sending. Only event-time
+    * timers can express this (there is no row to trigger on), which is
+    * why it lives on `transformWithState`: every batch re-arms the
+    * user's single timer at lastSeen + horizon; if the watermark reaches
+    * it first, the silence is proven (no event with earlier ts can still
+    * arrive) and one alert fires. State then clears — a returning user
+    * starts a fresh cycle (and may alert again on a later silence), so
+    * state is O(currently-active users), not all-time.
+    */
+  private class SilenceProcessor(horizonMs: Long)
+    extends StatefulProcessor[Long, Event, SilenceAlert] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SilenceState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SilenceState]("silence",
+        Encoders.product[SilenceState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[SilenceAlert] = {
+      val prev = if (state.exists()) state.get() else SilenceState(0L, 0L)
+      var maxTs = prev.lastSeenMs
+      rows.foreach(e => maxTs = math.max(maxTs, e.ts.getTime))
+      val timer = maxTs + horizonMs
+      if (prev.armedTimerMs != 0L && prev.armedTimerMs != timer)
+        getHandle.deleteTimer(prev.armedTimerMs)
+      if (timer != prev.armedTimerMs) getHandle.registerTimer(timer)
+      state.update(SilenceState(maxTs, timer))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+    : Iterator[SilenceAlert] = {
+      // a later batch may have re-armed a newer timer; only a timer that
+      // still matches the stored state proves genuine silence
+      if (state.exists() &&
+          state.get().armedTimerMs == info.getExpiryTimeInMs()) {
+        val last = state.get().lastSeenMs
+        state.clear()
+        Iterator.single(SilenceAlert(userId, new java.sql.Timestamp(last),
+          tv.getCurrentWatermarkInMs() - last))
+      } else Iterator.empty
+    }
+  }
+
+  /** Silence-detection entry point: one [[SilenceAlert]] per proven
+    * `horizon` of per-user event-time silence (see [[SilenceProcessor]]).
+    */
+  def silenceAlerts(events: Dataset[Event],
+                    horizon: String = "1 hour"): Dataset[SilenceAlert] = {
+    import events.sparkSession.implicits._
+    val horizonMs = horizonToMs(horizon)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SilenceProcessor(horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming funnel entry point: ordered view→click→purchase stage

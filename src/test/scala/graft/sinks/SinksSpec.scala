@@ -251,4 +251,35 @@ class SinksSpec extends SparkSpec {
     assert(damaged.filter(col("_corrupt").isNull).count() == a.size)
     damaged.unpersist(true)
   }
+
+  test("CSV archive roundtrips events and dead-letters malformed rows") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val events = graft.Tables(spark, sfTest, "events")
+    graft.sources.Archive.writeEventsCsv(events, s"$dir/events")
+    val back = graft.sources.Archive
+      .readEventsCsv(spark, s"$dir/events").cache()
+    val (clean, dead) = graft.sources.Archive.malformed(back)
+    assert(dead.count() == 0)
+    val a = events
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect().map(_.toSeq).toSet
+    val b = clean
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "CSV roundtrip must be lossless incl. µs timestamps")
+    back.unpersist(true)
+    // wrong arity + unparseable long: both must dead-letter with the raw
+    // line preserved, not kill the read or silently vanish
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/events/part-damaged.csv"),
+      "1,2\nnot-a-long,2024-01-01T00:00:00.000000Z,7,click,1.0,{}\n")
+    val again = graft.sources.Archive
+      .readEventsCsv(spark, s"$dir/events").cache()
+    val (clean2, dead2) = graft.sources.Archive.malformed(again)
+    assert(dead2.count() == 2, "both damaged lines must dead-letter")
+    assert(dead2.collect().map(_.getString(0)).exists(_.startsWith("1,2")))
+    assert(clean2.count() == a.size)
+    again.unpersist(true)
+  }
 }

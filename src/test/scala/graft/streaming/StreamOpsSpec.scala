@@ -457,6 +457,59 @@ class StreamOpsSpec extends SparkSpec {
       s"stale run survived eviction and alarmed: ${alarms.toSeq}")
   }
 
+  test("silence detector alerts once per proven quiet period and " +
+    "re-arms when the user returns") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.silenceAlerts(ms.toDS())
+        .writeStream.format("memory").queryName("t_silence")
+        .outputMode("append").start()
+      // user 1 sends two events then goes quiet; user 2 keeps heartbeating
+      ms.addData(Seq(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+        ev(2, "2024-01-01 10:20:00", 1, "click", 0.0),
+        ev(3, "2024-01-01 10:20:00", 2, "click", 0.0)))
+      q.processAllAvailable()
+      // user 2's heartbeats push the watermark past 10:20 + 1h while
+      // keeping user 2's own timer ahead of it
+      ms.addData(Seq(ev(4, "2024-01-01 11:10:00", 2, "click", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(5, "2024-01-01 11:45:00", 2, "click", 0.0)))
+      q.processAllAvailable()
+      val first = spark.sql(
+        "select user_id, last_ts from t_silence").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(0, 19)))
+      assert(first.toSeq == Seq((1L, "2024-01-01 10:20:00")),
+        s"expected exactly user 1's silence: ${first.toSeq}")
+      // user 1 returns, then goes quiet again → a SECOND alert must fire
+      // off the new last-seen time
+      ms.addData(Seq(ev(6, "2024-01-01 11:50:00", 1, "click", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(7, "2024-01-01 13:10:00", 2, "click", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(8, "2024-01-01 13:20:00", 2, "click", 0.0)))
+      q.processAllAvailable()
+      val all = spark.sql(
+        "select user_id, last_ts from t_silence").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(0, 19)))
+      q.stop()
+      assert(all.toSet == Set(
+        (1L, "2024-01-01 10:20:00"), (1L, "2024-01-01 11:50:00")),
+        s"got ${all.toSeq}")
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming funnel finalizes out-of-order stages in event-time " +
     "order and matches batch semantics") {
     import spark.implicits._
