@@ -39,6 +39,8 @@ object SparkEntry {
     "q_window_running" -> (Windows.windowRunning _),
     "q_sessionize" -> (Windows.sessionize _),
     "q_user_deltas" -> (Windows.userDeltas _),
+    "q_rolling_7d" -> (Windows.rolling7d _),
+    "q_order_quartiles" -> (Windows.orderQuartiles _),
     // §2.6 sort/limit/set ops
     "q_topk_parts" -> (Relational.topkParts _),
     "q_topk_brand" -> (Relational.topkBrand _),
@@ -534,6 +536,26 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_conversion_lag" -> Events.conversionLagOracle,
+    "q_rolling_7d" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events)
+        |SELECT user_id, event_id, COUNT(*) OVER w AS n_7d,
+        | ROUND(SUM(value) OVER w, 2) AS sum_7d
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_order_quartiles" ->
+      """WITH spend AS (SELECT c_mktsegment, c_custkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+        | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2)
+        |SELECT c_mktsegment, c_custkey, CAST(spend AS DOUBLE) AS spend,
+        | CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment
+        |   ORDER BY spend DESC) AS BIGINT) AS drk,
+        | CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+        |   ORDER BY spend DESC, c_custkey) AS BIGINT) AS quartile
+        |FROM spend QUALIFY drk <= 20
+        |ORDER BY c_mktsegment, drk, c_custkey""".stripMargin,
     "q_skew_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
         | ROUND(SUM(value), 2) AS sum_value,

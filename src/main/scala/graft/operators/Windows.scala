@@ -67,6 +67,61 @@ object Windows {
       .orderBy($"user_id")
   }
 
+  /** Rolling 7-day window per event — the RANGE frame (value-bounded on
+    * event time), distinct from every ROWS frame here: the frame holds
+    * whatever number of events fell in the trailing week, and rows with
+    * equal timestamps are peers (both in or both out — so the count is
+    * deterministic under any within-key order). Runs on integer epoch
+    * microseconds; the frame bound is an exact integer, never a float
+    * interval. Scale shape: one hash shuffle on user_id, per-key sort,
+    * and Spark maintains the sliding frame incrementally — each row
+    * costs O(frame delta), not O(frame size).
+    */
+  def rolling7d(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weekUs = 7L * 24 * 3600 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"tus")
+      .rangeBetween(-weekUs, Window.currentRow)
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
+        $"value")
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d", round(sum($"value").over(w), 2))
+      .select($"user_id", $"event_id", $"n_7d", $"sum_7d")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Customer spend quartiles per market segment: dense_rank + ntile —
+    * the ranking functions the top-k queries don't exercise. ntile
+    * assigns near-equal-sized buckets over the per-segment spend order
+    * (deterministic: the order key (spend, custkey) is total), the
+    * dense_rank collapses revenue ties to one rank. Input to the windows
+    * is the per-customer aggregate — group rows, not order rows, cross
+    * the shuffle.
+    */
+  def orderQuartiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"c_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(12,2)")).as("spend"))
+    // two windows on purpose: dense_rank orders by spend ALONE so true
+    // revenue ties share a rank; ntile needs a TOTAL order (its bucket
+    // assignment follows row order, so peers would tile arbitrarily) —
+    // custkey breaks the tie deterministically
+    val wRank = Window.partitionBy($"c_mktsegment").orderBy($"spend".desc)
+    val wTile = Window.partitionBy($"c_mktsegment")
+      .orderBy($"spend".desc, $"c_custkey")
+    spend
+      .select($"c_mktsegment", $"c_custkey",
+        $"spend".cast("double").as("spend"),
+        dense_rank().over(wRank).cast("long").as("drk"),
+        ntile(4).over(wTile).cast("long").as("quartile"))
+      .filter($"drk" <= 20)
+      .orderBy($"c_mktsegment", $"drk", $"c_custkey")
+  }
+
   /** Batch sessionization: 30-minute-gap sessions. The streaming twin is
     * `session_window` in graft.streaming.StreamOps.
     *
