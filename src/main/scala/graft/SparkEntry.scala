@@ -115,6 +115,8 @@ object SparkEntry {
     "q_unpivot_priority" -> (Relational.unpivotPriority _),
     "q_cube_returns" -> (Relational.cubeReturns _),
     "q_histogram" -> (Relational.histogramOrders _),
+    "q_weekday_orders" -> (Relational.weekdayOrders _),
+    "q_label_centroids" -> (VectorOps.labelCentroids _),
     "q_stats_moments" -> (Relational.statsMoments _),
     "q_gapfill" -> (Events.gapfillHourly _),
     "q_conversion_lag" -> (Events.conversionLag _),
@@ -587,6 +589,19 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |   AS sum_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_weekday_orders" ->
+      """SELECT CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  AS revenue
+        |FROM orders GROUP BY 1 ORDER BY iso_weekday""".stripMargin,
+    "q_label_centroids" ->
+      """WITH x AS (SELECT CAST(label AS BIGINT) AS label,
+        |  UNNEST(embedding) AS v,
+        |  UNNEST(range(len(embedding))) AS dim FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+        | ROUND(AVG(CAST(v AS DOUBLE)), 4) AS mean_v
+        |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "q_stats_moments" ->
       """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,

@@ -386,6 +386,24 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** Orders by ISO weekday (1=Monday … 7=Sunday): the date-part family
+    * beyond EXTRACT(YEAR). Spark's `weekday()` is 0-based Monday, so
+    * +1 aligns it with DuckDB's `isodow` exactly — both compute from the
+    * DATE value, no timezone in play. One partial+final agg over 7
+    * groups.
+    */
+  def weekdayOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select((weekday($"o_orderdate") + 1).cast("long").as("iso_weekday"),
+        $"o_totalprice")
+      .groupBy($"iso_weekday")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double")
+          .as("revenue"))
+      .orderBy($"iso_weekday")
+  }
+
   /** Unpivot (melt): the wide pivot table back to long form — one row
     * per (segment, priority measure). Spark's `unpivot` plans an Expand
     * (each input row fans out to 5 output rows map-side, like cube), so

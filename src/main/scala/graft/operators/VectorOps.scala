@@ -241,6 +241,28 @@ object VectorOps {
       .orderBy($"label")
   }
 
+  /** Per-label embedding centroids in long form (label, dim, mean) — the
+    * class-prototype computation a classifier-on-embeddings pipeline
+    * runs, and the higher-order-array exercise: `posexplode` unnests
+    * (dim, value) pairs so the mean is an ordinary hash aggregate on
+    * (label, dim). At scale this shuffles n·d scalar rows once with full
+    * map-side partial aggregation — group rows out, never raw vectors;
+    * the alternative (collect vectors per label, average driver-side) is
+    * the anti-pattern this family avoids. Sum in double is
+    * order-sensitive in the last ulps, so means are rounded to 4 dp
+    * (values are O(1) — rounding dominates noise by ~10 orders).
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"label".cast("long").as("label"),
+        posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim".cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg($"v".cast("double")), 4).as("mean_v"))
+      .orderBy($"label", $"dim")
+  }
+
   /** IVF-style approximate nearest neighbours (the 100 TB scale path for
     * `knn`): a deterministic sample-trained coarse quantizer (spherical
     * k-means on the lowest-id `sampleN` vectors: Gonzalez farthest-point

@@ -107,4 +107,33 @@ class PropertySpec extends SparkSpec {
         s"prefix sum diverges on ${docs.size} docs")
     }
   }
+
+  test("salted join law: row-identical to the plain join for any salt " +
+    "count and key histogram") {
+    import spark.implicits._
+    // skewed key generators: a hot key plus a long tail, arbitrary sizes
+    val sideGen = Gen.zip(
+      Gen.listOfN(60, Gen.frequency((5, Gen.const(1L)),
+        (2, Gen.choose(1L, 8L)))),
+      Gen.listOfN(12, Gen.choose(1L, 8L)))
+    samples(Gen.zip(sideGen, Gen.choose(1, 7)), 12).foreach {
+      case ((lKeys, rKeys), salts) =>
+        val left = lKeys.zipWithIndex.map { case (k, i) => (k, s"l$i") }
+          .toDF("key", "lv")
+        val right = rKeys.zipWithIndex.map { case (k, i) => (k, s"r$i") }
+          .toDF("key", "rv")
+        val plain = left.join(right, "key")
+          .select("key", "lv", "rv").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .sorted.toSeq
+        val salted = graft.operators.SkewOps
+          .saltedJoin(left, right, "key", salts)
+          .select("key", "lv", "rv").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .sorted.toSeq
+        assert(salted == plain,
+          s"salts=$salts changed the join result (plain ${plain.size} " +
+            s"rows, salted ${salted.size})")
+    }
+  }
 }

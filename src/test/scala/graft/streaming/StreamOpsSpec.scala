@@ -257,6 +257,68 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.toSeq == (1L to 30L))
   }
 
+  test("streaming funnel resumes from its checkpoint with buffered " +
+    "events and chain state intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft_fckpt").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_fout").toString
+    try {
+      val ms = MemoryStream[Event]
+      def start() = StreamOps.funnelStages(ms.toDS())
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append").start()
+
+      // before the stop: user 1's full chain and user 4's click+purchase
+      // sit in BUFFERED ListState (watermark hasn't passed them), the
+      // exact state a crash must not lose
+      val q1 = start()
+      ms.addData(Seq(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        ev(2, "2024-01-01 10:10:00", 1, "click", 0.0),
+        ev(3, "2024-01-01 10:20:00", 1, "purchase", 5.0),
+        ev(12, "2024-01-01 10:10:00", 4, "click", 0.0),
+        ev(13, "2024-01-01 10:15:00", 4, "purchase", 9.0)))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // restart: user 4's EARLIER view arrives only now, then the
+      // sentinel finalizes everything — the restored buffer must
+      // re-order it before the click from before the restart
+      val q2 = start()
+      ms.addData(Seq(ev(14, "2024-01-01 10:05:00", 4, "view", 0.0)))
+      ms.addData(Seq(ev(99, "2024-01-02 00:00:00", 42, "ping", 0.0)))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.read.parquet(outDir)
+        .select($"user_id", $"stage", $"ts").collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getTimestamp(2).toString.substring(0, 19)))
+      val expected = Set(
+        (1L, 1, "2024-01-01 10:00:00"), (1L, 2, "2024-01-01 10:10:00"),
+        (1L, 3, "2024-01-01 10:20:00"),
+        (4L, 1, "2024-01-01 10:05:00"), (4L, 2, "2024-01-01 10:10:00"),
+        (4L, 3, "2024-01-01 10:15:00"))
+      assert(got.toSet == expected, s"got ${got.sorted.toSeq}")
+      assert(got.length == expected.size,
+        s"restart duplicated emissions: ${got.sorted.toSeq}")
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join attributes purchases to clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
