@@ -45,7 +45,27 @@ object Retention {
              minQuality: Double = 0.35, minTokens: Long = 30L,
              threshold: Double = 0.5,
              maxRecordsPerFile: Long = 1L << 20,
-             targetFiles: Option[Int] = None): DataFrame = {
+             targetFiles: Option[Int] = None): DataFrame =
+    curateObserved(s, dir, outPath, minQuality, minTokens, threshold,
+      maxRecordsPerFile, targetFiles)._1
+
+  /** [[curate]] with pipeline health metrics attached via
+    * `Dataset.observe`: the counters accumulate DURING the write job
+    * itself — zero extra passes, zero extra shuffles (an `observe` node
+    * is a map-side accumulator, not an aggregation plan) — and become
+    * readable from the returned [[org.apache.spark.sql.Observation]]
+    * after the action. This is the operational seam a 100 TB curation
+    * run needs: survivors, retained token volume, and per-run
+    * quality-score bounds land in the job's own telemetry instead of a
+    * second corpus scan that could silently diverge from what was
+    * actually written.
+    */
+  def curateObserved(s: SparkSession, dir: String, outPath: String,
+                     minQuality: Double = 0.35, minTokens: Long = 30L,
+                     threshold: Double = 0.5,
+                     maxRecordsPerFile: Long = 1L << 20,
+                     targetFiles: Option[Int] = None)
+  : (DataFrame, org.apache.spark.sql.Observation) = {
     val admitted = TextOps.admittedDocs(s, dir, minQuality, minTokens)
     val admittedMembers = DedupOps.dedupClusters(s, dir, threshold)
       .select(col("cluster_id"), col("doc_id"))
@@ -58,7 +78,17 @@ object Retention {
     val curated = Tables(s, dir, "documents")
       .join(admitted, Seq("doc_id"), "left_semi")
       .join(drops, Seq("doc_id"), "left_anti")
-    Sinks.writeCompacted(curated, outPath, maxRecordsPerFile, targetFiles)
-    curated
+    // the observe node rides ONLY the write's plan: an Observation binds
+    // to a single action, and the returned DataFrame must stay
+    // re-runnable for callers
+    val obs = new org.apache.spark.sql.Observation()
+    Sinks.writeCompacted(
+      curated.observe(obs,
+        count(lit(1)).as("n_written"),
+        sum(col("n_chars")).as("chars_written"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id")),
+      outPath, maxRecordsPerFile, targetFiles)
+    (curated, obs)
   }
 }

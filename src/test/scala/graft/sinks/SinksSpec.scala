@@ -46,6 +46,27 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("curate's observe metrics match the written corpus with no " +
+    "extra job") {
+    import spark.implicits._
+    import graft.operators.Retention
+    val dir = Files.createTempDirectory("graft_obs").toString
+    val out = s"$dir/documents.parquet"
+    val (_, obs) = Retention.curateObserved(spark, sfTest, out,
+      maxRecordsPerFile = 100L)
+    val m = obs.get
+    // metrics accumulated DURING the write must equal what landed on disk
+    val back = spark.read.parquet(out).cache()
+    assert(m("n_written") == back.count())
+    assert(m("chars_written") ==
+      back.agg(org.apache.spark.sql.functions.sum($"n_chars"))
+        .head().getLong(0))
+    assert(m("min_doc_id") ==
+      back.agg(org.apache.spark.sql.functions.min($"doc_id"))
+        .head().getLong(0))
+    back.unpersist()
+  }
+
   test("retention pipeline materializes the gated deduped corpus compacted") {
     import spark.implicits._
     import graft.operators.{DedupOps, Retention, TextOps}
