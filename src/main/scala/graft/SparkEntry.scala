@@ -116,6 +116,7 @@ object SparkEntry {
     "q_cube_returns" -> (Relational.cubeReturns _),
     "q_histogram" -> (Relational.histogramOrders _),
     "q_weekday_orders" -> (Relational.weekdayOrders _),
+    "q_small_qty_revenue" -> (Relational.smallQtyRevenue _),
     "q_label_centroids" -> (VectorOps.labelCentroids _),
     "q_stats_moments" -> (Relational.statsMoments _),
     "q_gapfill" -> (Events.gapfillHourly _),
@@ -589,6 +590,18 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |   AS sum_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_small_qty_revenue" ->
+      """WITH f AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#11'),
+        |a AS (SELECT l_partkey AS pk, CAST(SUM(l_quantity) AS BIGINT)
+        |   AS sum_q, COUNT(*) AS n
+        |  FROM f GROUP BY 1)
+        |SELECT COUNT(*) AS n_small,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |   AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM f JOIN a ON l_partkey = pk
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * n < sum_q""".stripMargin,
     "q_weekday_orders" ->
       """SELECT CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
         | COUNT(*) AS n_orders,

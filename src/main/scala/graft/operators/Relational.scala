@@ -386,6 +386,35 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** Small-quantity revenue (the TPC-H Q17 pattern): total revenue from
+    * brand lineitems whose quantity is below 20% of their part's average
+    * quantity — the second decorrelated-aggregate shape next to
+    * `q_above_avg` (per-PART average folded back onto the fact rows,
+    * where above_avg decorrelates per-customer). The boundary runs in
+    * pure integers: `5·qty·n < Σqty` ⇔ `qty < 0.2·avg` exactly in
+    * rationals, so no float average can split the predicate between
+    * engines (quantities are small integers — double sums are exact).
+    * The brand filter prunes the part side to ~1/25 before anything
+    * joins; the per-part aggregate side stays UNHINTED (same planner
+    * freedom argument as above_avg).
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables(s, dir, "part")
+      .filter($"p_brand" === "Brand#11").select($"p_partkey")
+    val f = Tables(s, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+    val perPart = f.groupBy($"l_partkey".as("pk"))
+      .agg(sum($"l_quantity").cast("long").as("sum_q"),
+        count(lit(1)).as("n"))
+    f.join(perPart, $"l_partkey" === $"pk")
+      .filter($"l_quantity".cast("long") * 5L * $"n" < $"sum_q")
+      .agg(count(lit(1)).as("n_small"),
+        round(sum($"l_extendedprice".cast("decimal(12,2)")).cast("double")
+          / 7.0, 2).as("avg_yearly"))
+  }
+
   /** Orders by ISO weekday (1=Monday … 7=Sunday): the date-part family
     * beyond EXTRACT(YEAR). Spark's `weekday()` is 0-based Monday, so
     * +1 aligns it with DuckDB's `isodow` exactly — both compute from the

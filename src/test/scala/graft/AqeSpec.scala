@@ -51,6 +51,41 @@ class AqeSpec extends SparkSpec {
       "dim joins must stay broadcast under AQE")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // the planner-side complement of SkewOps.saltedJoin: on a cluster
+    // (AQE on) a lopsided key histogram is handled by
+    // OptimizeSkewedJoin splitting the oversized partition into
+    // subpartitions after the map stage materializes. Local data is MBs,
+    // so the detection thresholds scale down; a real deployment keeps
+    // the 256 MB defaults.
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import s2.implicits._
+    // one hot key carrying ~90% of the left side; the payload column
+    // stays in the join output so the hot partition has real bytes.
+    // NOTE no groupBy(key) downstream: a hash-distribution requirement
+    // on the join output would veto the split (it would need an extra
+    // shuffle, and forceOptimizeSkewedJoin stays at its default false).
+    val left = (1 to 20000).map(i =>
+      (if (i % 10 == 0) i.toLong % 97 else 7L, s"payload-$i-${"x" * 40}"))
+      .toDF("key", "lv")
+    val right = (0L to 96L).map(k => (k, s"dim-$k")).toDF("key", "rv")
+    val j = left.join(right, "key")
+    assert(j.collect().length == 20000)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("skew="), s"AQE did not mark the skewed join:\n$plan")
+  }
+
   test("q_above_avg stays unhinted under AQE (no forced broadcast)") {
     val df = SparkEntry.queries("q_above_avg")(aqe, sfTest)
     df.collect()
