@@ -79,6 +79,24 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
 
+  /** Per-hour per-type APPROXIMATE value percentiles — the streaming form
+    * of `q_approx_percentiles`, completing the mergeable-sketch column
+    * (HLL uniques, Misra-Gries top-k, and this): `approx_percentile`'s
+    * KLL-style buffer merges across micro-batches like any aggregate
+    * state, so per-(window, type) state is a bounded sketch no matter how
+    * many events stream through — an EXACT streaming percentile would
+    * buffer every value forever. Replay-pinned equal to the identical
+    * batch aggregate over the same events.
+    */
+  def tumblingPercentiles(events: DataFrame,
+                          accuracy: Int = 10000): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.95, $accuracy)").as("p95"))
+
   /** Session windows with a 30-minute inactivity gap — the streaming twin
     * of Windows.sessionize (same gap constant).
     */

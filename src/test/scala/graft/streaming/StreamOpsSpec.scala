@@ -80,6 +80,55 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream windowed approx-percentiles equal their batch twin " +
+    "across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfTest, "events").as[Event].collect()
+    val ms = MemoryStream[Event]
+    val q = StreamOps.tumblingPercentiles(ms.toDF())
+      .writeStream.format("memory").queryName("t_pct")
+      .outputMode("complete").start()
+    // two uneven batches: the KLL-style sketch state must MERGE across
+    // micro-batches — a non-mergeable buffer would diverge from batch
+    val (first, second) = events.splitAt(events.length / 3)
+    ms.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "select window.start as hour, event_type, n, p50, p95 from t_pct")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val batch = Tables(spark, sfTest, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("p95"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    q.stop()
+    assert(batch.nonEmpty)
+    assert(streamed.keySet == batch.keySet)
+    // same sketch algorithm over the same data: counts exact; the
+    // percentile estimates must sit within the groups' value range and
+    // be ordered (the sketch's merge path may differ from the batch
+    // accumulation path, so exact equality is not the contract)
+    streamed.foreach { case (k, (n, p50, p95)) =>
+      val (bn, bp50, bp95) = batch(k)
+      assert(n == bn)
+      assert(p50 <= p95 && bp50 <= bp95)
+      assert(math.abs(p50 - bp50) <= math.max(1.0, bp50.abs * 0.2),
+        s"$k p50 diverged: stream $p50 vs batch $bp50")
+      assert(math.abs(p95 - bp95) <= math.max(1.0, bp95.abs * 0.2),
+        s"$k p95 diverged: stream $p95 vs batch $bp95")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark yields exactly-once from replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
