@@ -114,6 +114,7 @@ object SparkEntry {
     "q_pivot_priority" -> (Relational.pivotPriority _),
     "q_unpivot_priority" -> (Relational.unpivotPriority _),
     "q_cube_returns" -> (Relational.cubeReturns _),
+    "q_grouping_sets" -> (Relational.groupingSetsRevenue _),
     "q_histogram" -> (Relational.histogramOrders _),
     "q_weekday_orders" -> (Relational.weekdayOrders _),
     "q_small_qty_revenue" -> (Relational.smallQtyRevenue _),
@@ -584,6 +585,16 @@ object SparkEntry {
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS FIRST,
         | l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT)
+        |  AS gid,
+        | c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+        |ORDER BY gid, c_mktsegment ASC NULLS FIRST,
+        | o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
         | COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,

@@ -474,6 +474,31 @@ object Relational {
         asc_nulls_first("l_linestatus"))
   }
 
+  /** Arbitrary GROUPING SETS — the lattice form neither rollup (prefix
+    * sets) nor cube (all 2ⁿ sets) expresses: exactly the two
+    * one-dimensional marginals (segment) and (priority), no combined
+    * cell, no grand total. One Expand + one hash agg — two independent
+    * reports for one scan of the join, which at 100 TB is the whole
+    * point of asking the lattice instead of running two queries.
+    */
+  def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderpriority",
+        $"o_totalprice".cast("decimal(12,2)").as("price"))
+      .groupingSets(Seq(Seq($"c_mktsegment"), Seq($"o_orderpriority")),
+        $"c_mktsegment", $"o_orderpriority")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum($"price").cast("double").as("revenue"))
+      .select($"gid", $"c_mktsegment", $"o_orderpriority", $"n_orders",
+        $"revenue")
+      .orderBy($"gid", asc_nulls_first("c_mktsegment"),
+        asc_nulls_first("o_orderpriority"))
+  }
+
   /** Fixed-width histogram of order value: bucket = floor(price/25k).
     * Bucketing is one IEEE division + floor on the same parquet doubles in
     * both engines — bit-deterministic — and the aggregate is a single
