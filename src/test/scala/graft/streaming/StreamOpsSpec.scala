@@ -306,6 +306,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.toSeq == (1L to 30L))
   }
 
+  test("streaming funnel tolerates webhook retry storms: duplicate " +
+    "deliveries never advance or duplicate a stage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.funnelStages(ms.toDS())
+        .writeStream.format("memory").queryName("t_fretry")
+        .outputMode("append").start()
+      val base = Seq(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        ev(2, "2024-01-01 10:10:00", 1, "click", 0.0),
+        ev(3, "2024-01-01 10:20:00", 1, "purchase", 5.0))
+      ms.addData(base)
+      q.processAllAvailable()
+      // full replay (at-least-once webhook redelivery) + partial replay
+      ms.addData(base)
+      ms.addData(base.take(2))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(99, "2024-01-02 00:00:00", 42, "ping", 0.0)))
+      q.processAllAvailable()
+      val got = spark.sql("select user_id, stage from t_fretry").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      q.stop()
+      // a duplicate view/click at the same ts can't beat the already-set
+      // earlier (equal) stage time, and each slot fills once — so the
+      // output is exactly one row per stage despite 8 deliveries
+      assert(got.sorted.toSeq == Seq((1L, 1), (1L, 2), (1L, 3)),
+        s"retry storm corrupted the funnel: ${got.sorted.toSeq}")
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming funnel resumes from its checkpoint with buffered " +
     "events and chain state intact") {
     import spark.implicits._
