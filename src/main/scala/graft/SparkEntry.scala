@@ -122,6 +122,8 @@ object SparkEntry {
     "q_stats_moments" -> (Relational.statsMoments _),
     "q_gapfill" -> (Events.gapfillHourly _),
     "q_conversion_lag" -> (Events.conversionLag _),
+    "q_cohort_retention" -> (Events.cohortRetention _),
+    "q_dau_mau" -> (Events.dauMau _),
     "q_skew_join" -> (Events.saltedEnrich _),
     "q_tfidf" -> ((s: SparkSession, d: String) => TextOps.tfidf(s, d)),
     "q_vocab_growth" -> (TextOps.vocabGrowth _),
@@ -540,6 +542,30 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_conversion_lag" -> Events.conversionLagOracle,
+    "q_dau_mau" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM act),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM act
+        |  GROUP BY 1),
+        |mau AS (SELECT d, COUNT(DISTINCT user_id) AS mau
+        |  FROM act JOIN days ON act.day <= days.d
+        |    AND act.day >= days.d - INTERVAL 27 DAY
+        |  GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, dau, mau,
+        | ROUND(CAST(dau AS DOUBLE) / mau, 4) AS stickiness
+        |FROM dau JOIN mau ON day = d
+        |ORDER BY day""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |first AS (SELECT user_id, MIN(day) AS cohort FROM act GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        | CAST(datediff('day', cohort, day) AS BIGINT) AS age_days,
+        | COUNT(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN first ON act.user_id = first.user_id
+        |GROUP BY cohort, day
+        |ORDER BY cohort_day, age_days""".stripMargin,
     "q_rolling_7d" ->
       """WITH e AS (SELECT user_id, event_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events)

@@ -301,6 +301,56 @@ object Events {
       .orderBy($"c_mktsegment")
   }
 
+  /** Cohort retention — the other canonical product-analytics report
+    * next to the funnel: users bucketed by first-seen day (their
+    * cohort), then for every (cohort, age-in-days) cell the count of
+    * cohort members still active that day. Shape for scale: activity
+    * reduces to DISTINCT (user, day) pairs first (the per-user daily
+    * dedup is the big shrink — billions of events → users×active-days
+    * rows), the per-user first-day aggregate rides the same key, and
+    * the final cell aggregate counts distinct users per (cohort, age) —
+    * all user-keyed shuffles, no window, no grid.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+    val act = e.distinct()
+    val first = act.groupBy($"user_id").agg(min($"day").as("cohort"))
+    act.join(first, "user_id")
+      .groupBy($"cohort", $"day")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select(date_format($"cohort", "yyyy-MM-dd").as("cohort_day"),
+        datediff($"day", $"cohort").cast("long").as("age_days"),
+        $"n_users")
+      .orderBy($"cohort_day", $"age_days")
+  }
+
+  /** DAU / trailing-28-day MAU / stickiness per day. A distinct count
+    * over a RANGE window isn't expressible as a window function in
+    * either engine, so the MAU side is the bounded fan-out join: each
+    * DISTINCT (user, day) activity row lands in ≤ 28 day buckets against
+    * the broadcast day dimension (exactly the sliding-window ×4
+    * replication pattern `q_sliding_15m` uses, ×28 here), then distinct
+    * users count per bucket. Activity reduces to users×active-days pairs
+    * BEFORE any fan-out — the raw event stream never replicates.
+    */
+  def dauMau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val act = Tables(s, dir, "events")
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .distinct()
+    val days = act.select($"day".as("d")).distinct()
+    val dau = act.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+    val mau = act.join(broadcast(days),
+        $"day" <= $"d" && $"day" >= date_sub($"d", 27))
+      .groupBy($"d").agg(countDistinct($"user_id").as("mau"))
+    dau.join(mau, $"day" === $"d")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"mau",
+        round($"dau".cast("double") / $"mau", 4).as("stickiness"))
+      .orderBy($"day")
+  }
+
   /** Time-series gap-fill (resample): hourly event counts per type over
     * the FULL [min hour, max hour] range, with missing (hour, type) cells
     * zero-filled — the densification step every downstream charting /
