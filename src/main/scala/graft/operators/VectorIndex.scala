@@ -60,6 +60,41 @@ object VectorIndex {
     centroids.length
   }
 
+  /** Incrementally ingest a new vector batch into a saved index — the
+    * daily-drop operation that makes the index a living artifact instead
+    * of a rebuild-every-time one. New vectors are assigned with the
+    * SAVED centroids (the quantizer is frozen at build time — FAISS
+    * semantics: cell geometry never shifts under appends, so existing
+    * list entries stay valid) and appended to the hive-partitioned list
+    * layout in place; a probe after the append sees old and new members
+    * of each probed cell together with no read-side merge step, because
+    * the partition directory IS the inverted list. Re-train (a fresh
+    * `buildIvf`) only when drift degrades recall — that tradeoff is the
+    * operator's, not the engine's.
+    */
+  def appendIvf(s: SparkSession, indexPath: String,
+                vectors: org.apache.spark.sql.Dataset[(Long, Array[Float])])
+  : Long = {
+    import s.implicits._
+    val centroids = s.read.parquet(s"$indexPath/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    require(centroids.nonEmpty, s"no centroids at $indexPath")
+    val bcCent = s.sparkContext.broadcast(centroids)
+    val assigned = vectors
+      .map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        val cent = bcCent.value
+        (cent.indices.maxBy(c => VectorOps.cosine(v, cent(c))), id, vf)
+      }
+      .toDF("cell", "vec_id", "embedding")
+    val n = assigned.count()
+    assigned
+      .repartition($"cell")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexPath/lists")
+    n
+  }
+
   /** Serve a batch of queries from the saved index: top-k cosine
     * neighbors per query, probing each query's `nprobe` closest cells.
     *

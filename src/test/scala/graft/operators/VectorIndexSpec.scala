@@ -50,4 +50,33 @@ class VectorIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/lists").count() ==
       Tables(spark, sfTest, "embeddings").count())
   }
+
+  test("incremental append ingests new vectors into the saved lists " +
+    "and probes see them immediately") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_ivf_app").toString
+    VectorIndex.buildIvf(spark, sfTest, idx)
+    val before = spark.read.parquet(s"$idx/lists").count()
+
+    // new batch: exact copies of two existing vectors under fresh ids —
+    // their cell assignment is forced identical (frozen quantizer), and
+    // each must surface as its twin's top neighbor with sim 1.0
+    val twins = Tables(spark, sfTest, "embeddings")
+      .select($"vec_id", $"embedding")
+      .orderBy($"vec_id").limit(2)
+      .as[(Long, Array[Float])].collect()
+    val batch = twins.map { case (id, v) => (id + 1000000L, v) }.toSeq
+    val n = VectorIndex.appendIvf(spark, idx, spark.createDataset(batch))
+    assert(n == 2)
+    assert(spark.read.parquet(s"$idx/lists").count() == before + 2)
+
+    val probe = VectorIndex.probeIvf(spark, idx,
+      twins.map { case (id, v) => (id, v) }.toSeq, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    twins.foreach { case (id, _) =>
+      val hit = probe.find(_._1 == id).get
+      assert(hit._2 == id + 1000000L && hit._3 == 1.0,
+        s"appended twin not the top neighbor of $id: $hit")
+    }
+  }
 }
