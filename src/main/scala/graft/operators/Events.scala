@@ -174,6 +174,16 @@ object Events {
   /** The three funnel stage tables (earliest view / qualifying click /
     * qualifying purchase per user) shared by [[funnel]] and
     * [[conversionLag]] — one formula source for the chain rule.
+    *
+    * Each stage is lazily localCheckpoint'ed (the `DedupOps.clusterPairs`
+    * idiom): stage N's plan CONTAINS stage N−1's, and both consumers
+    * reference v and p twice more, so without the cut the events scan +
+    * the view aggregate would re-execute ~6× inside one query (measured:
+    * q_conversion_lag 2.5 s vs ~3× its sibling). With the cut, each
+    * stage materializes exactly once per action and later stages read the
+    * cached rows — at 100 TB that is the difference between one pass over
+    * the event stream per stage and a pass per *reference*. Stage tables
+    * are one row per user — the narrow thing to cache.
     */
   private def funnelStageTimes(s: SparkSession, dir: String)
   : (DataFrame, DataFrame, DataFrame) = {
@@ -184,6 +194,7 @@ object Events {
       val base = e.filter($"event_type" === typ)
       prev.fold(base)(p => base.join(p, "user_id").where($"ts" > $"t"))
         .groupBy($"user_id").agg(min($"ts").as("t"))
+        .localCheckpoint(false)
     }
     val v = stage("view", None)
     val c = stage("click", Some(v))
@@ -328,22 +339,31 @@ object Events {
 
   /** DAU / trailing-28-day MAU / stickiness per day. A distinct count
     * over a RANGE window isn't expressible as a window function in
-    * either engine, so the MAU side is the bounded fan-out join: each
-    * DISTINCT (user, day) activity row lands in ≤ 28 day buckets against
-    * the broadcast day dimension (exactly the sliding-window ×4
-    * replication pattern `q_sliding_15m` uses, ×28 here), then distinct
-    * users count per bucket. Activity reduces to users×active-days pairs
-    * BEFORE any fan-out — the raw event stream never replicates.
+    * either engine, so the MAU side is the bounded fan-out: each
+    * DISTINCT (user, day) activity row is GENERATED into its ≤ 28
+    * visibility buckets (`explode(sequence(0, 27))` → `d = day + i`,
+    * exactly the sliding-window ×4 replication pattern `q_sliding_15m`
+    * uses, ×28 here), the buckets equi-join to the observed-day
+    * dimension, then distinct users count per bucket. A predicate join
+    * (`day BETWEEN d-27 AND d`) would plan as a BroadcastNestedLoopJoin
+    * — every activity row tested against EVERY day in the horizon — so
+    * the 28 rows are produced arithmetically and the join stays hash/
+    * broadcast on the single day key. Activity reduces to
+    * users×active-days pairs BEFORE any fan-out — the raw event stream
+    * never replicates — and the fan-out is a constant 28×, independent
+    * of horizon length.
     */
   def dauMau(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val act = Tables(s, dir, "events")
-      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
       .distinct()
     val days = act.select($"day".as("d")).distinct()
     val dau = act.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
-    val mau = act.join(broadcast(days),
-        $"day" <= $"d" && $"day" >= date_sub($"d", 27))
+    val mau = act
+      .select($"user_id", $"day", explode(sequence(lit(0), lit(27))).as("i"))
+      .select($"user_id", date_add($"day", $"i").as("d"))
+      .join(broadcast(days), "d")
       .groupBy($"d").agg(countDistinct($"user_id").as("mau"))
     dau.join(mau, $"day" === $"d")
       .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"mau",

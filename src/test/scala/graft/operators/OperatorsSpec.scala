@@ -656,6 +656,37 @@ class OperatorsSpec extends SparkSpec {
     assert(base == again)
   }
 
+  test("typed sessionize twin is row-identical to the graded window form") {
+    val graded = Windows.sessionize(spark, sfTest).collect().toSeq
+    val typed = Windows.sessionizeTyped(spark, sfTest).collect().toSeq
+    assert(graded == typed && graded.nonEmpty)
+  }
+
+  test("sessionize survives one bot-grade hot user (10^6-event timeline)") {
+    import spark.implicits._
+    // one user, 10^6 events, a 31-min gap every 1000 events → 1000
+    // sessions of exactly 1000 events. The declarative form must finish
+    // because WindowExec's sort spills; a toArray per-group pass holds
+    // the whole timeline in one task's memory.
+    // block = 1000 events at 1 s spacing (999 s long), then a 31-min
+    // silence before the next block starts: block pitch = 999 + 1860 s
+    val blockUs = (999L + 1860L) * 1000000L
+    val hot = spark.range(1000000L).select(
+      lit(7L).as("user_id"),
+      col("id").as("event_id"),
+      ((col("id") / 1000L).cast("long") * blockUs
+        + (col("id") % 1000L) * 1000000L).as("tus"),
+      lit(1.0).as("value"))
+    val sessions = Windows.sessionizeDf(hot)
+      .groupBy().agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_len"))
+      .head()
+    assert(sessions.getLong(0) == 1000L)
+    assert(sessions.getLong(1) == 1000000L)
+    assert(sessions.getLong(2) == 1000L)
+  }
+
   test("stratified sample: exact quotas and row-order invariance") {
     import spark.implicits._
     val sample = TextOps.sampleStratified(spark, sfTest, quota = 30)

@@ -120,6 +120,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank cut not pushed down:\n$p")
   }
 
+  test("dau/mau fans out arithmetically — no nested-loop day join") {
+    // the ≤28-bucket visibility join must be explode(sequence)→equi-join;
+    // a predicate join (day BETWEEN d-27 AND d) plans as a
+    // BroadcastNestedLoopJoin that tests every activity row against every
+    // day in the horizon — O(act × days) at 100 TB instead of a flat 28×
+    val p = physical("q_dau_mau")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q_dau_mau regressed to a nested-loop day join:\n$p")
+    assert(p.contains("Generate explode"), "bucket fan-out generator missing")
+  }
+
+  test("funnel stages materialize once — consumers read checkpointed rows") {
+    // funnelStageTimes localCheckpoints each stage; without the cut the
+    // events scan + view aggregate re-execute ~6× inside one query (each
+    // stage plan CONTAINS the previous stage's). The top-level plan must
+    // read only RDD scans — zero parquet scans means no stage recompute.
+    for (q <- Seq("q_funnel", "q_conversion_lag")) {
+      val scans = SparkEntry.queries(q)(spark, sfTest)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+      assert(scans.isEmpty,
+        s"$q re-reads events ${scans.size}× — stage checkpoint cut lost")
+    }
+  }
+
+  test("sessionize shuffles once and keeps the spill-safe window form") {
+    // the graded entry must stay the declarative lag+cumsum pipeline
+    // (WindowExec sorts spill; a typed toArray pass cannot). Both window
+    // passes share one partition/order spec → exactly one hash exchange,
+    // and the session aggregate rides the same user_id partitioning.
+    val p = physical("q_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"sessionize pays more than the single user_id shuffle:\n$p")
+    assert("WindowExec|Window ".r.findAllIn(p).nonEmpty || p.contains("Window"),
+      "sessionize lost its window form")
+    assert(!p.contains("MapGroups"),
+      "graded sessionize regressed to the unbounded per-group buffer")
+  }
+
   test("selective shuffle joins accept an injected runtime bloom filter") {
     // The cluster-deployment lever SCALE.md relies on for fact⋈dim joins
     // too big to broadcast: Spark's InjectRuntimeFilter builds a bloom
