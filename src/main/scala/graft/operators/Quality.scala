@@ -34,12 +34,20 @@ object Quality {
 
   /** `column` is a key: every value appears exactly once. Violations =
     * rows beyond the first of each duplicated value (so a clean column
-    * reports 0, one duplicated pair reports 1).
+    * reports 0, one duplicated pair reports 1). NULL is treated as one
+    * key value — `count`/`countDistinct` both drop NULLs, so without the
+    * explicit NULL term a column that is mostly NULL would pass silently;
+    * here the second and every later NULL row counts as a violation.
+    * NULL *presence* is still [[NotNull]]'s job — pair them for a full
+    * primary-key check.
     */
   final case class Unique(column: String) extends Constraint {
     val name = "unique"
-    private[operators] def metric: Column =
-      count(col(column)) - countDistinct(col(column))
+    private[operators] def metric: Column = {
+      val nulls = sum(when(col(column).isNull, 1L).otherwise(0L))
+      count(col(column)) - countDistinct(col(column)) +
+        greatest(nulls - lit(1L), lit(0L))
+    }
   }
 
   /** Numeric `column` within [lo, hi]; NULLs are not range violations

@@ -87,12 +87,17 @@ object VectorIndex {
         (cent.indices.maxBy(c => VectorOps.cosine(v, cent(c))), id, vf)
       }
       .toDF("cell", "vec_id", "embedding")
-    val n = assigned.count()
-    assigned
+    // the ingest count rides the write job itself (Retention
+    // .curateObserved idiom): a separate count() action would evaluate
+    // the caller's dataset twice — doubling ingest cost, and reporting a
+    // count that can diverge from the rows actually written when the
+    // input is non-deterministic (sampled / limit-derived)
+    val obs = new org.apache.spark.sql.Observation()
+    assigned.observe(obs, count(lit(1)).as("n_appended"))
       .repartition($"cell")
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexPath/lists")
-    n
+    obs.get("n_appended").asInstanceOf[Long]
   }
 
   /** Serve a batch of queries from the saved index: top-k cosine

@@ -63,8 +63,23 @@ object Archive {
       .option("timestampFormat", TsFormat)
       .csv(path)
 
-  /** (clean rows without the `_corrupt` column, dead-lettered raw lines). */
+  /** (clean rows without the `_corrupt` column, dead-lettered rows).
+    *
+    * The dead-letter half keeps the FULL row — the partially-parsed
+    * typed columns plus `_corrupt` carrying the raw line — not just the
+    * raw line. Partly because a triage job wants whatever cells did
+    * parse; mostly because Spark disallows a query over a raw JSON/CSV
+    * read whose only referenced column is the internal corrupt-record
+    * column (it would throw AnalysisException at runtime unless the
+    * caller cached first — a trap this helper must not set). Referencing
+    * the data columns keeps the natural uncached
+    * `readEventsCsv → malformed → write dead-letter` path legal; the
+    * uncached-path spec pins it. Residual Spark restriction (documented,
+    * not fixable here): an aggregate that prunes every data column away —
+    * a bare `count()` on either half — still reduces the scan to
+    * `_corrupt` alone and throws; cache the read first for that shape.
+    */
   def malformed(read: DataFrame): (DataFrame, DataFrame) =
     (read.filter(read("_corrupt").isNull).drop("_corrupt"),
-      read.filter(read("_corrupt").isNotNull).select(read("_corrupt")))
+      read.filter(read("_corrupt").isNotNull))
 }

@@ -85,8 +85,11 @@ object StreamOps {
     * KLL-style buffer merges across micro-batches like any aggregate
     * state, so per-(window, type) state is a bounded sketch no matter how
     * many events stream through — an EXACT streaming percentile would
-    * buffer every value forever. Replay-pinned equal to the identical
-    * batch aggregate over the same events.
+    * buffer every value forever. Replay contract: counts are exact; the
+    * percentile estimates land within the sketch's error envelope of the
+    * batch aggregate over the same events, NOT byte-equal — KLL merge
+    * results depend on merge order, which replay does not fix (the spec
+    * asserts the tolerance, not equality — never hash-compare this).
     */
   def tumblingPercentiles(events: DataFrame,
                           accuracy: Int = 10000): DataFrame =
@@ -280,11 +283,12 @@ object StreamOps {
 
   /** Per-user streaming-funnel state: the finalized stage chain (earliest
     * view / earliest qualifying click / earliest qualifying purchase, in
-    * epoch ms; 0 = slot unfilled) plus the armed flush-timer timestamp
-    * (same one-timer-per-key discipline as [[AlarmProcessor]]).
+    * epoch ms; 0 = slot unfilled), the armed flush-timer timestamp
+    * (same one-timer-per-key discipline as [[AlarmProcessor]]), and the
+    * latest event time seen (`lastMs` — drives idle retirement).
     */
   case class FunnelChain(vMs: Long, cMs: Long, pMs: Long,
-                         armedTimerMs: Long)
+                         armedTimerMs: Long, lastMs: Long)
 
   /** Streaming ordered funnel — the stream twin of `q_funnel`, and the
     * one operator here that genuinely needs watermark-delayed
@@ -300,12 +304,18 @@ object StreamOps {
     * State bound: the buffer holds at most one lateness-horizon of a
     * user's events (flushed rows are removed, and once the chain
     * completes the processor stops buffering entirely and clears the
-    * list), the chain is four longs — so state is O(users in the
-    * horizon), sharded by the same shuffle as the data. Emission is
-    * Append-mode and final: a (user, stage) row is emitted exactly once,
-    * when the watermark proves no earlier event can change it.
+    * list), the chain is five longs, and a chain with no pending buffer
+    * — incomplete OR completed — retires via an event-time cleanup timer
+    * once the user has been idle past `idleRetentionMs`. So state is
+    * O(users active within the idle-retention horizon), never all users
+    * ever seen, sharded by the same shuffle as the data. Emission is
+    * Append-mode and final WITHIN a retention cycle: a (user, stage) row
+    * is emitted exactly once when the watermark proves no earlier event
+    * can change it; a user returning after retirement starts a fresh
+    * funnel cycle (the [[SilenceProcessor]] recycle contract) and may
+    * emit its stages again.
     */
-  private class FunnelProcessor
+  private class FunnelProcessor(idleRetentionMs: Long = 30L * 86400000L)
     extends StatefulProcessor[Long, Event, FunnelStage] {
     @transient private var chain: org.apache.spark.sql.streaming.ValueState[FunnelChain] = _
     @transient private var buf: org.apache.spark.sql.streaming.ListState[Event] = _
@@ -319,10 +329,13 @@ object StreamOps {
 
     /** Drain buffered events finalized by `wmMs` through the stage
       * machine in event-time order; rewrite the buffer with the still-
-      * pending tail; re-arm the flush timer iff anything is pending.
+      * pending tail; re-arm the single timer — a flush at the oldest
+      * pending event when something is buffered, the idle-retirement
+      * cleanup at lastMs + retention otherwise. Returns the pending
+      * count so callers can tell a drained key from a buffering one.
       */
-    private def flush(userId: Long, wmMs: Long,
-                      prev: FunnelChain): (FunnelChain, List[FunnelStage]) = {
+    private def flush(userId: Long, wmMs: Long, prev: FunnelChain)
+    : (FunnelChain, List[FunnelStage], Int) = {
       val (ready, pending) = buf.get().toSeq
         .partition(_.ts.getTime <= wmMs)
       var (v, c, p) = (prev.vMs, prev.cMs, prev.pMs)
@@ -340,29 +353,38 @@ object StreamOps {
         }
       }
       buf.clear()
-      if (p == 0L && pending.nonEmpty) buf.appendList(pending.toArray)
-      // flush exactly when the watermark reaches the oldest pending event
+      val nPending = if (p == 0L && pending.nonEmpty) {
+        buf.appendList(pending.toArray); pending.size
+      } else 0
+      // one timer per key: flush when the watermark reaches the oldest
+      // pending event; otherwise retire the (complete or stalled) chain
+      // after an idle-retention of event-time silence
       val timer =
-        if (p == 0L && pending.nonEmpty) pending.map(_.ts.getTime).min
-        else 0L
+        if (nPending > 0) pending.map(_.ts.getTime).min
+        else prev.lastMs + idleRetentionMs
       if (prev.armedTimerMs != 0L && prev.armedTimerMs != timer)
         getHandle.deleteTimer(prev.armedTimerMs)
       if (timer != 0L && timer != prev.armedTimerMs)
         getHandle.registerTimer(timer)
-      (FunnelChain(v, c, p, timer), out.result())
+      (FunnelChain(v, c, p, timer, prev.lastMs), out.result(), nPending)
     }
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
                                  tv: TimerValues): Iterator[FunnelStage] = {
-      val prev = if (chain.exists()) chain.get()
-                 else FunnelChain(0L, 0L, 0L, 0L)
+      val prev0 = if (chain.exists()) chain.get()
+                  else FunnelChain(0L, 0L, 0L, 0L, 0L)
       // completed funnels ignore further events — nothing can change
-      if (prev.pMs != 0L) return Iterator.empty
+      // within this retention cycle (the cleanup timer armed at
+      // completion still retires the key)
+      if (prev0.pMs != 0L) return Iterator.empty
       val funnelRows = rows.filter(e =>
         e.event_type == "view" || e.event_type == "click" ||
           e.event_type == "purchase").toArray
       if (funnelRows.nonEmpty) buf.appendList(funnelRows)
-      val (next, out) = flush(userId, tv.getCurrentWatermarkInMs(), prev)
+      val last = funnelRows.foldLeft(prev0.lastMs)((m, e) =>
+        math.max(m, e.ts.getTime))
+      val (next, out, _) =
+        flush(userId, tv.getCurrentWatermarkInMs(), prev0.copy(lastMs = last))
       chain.update(next)
       out.iterator
     }
@@ -371,10 +393,18 @@ object StreamOps {
                                     info: ExpiredTimerInfo)
     : Iterator[FunnelStage] = {
       val prev = if (chain.exists()) chain.get()
-                 else FunnelChain(0L, 0L, 0L, 0L)
-      val (next, out) = flush(userId, tv.getCurrentWatermarkInMs(),
-        prev.copy(armedTimerMs = 0L))
-      chain.update(next)
+                 else FunnelChain(0L, 0L, 0L, 0L, 0L)
+      val (next, out, nPending) = flush(userId,
+        tv.getCurrentWatermarkInMs(), prev.copy(armedTimerMs = 0L))
+      // idle retirement: nothing buffered and the user has been silent
+      // past the retention horizon — drop ALL state so long-tail users
+      // (bounced visitors, completed funnels) can't accumulate forever
+      if (nPending == 0 &&
+          info.getExpiryTimeInMs() >= next.lastMs + idleRetentionMs) {
+        if (next.armedTimerMs != 0L) getHandle.deleteTimer(next.armedTimerMs)
+        chain.clear()
+        buf.clear()
+      } else chain.update(next)
       out.iterator
     }
   }
@@ -446,15 +476,19 @@ object StreamOps {
 
   /** Streaming funnel entry point: ordered view→click→purchase stage
     * transitions per user (see [[FunnelProcessor]]). `lateness` is both
-    * the replay-disorder tolerance and the finalization delay.
+    * the replay-disorder tolerance and the finalization delay;
+    * `idleRetention` bounds per-user state — a user idle (in event time)
+    * past it is retired and starts a fresh funnel cycle on return.
     */
   def funnelStages(events: Dataset[Event],
-                   lateness: String = "2 hours"): Dataset[FunnelStage] = {
+                   lateness: String = "2 hours",
+                   idleRetention: String = "30 days")
+  : Dataset[FunnelStage] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor,
+      .transformWithState(new FunnelProcessor(horizonToMs(idleRetention)),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -940,6 +940,25 @@ class OperatorsSpec extends SparkSpec {
     assert(!Quality.passed(Quality.check(bad, rules)))
   }
 
+  test("unique constraint counts repeated NULLs as key violations") {
+    import spark.implicits._
+    import Quality._
+    // count/countDistinct both drop NULLs, so a mostly-NULL key column
+    // would pass a naive uniqueness metric silently; the second and every
+    // later NULL must count as a violation (NULL = one key value)
+    val df = Seq(Option(1L), Option(2L), None, None, None)
+      .toDF("k")
+    val report = Quality.check(df, Seq(Unique("k"))).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(report("unique") == 2L, s"got $report")
+    // a single NULL is not a duplicate — and distinct non-null dups
+    // still count independently
+    val df2 = Seq(Option(1L), Option(1L), None).toDF("k")
+    val report2 = Quality.check(df2, Seq(Unique("k"))).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(report2("unique") == 1L, s"got $report2")
+  }
+
   test("tfidf is deterministic across runs and covers every doc with " +
     "exactly ranks 1..3") {
     val base = TextOps.tfidf(spark, sfTest).collect().toSeq

@@ -291,16 +291,28 @@ class SinksSpec extends SparkSpec {
     assert(a == b, "CSV roundtrip must be lossless incl. µs timestamps")
     back.unpersist(true)
     // wrong arity + unparseable long: both must dead-letter with the raw
-    // line preserved, not kill the read or silently vanish
+    // line preserved, not kill the read or silently vanish.
+    // Deliberately UNCACHED from here: the natural production path is
+    // readEventsCsv → malformed → write the dead-letter table, and Spark
+    // forbids raw-scan queries that reference ONLY the corrupt column —
+    // malformed's full-row dead-letter half must keep this path legal
+    // without a mandatory cache step.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/events/part-damaged.csv"),
       "1,2\nnot-a-long,2024-01-01T00:00:00.000000Z,7,click,1.0,{}\n")
-    val again = graft.sources.Archive
-      .readEventsCsv(spark, s"$dir/events").cache()
+    val again = graft.sources.Archive.readEventsCsv(spark, s"$dir/events")
     val (clean2, dead2) = graft.sources.Archive.malformed(again)
-    assert(dead2.count() == 2, "both damaged lines must dead-letter")
-    assert(dead2.collect().map(_.getString(0)).exists(_.startsWith("1,2")))
-    assert(clean2.count() == a.size)
-    again.unpersist(true)
+    dead2.write.mode("overwrite").parquet(s"$dir/dead")
+    val deadBack = spark.read.parquet(s"$dir/dead")
+    assert(deadBack.count() == 2, "both damaged lines must dead-letter")
+    assert(deadBack.collect().map(_.getAs[String]("_corrupt"))
+      .exists(_.startsWith("1,2")), "raw line must survive in _corrupt")
+    // the partially-parsed cells ride along for triage
+    assert(deadBack.columns.contains("event_type"))
+    // clean half, still uncached: a bare count() would prune every data
+    // column and trip the same raw-scan restriction (the documented
+    // residual caveat in malformed's scaladoc) — collect keeps the full
+    // projection and is the row-consuming shape a real reader has
+    assert(clean2.collect().length == a.size)
   }
 }

@@ -731,4 +731,54 @@ class StreamOpsSpec extends SparkSpec {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("funnel state retires after idle-retention; a returning user " +
+    "starts a fresh cycle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      // short horizons so the cleanup timer fires inside the test: a user
+      // idle (event-time) past 30 min loses ALL funnel state — without
+      // this, every bounced visitor ever seen lives in state forever
+      val q = StreamOps.funnelStages(ms.toDS(), lateness = "10 minutes",
+          idleRetention = "30 minutes")
+        .writeStream.format("memory").queryName("t_funnel_ttl")
+        .outputMode("append").start()
+      ms.addData(Seq(ev(1, "2024-01-01 10:00:00", 7, "view", 0.0)))
+      q.processAllAvailable()
+      // watermark to 10:21 → the view finalizes (stage 1 emitted);
+      // cleanup timer armed at lastSeen + 30 min = 10:30
+      ms.addData(Seq(ev(2, "2024-01-01 10:31:00", 42, "ping", 0.0)))
+      q.processAllAvailable()
+      // watermark to 11:20 → the 10:30 cleanup fires → user 7 retired
+      ms.addData(Seq(ev(3, "2024-01-01 11:30:00", 42, "ping", 0.0)))
+      q.processAllAvailable()
+      // user 7 returns: a RETIRED user re-opens the funnel (fresh cycle
+      // → a second stage-1 row); an un-retired chain would ignore the
+      // duplicate view (pinned by the ordered-funnel spec)
+      ms.addData(Seq(ev(4, "2024-01-01 11:40:00", 7, "view", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(5, "2024-01-01 12:30:00", 42, "ping", 0.0)))
+      q.processAllAvailable()
+      val got = spark.sql("select user_id, stage, ts from t_funnel_ttl")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getTimestamp(2).toString.substring(0, 19)))
+      q.stop()
+      assert(got.toSet == Set(
+        (7L, 1, "2024-01-01 10:00:00"), (7L, 1, "2024-01-01 11:40:00")),
+        s"got ${got.sorted.toSeq}")
+      assert(got.length == 2, s"duplicate emissions: ${got.sorted.toSeq}")
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
