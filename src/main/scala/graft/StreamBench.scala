@@ -29,6 +29,12 @@ object StreamBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    // operational seam: every micro-batch of every pipeline lands one
+    // progress row (rates, durations, state size, watermark lag) in the
+    // metrics table — the thing a long-running deploy actually monitors
+    val metrics = graft.streaming.QueryMetrics.attach(spark)
+    val metricsPath = sys.env.getOrElse("SPARK_GRAFT_METRICS_DIR",
+      "/tmp/graft_stream_metrics")
 
     val events = Tables(spark, sfDir, "events").as[Event].collect()
 
@@ -57,8 +63,11 @@ object StreamBench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
+    val nMetrics = metrics.drainTo(spark, metricsPath)
     println(s"""{"metric":"stream_events_per_sec","pipelines":$qs,""" +
-      s""""n_events":${events.length},"batch_size":$batchSize,"sf":"$sfDir"}""")
+      s""""n_events":${events.length},"batch_size":$batchSize,""" +
+      s""""metrics_rows":$nMetrics,"metrics_path":"$metricsPath",""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,149 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Outbound webhook delivery — the producer half of the webhook domain
+  * (the engine INGESTS webhooks via graft.sources.WebhookSource; this
+  * closes the loop by DELIVERING processed results downstream as HTTP
+  * POSTs, the way a webhook analytics engine hands results to the next
+  * service).
+  *
+  * Semantics:
+  *   - Each row POSTs as a JSON object (`to_json(struct(*))`) with an
+  *     `X-Delivery-Key: <batchId>:<key>` idempotency header.
+  *   - Bounded retry with exponential backoff per row; a row that
+  *     exhausts its attempts lands in the DEAD-LETTER side of the ledger
+  *     with the raw payload and last error, instead of failing the batch
+  *     (one sick endpoint must not wedge the stream).
+  *   - A parquet LEDGER partitioned by batch_id records every settled
+  *     (batch, key) — `delivered` or `dead`. On a foreachBatch REPLAY of
+  *     the same batch id, settled keys are anti-joined away before any
+  *     HTTP happens, so a batch that committed its ledger never
+  *     re-delivers: exactly-once per (batch, row) across replays. A
+  *     crash BETWEEN the POSTs and the ledger commit degrades to
+  *     at-least-once for that batch — the idempotency header is what the
+  *     receiving side dedups on then (the same composition contract as
+  *     WebhookSource + StreamOps.dedup on the ingest side).
+  *
+  * Scale shape: delivery runs inside `mapPartitions` — one HTTP client
+  * per task, rows stream through without driver collection, parallelism
+  * = the upstream partitioning. The replay guard reads ONE batch_id
+  * partition of the ledger (directory-pruned), so the anti-join cost
+  * tracks the batch being replayed, never ledger lifetime. Backoff
+  * sleeps occupy only the delivering task.
+  */
+object WebhookDelivery {
+
+  /** One settled delivery attempt; `body` is retained only for dead
+    * letters (replaying a delivered payload from the ledger is the
+    * receiver's job, not ours — and at 100 TB the ledger must not carry
+    * a second copy of everything delivered).
+    */
+  case class Delivery(key: Long, status: String, attempts: Int,
+                      error: String, body: String)
+
+  /** Deliver one micro-batch (or any DataFrame) to `endpoint`.
+    * Returns (delivered, deadLettered) counts observed on the ledger
+    * write itself — one evaluation, one pass.
+    */
+  def deliverBatch(batch: DataFrame, batchId: Long, endpoint: String,
+                   keyCol: String, ledgerPath: String,
+                   maxAttempts: Int = 3,
+                   baseBackoffMs: Long = 50L): (Long, Long) = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val payloads = batch.select(
+      col(keyCol).cast("long").as("key"),
+      to_json(struct(batch.columns.map(col): _*)).as("body"))
+    // replay guard: keys this batch already settled (either way) never
+    // reach the endpoint again
+    val todo = settledKeys(spark, ledgerPath, batchId)
+      .fold(payloads)(done =>
+        payloads.join(done, Seq("key"), "left_anti"))
+    val results = todo.as[(Long, String)].mapPartitions { it =>
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+      it.map { case (key, body) =>
+        var attempt = 0
+        var ok = false
+        var err = ""
+        while (!ok && attempt < maxAttempts) {
+          attempt += 1
+          try {
+            val req = java.net.http.HttpRequest
+              .newBuilder(java.net.URI.create(endpoint))
+              .timeout(java.time.Duration.ofSeconds(10))
+              .header("Content-Type", "application/json")
+              .header("X-Delivery-Key", s"$batchId:$key")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build()
+            val resp = client.send(req,
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+            if (resp.statusCode() / 100 == 2) ok = true
+            else err = s"http ${resp.statusCode()}"
+          } catch {
+            case e: Exception =>
+              err = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          }
+          if (!ok && attempt < maxAttempts)
+            Thread.sleep(baseBackoffMs << (attempt - 1))
+        }
+        if (ok) Delivery(key, "delivered", attempt, "", "")
+        else Delivery(key, "dead", attempt, err, body)
+      }
+    }
+    // ONE action settles the batch: the POSTs happen while the ledger
+    // partition writes, with the outcome counts riding the same job
+    // (Retention.curateObserved idiom — no second evaluation, which
+    // would re-POST every row)
+    val obs = new org.apache.spark.sql.Observation()
+    results.toDF()
+      .observe(obs,
+        sum(when(col("status") === "delivered", 1L).otherwise(0L))
+          .as("n_delivered"),
+        sum(when(col("status") === "dead", 1L).otherwise(0L))
+          .as("n_dead"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id").parquet(ledgerPath)
+    def n(k: String): Long = obs.get(k) match {
+      case null => 0L
+      case v => v.asInstanceOf[Long]
+    }
+    (n("n_delivered"), n("n_dead"))
+  }
+
+  /** Streaming entry point: every micro-batch of `df` delivers through
+    * [[deliverBatch]] under foreachBatch's replay contract.
+    */
+  def streamDeliver(df: DataFrame, endpoint: String, keyCol: String,
+                    ledgerPath: String, checkpoint: String,
+                    maxAttempts: Int = 3,
+                    baseBackoffMs: Long = 50L): StreamingQuery =
+    Sinks.streamForeachBatch(df, checkpoint) { (batch, id) =>
+      deliverBatch(batch, id, endpoint, keyCol, ledgerPath,
+        maxAttempts, baseBackoffMs)
+      ()
+    }
+
+  /** The dead-letter table: exhausted deliveries with raw payload + last
+    * error, ready for triage / targeted redelivery.
+    */
+  def deadLetters(spark: SparkSession, ledgerPath: String): DataFrame =
+    ledger(spark, ledgerPath).filter(col("status") === "dead")
+
+  /** Full delivery ledger (all batches, both statuses). */
+  def ledger(spark: SparkSession, ledgerPath: String): DataFrame =
+    spark.read.parquet(ledgerPath)
+
+  /** Settled keys of one batch partition, if the ledger exists yet.
+    * The batch_id equality prunes to one directory of the hive layout.
+    */
+  private def settledKeys(spark: SparkSession, ledgerPath: String,
+                          batchId: Long): Option[DataFrame] =
+    if (!new java.io.File(ledgerPath).exists()) None
+    else Some(spark.read.parquet(ledgerPath)
+      .filter(col("batch_id") === batchId)
+      .select(col("key")))
+}

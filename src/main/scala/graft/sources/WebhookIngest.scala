@@ -13,6 +13,26 @@ import graft.sinks.Sinks
   * A malformed body must neither kill the pipeline nor silently flow on as
   * an all-null row: it is routed to a dead-letter lane carrying the RAW
   * payload (for replay after the producer bug is fixed) plus a reason tag.
+  *
+  * == Schema evolution contract (spec-pinned in WebhookSourceSpec) ==
+  * The per-topic schema is DECLARED in code, and producers upgrade on
+  * their own clock, so the parse behavior under drift is part of the
+  * API:
+  *   - producer ADDS a field → ignored (`from_json` drops unknown keys):
+  *     consumers upgrade by adding the nullable field to their declared
+  *     schema when ready — old payloads then read it as null.
+  *   - producer DROPS a field (or old payloads predate it) → that field
+  *     is NULL in the parsed row; required-ness is a downstream contract
+  *     (`Quality.NotNull`), not a parse failure.
+  *   - producer RETYPES a field (value that can't convert) → the whole
+  *     delivery DEAD-LETTERS (PERMISSIVE sets the corrupt column on any
+  *     field-level parse failure): silent null-out of a retyped column
+  *     would corrupt aggregates downstream, so type drift is loud.
+  * Versioning convention: within a topic, schema changes must be
+  * ADDITIVE (new nullable fields). Removing or retyping a field is a new
+  * topic (`orders` → `orders.v2`) routed to its own declared schema —
+  * the queue carries the topic per delivery precisely so readers can
+  * route versions independently.
   */
 object WebhookIngest {
 

@@ -9,6 +9,10 @@ import graft.streaming.Event
 
 class SinksSpec extends SparkSpec {
 
+  private def ev(id: Long, t: String, user: Long, typ: String,
+                 v: Double): Event =
+    Event(id, java.sql.Timestamp.valueOf(t), user, typ, v, """{"k":1}""")
+
   test("partitioned write produces a prunable hive layout") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sink").toString
@@ -242,6 +246,132 @@ class SinksSpec extends SparkSpec {
     var total = 0L
     seen.values().forEach(v => total += v)
     assert(total == 4, s"foreachBatch saw $seen")
+  }
+
+  test("outbound delivery: N rows → N POSTs, committed replay delivers " +
+    "zero, new batch delivers again") {
+    import spark.implicits._
+    import graft.sources.WebhookQueue
+    val port = WebhookQueue.startServer(0)
+    WebhookQueue.clear()
+    val dir = Files.createTempDirectory("graft_deliver").toString
+    val ledger = s"$dir/ledger"
+    val rows = Tables(spark, sfTest, "events")
+      .orderBy($"event_id").limit(5)
+    val endpoint = s"http://localhost:$port/webhook/out"
+    val before = WebhookQueue.latest
+    val (ok, dead) = WebhookDelivery.deliverBatch(rows, 1L, endpoint,
+      "event_id", ledger)
+    assert((ok, dead) == ((5L, 0L)))
+    assert(WebhookQueue.latest == before + 5, "expected 5 queue entries")
+    // payloads are the row JSON
+    val bodies = WebhookQueue.slice(before, before + 5).map(_._4)
+    assert(bodies.forall(b => b.contains("\"event_id\"") &&
+      b.contains("\"event_type\"")))
+    // replay of the COMMITTED batch: the ledger anti-join stops every
+    // key before any HTTP happens — exactly-once per (batch, row)
+    val (ok2, dead2) = WebhookDelivery.deliverBatch(rows, 1L, endpoint,
+      "event_id", ledger)
+    assert((ok2, dead2) == ((0L, 0L)))
+    assert(WebhookQueue.latest == before + 5, "replay re-delivered")
+    // same rows under a NEW batch id are a different delivery
+    val (ok3, _) = WebhookDelivery.deliverBatch(rows, 2L, endpoint,
+      "event_id", ledger)
+    assert(ok3 == 5L)
+    assert(WebhookQueue.latest == before + 10)
+    assert(WebhookDelivery.ledger(spark, ledger).count() == 10)
+    assert(WebhookDelivery.deadLetters(spark, ledger).count() == 0)
+    WebhookQueue.clear()
+  }
+
+  test("streaming delivery: every micro-batch posts once across restarts") {
+    import spark.implicits._
+    import graft.sources.WebhookQueue
+    implicit val sqlCtx = spark.sqlContext
+    val port = WebhookQueue.startServer(0)
+    WebhookQueue.clear()
+    val dir = Files.createTempDirectory("graft_sdeliver").toString
+    val endpoint = s"http://localhost:$port/webhook/out"
+    val before = WebhookQueue.latest
+    val ms = MemoryStream[Event]
+    def start() = WebhookDelivery.streamDeliver(
+      ms.toDF(), endpoint, "event_id", s"$dir/ledger", s"$dir/ckpt")
+    val q = start()
+    ms.addData(Seq(ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 10:01:00", 1, "click", 2.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(ev(3, "2024-01-01 10:02:00", 2, "view", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(WebhookQueue.latest == before + 3, "3 rows → 3 deliveries")
+    // restart from the checkpoint: committed batches must not re-deliver
+    val q2 = start()
+    q2.processAllAvailable()
+    ms.addData(Seq(ev(4, "2024-01-01 10:03:00", 2, "purchase", 4.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(WebhookQueue.latest == before + 4,
+      "restart re-delivered committed batches")
+    WebhookQueue.clear()
+  }
+
+  test("outbound delivery retries a failing endpoint with backoff, then " +
+    "dead-letters the incurable rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_deliver_dead").toString
+    // spec-local endpoint: /flaky 500s the first 2 attempts of each
+    // delivery key then accepts; /dead always 500s
+    val attempts =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    var totalDead = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/flaky", (x: com.sun.net.httpserver.HttpExchange) => {
+      val key = x.getRequestHeaders.getFirst("X-Delivery-Key")
+      val n = attempts.merge(key, 1, (a, b) => a + b)
+      x.sendResponseHeaders(if (n <= 2) 500 else 200, -1)
+      x.close()
+    })
+    server.createContext("/dead", (x: com.sun.net.httpserver.HttpExchange) => {
+      totalDead.incrementAndGet()
+      x.sendResponseHeaders(500, -1)
+      x.close()
+    })
+    server.start()
+    try {
+      val p = server.getAddress.getPort
+      val rows = Tables(spark, sfTest, "events")
+        .orderBy($"event_id").limit(3)
+      // 3 attempts: enough to ride out the flaky endpoint's 2 failures
+      val (ok, dead) = WebhookDelivery.deliverBatch(rows, 7L,
+        s"http://localhost:$p/flaky", "event_id", s"$dir/flaky",
+        maxAttempts = 3, baseBackoffMs = 1L)
+      assert((ok, dead) == ((3L, 0L)), "retries must ride out 2 failures")
+      assert(attempts.values().stream().allMatch(_ == 3),
+        s"each key must take exactly 3 attempts: $attempts")
+      // 2 attempts against a permanently failing endpoint: dead-letter
+      val (ok2, dead2) = WebhookDelivery.deliverBatch(rows, 8L,
+        s"http://localhost:$p/dead", "event_id", s"$dir/dead",
+        maxAttempts = 2, baseBackoffMs = 1L)
+      assert((ok2, dead2) == ((0L, 3L)))
+      assert(totalDead.get() == 6, "2 bounded attempts per row, no more")
+      val dl = WebhookDelivery.deadLetters(spark, s"$dir/dead").collect()
+      assert(dl.length == 3)
+      dl.foreach { r =>
+        assert(r.getAs[Int]("attempts") == 2)
+        assert(r.getAs[String]("error").contains("http 500"))
+        // the raw payload survives for triage / targeted redelivery
+        assert(r.getAs[String]("body").contains("\"event_id\""))
+      }
+      // dead-lettered keys are SETTLED: a replay of the batch must not
+      // hammer the sick endpoint again
+      val beforeRetry = totalDead.get()
+      val (ok3, dead3) = WebhookDelivery.deliverBatch(rows, 8L,
+        s"http://localhost:$p/dead", "event_id", s"$dir/dead",
+        maxAttempts = 2, baseBackoffMs = 1L)
+      assert((ok3, dead3) == ((0L, 0L)))
+      assert(totalDead.get() == beforeRetry, "replay re-attempted dead keys")
+    } finally server.stop(0)
   }
 
   test("JSON-lines archive roundtrips events and flags damaged lines") {

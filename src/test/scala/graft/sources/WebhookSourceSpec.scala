@@ -302,4 +302,55 @@ class WebhookSourceSpec extends SparkSpec {
         ("", "empty_body")))
     } finally WebhookQueue.stopServer()
   }
+
+  test("schema evolution: extra fields ignored, missing fields null, " +
+    "type drift dead-letters, additive upgrade reads both versions") {
+    import spark.implicits._
+    // the WebhookIngest scaladoc's evolution contract, pinned. Pure
+    // column logic — parseOrDeadLetter behaves identically on a batch
+    // frame and inside a micro-batch, so the batch path is the spec.
+    val v1 = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("value", DoubleType)))
+    def raw(rows: (Long, String)*) = rows.toSeq
+      .map { case (seq, body) =>
+        (seq, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+          "orders", body)
+      }
+      .toDF("seq", "ingest_ts", "topic", "body")
+    val frame = raw(
+      1L -> """{"event_id":1,"value":1.5}""", // exact v1
+      2L -> """{"event_id":2,"value":2.5,"campaign":"x"}""", // producer added a field
+      3L -> """{"event_id":3}""", // producer dropped / predates `value`
+      4L -> """{"event_id":"not-a-number","value":5.0}""") // retyped key field
+    val (good, dead) = WebhookIngest.parseOrDeadLetter(frame, v1)
+    val g = good.collect()
+      .map(r => r.getAs[Long]("seq") ->
+        (Option(r.getAs[java.lang.Long]("event_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("value")).map(_.toDouble)))
+      .toMap
+    // added field: ignored, row parses on the declared schema
+    assert(g(2L) == ((Some(2L), Some(2.5))))
+    // dropped field: null, NOT a dead-letter (required-ness is a
+    // downstream Quality.NotNull contract)
+    assert(g(3L) == ((Some(3L), None)))
+    assert(g(1L) == ((Some(1L), Some(1.5))))
+    // retyped field: loud failure — the whole delivery dead-letters with
+    // the raw payload, never a silent null in an aggregate column
+    val d = dead.collect().map(r =>
+      r.getAs[Long]("seq") -> r.getAs[String]("reason")).toMap
+    assert(d == Map(4L -> "malformed_json"), s"got $d")
+    // additive consumer upgrade: v2 = v1 + nullable `campaign`; new
+    // payloads carry it, old payloads read it as null — both versions
+    // flow through one declared schema
+    val v2 = v1.add(StructField("campaign", StringType))
+    val (good2, dead2) = WebhookIngest.parseOrDeadLetter(
+      raw(1L -> """{"event_id":1,"value":1.5}""",
+        2L -> """{"event_id":2,"value":2.5,"campaign":"x"}"""), v2)
+    val g2 = good2.collect()
+      .map(r => r.getAs[Long]("seq") ->
+        Option(r.getAs[String]("campaign"))).toMap
+    assert(g2 == Map(1L -> None, 2L -> Some("x")))
+    assert(dead2.isEmpty)
+  }
 }

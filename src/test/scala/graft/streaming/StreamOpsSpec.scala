@@ -732,6 +732,57 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("query metrics listener captures per-batch progress incl. state " +
+    "size and watermark lag, and drains to parquet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val metrics = QueryMetrics.attach(spark)
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.tumbling(ms.toDF())
+        .writeStream.format("memory").queryName("t_metrics")
+        .outputMode("update").start()
+      ms.addData(Seq(ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        ev(2, "2024-01-01 10:30:00", 2, "click", 2.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(3, "2024-01-01 11:10:00", 1, "view", 3.0)))
+      q.processAllAvailable()
+      q.stop()
+      // listener events deliver async off the streaming bus
+      spark.streams.listListeners // no-op; real wait below
+      var tries = 0
+      def rows() = metrics.snapshot(spark)
+        .filter($"query_name" === "t_metrics" && $"input_rows" > 0)
+        .collect()
+      while (rows().length < 2 && tries < 50) { Thread.sleep(100); tries += 1 }
+      val got = rows()
+      assert(got.length >= 2, s"expected >=2 data batches, got ${got.length}")
+      got.foreach { r =>
+        assert(r.getAs[Long]("batch_duration_ms") >= 0L)
+        assert(r.getAs[Double]("processed_rows_per_sec") >= 0.0)
+        // the tumbling agg is stateful: window state rows must register
+      }
+      assert(got.map(_.getAs[Long]("state_rows")).max >= 2L,
+        "state-store rows never surfaced")
+      // second data batch runs under the first batch's watermark →
+      // a real (non-sentinel) lag value
+      assert(got.map(_.getAs[Long]("watermark_lag_ms")).max > 0L,
+        "watermark lag never surfaced")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_metrics").toString
+      val drained = metrics.drainTo(spark, s"$dir/metrics")
+      assert(drained >= got.length)
+      val back = spark.read.parquet(s"$dir/metrics")
+      assert(back.count() == drained)
+      assert(back.columns.toSet == Set("query_name", "query_id", "batch_id",
+        "ts", "input_rows", "input_rows_per_sec", "processed_rows_per_sec",
+        "batch_duration_ms", "state_rows", "state_bytes",
+        "watermark_lag_ms"))
+      // drain empties the buffer
+      assert(metrics.snapshot(spark).isEmpty)
+    } finally QueryMetrics.detach(spark, metrics)
+  }
+
   test("funnel state retires after idle-retention; a returning user " +
     "starts a fresh cycle") {
     import spark.implicits._
