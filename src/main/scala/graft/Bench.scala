@@ -57,7 +57,18 @@ object Bench {
       s""""master":"${spark.sparkContext.master}",""" +
       s""""cache_tables":${spark.conf.get("spark.graft.cacheTables")},""" +
       s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
+    println(line)
+    // the stdout line gets truncated by log-buffer limits once the query
+    // inventory is large (BENCH_r06.json lost 12 tail timings that way);
+    // the file copy is the lossless record
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $out: $e")
+    }
     spark.stop()
   }
 }

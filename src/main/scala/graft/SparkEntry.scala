@@ -127,6 +127,8 @@ object SparkEntry {
     "q_skew_join" -> (Events.saltedEnrich _),
     "q_tfidf" -> ((s: SparkSession, d: String) => TextOps.tfidf(s, d)),
     "q_vocab_growth" -> (TextOps.vocabGrowth _),
+    // round 7: the one join type previously covered only in unit tests
+    "q_fullouter_hours" -> (Events.fullOuterHours _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -697,6 +699,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df,
         | ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf_log
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_fullouter_hours" ->
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |  event_type FROM events),
+        |err AS (SELECT h, COUNT(*) AS n_errors FROM e
+        |  WHERE event_type = 'error' GROUP BY 1),
+        |pur AS (SELECT h, COUNT(*) AS n_purchases FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT strftime(COALESCE(err.h, pur.h), '%Y-%m-%d %H:%M:%S')
+        |   AS hour,
+        | n_errors, n_purchases
+        |FROM err FULL OUTER JOIN pur ON err.h = pur.h
+        |ORDER BY hour""".stripMargin,
     "q_vocab_growth" ->
       """WITH toks AS (SELECT source,
         |  UNNEST(string_split(lower(text), ' ')) AS term FROM documents),

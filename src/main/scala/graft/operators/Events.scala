@@ -371,6 +371,33 @@ object Events {
       .orderBy($"day")
   }
 
+  /** FULL OUTER reconciliation of two sparse hourly series — the one
+    * join type no other graded query exercises: hourly error counts vs
+    * hourly purchase counts, keeping every hour where EITHER side is
+    * active and a NULL where the other is silent (the shape of an
+    * alerting join: "purchases with no errors" and "errors with no
+    * purchases" are both signals, so neither side may be dropped and
+    * zero-filling would erase the distinction between "no data" and
+    * "count 0"). In production the two sides are independent streams;
+    * here both derive from the events table, and the join key is the
+    * truncated hour — a plain hash-partition equi-join whose sides are
+    * already aggregated to group rows, so the full-outer costs the same
+    * one shuffle family as an inner join at any scale.
+    */
+  def fullOuterHours(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select(date_trunc("hour", $"ts").as("h"), $"event_type")
+    def hourly(typ: String, name: String): DataFrame =
+      e.filter($"event_type" === typ).groupBy($"h")
+        .agg(count(lit(1)).as(name))
+    hourly("error", "n_errors")
+      .join(hourly("purchase", "n_purchases"), Seq("h"), "full_outer")
+      .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"n_errors", $"n_purchases")
+      .orderBy($"hour")
+  }
+
   /** Time-series gap-fill (resample): hourly event counts per type over
     * the FULL [min hour, max hour] range, with missing (hour, type) cells
     * zero-filled — the densification step every downstream charting /
