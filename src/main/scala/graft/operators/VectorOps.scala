@@ -77,6 +77,10 @@ object VectorOps {
     * partial+final hash aggregate: each partition reduces to ≤ k rows per
     * query before the shuffle, so the n² pair stream dies map-side. The
     * heap orders (-sim, b_id) exactly like the oracle's ROW_NUMBER.
+    *
+    * INTENTIONALLY exact/brute-force — the oracle demands the exact
+    * answer; do not "optimize" this into an ANN. The 100 TB twins are
+    * `annIvf`/`annIvfPq` (and `semanticDedup` for the dedup shape).
     */
   def knn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import s.implicits._
