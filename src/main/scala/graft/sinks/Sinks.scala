@@ -94,6 +94,36 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Bucketed (hash-clustered) table layout — the CO-LOCATED JOIN lever:
+    * rows are hash-distributed into `buckets` files per partition by
+    * `bucketCol` at WRITE time, and the catalog records that layout, so
+    * a join or aggregate keyed on the bucket column reads each side
+    * already partitioned — NO exchange at query time. At 100 TB this is
+    * the difference between re-shuffling the fact table on every
+    * fact⋈dim join and paying the shuffle once at ingest: the classic
+    * warehouse trade for a table that is joined on the same key far
+    * more often than it is written.
+    *
+    * `sortBy(bucketCol)` additionally records per-file sort order so a
+    * sort-merge join can skip its sorts when Spark trusts the layout.
+    * Bucketed layout needs the session catalog (bucket metadata lives
+    * there, not in parquet footers) — `path` keeps the data at an
+    * explicit location while the table name carries the metadata.
+    * Requires one-file-per-bucket discipline upstream for read-time
+    * bucketing to engage; `repartition(buckets, col)` before the write
+    * achieves it (done here).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int = 16, path: Option[String] = None): Unit = {
+    val w = df
+      .repartition(buckets, col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
   /** Streaming append to parquet with exactly-once file commit via the
     * checkpoint's write-ahead log.
     */

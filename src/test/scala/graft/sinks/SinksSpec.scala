@@ -248,6 +248,47 @@ class SinksSpec extends SparkSpec {
     assert(total == 4, s"foreachBatch saw $seen")
   }
 
+  test("bucketed tables co-locate the join and the aggregate: zero " +
+    "exchanges where the parquet twin pays two") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bucket").toString
+    val events = Tables(spark, sfTest, "events").select($"user_id", $"value")
+    val cust = Tables(spark, sfTest, "customer")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    Sinks.writeBucketed(events, "b_events_t", "user_id", buckets = 8,
+      path = Some(s"$dir/ev"))
+    Sinks.writeBucketed(cust, "b_cust_t", "user_id", buckets = 8,
+      path = Some(s"$dir/cust"))
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the shuffle-join regime (the regime bucketing exists for:
+    // a dim side too big to broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_events_t")
+        .join(spark.table("b_cust_t"), "user_id")
+      val jp = joined.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange"),
+        s"bucketed join still shuffles:\n$jp")
+      assert(jp.contains("SortMergeJoin"), s"expected SMJ:\n$jp")
+      // same join over the raw parquet: both sides exchange
+      val raw = events.join(cust, "user_id")
+      assert("Exchange hashpartitioning".r.findAllIn(
+        raw.queryExecution.executedPlan.toString).size == 2)
+      // row-identical to the unbucketed join
+      assert(joined.count() == raw.count())
+      // keyed aggregate rides the bucket layout too — no exchange
+      val agg = spark.table("b_events_t").groupBy($"user_id")
+        .agg(count(lit(1)).as("n"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed aggregate still shuffles")
+      assert(agg.count() == events.select($"user_id").distinct().count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS b_events_t")
+      spark.sql("DROP TABLE IF EXISTS b_cust_t")
+    }
+  }
+
   test("outbound delivery: N rows → N POSTs, committed replay delivers " +
     "zero, new batch delivers again") {
     import spark.implicits._
