@@ -702,16 +702,21 @@ class OperatorsSpec extends SparkSpec {
     assert(graded == typed && graded.nonEmpty)
   }
 
-  test("sessionize survives one bot-grade hot user (10^6-event timeline)") {
-    import spark.implicits._
+  test("sessionize survives one bot-grade hot user (10^6-event timeline, " +
+    "spill forced)") {
     // one user, 10^6 events, a 31-min gap every 1000 events → 1000
     // sessions of exactly 1000 events. The declarative form must finish
     // because WindowExec's sort spills; a toArray per-group pass holds
-    // the whole timeline in one task's memory.
+    // the whole timeline in one task's memory. The session conf forces
+    // the window buffer to disk after 4k rows so the SPILL PATH ITSELF
+    // executes here — not just a timeline that happened to fit.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "1024")
+    s2.conf.set("spark.sql.windowExec.buffer.spill.threshold", "4096")
     // block = 1000 events at 1 s spacing (999 s long), then a 31-min
     // silence before the next block starts: block pitch = 999 + 1860 s
     val blockUs = (999L + 1860L) * 1000000L
-    val hot = spark.range(1000000L).select(
+    val hot = s2.range(1000000L).select(
       lit(7L).as("user_id"),
       col("id").as("event_id"),
       ((col("id") / 1000L).cast("long") * blockUs
