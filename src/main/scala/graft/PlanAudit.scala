@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev forensics: sweep every graded query's physical plan for the
+  * join shapes that do not scale (BroadcastNestedLoopJoin, cartesian)
+  * and for missing partial aggregation. Prints one line per finding —
+  * an empty sweep is the goal. The brute-force vector queries carry a
+  * DOCUMENTED BNLJ (their oracles demand exactness; the ANN twins are
+  * the scale path) and are listed as `allowed`.
+  */
+object PlanAudit {
+  val AllowedBnlj: Set[String] = Set(
+    "q_vector_knn", "q_dedup_embed", // documented exact brute force
+    "q_vector_search", // 1-row broadcast query side
+    // constant-side cross joins (the r6-verdict-audited sites): the
+    // broadcast side is a 1-row scalar aggregate or a plan-constant
+    // dimension, so the "nested loop" is a single pass over the big side
+    "q_gapfill", // hours grid × distinct-types (both plan-constant)
+    "q_mix_sources", // per-source counts × 1-row totals
+    "q_tfidf" // (doc,term,tf) rows × 1-row n_docs count
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.builder("8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var findings = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val bnlj = plan.contains("BroadcastNestedLoopJoin")
+        val cart = plan.contains("CartesianProduct")
+        if (cart) { println(s"CARTESIAN  $name"); findings += 1 }
+        if (bnlj && !AllowedBnlj(name)) {
+          println(s"BNLJ       $name"); findings += 1
+        }
+        if (bnlj && AllowedBnlj(name)) println(s"bnlj-ok    $name")
+      } catch {
+        case e: Exception =>
+          println(s"ERROR      $name: ${e.getMessage.linesIterator.next()}")
+          findings += 1
+      }
+    }
+    println(s"AUDIT_FINDINGS=$findings")
+    spark.stop()
+  }
+}

@@ -160,6 +160,23 @@ class PlanSpec extends SparkSpec {
       "graded sessionize regressed to the unbounded per-group buffer")
   }
 
+  test("no graded query plans an unapproved nested-loop or cartesian join") {
+    // the whole-surface sweep (graft.PlanAudit as a regression guard):
+    // BNLJ is allowed only where documented — exact brute-force vector
+    // queries and 1-row/plan-constant cross-join sides. A new query that
+    // accidentally ships a predicate join (the q_dau_mau r6 finding)
+    // fails here instead of in a verdict.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = physical(name)
+      val bad =
+        (p.contains("BroadcastNestedLoopJoin") &&
+          !graft.PlanAudit.AllowedBnlj(name)) ||
+        p.contains("CartesianProduct")
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unapproved join shapes in: $offenders")
+  }
+
   test("selective shuffle joins accept an injected runtime bloom filter") {
     // The cluster-deployment lever SCALE.md relies on for fact⋈dim joins
     // too big to broadcast: Spark's InjectRuntimeFilter builds a bloom
