@@ -174,19 +174,40 @@ object Multimodal {
   /** REAL audio decode: AudioSystem parses the RIFF/WAVE header and
     * yields the PCM frames; features = 16-slot RMS energy envelope over
     * the sample stream (normalized), dims = (sampleCount, sampleRate).
+    *
+    * Format handling (webhook payloads are untrusted — the header, not
+    * an assumption, decides how frames parse): 16-bit little-endian
+    * signed PCM, mono or multi-channel (channels averaged per frame).
+    * Anything else — 8/24/32-bit, float, big-endian, µ-law — returns
+    * `ok = false` (dead-letter) rather than misreading frame boundaries
+    * into garbage features.
     */
   private[operators] def decodeWav(bytes: Array[Byte]): Decoded = {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val fmt = ais.getFormat
+      val ch = fmt.getChannels
+      val supported =
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian && ch >= 1 &&
+          fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+      if (!supported)
+        return Decoded(ok = false, 0, 0, new Array[Float](FeatureBins))
       val n = ais.getFrameLength.toInt
       val raw = ais.readAllBytes()
       val env = new Array[Float](FeatureBins)
       var i = 0
       while (i < n) {
-        val lo = raw(2 * i) & 0xff
-        val hi = raw(2 * i + 1).toInt // signed high byte, little-endian
-        val s = (hi << 8) | lo
+        // average the frame's channels into one sample
+        var acc = 0L
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2
+          val lo = raw(off) & 0xff
+          val hi = raw(off + 1).toInt // signed high byte, little-endian
+          acc += (hi << 8) | lo
+          c += 1
+        }
+        val s = (acc / ch).toInt
         env(i * FeatureBins / math.max(n, 1)) += (s.toFloat * s) / 1e9f
         i += 1
       }

@@ -139,11 +139,18 @@ object WebhookDelivery {
 
   /** Settled keys of one batch partition, if the ledger exists yet.
     * The batch_id equality prunes to one directory of the hive layout.
+    * Existence goes through the Hadoop FileSystem of the path — a
+    * java.io.File check would answer false for every object-store /
+    * HDFS ledger and silently disable the replay guard (re-delivering
+    * the whole batch), exactly where a production deploy keeps it.
     */
   private def settledKeys(spark: SparkSession, ledgerPath: String,
-                          batchId: Long): Option[DataFrame] =
-    if (!new java.io.File(ledgerPath).exists()) None
+                          batchId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
     else Some(spark.read.parquet(ledgerPath)
       .filter(col("batch_id") === batchId)
       .select(col("key")))
+  }
 }

@@ -75,7 +75,7 @@ class QueryMetrics(maxRows: Int = 65536) extends StreamingQueryListener {
     * clear the buffer. Returns the number of rows drained.
     */
   def drainTo(spark: SparkSession, path: String): Long = {
-    var rows = List.newBuilder[BatchProgress]
+    val rows = List.newBuilder[BatchProgress]
     var n = 0L
     var next = buf.poll()
     while (next != null) { rows += next; n += 1; next = buf.poll() }

@@ -477,6 +477,13 @@ class OperatorsSpec extends SparkSpec {
     assert(tone.ok && tone.width == 400 && tone.height == 8000)
     val sweep = Multimodal.decodeAny(load("sweep_16k.wav"))
     assert(sweep.ok && sweep.width == 640 && sweep.height == 16000)
+    // stereo 16-bit: header-driven frame parsing, channels averaged —
+    // 300 FRAMES (not 600 samples misread as frames)
+    val stereo = Multimodal.decodeAny(load("stereo_8k.wav"))
+    assert(stereo.ok && stereo.width == 300 && stereo.height == 8000)
+    // 8-bit PCM: unsupported width dead-letters instead of misreading
+    // frame boundaries into garbage features
+    assert(!Multimodal.decodeAny(load("pcm8_8k.wav")).ok)
     // resize a real file through the full pipeline contract
     val small = Multimodal.decodeImage(
       Multimodal.resizeImage(load("checker_16x16.png"), 4, 4))
