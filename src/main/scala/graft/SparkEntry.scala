@@ -127,8 +127,9 @@ object SparkEntry {
     "q_skew_join" -> (Events.saltedEnrich _),
     "q_tfidf" -> ((s: SparkSession, d: String) => TextOps.tfidf(s, d)),
     "q_vocab_growth" -> (TextOps.vocabGrowth _),
-    // round 7: the one join type previously covered only in unit tests
+    // round 7: join/set-op types previously covered only in unit tests
     "q_fullouter_hours" -> (Events.fullOuterHours _),
+    "q_except" -> (Relational.exceptBigSpenders _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -699,6 +700,12 @@ object SparkEntry {
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df,
         | ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf_log
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY o_custkey""".stripMargin,
     "q_fullouter_hours" ->
       """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
         |  event_type FROM events),

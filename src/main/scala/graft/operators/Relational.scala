@@ -355,6 +355,21 @@ object Relational {
     c.intersect(o).orderBy($"c_custkey").limit(100)
   }
 
+  /** Set operation: EXCEPT (set difference with dedup) — ordering
+    * custkeys minus the custkeys with any > 400k order. Spark rewrites
+    * except as distinct + left-anti join (same set as `q_anti_join`, but
+    * graded through the SET-OP surface: dedup semantics + the rewrite
+    * are what this pins — closing the last oracle-untested member of
+    * the §2.6 family after intersect and union).
+    */
+  def exceptBigSpenders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables(s, dir, "orders").select($"o_custkey")
+    val big = Tables(s, dir, "orders")
+      .filter($"o_totalprice" > 400000).select($"o_custkey")
+    all.except(big).orderBy($"o_custkey")
+  }
+
   /** Pivot: order revenue by market segment × order priority, one column
     * per priority. The pivot value list is EXPLICIT (all five TPC-H
     * priorities) — with an implicit list Spark runs an extra distinct job
