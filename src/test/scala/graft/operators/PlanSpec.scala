@@ -132,11 +132,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("funnel stages materialize once — consumers read checkpointed rows") {
-    // funnelStageTimes localCheckpoints each stage; without the cut the
-    // events scan + view aggregate re-execute ~6× inside one query (each
-    // stage plan CONTAINS the previous stage's). The top-level plan must
-    // read only RDD scans — zero parquet scans means no stage recompute.
-    for (q <- Seq("q_funnel", "q_conversion_lag")) {
+    // shared-subplan cut (lazy localCheckpoint): without it the events
+    // scan re-executes per consumer branch — ~6× in the funnel chain,
+    // 3× in dau/mau and gapfill, 2× in cohort retention (measured; zero
+    // exchange reuse fires for any of them). The top-level plan must
+    // read only RDD scans — zero parquet scans means no recompute.
+    for (q <- Seq("q_funnel", "q_conversion_lag", "q_dau_mau",
+        "q_cohort_retention", "q_gapfill")) {
       val scans = SparkEntry.queries(q)(spark, sfTest)
         .queryExecution.executedPlan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => f
