@@ -28,7 +28,8 @@ object PlanAudit {
     var findings = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val exec = fn(spark, sfDir).queryExecution.executedPlan
+        val plan = exec.toString
         val bnlj = plan.contains("BroadcastNestedLoopJoin")
         val cart = plan.contains("CartesianProduct")
         if (cart) { println(s"CARTESIAN  $name"); findings += 1 }
@@ -36,6 +37,18 @@ object PlanAudit {
           println(s"BNLJ       $name"); findings += 1
         }
         if (bnlj && AllowedBnlj(name)) println(s"bnlj-ok    $name")
+        // repeated scans of one table: each is a full pass over that
+        // table at scale — flag for review (self-joins and decorrelated
+        // aggregates legitimately pay 2; anything higher usually wants
+        // the localCheckpoint cut)
+        val perTable = exec.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.headOption
+              .map(_.getName).getOrElse("?")
+        }.groupBy(identity).view.mapValues(_.size)
+        perTable.filter(_._2 >= 2).foreach { case (t, n) =>
+          println(s"rescan     $name: $t x$n")
+        }
       } catch {
         case e: Exception =>
           println(s"ERROR      $name: ${e.getMessage.linesIterator.next()}")

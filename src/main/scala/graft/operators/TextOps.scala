@@ -257,8 +257,14 @@ object TextOps {
       .select($"doc_id", $"source",
         (substring($"source", 4, 10).cast("int") % 2 === 0).as("even"))
       .withColumn("w", when($"even", 2L).otherwise(1L))
+    // counts feeds totals, the broadcast plan, AND the final report —
+    // without a cut the corpus scan + group re-execute per consumer
+    // (measured 3 documents scans); the checkpoint caches ≤ 2·sources
+    // rows and leaves exactly two scans: one for counts, one for the
+    // per-doc keep pass (which genuinely needs every row)
     val counts = d.groupBy($"source", $"w")
       .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(false)
     val totals = counts.agg(sum($"n_docs").as("n_total"),
       sum($"w" * lit(1L)).as("sum_w"))
     val planned = counts.crossJoin(broadcast(totals))
