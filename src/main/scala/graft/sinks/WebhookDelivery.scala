@@ -51,12 +51,22 @@ object WebhookDelivery {
   def deliverBatch(batch: DataFrame, batchId: Long, endpoint: String,
                    keyCol: String, ledgerPath: String,
                    maxAttempts: Int = 3,
-                   baseBackoffMs: Long = 50L): (Long, Long) = {
-    val spark = batch.sparkSession
+                   baseBackoffMs: Long = 50L): (Long, Long) =
+    deliverRaw(
+      batch.select(col(keyCol).cast("long").as("key"),
+        to_json(struct(batch.columns.map(col): _*)).as("body")),
+      batchId, endpoint, ledgerPath, maxAttempts, baseBackoffMs)
+
+  /** Shared delivery core over prepared (key, body) payload rows —
+    * [[deliverBatch]] serializes rows into it, [[redeliver]] feeds it
+    * stored dead-letter payloads verbatim.
+    */
+  private[sinks] def deliverRaw(payloads: DataFrame, batchId: Long,
+                                endpoint: String, ledgerPath: String,
+                                maxAttempts: Int,
+                                baseBackoffMs: Long): (Long, Long) = {
+    val spark = payloads.sparkSession
     import spark.implicits._
-    val payloads = batch.select(
-      col(keyCol).cast("long").as("key"),
-      to_json(struct(batch.columns.map(col): _*)).as("body"))
     // replay guard: keys this batch already settled (either way) never
     // reach the endpoint again
     val todo = settledKeys(spark, ledgerPath, batchId)
@@ -128,10 +138,37 @@ object WebhookDelivery {
     }
 
   /** The dead-letter table: exhausted deliveries with raw payload + last
-    * error, ready for triage / targeted redelivery.
+    * error, ready for triage / [[redeliver]].
     */
   def deadLetters(spark: SparkSession, ledgerPath: String): DataFrame =
     ledger(spark, ledgerPath).filter(col("status") === "dead")
+
+  /** Targeted redelivery of dead letters — the operator's recovery verb
+    * once the sick endpoint is healthy again. Replays the stored raw
+    * payloads of `fromBatch` (or every batch) under a NEW redelivery
+    * batch id, through the same retry/ledger machinery: successes settle
+    * in the new batch's partition (so a second redelivery attempt skips
+    * them — redelivery itself is replay-safe), still-failing rows
+    * dead-letter again in the new batch. The ORIGINAL dead-letter rows
+    * stay untouched: the ledger is append-only history, and "which
+    * attempt finally landed" stays reconstructable from batch ids.
+    *
+    * `redeliveryBatch` must be unique per recovery run (e.g. a ticket
+    * number offset); reusing one resumes that run idempotently.
+    */
+  def redeliver(spark: SparkSession, ledgerPath: String, endpoint: String,
+                redeliveryBatch: Long, fromBatch: Option[Long] = None,
+                maxAttempts: Int = 3,
+                baseBackoffMs: Long = 50L): (Long, Long) = {
+    val dead = fromBatch.fold(deadLetters(spark, ledgerPath))(b =>
+      deadLetters(spark, ledgerPath).filter(col("batch_id") === b))
+    // the stored body IS the original payload JSON — post it verbatim
+    // through the shared core (no re-serialization of ledger columns).
+    // One row per key: a payload that dead-lettered in several batches
+    // (original + an earlier failed redelivery) still posts once.
+    deliverRaw(dead.select(col("key"), col("body")).dropDuplicates("key"),
+      redeliveryBatch, endpoint, ledgerPath, maxAttempts, baseBackoffMs)
+  }
 
   /** Full delivery ledger (all batches, both statuses). */
   def ledger(spark: SparkSession, ledgerPath: String): DataFrame =

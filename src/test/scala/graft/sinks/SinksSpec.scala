@@ -412,6 +412,36 @@ class SinksSpec extends SparkSpec {
         maxAttempts = 2, baseBackoffMs = 1L)
       assert((ok3, dead3) == ((0L, 0L)))
       assert(totalDead.get() == beforeRetry, "replay re-attempted dead keys")
+      // endpoint heals → targeted redelivery of the stored payloads lands
+      // them under a fresh batch id; the original dead rows stay as
+      // history; a second redelivery run is itself replay-safe
+      val healed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      server.createContext("/healed", (x: com.sun.net.httpserver.HttpExchange) => {
+        healed.incrementAndGet()
+        bodies.add(new String(x.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        x.sendResponseHeaders(200, -1)
+        x.close()
+      })
+      val (rOk, rDead) = WebhookDelivery.redeliver(spark, s"$dir/dead",
+        s"http://localhost:$p/healed", redeliveryBatch = 100L,
+        baseBackoffMs = 1L)
+      assert((rOk, rDead) == ((3L, 0L)))
+      assert(healed.get() == 3)
+      // the redelivered body is the ORIGINAL payload JSON, verbatim
+      import scala.jdk.CollectionConverters._
+      assert(bodies.asScala.forall(_.contains("\"event_id\"")))
+      // history preserved: 3 original dead + 3 redelivered rows
+      val led = WebhookDelivery.ledger(spark, s"$dir/dead")
+      assert(led.filter(col("status") === "dead").count() == 3)
+      assert(led.filter(col("status") === "delivered"
+        && col("batch_id") === 100L).count() == 3)
+      val (rOk2, rDead2) = WebhookDelivery.redeliver(spark, s"$dir/dead",
+        s"http://localhost:$p/healed", redeliveryBatch = 100L,
+        baseBackoffMs = 1L)
+      assert((rOk2, rDead2) == ((0L, 0L)) && healed.get() == 3,
+        "re-running the same redelivery batch must deliver nothing")
     } finally server.stop(0)
   }
 
