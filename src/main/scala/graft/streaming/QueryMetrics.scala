@@ -30,6 +30,10 @@ class QueryMetrics(maxRows: Int = 65536) extends StreamingQueryListener {
   import QueryMetrics.BatchProgress
 
   private val buf = new ConcurrentLinkedQueue[BatchProgress]()
+  // ConcurrentLinkedQueue.size() is an O(n) traversal — on a listener
+  // called once per micro-batch of every query, that compounds to O(n²)
+  // over a long deploy; the counter keeps admission O(1)
+  private val buffered = new java.util.concurrent.atomic.AtomicInteger(0)
   private val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
 
   override def onQueryStarted(
@@ -40,7 +44,8 @@ class QueryMetrics(maxRows: Int = 65536) extends StreamingQueryListener {
   override def onQueryProgress(
       event: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = event.progress
-    if (buf.size() >= maxRows) { dropped.incrementAndGet(); return }
+    if (buffered.get() >= maxRows) { dropped.incrementAndGet(); return }
+    buffered.incrementAndGet()
     val stateRows = p.stateOperators.map(_.numRowsTotal).sum
     val stateBytes = p.stateOperators.map(_.memoryUsedBytes).sum
     val wmLag = Option(p.eventTime.get("watermark")) match {
@@ -78,7 +83,9 @@ class QueryMetrics(maxRows: Int = 65536) extends StreamingQueryListener {
     val rows = List.newBuilder[BatchProgress]
     var n = 0L
     var next = buf.poll()
-    while (next != null) { rows += next; n += 1; next = buf.poll() }
+    while (next != null) {
+      rows += next; n += 1; buffered.decrementAndGet(); next = buf.poll()
+    }
     if (n > 0) {
       import spark.implicits._
       rows.result().toDF().write.mode("append").parquet(path)
