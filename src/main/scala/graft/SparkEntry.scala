@@ -130,6 +130,7 @@ object SparkEntry {
     // round 7: join/set-op types previously covered only in unit tests
     "q_fullouter_hours" -> (Events.fullOuterHours _),
     "q_except" -> (Relational.exceptBigSpenders _),
+    "q_anomaly_hours" -> (Events.anomalyHours _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -700,6 +701,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df,
         | ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf_log
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_anomaly_hours" ->
+      """WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |   AS h, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT h, event_type, c,
+        |  COUNT(*) OVER win AS n,
+        |  CAST(SUM(c) OVER win AS BIGINT) AS s1,
+        |  CAST(SUM(c * c) OVER win AS BIGINT) AS s2
+        | FROM hourly
+        | WINDOW win AS (PARTITION BY event_type ORDER BY h
+        |   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, c,
+        | n AS n_hist,
+        | CASE WHEN n * s2 - s1 * s1 > 0 THEN
+        |   ROUND((c - CAST(s1 AS DOUBLE) / n)
+        |     / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))), 4)
+        | END AS z,
+        | (n * c - s1) > 0 AND
+        |   (n * c - s1) * (n * c - s1) * (n - 1) > 9 * n * (n * s2 - s1 * s1)
+        |   AS anomaly
+        |FROM w WHERE n >= 12 ORDER BY hour, event_type""".stripMargin,
     "q_except" ->
       """SELECT o_custkey FROM (
         |  SELECT o_custkey FROM orders

@@ -380,6 +380,50 @@ object Events {
       .orderBy($"day")
   }
 
+  /** Hourly volume anomaly detection per event type — the batch alerting
+    * query next to streaming silence detection: flag hours whose event
+    * count deviates more than 3σ above the trailing-24-observed-hours
+    * mean. The window carries EXACT INTEGER sufficient statistics
+    * (n, Σc, Σc²) — the `q_stats_moments` determinism discipline moved
+    * into a window frame — and the 3σ flag is pure integer arithmetic:
+    * (n·c − S)² · (n−1) > 9 · n · (n·Σc² − S²), algebraically identical
+    * to (c − mean) > 3·std but with no float boundary an engine pair
+    * could split on. The reported z-score divides exact integers in
+    * double and rounds (one-IEEE-op determinism); zero-variance windows
+    * report NULL z, decided by an integer comparison.
+    *
+    * Scale shape: the raw stream collapses to (hour, type) group rows
+    * FIRST (partial+final agg — only ~hours·types rows shuffle), the
+    * window partitions by type over those group rows; no fact-sized
+    * window, no second scan.
+    */
+  def anomalyHours(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"hus")
+      .rowsBetween(-24, -1)
+    Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hus", unix_micros($"h"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum($"c").over(w))
+      .withColumn("s2", sum($"c" * $"c").over(w))
+      .filter($"n" >= 12) // warm-up: enough history for a stable band
+      .withColumn("varn", $"n" * $"s2" - $"s1" * $"s1") // n²·var·(n−1)/n
+      .withColumn("num", $"n" * $"c" - $"s1") // n·(c − mean)
+      .select(
+        date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type", $"c", $"n".as("n_hist"),
+        when($"varn" > 0,
+          round(($"c" - $"s1".cast("double") / $"n") /
+            sqrt($"varn".cast("double") / ($"n" * ($"n" - 1L))), 4))
+          .as("z"),
+        ($"num" > 0 && $"num" * $"num" * ($"n" - 1L) > lit(9L) * $"n" * $"varn")
+          .as("anomaly"))
+      .orderBy($"hour", $"event_type")
+  }
+
   /** FULL OUTER reconciliation of two sparse hourly series — the one
     * join type no other graded query exercises: hourly error counts vs
     * hourly purchase counts, keeping every hour where EITHER side is
