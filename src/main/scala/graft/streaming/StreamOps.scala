@@ -32,6 +32,14 @@ case class FunnelStage(user_id: Long, stage: Int, ts: java.sql.Timestamp)
 case class SilenceAlert(user_id: Long, last_ts: java.sql.Timestamp,
                         silent_for_ms: Long)
 
+/** One watermark-finalized hour of a type's volume stream: the count,
+  * the trailing-history depth it was judged against, and the
+  * integer-exact 3σ anomaly verdict (streaming twin of
+  * `Events.anomalyHours` — replay-pinned equal).
+  */
+case class HourlyVolume(event_type: String, hour: java.sql.Timestamp,
+                        c: Long, n_hist: Long, anomaly: Boolean)
+
 /** Structured Streaming operator inventory (SURVEY.md §2.9). Each takes a
   * *streaming* DataFrame with the Event schema and returns the transformed
   * streaming DataFrame — callers pick the sink. The same logical plans run
@@ -458,6 +466,106 @@ object StreamOps {
           tv.getCurrentWatermarkInMs() - last))
       } else Iterator.empty
     }
+  }
+
+  /** Per-type anomaly-detector state: the ring of the last ≤24 FINALIZED
+    * (hour, count) pairs — the trailing history the batch twin's ROWS
+    * −24..−1 frame reads — plus the armed-timer slot (one per key).
+    */
+  case class AnomalyRing(hours: Array[Long], counts: Array[Long],
+                         armedTimerMs: Long)
+
+  /** Streaming hourly-volume anomaly detection — the stream twin of
+    * `q_anomaly_hours`, and the alerting operator a webhook deploy runs
+    * live: when the watermark proves an hour COMPLETE for a type (no
+    * event of that hour can still arrive), the hour is judged against
+    * the trailing ≤24 finalized hours with the SAME integer-exact 3σ
+    * rule as the batch query ((n·c−S)²(n−1) > 9n(nΣc²−S²) — shared
+    * arithmetic, no float boundary), emitted once (Append, final), and
+    * pushed into the ring.
+    *
+    * State per type: the open-hours map (bounded by the lateness
+    * horizon — a finalized hour can't reopen because rows older than
+    * the watermark are dropped before they reach the processor) plus
+    * 2×24 longs of ring. Hours finalize in ascending event-time order
+    * (multi-hour watermark jumps drain oldest-first), so the ring is
+    * exactly the batch frame's "trailing 24 observed hours" — the
+    * replay spec pins stream ≡ batch row-for-row.
+    */
+  private class AnomalyProcessor
+    extends StatefulProcessor[String, Event, HourlyVolume] {
+    @transient private var open: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var ring: org.apache.spark.sql.streaming.ValueState[AnomalyRing] = _
+    private val HourMs = 3600000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getMapState[Long, Long]("open",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      ring = getHandle.getValueState[AnomalyRing]("ring",
+        Encoders.product[AnomalyRing], TTLConfig.NONE)
+    }
+
+    /** Finalize every open hour the watermark has passed, oldest first;
+      * re-arm the single timer at the earliest still-open hour's end.
+      */
+    private def drain(typ: String, wmMs: Long): Iterator[HourlyVolume] = {
+      val prev = if (ring.exists()) ring.get()
+                 else AnomalyRing(Array.empty, Array.empty, 0L)
+      val all = open.iterator().map { case (h, c) => (h, c) }.toArray
+      val (done, still) = all.partition { case (h, _) => h + HourMs <= wmMs }
+      var hours = prev.hours
+      var counts = prev.counts
+      val out = done.sortBy(_._1).map { case (h, c) =>
+        val n = hours.length.toLong
+        val s1 = counts.sum
+        val s2 = counts.map(x => x * x).sum
+        val num = n * c - s1
+        val anomaly = n > 1 && num > 0 &&
+          num * num * (n - 1) > 9L * n * (n * s2 - s1 * s1)
+        hours = (hours :+ h).takeRight(24)
+        counts = (counts :+ c).takeRight(24)
+        open.removeKey(h)
+        HourlyVolume(typ, new java.sql.Timestamp(h), c, n, anomaly)
+      }
+      val timer = if (still.isEmpty) 0L else still.map(_._1).min + HourMs
+      if (prev.armedTimerMs != 0L && prev.armedTimerMs != timer)
+        getHandle.deleteTimer(prev.armedTimerMs)
+      if (timer != 0L && timer != prev.armedTimerMs)
+        getHandle.registerTimer(timer)
+      ring.update(AnomalyRing(hours, counts, timer))
+      out.iterator
+    }
+
+    override def handleInputRows(typ: String, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[HourlyVolume] = {
+      rows.foreach { e =>
+        val h = math.floorDiv(e.ts.getTime, HourMs) * HourMs
+        val c = if (open.containsKey(h)) open.getValue(h) else 0L
+        open.updateValue(h, c + 1L)
+      }
+      drain(typ, tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(typ: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+    : Iterator[HourlyVolume] = {
+      if (ring.exists()) ring.update(ring.get().copy(armedTimerMs = 0L))
+      drain(typ, tv.getCurrentWatermarkInMs())
+    }
+  }
+
+  /** Streaming anomaly-detection entry point (see [[AnomalyProcessor]]).
+    * `lateness` is the replay-disorder tolerance; an hour judges only
+    * after the watermark proves it complete.
+    */
+  def anomalyAlerts(events: Dataset[Event],
+                    lateness: String = "2 hours"): Dataset[HourlyVolume] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.event_type)
+      .transformWithState(new AnomalyProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Silence-detection entry point: one [[SilenceAlert]] per proven

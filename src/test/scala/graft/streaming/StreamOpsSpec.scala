@@ -783,6 +783,61 @@ class StreamOpsSpec extends SparkSpec {
     } finally QueryMetrics.detach(spark, metrics)
   }
 
+  test("streaming anomaly detection equals the batch twin row-for-row " +
+    "on sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // time-ordered replay in 4 micro-batches: the watermark trails by
+      // the lateness so no fixture event drops, and hours finalize in
+      // waves as it advances (multi-hour drains exercised)
+      val events = graft.Tables(spark, sfTest, "events").as[Event]
+        .collect().sortBy(_.ts.getTime)
+      val ms = MemoryStream[Event]
+      val q = StreamOps.anomalyAlerts(ms.toDS())
+        .writeStream.format("memory").queryName("t_anom")
+        .outputMode("append").start()
+      events.grouped(math.max(events.length / 4, 1)).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // far-future sentinel pushes the watermark past every fixture hour
+      val last = events.last.ts.getTime
+      ms.addData(Seq(Event(0L, new java.sql.Timestamp(last + 6L * 3600000L),
+        0L, "zz_flush", 0.0, "{}")))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.sql(
+        """select date_format(hour, 'yyyy-MM-dd HH:mm:ss') as hour,
+          | event_type, c, n_hist, anomaly from t_anom
+          |where n_hist >= 12 and event_type <> 'zz_flush'""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .toMap
+      val batch = graft.operators.Events.anomalyHours(spark, sfTest)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(5)))
+        .toMap
+      assert(batch.nonEmpty, "batch twin produced nothing")
+      assert(streamed == batch,
+        s"stream/batch divergence: stream-only=${(streamed.keySet -- batch.keySet).take(3)} " +
+          s"batch-only=${(batch.keySet -- streamed.keySet).take(3)}")
+      // the fixture must exercise the alarm itself, not just quiet hours
+      assert(streamed.values.exists(_._3), "no anomaly fired in replay")
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("funnel state retires after idle-retention; a returning user " +
     "starts a fresh cycle") {
     import spark.implicits._
