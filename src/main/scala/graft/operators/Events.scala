@@ -406,9 +406,13 @@ object Events {
       .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
       .agg(count(lit(1)).as("c"))
       .withColumn("hus", unix_micros($"h"))
+      // c² projected BEFORE the windows: with attribute-only children all
+      // three frame aggregates land in ONE WindowExec (a nested c*c gets
+      // extracted into a projection that splits a second Window node off)
+      .withColumn("c2", $"c" * $"c")
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s1", sum($"c").over(w))
-      .withColumn("s2", sum($"c" * $"c").over(w))
+      .withColumn("s2", sum($"c2").over(w))
       .filter($"n" >= 12) // warm-up: enough history for a stable band
       .withColumn("varn", $"n" * $"s2" - $"s1" * $"s1") // n²·var·(n−1)/n
       .withColumn("num", $"n" * $"c" - $"s1") // n·(c − mean)

@@ -162,6 +162,26 @@ class PlanSpec extends SparkSpec {
       "graded sessionize regressed to the unbounded per-group buffer")
   }
 
+  test("anomaly window runs over group rows, never the raw stream") {
+    // the stream must collapse to (hour, type) rows BEFORE the trailing
+    // window: one events scan, and the WindowExec's subtree aggregates —
+    // a window over raw events would sort the whole stream per type
+    val exec = SparkEntry.queries("q_anomaly_hours")(spark, sfTest)
+      .queryExecution.executedPlan
+    val scans = exec.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected one events scan, got ${scans.size}")
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1)
+    val aggBelow = windows.head.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggBelow.nonEmpty, "window consumes raw rows, not group rows")
+  }
+
   test("no graded query plans an unapproved nested-loop or cartesian join") {
     // the whole-surface sweep (graft.PlanAudit as a regression guard):
     // BNLJ is allowed only where documented — exact brute-force vector
