@@ -838,6 +838,74 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming anomaly resumes from its checkpoint: ring history and " +
+    "open hours survive a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft_ackpt").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_aout").toString
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def at(hour: Int, min: Int) =
+        new java.sql.Timestamp(t0 + hour * 3600000L + min * 60000L)
+      var id = 0L
+      def mk(hour: Int, min: Int, typ: String = "err") = {
+        id += 1; Event(id, at(hour, min), 1L, typ, 1.0, "{}")
+      }
+      val ms = MemoryStream[Event]
+      def start() = StreamOps.anomalyAlerts(ms.toDS())
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append").start()
+
+      // phase 1: a flat baseline of 2 events/hour for hours 0..19. The
+      // 2h lateness leaves hours 17..19 OPEN and the ring holding hours
+      // 0..16 at the stop — exactly the state a crash must not lose.
+      val q1 = start()
+      ms.addData((0 to 19).flatMap(h => Seq(mk(h, 0), mk(h, 30))))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // restart: continue the baseline through hour 25, then a 25×
+      // spike in hour 26, then a sentinel to finalize everything
+      val q2 = start()
+      ms.addData((20 to 25).flatMap(h => Seq(mk(h, 0), mk(h, 30))) ++
+        (0 until 50).map(m => mk(26, m)))
+      ms.addData(Seq(mk(32, 0, "zz")))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.read.parquet(outDir)
+        .filter($"event_type" === "err")
+        .collect()
+        .map(r => ((r.getTimestamp(1).getTime - t0) / 3600000L).toInt ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      // one row per hour 0..26, exactly once across the restart
+      assert(got.map(_._1).sorted.toSeq == (0 to 26),
+        s"hours emitted: ${got.map(_._1).sorted.toSeq}")
+      val byHour = got.toMap
+      (0 to 25).foreach { h =>
+        assert(byHour(h) == ((2L, math.min(h, 24).toLong, false)),
+          s"hour $h: ${byHour(h)}")
+      }
+      // the spike judges against the RESTORED flat history: 24 hours of
+      // count 2, zero variance → any positive deviation flags
+      assert(byHour(26) == ((50L, 24L, true)), s"spike: ${byHour(26)}")
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("funnel state retires after idle-retention; a returning user " +
     "starts a fresh cycle") {
     import spark.implicits._
