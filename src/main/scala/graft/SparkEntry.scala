@@ -707,8 +707,8 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2),
         |w AS (SELECT h, event_type, c,
         |  COUNT(*) OVER win AS n,
-        |  CAST(SUM(c) OVER win AS BIGINT) AS s1,
-        |  CAST(SUM(c * c) OVER win AS BIGINT) AS s2
+        |  CAST(SUM(c) OVER win AS HUGEINT) AS s1,
+        |  CAST(SUM(CAST(c AS HUGEINT) * c) OVER win AS HUGEINT) AS s2
         | FROM hourly
         | WINDOW win AS (PARTITION BY event_type ORDER BY h
         |   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))

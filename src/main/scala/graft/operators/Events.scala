@@ -388,9 +388,14 @@ object Events {
     * into a window frame — and the 3σ flag is pure integer arithmetic:
     * (n·c − S)² · (n−1) > 9 · n · (n·Σc² − S²), algebraically identical
     * to (c − mean) > 3·std but with no float boundary an engine pair
-    * could split on. The reported z-score divides exact integers in
-    * double and rounds (one-IEEE-op determinism); zero-variance windows
-    * report NULL z, decided by an integer comparison.
+    * could split on. The comparison runs in DECIMAL(38,0): c² and every
+    * product beyond it leave Long range once an (hour, type) count
+    * passes ~10⁸ — plausible at 100 TB — and a silent wrap would flip
+    * the verdict (the streaming twin uses BigInt for the same reason;
+    * the DuckDB oracle casts to HUGEINT). The reported z-score divides
+    * exact integers in double and rounds (one-IEEE-op determinism);
+    * zero-variance windows report NULL z, decided by an exact
+    * comparison.
     *
     * Scale shape: the raw stream collapses to (hour, type) group rows
     * FIRST (partial+final agg — only ~hours·types rows shuffle), the
@@ -399,23 +404,39 @@ object Events {
     */
   def anomalyHours(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    anomalyFromHourly(
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+        .agg(count(lit(1)).as("c")))
+  }
+
+  /** The window/flag stage of [[anomalyHours]] over already-aggregated
+    * (h: timestamp, event_type, c: long) group rows — split out so the
+    * exactness of the DECIMAL 3σ arithmetic can be proven at per-hour
+    * counts (~10⁸–10⁹) the row-count fixtures cannot physically reach.
+    */
+  private[graft] def anomalyFromHourly(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"event_type").orderBy($"hus")
       .rowsBetween(-24, -1)
-    Tables(s, dir, "events")
-      .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
-      .agg(count(lit(1)).as("c"))
+    hourly
       .withColumn("hus", unix_micros($"h"))
       // c² projected BEFORE the windows: with attribute-only children all
       // three frame aggregates land in ONE WindowExec (a nested c*c gets
       // extracted into a projection that splits a second Window node off)
-      .withColumn("c2", $"c" * $"c")
+      .withColumn("c2", $"c".cast("decimal(19,0)") * $"c")
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s1", sum($"c").over(w))
       .withColumn("s2", sum($"c2").over(w))
       .filter($"n" >= 12) // warm-up: enough history for a stable band
-      .withColumn("varn", $"n" * $"s2" - $"s1" * $"s1") // n²·var·(n−1)/n
-      .withColumn("num", $"n" * $"c" - $"s1") // n·(c − mean)
+      // n²·var·(n−1)/n — decimal: s1² wraps Long past c ≈ 1.26e8/hour
+      .withColumn("varn",
+        $"n".cast("decimal(38,0)") * $"s2" -
+          $"s1".cast("decimal(38,0)") * $"s1")
+      .withColumn("num",
+        $"n".cast("decimal(38,0)") * $"c" - $"s1") // n·(c − mean)
       .select(
         date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
         $"event_type", $"c", $"n".as("n_hist"),
@@ -423,7 +444,8 @@ object Events {
           round(($"c" - $"s1".cast("double") / $"n") /
             sqrt($"varn".cast("double") / ($"n" * ($"n" - 1L))), 4))
           .as("z"),
-        ($"num" > 0 && $"num" * $"num" * ($"n" - 1L) > lit(9L) * $"n" * $"varn")
+        ($"num" > 0 &&
+          $"num" * $"num" * ($"n" - 1L) > lit(9L) * $"n" * $"varn")
           .as("anomaly"))
       .orderBy($"hour", $"event_type")
   }

@@ -23,9 +23,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     HTTP happens, so a batch that committed its ledger never
   *     re-delivers: exactly-once per (batch, row) across replays. A
   *     crash BETWEEN the POSTs and the ledger commit degrades to
-  *     at-least-once for that batch — the idempotency header is what the
-  *     receiving side dedups on then (the same composition contract as
-  *     WebhookSource + StreamOps.dedup on the ingest side).
+  *     at-least-once for that batch, and so does a task retry or a
+  *     speculative duplicate WITHIN a batch (the POST happens inside the
+  *     task; Spark may re-run tasks) — the idempotency header is what
+  *     the receiving side dedups on in both cases (the same composition
+  *     contract as WebhookSource + StreamOps.dedup on the ingest side).
   *
   * Scale shape: delivery runs inside `mapPartitions` — one HTTP client
   * per task, rows stream through without driver collection, parallelism
@@ -67,6 +69,10 @@ object WebhookDelivery {
                                 baseBackoffMs: Long): (Long, Long) = {
     val spark = payloads.sparkSession
     import spark.implicits._
+    // empty micro-batches settle as a no-op: writing them would leave a
+    // schemaless ledger directory (just _SUCCESS) that wedges every
+    // later replay-guard read, and there is nothing to guard anyway
+    if (payloads.isEmpty) return (0L, 0L)
     // replay guard: keys this batch already settled (either way) never
     // reach the endpoint again
     val todo = settledKeys(spark, ledgerPath, batchId)
@@ -170,9 +176,28 @@ object WebhookDelivery {
       redeliveryBatch, endpoint, ledgerPath, maxAttempts, baseBackoffMs)
   }
 
+  /** The ledger's schema, declared rather than inferred: inference
+    * throws on a directory with no data files yet (e.g. only _SUCCESS
+    * left by a foreign writer), and the replay guard must read an
+    * any-state ledger without wedging the stream.
+    */
+  private val LedgerSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("status",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("attempts",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("error",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("body",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("batch_id",
+      org.apache.spark.sql.types.LongType)))
+
   /** Full delivery ledger (all batches, both statuses). */
   def ledger(spark: SparkSession, ledgerPath: String): DataFrame =
-    spark.read.parquet(ledgerPath)
+    spark.read.schema(LedgerSchema).parquet(ledgerPath)
 
   /** Settled keys of one batch partition, if the ledger exists yet.
     * The batch_id equality prunes to one directory of the hive layout.
@@ -186,7 +211,7 @@ object WebhookDelivery {
     val p = new org.apache.hadoop.fs.Path(ledgerPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(ledgerPath)
+    else Some(ledger(spark, ledgerPath)
       .filter(col("batch_id") === batchId)
       .select(col("key")))
   }

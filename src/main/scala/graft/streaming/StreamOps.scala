@@ -381,10 +381,24 @@ object StreamOps {
                                  tv: TimerValues): Iterator[FunnelStage] = {
       val prev0 = if (chain.exists()) chain.get()
                   else FunnelChain(0L, 0L, 0L, 0L, 0L)
-      // completed funnels ignore further events — nothing can change
-      // within this retention cycle (the cleanup timer armed at
-      // completion still retires the key)
-      if (prev0.pMs != 0L) return Iterator.empty
+      // completed funnels ignore further events for OUTPUT — nothing can
+      // change within this retention cycle — but still track lastMs and
+      // slide the cleanup timer with it: retirement is idle-based (the
+      // funnelStages contract), so a user who keeps sending events after
+      // completing must not be retired and re-emit stages on their next
+      // view
+      if (prev0.pMs != 0L) {
+        val last = rows.foldLeft(prev0.lastMs)((m, e) =>
+          math.max(m, e.ts.getTime))
+        if (last > prev0.lastMs) {
+          val timer = last + idleRetentionMs
+          if (prev0.armedTimerMs != 0L && prev0.armedTimerMs != timer)
+            getHandle.deleteTimer(prev0.armedTimerMs)
+          if (timer != prev0.armedTimerMs) getHandle.registerTimer(timer)
+          chain.update(prev0.copy(armedTimerMs = timer, lastMs = last))
+        }
+        return Iterator.empty
+      }
       val funnelRows = rows.filter(e =>
         e.event_type == "view" || e.event_type == "click" ||
           e.event_type == "purchase").toArray
@@ -515,17 +529,28 @@ object StreamOps {
       val (done, still) = all.partition { case (h, _) => h + HourMs <= wmMs }
       var hours = prev.hours
       var counts = prev.counts
-      val out = done.sortBy(_._1).map { case (h, c) =>
+      val out = done.sortBy(_._1).flatMap { case (h, c) =>
         val n = hours.length.toLong
-        val s1 = counts.sum
-        val s2 = counts.map(x => x * x).sum
-        val num = n * c - s1
+        // BigInt: c² and the products below wrap Long past ~10⁸
+        // events/hour — the batch twin widens to DECIMAL(38,0) at the
+        // same spots, so the two sides can't split on an overflow
+        val s1 = counts.foldLeft(BigInt(0))(_ + _)
+        val s2 = counts.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+        val num = BigInt(n) * c - s1
         val anomaly = n > 1 && num > 0 &&
-          num * num * (n - 1) > 9L * n * (n * s2 - s1 * s1)
+          num * num * (n - 1) > BigInt(9) * n * (BigInt(n) * s2 - s1 * s1)
         hours = (hours :+ h).takeRight(24)
         counts = (counts :+ c).takeRight(24)
         open.removeKey(h)
-        HourlyVolume(typ, new java.sql.Timestamp(h), c, n, anomaly)
+        // warm-up gate shared with the batch twin's `n >= 12` filter: a
+        // band built on <12 history hours is unstable (2 quiet hours of
+        // history flag any busy third), so the hour still enters the
+        // ring but emits no row — stream ≡ batch with NO consumer-side
+        // filtering, and no spurious pages in the first half-day of a
+        // fresh event type
+        if (n >= 12)
+          Some(HourlyVolume(typ, new java.sql.Timestamp(h), c, n, anomaly))
+        else None
       }
       val timer = if (still.isEmpty) 0L else still.map(_._1).min + HourMs
       if (prev.armedTimerMs != 0L && prev.armedTimerMs != timer)
@@ -556,7 +581,10 @@ object StreamOps {
 
   /** Streaming anomaly-detection entry point (see [[AnomalyProcessor]]).
     * `lateness` is the replay-disorder tolerance; an hour judges only
-    * after the watermark proves it complete.
+    * after the watermark proves it complete. Emission starts after the
+    * 12-hour warm-up the batch twin `q_anomaly_hours` enforces — the
+    * stream is row-for-row equal to the batch query with no filtering
+    * on the consumer side.
     */
   def anomalyAlerts(events: Dataset[Event],
                     lateness: String = "2 hours"): Dataset[HourlyVolume] = {

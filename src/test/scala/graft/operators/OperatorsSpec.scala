@@ -1111,4 +1111,37 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(0) == 2L && r.isNullAt(1) &&
       !r.isNullAt(2)))
   }
+
+  test("anomaly 3σ flag stays exact at billion-scale hourly counts") {
+    import spark.implicits._
+    // counts around 2×10⁸–3×10⁹: s1² ≈ 2.3×10¹⁹ and num²·(n−1) leave
+    // 64-bit range, so wrapped Long arithmetic garbles the flag in this
+    // regime (plausible per-hour volumes at 100 TB) — the DECIMAL path
+    // must match a BigInt reference on every emitted row
+    val counts: Array[Long] = Array.tabulate(40) { i =>
+      if (i == 30) 3000000000L                  // genuine 15× spike
+      else 200000000L + (i % 5) * 1000000L      // noisy plateau
+    }
+    val hourly = counts.zipWithIndex.map { case (c, i) =>
+      (new java.sql.Timestamp(i * 3600000L), "heavy", c)
+    }.toSeq.toDF("h", "event_type", "c")
+    val got = Events.anomalyFromHourly(hourly)
+      .select("c", "n_hist", "anomaly").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val expected = counts.indices.flatMap { i =>
+      val frame = counts.slice(math.max(0, i - 24), i).map(BigInt(_))
+      val n = frame.length
+      if (n >= 12) {
+        val s1 = frame.sum
+        val s2 = frame.map(x => x * x).sum
+        val num = BigInt(n) * counts(i) - s1
+        val anomaly = num > 0 &&
+          num * num * (n - 1) > BigInt(9) * n * (BigInt(n) * s2 - s1 * s1)
+        Some((counts(i), n.toLong, anomaly))
+      } else None
+    }
+    // the fixture must discriminate: one spike flagged, plateau clean
+    assert(expected.exists(_._3) && !expected.forall(_._3))
+    assert(got == expected, s"decimal/BigInt divergence: $got")
+  }
 }

@@ -325,6 +325,30 @@ class SinksSpec extends SparkSpec {
     WebhookQueue.clear()
   }
 
+  test("empty batches settle as a no-op and never wedge the ledger") {
+    import spark.implicits._
+    import graft.sources.WebhookQueue
+    val port = WebhookQueue.startServer(0)
+    WebhookQueue.clear()
+    val dir = Files.createTempDirectory("graft_deliver_empty").toString
+    val ledger = s"$dir/ledger"
+    val endpoint = s"http://localhost:$port/webhook/out"
+    // an EMPTY micro-batch settles FIRST: before the fix this wrote a
+    // schemaless ledger dir (only _SUCCESS) and every later replay-guard
+    // read threw "unable to infer schema", wedging the stream
+    val empty = Tables(spark, sfTest, "events").limit(0)
+    assert(WebhookDelivery.deliverBatch(empty, 1L, endpoint, "event_id",
+      ledger) == ((0L, 0L)))
+    val before = WebhookQueue.latest
+    val rows = Tables(spark, sfTest, "events").orderBy($"event_id").limit(3)
+    assert(WebhookDelivery.deliverBatch(rows, 2L, endpoint, "event_id",
+      ledger) == ((3L, 0L)))
+    assert(WebhookQueue.latest == before + 3)
+    // and the explicit-schema ledger read works on the settled state
+    assert(WebhookDelivery.ledger(spark, ledger).count() == 3)
+    WebhookQueue.clear()
+  }
+
   test("streaming delivery: every micro-batch posts once across restarts") {
     import spark.implicits._
     import graft.sources.WebhookQueue

@@ -814,7 +814,7 @@ class StreamOpsSpec extends SparkSpec {
       val streamed = spark.sql(
         """select date_format(hour, 'yyyy-MM-dd HH:mm:ss') as hour,
           | event_type, c, n_hist, anomaly from t_anom
-          |where n_hist >= 12 and event_type <> 'zz_flush'""".stripMargin)
+          |where event_type <> 'zz_flush'""".stripMargin)
         .collect()
         .map(r => (r.getString(0), r.getString(1)) ->
           (r.getLong(2), r.getLong(3), r.getBoolean(4)))
@@ -898,6 +898,67 @@ class StreamOpsSpec extends SparkSpec {
       // the spike judges against the RESTORED flat history: 24 hours of
       // count 2, zero variance → any positive deviation flags
       assert(byHour(26) == ((50L, 24L, true)), s"spike: ${byHour(26)}")
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("completed funnel user who stays active is not retired: retirement " +
+    "is idle-based, not completion-based") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.funnelStages(ms.toDS(), lateness = "10 minutes",
+          idleRetention = "30 minutes")
+        .writeStream.format("memory").queryName("t_funnel_active")
+        .outputMode("append").start()
+      // user 7 completes the funnel at 10:00–10:02
+      ms.addData(Seq(ev(1, "2024-01-01 10:00:00", 7, "view", 0.0),
+        ev(2, "2024-01-01 10:01:00", 7, "click", 0.0),
+        ev(3, "2024-01-01 10:02:00", 7, "purchase", 0.0)))
+      q.processAllAvailable()
+      // watermark to 10:10 → all three stages finalize; the cleanup
+      // timer sits at completion lastMs 10:02 + 30 min = 10:32
+      ms.addData(Seq(ev(4, "2024-01-01 10:20:00", 42, "ping", 0.0)))
+      q.processAllAvailable()
+      // user 7 keeps browsing at 10:25 — the retirement clock must
+      // slide to 10:55 even though the chain is complete
+      ms.addData(Seq(ev(5, "2024-01-01 10:25:00", 7, "ping", 0.0)))
+      q.processAllAvailable()
+      // watermark to 10:50: past the ORIGINAL 10:32 horizon but inside
+      // the slid one — user 7 must still hold state…
+      ms.addData(Seq(ev(6, "2024-01-01 11:00:00", 42, "ping", 0.0)))
+      q.processAllAvailable()
+      // …so this view hits the completed chain and emits NOTHING (a
+      // wrongly-retired user would re-open a cycle and re-emit stage 1)
+      ms.addData(Seq(ev(7, "2024-01-01 11:05:00", 7, "view", 0.0)))
+      q.processAllAvailable()
+      // genuine idleness: watermark to 12:00 > 11:05 + 30 min → retire
+      ms.addData(Seq(ev(8, "2024-01-01 12:10:00", 42, "ping", 0.0)))
+      q.processAllAvailable()
+      // a RETIRED user starts a fresh cycle → exactly one new stage-1
+      ms.addData(Seq(ev(9, "2024-01-01 12:20:00", 7, "view", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(10, "2024-01-01 12:40:00", 42, "ping", 0.0)))
+      q.processAllAvailable()
+      val got = spark.sql("select user_id, stage, ts from t_funnel_active")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getTimestamp(2).toString.substring(0, 19)))
+      q.stop()
+      assert(got.toSet == Set(
+        (7L, 1, "2024-01-01 10:00:00"), (7L, 2, "2024-01-01 10:01:00"),
+        (7L, 3, "2024-01-01 10:02:00"), (7L, 1, "2024-01-01 12:20:00")),
+        s"got ${got.sorted.toSeq}")
+      assert(got.length == 4, s"duplicate emissions: ${got.sorted.toSeq}")
     } finally prevProvider match {
       case Some(p) =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
