@@ -139,13 +139,20 @@ object Sinks {
   /** Micro-batch escape hatch: run arbitrary batch logic (JDBC upsert,
     * HTTP push, dedup-merge) per micro-batch. Delivery is at-least-once —
     * `batchId` is the replay key an idempotent sink must dedup on.
+    *
+    * `outputMode` decides WHAT a micro-batch contains when `df` holds a
+    * streaming aggregate: "update" hands the sink every group touched
+    * this batch (running values — partials included), "append" hands it
+    * only groups the watermark has finalized, exactly once. Stateless
+    * streams are identical under both.
     */
-  def streamForeachBatch(df: DataFrame, checkpoint: String)
+  def streamForeachBatch(df: DataFrame, checkpoint: String,
+                         outputMode: String = "update")
                         (f: (DataFrame, Long) => Unit): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch(f)
-      .outputMode("update")
+      .outputMode(outputMode)
       .start()
 }

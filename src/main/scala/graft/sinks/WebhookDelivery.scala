@@ -132,12 +132,21 @@ object WebhookDelivery {
 
   /** Streaming entry point: every micro-batch of `df` delivers through
     * [[deliverBatch]] under foreachBatch's replay contract.
+    *
+    * When `df` carries a watermarked streaming aggregate, `outputMode`
+    * is the delivery discipline: "append" (the default) POSTs each group
+    * exactly once, after the watermark finalizes it — the shape a
+    * downstream consumer of RESULTS wants, since a partial count must
+    * never leave the system as if it were the answer. Pass "update" to
+    * deliver running values every micro-batch instead (a live dashboard
+    * feed). Stateless streams deliver identically under both.
     */
   def streamDeliver(df: DataFrame, endpoint: String, keyCol: String,
                     ledgerPath: String, checkpoint: String,
                     maxAttempts: Int = 3,
-                    baseBackoffMs: Long = 50L): StreamingQuery =
-    Sinks.streamForeachBatch(df, checkpoint) { (batch, id) =>
+                    baseBackoffMs: Long = 50L,
+                    outputMode: String = "append"): StreamingQuery =
+    Sinks.streamForeachBatch(df, checkpoint, outputMode) { (batch, id) =>
       deliverBatch(batch, id, endpoint, keyCol, ledgerPath,
         maxAttempts, baseBackoffMs)
       ()

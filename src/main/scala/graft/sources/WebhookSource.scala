@@ -44,7 +44,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * partition-per-broker-shard production extension.
   */
 object WebhookQueue {
-  private val buf = new ConcurrentSkipListMap[Long, (Long, String, String)]()
+  // value = (ingest ts µs, topic, body, delivery key) — the delivery key
+  // is the X-Delivery-Key idempotency header ("" when the sender sent
+  // none): a receiver that dedups on the header can only do so if its
+  // HTTP layer records the header NEXT TO the payload, so the key is
+  // part of the queue record, the WAL record, and the source schema
+  private val buf = new ConcurrentSkipListMap[Long, (Long, String, String, String)]()
   private val seq = new AtomicLong(0L)
   // retained-entry count tracked separately: ConcurrentSkipListMap.size()
   // is an O(n) traversal, and post() runs it under the global lock on
@@ -68,23 +73,27 @@ object WebhookQueue {
   @volatile private var walDir: java.nio.file.Path = _
   private var lowWater = 0L
 
-  /** One WAL record = one line of exactly 5 tab-separated tokens:
-    * `id \t ts \t b64(topic) \t b64(body) \t crc32`. BOTH variable fields
-    * are base64-encoded — the topic comes from a URL path where %09/%0A
-    * decode to tab/newline, and a raw topic containing either would corrupt
+  /** One WAL record = one line of exactly 6 tab-separated tokens:
+    * `id \t ts \t b64(topic) \t b64(body) \t b64(deliveryKey) \t crc32`.
+    * ALL variable fields are base64-encoded — the topic comes from a URL
+    * path where %09/%0A decode to tab/newline, the delivery key is a raw
+    * client header, and either containing a tab/newline would corrupt
     * the framing so recovery's stop-at-first-malformed-line policy silently
     * discarded every later 200-acked delivery. The trailing CRC32 (over the
-    * first four tokens) catches the torn tail a 4-char base64 boundary
+    * preceding tokens) catches the torn tail a 4-char base64 boundary
     * hides: a truncated body can still parse and decode, and without the
     * checksum it would be recovered and delivered as if intact.
     */
-  private def record(id: Long, ts: Long, topic: String, body: String): String = {
+  private def record(id: Long, ts: Long, topic: String, body: String,
+                     deliveryKey: String): String = {
     val enc = java.util.Base64.getEncoder
     val t64 = enc.encodeToString(
       topic.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val b64 = enc.encodeToString(
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val payload = s"$id\t$ts\t$t64\t$b64"
+    val k64 = enc.encodeToString(
+      deliveryKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val payload = s"$id\t$ts\t$t64\t$b64\t$k64"
     s"$payload\t${crc32(payload)}\n"
   }
 
@@ -122,18 +131,19 @@ object WebhookQueue {
     if (java.nio.file.Files.exists(walFile)) {
       // Format detection BEFORE parsing: a 4-token line is acceptable
       // legacy framing only in a file the legacy writer produced — i.e.
-      // one with NO 5-token lines anywhere. In a CRC-format file a 4-token
-      // line can only be a line torn before its checksum (Base64 decodes
-      // most truncation points without complaint), and accepting it would
-      // launder a truncated body into the next compaction with a fresh
-      // valid CRC — exactly the corruption the CRC exists to catch. Mixed
-      // files don't occur: recovery compacts legacy logs to CRC framing
-      // wholesale. The pre-scan is one cheap pass; compaction keeps the
-      // file bounded by the uncommitted backlog.
+      // one with NO CRC-framed (≥5-token) lines anywhere. In a CRC-format
+      // file a 4-token line can only be a line torn before its checksum
+      // (Base64 decodes most truncation points without complaint), and
+      // accepting it would launder a truncated body into the next
+      // compaction with a fresh valid CRC — exactly the corruption the
+      // CRC exists to catch. Mixed files don't occur: recovery compacts
+      // legacy logs to CRC framing wholesale. The pre-scan is one cheap
+      // pass; compaction keeps the file bounded by the uncommitted
+      // backlog.
       val crcFormat = {
         val probe = java.nio.file.Files.lines(walFile)
         try probe.iterator().asScala
-          .exists(l => l.nonEmpty && l.split("\t", 5).length == 5)
+          .exists(l => l.nonEmpty && l.split("\t", -1).length >= 5)
         finally probe.close()
       }
       val stream = java.nio.file.Files.lines(walFile)
@@ -142,8 +152,9 @@ object WebhookQueue {
         var ok = true
         var parsed = 0
         // Restores one fully-parsed entry into the live buffer. Shared by
-        // the current CRC-framed format and the legacy no-CRC format.
-        def restore(idS: String, tsS: String, t64: String, b64: String): Unit = {
+        // every framing generation (k64 = "" for pre-delivery-key lines).
+        def restore(idS: String, tsS: String, t64: String, b64: String,
+                    k64: String): Unit = {
           val id = idS.toLong
           val ts = tsS.toLong
           val dec = java.util.Base64.getDecoder
@@ -151,9 +162,12 @@ object WebhookQueue {
             java.nio.charset.StandardCharsets.UTF_8)
           val body = new String(dec.decode(b64),
             java.nio.charset.StandardCharsets.UTF_8)
+          val dk = if (k64.isEmpty) ""
+            else new String(dec.decode(k64),
+              java.nio.charset.StandardCharsets.UTF_8)
           maxSeq = math.max(maxSeq, id)
           if (id > lowWater && !buf.containsKey(id)) {
-            buf.put(id, (ts, topic, body))
+            buf.put(id, (ts, topic, body, dk))
             retained.incrementAndGet()
             recovered += 1
           }
@@ -161,19 +175,29 @@ object WebhookQueue {
         while (ok && it.hasNext) {
           val line = it.next()
           if (line.nonEmpty) {
-            line.split("\t", 5) match {
+            line.split("\t", -1) match {
+              case Array(idS, tsS, t64, b64, k64, crcS) =>
+                try {
+                  if (crc32(s"$idS\t$tsS\t$t64\t$b64\t$k64") != crcS.toLong)
+                    ok = false // truncated-but-parseable tail
+                  else { restore(idS, tsS, t64, b64, k64); parsed += 1 }
+                } catch { case _: IllegalArgumentException => ok = false }
               case Array(idS, tsS, t64, b64, crcS) =>
+                // previous CRC framing without the delivery-key token: a
+                // torn current-format line can also land here (crc token
+                // position holds k64) — then the CRC check fails and the
+                // stop-at-first-malformed policy holds
                 try {
                   if (crc32(s"$idS\t$tsS\t$t64\t$b64") != crcS.toLong)
-                    ok = false // truncated-but-parseable tail
-                  else { restore(idS, tsS, t64, b64); parsed += 1 }
+                    ok = false
+                  else { restore(idS, tsS, t64, b64, ""); parsed += 1 }
                 } catch { case _: IllegalArgumentException => ok = false }
               case Array(idS, tsS, t64, b64) if !crcFormat =>
                 // legacy pre-CRC framing (id, ts, topic64, body64): a
                 // pre-upgrade WAL must survive the format upgrade; the
                 // crcFormat pre-scan guarantees this branch never fires
                 // on a torn current-format line
-                try { restore(idS, tsS, t64, b64); parsed += 1 }
+                try { restore(idS, tsS, t64, b64, ""); parsed += 1 }
                 catch { case _: IllegalArgumentException => ok = false }
               case _ => ok = false // torn tail — keep the valid prefix
             }
@@ -204,7 +228,8 @@ object WebhookQueue {
       java.nio.charset.StandardCharsets.UTF_8)
     try {
       buf.entrySet().iterator().asScala.foreach { e =>
-        w.write(record(e.getKey, e.getValue._1, e.getValue._2, e.getValue._3))
+        w.write(record(e.getKey, e.getValue._1, e.getValue._2,
+          e.getValue._3, e.getValue._4))
       }
     } finally w.close()
     java.nio.file.Files.move(tmp, walFile,
@@ -246,15 +271,16 @@ object WebhookQueue {
     * skips the in-flight entry and the committed offset would pass it
     * unread (permanent loss despite the 200 response).
     */
-  def post(topic: String, body: String): Long = synchronized {
+  def post(topic: String, body: String,
+           deliveryKey: String = ""): Long = synchronized {
     if (retained.get() >= maxRetained) -1L
     else {
       val id = seq.incrementAndGet()
       val ts = System.currentTimeMillis() * 1000L
-      buf.put(id, (ts, topic, body))
+      buf.put(id, (ts, topic, body, deliveryKey))
       retained.incrementAndGet()
       if (wal != null) { // write-ahead: land in the log before the 200
-        wal.write(record(id, ts, topic, body))
+        wal.write(record(id, ts, topic, body, deliveryKey))
         wal.flush()
       }
       id
@@ -264,13 +290,51 @@ object WebhookQueue {
   def latest: Long = synchronized { seq.get() }
 
   def slice(fromExclusive: Long, toInclusive: Long)
-  : Array[(Long, Long, String, String)] =
+  : Array[(Long, Long, String, String, String)] =
     // iterator, not entrySet().asScala: mapping the Set wrapper rebuilds a
     // hash set and loses the skip list's ascending-seq order
     buf.subMap(fromExclusive, false, toInclusive, true)
       .entrySet().iterator().asScala
-      .map(e => (e.getKey, e.getValue._1, e.getValue._2, e.getValue._3))
+      .map(e => (e.getKey, e.getValue._1, e.getValue._2, e.getValue._3,
+        e.getValue._4))
       .toArray
+
+  // --- consumer registry --------------------------------------------------
+  // Several independent streaming queries can read the one queue (e.g. the
+  // processing pipeline and the delivered-results receiver in the domain
+  // loop). Truncation must respect ALL of them: each MicroBatchStream
+  // registers under its checkpoint id, commits its own offset, and the
+  // queue truncates at the MINIMUM committed offset — broker consumer-group
+  // retention ("keep until the slowest registered reader has it").
+  private val committedBy = new java.util.HashMap[String, Long]()
+
+  /** Start retaining entries for reader `id` (idempotent; a restart from
+    * the same checkpoint re-registers and resumes its committed floor at
+    * the first commit).
+    */
+  def registerConsumer(id: String): Unit = synchronized {
+    if (!committedBy.containsKey(id)) committedBy.put(id, 0L)
+  }
+
+  /** Drop reader `id` from retention accounting (a stopped query no
+    * longer holds the queue back; its checkpoint still lets it resume —
+    * durability willing — from whatever is retained then).
+    */
+  def unregisterConsumer(id: String): Unit = synchronized {
+    committedBy.remove(id)
+  }
+
+  /** Record reader `id` at `upto` and truncate to the slowest reader.
+    * Monotonic per reader — a replayed commit can't move it backwards.
+    */
+  def commitConsumer(id: String, upto: Long): Unit = synchronized {
+    committedBy.put(id,
+      math.max(upto, committedBy.getOrDefault(id, 0L)))
+    var min = upto
+    val it = committedBy.values().iterator()
+    while (it.hasNext) min = math.min(min, it.next())
+    truncate(min)
+  }
 
   /** At-least-once retention: entries survive until the committed offset
     * passes them.
@@ -292,7 +356,9 @@ object WebhookQueue {
   /** Drop in-memory state only — a durable log (if any) survives, which is
     * exactly what `enableDurability` recovers from.
     */
-  def clear(): Unit = synchronized { buf.clear(); retained.set(0) }
+  def clear(): Unit = synchronized {
+    buf.clear(); retained.set(0); committedBy.clear()
+  }
 
   def startServer(port: Int): Int = synchronized {
     if (server == null) {
@@ -304,7 +370,11 @@ object WebhookQueue {
           if (x.getRequestMethod == "POST") {
             val body = new String(x.getRequestBody.readAllBytes(),
               java.nio.charset.StandardCharsets.UTF_8)
-            val id = post(topic, body)
+            // the idempotency header rides the record: receiver-side
+            // dedup (StreamOps.dedupDeliveries) keys on it
+            val dk = Option(x.getRequestHeaders
+              .getFirst("X-Delivery-Key")).getOrElse("")
+            val id = post(topic, body, dk)
             if (id < 0) {
               val resp = """{"error":"queue full, retry later"}""".getBytes
               x.sendResponseHeaders(503, resp.length)
@@ -334,7 +404,9 @@ object WebhookSource {
     StructField("seq", LongType, nullable = false),
     StructField("ingest_ts", TimestampType, nullable = false),
     StructField("topic", StringType, nullable = false),
-    StructField("body", StringType, nullable = false)))
+    StructField("body", StringType, nullable = false),
+    // X-Delivery-Key idempotency header; NULL when the sender sent none
+    StructField("delivery_key", StringType, nullable = true)))
 }
 
 class WebhookSourceProvider extends TableProvider with DataSourceRegister {
@@ -364,7 +436,8 @@ class WebhookTable extends Table with SupportsRead {
 class WebhookScan(maxRows: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = WebhookSource.schema
   override def toMicroBatchStream(checkpointLocation: String)
-  : MicroBatchStream = new WebhookMicroBatchStream(maxRows)
+  : MicroBatchStream =
+    new WebhookMicroBatchStream(maxRows, checkpointLocation)
 }
 
 case class WebhookOffset(seqNo: Long) extends Offset {
@@ -380,8 +453,13 @@ case class WebhookOffset(seqNo: Long) extends Offset {
   * `maxOffsetsPerTrigger` contract. Deliveries beyond the cap stay queued
   * (and WAL-retained when durability is on) for the next trigger.
   */
-class WebhookMicroBatchStream(maxRows: Option[Long] = None)
+class WebhookMicroBatchStream(maxRows: Option[Long] = None,
+                              consumerId: String = "default")
   extends MicroBatchStream with SupportsAdmissionControl {
+
+  // retention holds for this reader from construction (query start), so a
+  // second query's commits can't truncate rows this one hasn't read yet
+  WebhookQueue.registerConsumer(consumerId)
 
   override def getDefaultReadLimit: ReadLimit =
     maxRows.fold(ReadLimit.allAvailable())(n => ReadLimit.maxRows(n))
@@ -415,8 +493,9 @@ class WebhookMicroBatchStream(maxRows: Option[Long] = None)
   override def deserializeOffset(json: String): Offset =
     WebhookOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
   override def commit(end: Offset): Unit =
-    WebhookQueue.truncate(end.asInstanceOf[WebhookOffset].seqNo)
-  override def stop(): Unit = ()
+    WebhookQueue.commitConsumer(consumerId,
+      end.asInstanceOf[WebhookOffset].seqNo)
+  override def stop(): Unit = WebhookQueue.unregisterConsumer(consumerId)
 
   /** The batch slice is split across the session's task width — one
     * partition per batch would serialize the whole micro-batch through a
@@ -444,7 +523,8 @@ class WebhookMicroBatchStream(maxRows: Option[Long] = None)
 /** The batch slice travels inside the partition (serialized to executors —
   * correct beyond local mode, where the queue singleton wouldn't exist).
   */
-case class WebhookInputPartition(rows: Array[(Long, Long, String, String)])
+case class WebhookInputPartition(
+    rows: Array[(Long, Long, String, String, String)])
   extends InputPartition
 
 object WebhookReaderFactory extends PartitionReaderFactory {
@@ -455,9 +535,10 @@ object WebhookReaderFactory extends PartitionReaderFactory {
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = {
-        val (seqNo, tsMicros, topic, body) = rows(i)
+        val (seqNo, tsMicros, topic, body, dk) = rows(i)
         InternalRow(seqNo, tsMicros,
-          UTF8String.fromString(topic), UTF8String.fromString(body))
+          UTF8String.fromString(topic), UTF8String.fromString(body),
+          if (dk.isEmpty) null else UTF8String.fromString(dk))
       }
       override def close(): Unit = ()
     }

@@ -56,12 +56,25 @@ case class HourlyVolume(event_type: String, hour: java.sql.Timestamp,
   */
 object StreamOps {
 
+  /** `withWatermark`, idempotently: a no-op when the incoming plan
+    * already carries an event-time watermark, so the operators here
+    * compose (e.g. `tumbling(dedup(events))`) without tripping Spark's
+    * redefining-watermark error — the upstream operator's (equal)
+    * horizon governs the whole chain.
+    */
+  private def ensureWatermark(df: DataFrame, tsCol: String,
+                              delay: String): DataFrame = {
+    val has = df.queryExecution.logical.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+    }.isDefined
+    if (has) df else df.withWatermark(tsCol, delay)
+  }
+
   /** Per-hour per-type tumbling counts + sums; 2h watermark bounds state
     * and admits late events up to 2h behind the max seen ts.
     */
   def tumbling(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
+    ensureWatermark(events, "ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
@@ -126,6 +139,22 @@ object StreamOps {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** The receiving half of the outbound-delivery contract: webhook POSTs
+    * ingested through `WebhookSource` carry the sender's `X-Delivery-Key`
+    * idempotency header as the `delivery_key` column; dropping duplicates
+    * on it collapses every at-least-once duplicate the delivery side can
+    * produce — a foreachBatch replay after a crash in the POST→ledger
+    * window, and task-retry/speculative re-POSTs — because all of them
+    * re-send the SAME `batchId:key` header (WebhookDelivery's contract).
+    * State is bounded by the watermark on ingest time: a duplicate can
+    * only arrive within the sender's replay horizon.
+    */
+  def dedupDeliveries(posts: DataFrame,
+                      replayHorizon: String = "2 hours"): DataFrame =
+    posts
+      .withWatermark("ingest_ts", replayHorizon)
+      .dropDuplicatesWithinWatermark("delivery_key")
 
   /** Stream–static enrichment: join the live stream against the customer
     * dimension. The static side is broadcast per micro-batch; no stream

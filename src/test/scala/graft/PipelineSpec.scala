@@ -66,4 +66,141 @@ class PipelineSpec extends SparkSpec {
         .cast("long").as("n")).agg(sum($"n")).head().getLong(0)
     assert(lastOff + lastN == expectedTokens)
   }
+
+  test("domain loop end-to-end: POST in → dedup → aggregate → deliver out " +
+    "→ re-ingest → X-Delivery-Key dedup is exactly-once under replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.sources.WebhookQueue
+    import graft.streaming.StreamOps
+    import graft.sinks.WebhookDelivery
+
+    val port = WebhookQueue.startServer(0)
+    val dir = Files.createTempDirectory("graft_loop").toString
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(topic: String, body: String, dk: String = null): Int = {
+      val b = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://localhost:$port/webhook/$topic"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      if (dk != null) b.header("X-Delivery-Key", dk)
+      client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+    }
+    WebhookQueue.clear()
+
+    def source() = spark.readStream
+      .format("graft.sources.WebhookSourceProvider").load()
+
+    // ---- receiver side first (registration precedes data): one wire
+    // view (at-least-once: shows every duplicate POST) and the deduped
+    // view keyed on the captured X-Delivery-Key header
+    val out = source().filter($"topic" === "out")
+    val qWire = out.select($"delivery_key", $"body")
+      .writeStream.format("memory").queryName("t_loop_wire")
+      .option("checkpointLocation", s"$dir/ckpt_wire")
+      .outputMode("append").start()
+    val resultSchema = StructType(Seq(
+      StructField("window_start", LongType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("sum_value", DoubleType),
+      StructField("key", LongType)))
+    val qRecv = StreamOps.dedupDeliveries(
+        out.select($"ingest_ts", $"delivery_key",
+          from_json($"body", resultSchema).as("r")))
+      .select($"delivery_key", $"r.*")
+      .writeStream.format("memory").queryName("t_loop_recv")
+      .option("checkpointLocation", s"$dir/ckpt_recv")
+      .outputMode("append").start()
+
+    // ---- processing side: parse → sender-retry dedup on event_id →
+    // watermark-finalized hourly aggregate → outbound delivery with
+    // idempotency headers and a ledger
+    val payloadSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val events = source().filter($"topic" === "in")
+      .select(from_json($"body", payloadSchema).as("e")).select("e.*")
+    // aggregate only the product event types — AFTER the watermark node
+    // inside dedup, so watermark carriers (the test's zz_flush sentinel)
+    // advance event time without polluting the delivered results
+    val agg = StreamOps.tumbling(StreamOps.dedup(events)
+        .filter($"event_type".isin("click", "view", "error")))
+      .select(unix_millis($"window.start").as("window_start"),
+        $"event_type", $"n", $"sum_value")
+      .withColumn("key", abs(xxhash64($"window_start", $"event_type")))
+    val qProc = WebhookDelivery.streamDeliver(agg,
+      s"http://localhost:$port/webhook/out", "key",
+      s"$dir/ledger", s"$dir/ckpt_proc")
+
+    try {
+      // await initialization: a query registers its queue consumer during
+      // startup, which is asynchronous to .start() returning — posting
+      // before all three are registered lets one query's commit truncate
+      // entries another has not read yet
+      Seq(qWire, qRecv, qProc).foreach(_.processAllAvailable())
+      def body(id: Long, h: Int, typ: String): String =
+        s"""{"event_id":$id,"ts":"2024-03-01 $h:05:00","user_id":${id % 3},""" +
+          s""""event_type":"$typ","value":$id.0}"""
+      val evs = Seq(
+        (1L, 10, "click"), (2L, 10, "click"), (3L, 10, "click"),
+        (4L, 10, "view"), (5L, 10, "view"),
+        (6L, 11, "click"), (7L, 11, "click"), (8L, 11, "view"),
+        (9L, 11, "error"), (10L, 11, "error"))
+      evs.foreach { case (id, h, t) => assert(post("in", body(id, h, t)) == 200) }
+      // sender retries: 3 deliveries arrive twice (at-least-once ingest)
+      Seq((2L, 10, "click"), (5L, 10, "view"), (9L, 11, "error"))
+        .foreach { case (id, h, t) => assert(post("in", body(id, h, t)) == 200) }
+      qProc.processAllAvailable()
+      // event-time sentinel finalizes both hours (its own window stays
+      // open and is never delivered)
+      assert(post("in", body(999, 20, "zz_flush")) == 200)
+      qProc.processAllAvailable()
+      qWire.processAllAvailable(); qRecv.processAllAvailable()
+
+      // 13 wire-in (3 dups) → 10 distinct → 5 finalized groups delivered
+      val wire1 = spark.sql("select delivery_key, body from t_loop_wire")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(wire1.length == 5, s"expected 5 deliveries, got ${wire1.length}")
+      assert(wire1.forall { case (dk, _) => dk != null && dk.nonEmpty },
+        "X-Delivery-Key header not captured on ingest")
+
+      // ---- injected replay: the crash-in-the-POST→ledger-window / task
+      // retry shape — every delivery re-POSTs with the SAME header+body
+      wire1.foreach { case (dk, b) => assert(post("out", b, dk) == 200) }
+      qWire.processAllAvailable(); qRecv.processAllAvailable()
+
+      assert(spark.sql("select * from t_loop_wire").count() == 10,
+        "replay duplicates never reached the wire — injection failed")
+      val recv = spark.sql(
+        """select delivery_key, window_start, event_type, n, sum_value, key
+          |from t_loop_recv""".stripMargin).collect()
+      assert(recv.length == 5,
+        s"receiver dedup broke exactly-once: ${recv.length} rows")
+      // header ↔ payload contract: the header IS "<batch>:<key>"
+      recv.foreach(r =>
+        assert(r.getString(0).endsWith(":" + r.getLong(5)),
+          s"header ${r.getString(0)} does not carry key ${r.getLong(5)}"))
+      // end-to-end accounting equals the batch-computed truth over the
+      // 10 DISTINCT events (a lost sender-dedup would double 2, 5, 9)
+      val h10 = java.time.Instant.parse("2024-03-01T10:00:00Z").toEpochMilli
+      val h11 = h10 + 3600000L
+      val gotAgg = recv.map(r => (r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+      assert(gotAgg == Set(
+        (h10, "click", 3L, 6.0), (h10, "view", 2L, 9.0),
+        (h11, "click", 2L, 13.0), (h11, "view", 1L, 8.0),
+        (h11, "error", 2L, 19.0)), s"got $gotAgg")
+      // the delivery ledger settled every row exactly once, none dead
+      val ledger = WebhookDelivery.ledger(spark, s"$dir/ledger")
+      assert(ledger.count() == 5)
+      assert(WebhookDelivery.deadLetters(spark, s"$dir/ledger").count() == 0)
+    } finally {
+      qProc.stop(); qWire.stop(); qRecv.stop()
+      WebhookQueue.stopServer()
+      WebhookQueue.clear()
+    }
+  }
 }

@@ -114,7 +114,7 @@ class WebhookSourceSpec extends SparkSpec {
       assert(back.map(_._1).toSeq == Seq(id1, id2))
       // recovery compacted: the torn line is gone from disk
       val lines = java.nio.file.Files.readAllLines(wal)
-      assert(lines.size == 2 && lines.asScala.forall(_.split("\t").length == 5))
+      assert(lines.size == 2 && lines.asScala.forall(_.split("\t").length == 6))
     } finally {
       WebhookQueue.disableDurability()
       WebhookQueue.clear()
@@ -141,7 +141,7 @@ class WebhookSourceSpec extends SparkSpec {
         (2L, "alerts", """{"event_id":2}""")))
       // compaction upgraded the surviving entries to the CRC framing
       val lines = java.nio.file.Files.readAllLines(dir.resolve("webhook.wal"))
-      assert(lines.size == 2 && lines.asScala.forall(_.split("\t").length == 5))
+      assert(lines.size == 2 && lines.asScala.forall(_.split("\t").length == 6))
     } finally {
       WebhookQueue.disableDurability()
       WebhookQueue.clear()

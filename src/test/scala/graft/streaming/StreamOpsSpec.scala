@@ -887,11 +887,15 @@ class StreamOpsSpec extends SparkSpec {
         .collect()
         .map(r => ((r.getTimestamp(1).getTime - t0) / 3600000L).toInt ->
           (r.getLong(2), r.getLong(3), r.getBoolean(4)))
-      // one row per hour 0..26, exactly once across the restart
-      assert(got.map(_._1).sorted.toSeq == (0 to 26),
+      // one row per post-warm-up hour 12..26, exactly once across the
+      // restart (hours 0..11 enter the ring but are warm-up-suppressed,
+      // same as the batch twin's n >= 12 gate — the suppression must
+      // also survive the restart: a lost ring would re-warm and swallow
+      // hours 12..16 too)
+      assert(got.map(_._1).sorted.toSeq == (12 to 26),
         s"hours emitted: ${got.map(_._1).sorted.toSeq}")
       val byHour = got.toMap
-      (0 to 25).foreach { h =>
+      (12 to 25).foreach { h =>
         assert(byHour(h) == ((2L, math.min(h, 24).toLong, false)),
           s"hour $h: ${byHour(h)}")
       }
