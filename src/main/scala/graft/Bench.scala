@@ -4,14 +4,23 @@ import org.apache.spark.sql.SparkSession
 
 /** Bench harness: times every SparkEntry.queries entry on SPARK_GRAFT_SF_DIR
   * and prints one JSON line. Methodology mirrors BASELINE.md — warm
-  * steady-state, best of 2 timed runs per query. The baseline's DuckDB
-  * (C++) reaches steady state after its single cache-warming run; a JVM
-  * does not — C2 compilation of the generated stage code keeps landing for
-  * several executions (measured: q_agg_pricing 0.41 s on run 2 vs 0.27 s
-  * steady) — so each query gets ONE untimed warmup execution first, the
-  * JVM-side analog of the baseline's warm page/buffer cache, then the
-  * timed best-of-2. Timing covers full computation via .count() per the
-  * driver contract.
+  * steady-state first. The baseline's DuckDB (C++) reaches steady state
+  * after its single cache-warming run; a JVM does not — C2 compilation of
+  * the generated stage code keeps landing for several executions
+  * (measured: q_agg_pricing 0.41 s on run 2 vs 0.27 s steady) — so each
+  * query warms until the run-over-run improvement plateaus, the JVM-side
+  * analog of the baseline's warm page/buffer cache.
+  *
+  * Post-plateau, each query is timed THREE times and reports the MEDIAN,
+  * with the [min, max] envelope beside it under "spread". Single-shot
+  * timings on this harness drift 15-100 % between same-code runs (machine
+  * weather — documented every round since ROUND5.md), which made
+  * round-over-round BENCH diffs unreadable: a regression could not be
+  * told from noise without hand re-profiling. The median damps one bad
+  * run per query; the recorded envelope lets the differ
+  * (tools/bench_diff.py, policy in BENCH_TOLERANCE.json) separate "the
+  * machine was slow" from "this query got slower". Timing covers full
+  * computation via .count() per the driver contract.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,15 +49,21 @@ object Bench {
       while (w >= 0 && n < 4 && w > 0.4 && w < prev * 0.85) {
         prev = w; w = timeOnce(fn); n += 1
       }
-      val a = timeOnce(fn)
-      val b = timeOnce(fn)
-      name -> (if (w < 0 || a < 0 || b < 0) -1.0 else math.min(a, b))
+      val runs = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
+      if (w < 0 || runs.exists(_ < 0)) name -> (-1.0, -1.0, -1.0)
+      else {
+        val s = runs.sorted
+        name -> (s(1), s(0), s(2)) // (median, min, max)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val spread = results
+      .map { case (k, (_, lo, hi)) => "\"" + k + "\":[" + lo + "," + hi + "]" }
       .mkString("{", ",", "}")
     // failed queries report -1 per-query but must not shrink the headline
     // total (a failure would otherwise make the run look FASTER)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, (med, _, _)) if med >= 0 => med }.sum
     // machine fingerprint: driver-vs-local deltas have run 1.5-4x across
     // rounds; recording cores/heap/master/cache makes them attributable
     val rt = Runtime.getRuntime
@@ -58,7 +73,9 @@ object Bench {
       s""""cache_tables":${spark.conf.get("spark.graft.cacheTables")},""" +
       s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""spread":$spread,"runs_per_query":3,"stat":"median",""" +
+        s""""sf":"$sfDir",$env}"""
     println(line)
     // the stdout line gets truncated by log-buffer limits once the query
     // inventory is large (BENCH_r06.json lost 12 tail timings that way);
