@@ -17,6 +17,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     exhausts its attempts lands in the DEAD-LETTER side of the ledger
   *     with the raw payload and last error, instead of failing the batch
   *     (one sick endpoint must not wedge the stream).
+  *   - A per-endpoint CIRCUIT BREAKER (`tripAfter` consecutive failed
+  *     attempts → open for `cooldownMs`, half-open single probe, closes
+  *     on success) fast-dead-letters rows while open, so a dead
+  *     endpoint costs milliseconds per row instead of the full backoff
+  *     ladder each; `maxInFlight` caps concurrent POSTs per executor to
+  *     the endpoint (slow-but-healthy downstreams get bounded load).
+  *     State is per (executor JVM, endpoint) — see [[Governor]].
   *   - A parquet LEDGER partitioned by batch_id records every settled
   *     (batch, key) — `delivered` or `dead`. On a foreachBatch REPLAY of
   *     the same batch id, settled keys are anti-joined away before any
@@ -46,6 +53,82 @@ object WebhookDelivery {
   case class Delivery(key: Long, status: String, attempts: Int,
                       error: String, body: String)
 
+  /** Per-endpoint delivery governor, shared by every task in the
+    * executor JVM (statics are the only cross-task seam Spark gives a
+    * connector; each executor protects itself independently, which is
+    * the standard sick-downstream posture — no cluster-wide coordination
+    * on the data path).
+    *
+    *  - `sem` caps concurrent in-flight POSTs to the endpoint across all
+    *    tasks (a slow-but-healthy downstream gets a bounded load, not
+    *    one POST per task thread). Acquired per attempt, never held
+    *    through a backoff sleep.
+    *  - `consecFails` counts consecutive failed ATTEMPTS; reaching
+    *    `tripAfter` opens the circuit for `cooldownMs`. While open,
+    *    rows settle straight to the dead-letter ledger with error
+    *    `circuit_open` — no HTTP, no backoff ladder — so a dead
+    *    endpoint costs the batch milliseconds per row instead of the
+    *    full retry ladder each. [[redeliver]] is the recovery verb for
+    *    everything dead-lettered this way.
+    *  - After the cooldown, ONE row (CAS on `probing`) probes the
+    *    endpoint half-open; success closes the circuit, failure
+    *    re-opens it for another cooldown while concurrent rows keep
+    *    fast-failing.
+    *
+    * Sizing is first-use-wins per (JVM, endpoint): `resetBreaker` drops
+    * the state (test isolation / operator re-size).
+    */
+  private[sinks] final class Governor(maxInFlight: Int, tripAfter: Int,
+                                      cooldownMs: Long) {
+    private val sem =
+      if (maxInFlight > 0) new java.util.concurrent.Semaphore(maxInFlight, true)
+      else null
+    private val consecFails = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile private var openUntilMs = 0L
+    private val probing = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    /** Whether an attempt may proceed right now; false = fast-fail the
+      * row. Grants at most one caller the half-open probe slot once the
+      * cooldown has passed.
+      */
+    def admit(): Boolean = {
+      if (tripAfter <= 0 || consecFails.get() < tripAfter) return true
+      if (System.currentTimeMillis() < openUntilMs) return false
+      probing.compareAndSet(false, true) // one probe; losers keep failing fast
+    }
+
+    def onSuccess(): Unit = {
+      consecFails.set(0)
+      probing.set(false)
+    }
+
+    def onFailure(): Unit = {
+      if (tripAfter > 0 && consecFails.incrementAndGet() >= tripAfter)
+        openUntilMs = System.currentTimeMillis() + cooldownMs
+      probing.set(false)
+    }
+
+    def open: Boolean = tripAfter > 0 && consecFails.get() >= tripAfter
+
+    def withSlot[A](f: => A): A =
+      if (sem == null) f
+      else { sem.acquire(); try f finally sem.release() }
+  }
+
+  private val governors =
+    new java.util.concurrent.ConcurrentHashMap[String, Governor]()
+
+  private[sinks] def governor(endpoint: String, maxInFlight: Int,
+                              tripAfter: Int, cooldownMs: Long): Governor =
+    governors.computeIfAbsent(endpoint,
+      _ => new Governor(maxInFlight, tripAfter, cooldownMs))
+
+  /** Drop the breaker/cap state for `endpoint` (every endpoint when
+    * None) in THIS JVM — re-sizes take effect on next use.
+    */
+  def resetBreaker(endpoint: Option[String] = None): Unit =
+    endpoint.fold(governors.clear())(e => { governors.remove(e); () })
+
   /** Deliver one micro-batch (or any DataFrame) to `endpoint`.
     * Returns (delivered, deadLettered) counts observed on the ledger
     * write itself — one evaluation, one pass.
@@ -53,11 +136,15 @@ object WebhookDelivery {
   def deliverBatch(batch: DataFrame, batchId: Long, endpoint: String,
                    keyCol: String, ledgerPath: String,
                    maxAttempts: Int = 3,
-                   baseBackoffMs: Long = 50L): (Long, Long) =
+                   baseBackoffMs: Long = 50L,
+                   maxInFlight: Int = 0,
+                   tripAfter: Int = 16,
+                   cooldownMs: Long = 30000L): (Long, Long) =
     deliverRaw(
       batch.select(col(keyCol).cast("long").as("key"),
         to_json(struct(batch.columns.map(col): _*)).as("body")),
-      batchId, endpoint, ledgerPath, maxAttempts, baseBackoffMs)
+      batchId, endpoint, ledgerPath, maxAttempts, baseBackoffMs,
+      maxInFlight, tripAfter, cooldownMs)
 
   /** Shared delivery core over prepared (key, body) payload rows —
     * [[deliverBatch]] serializes rows into it, [[redeliver]] feeds it
@@ -66,7 +153,10 @@ object WebhookDelivery {
   private[sinks] def deliverRaw(payloads: DataFrame, batchId: Long,
                                 endpoint: String, ledgerPath: String,
                                 maxAttempts: Int,
-                                baseBackoffMs: Long): (Long, Long) = {
+                                baseBackoffMs: Long,
+                                maxInFlight: Int = 0,
+                                tripAfter: Int = 16,
+                                cooldownMs: Long = 30000L): (Long, Long) = {
     val spark = payloads.sparkSession
     import spark.implicits._
     // empty micro-batches settle as a no-op: writing them would leave a
@@ -81,30 +171,39 @@ object WebhookDelivery {
     val results = todo.as[(Long, String)].mapPartitions { it =>
       val client = java.net.http.HttpClient.newBuilder()
         .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+      val gov = governor(endpoint, maxInFlight, tripAfter, cooldownMs)
       it.map { case (key, body) =>
         var attempt = 0
         var ok = false
         var err = ""
-        while (!ok && attempt < maxAttempts) {
-          attempt += 1
-          try {
-            val req = java.net.http.HttpRequest
-              .newBuilder(java.net.URI.create(endpoint))
-              .timeout(java.time.Duration.ofSeconds(10))
-              .header("Content-Type", "application/json")
-              .header("X-Delivery-Key", s"$batchId:$key")
-              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-              .build()
-            val resp = client.send(req,
-              java.net.http.HttpResponse.BodyHandlers.ofString())
-            if (resp.statusCode() / 100 == 2) ok = true
-            else err = s"http ${resp.statusCode()}"
-          } catch {
-            case e: Exception =>
-              err = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        var fastFail = false
+        while (!ok && !fastFail && attempt < maxAttempts) {
+          // the breaker gates every attempt, so a trip mid-ladder stops
+          // the remaining retries of the CURRENT row too, not just the
+          // rows behind it
+          if (!gov.admit()) { err = "circuit_open"; fastFail = true }
+          else {
+            attempt += 1
+            try {
+              val req = java.net.http.HttpRequest
+                .newBuilder(java.net.URI.create(endpoint))
+                .timeout(java.time.Duration.ofSeconds(10))
+                .header("Content-Type", "application/json")
+                .header("X-Delivery-Key", s"$batchId:$key")
+                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+                .build()
+              val resp = gov.withSlot(client.send(req,
+                java.net.http.HttpResponse.BodyHandlers.ofString()))
+              if (resp.statusCode() / 100 == 2) ok = true
+              else err = s"http ${resp.statusCode()}"
+            } catch {
+              case e: Exception =>
+                err = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+            }
+            if (ok) gov.onSuccess() else gov.onFailure()
+            if (!ok && attempt < maxAttempts && !gov.open)
+              Thread.sleep(baseBackoffMs << (attempt - 1))
           }
-          if (!ok && attempt < maxAttempts)
-            Thread.sleep(baseBackoffMs << (attempt - 1))
         }
         if (ok) Delivery(key, "delivered", attempt, "", "")
         else Delivery(key, "dead", attempt, err, body)
@@ -145,10 +244,13 @@ object WebhookDelivery {
                     ledgerPath: String, checkpoint: String,
                     maxAttempts: Int = 3,
                     baseBackoffMs: Long = 50L,
-                    outputMode: String = "append"): StreamingQuery =
+                    outputMode: String = "append",
+                    maxInFlight: Int = 0,
+                    tripAfter: Int = 16,
+                    cooldownMs: Long = 30000L): StreamingQuery =
     Sinks.streamForeachBatch(df, checkpoint, outputMode) { (batch, id) =>
       deliverBatch(batch, id, endpoint, keyCol, ledgerPath,
-        maxAttempts, baseBackoffMs)
+        maxAttempts, baseBackoffMs, maxInFlight, tripAfter, cooldownMs)
       ()
     }
 

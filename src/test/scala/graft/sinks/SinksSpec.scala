@@ -469,6 +469,116 @@ class SinksSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("circuit breaker trips on a dead endpoint and fast-dead-letters the " +
+    "remainder without burning the backoff ladder per row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_breaker").toString
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/dead", (x: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      x.sendResponseHeaders(500, -1)
+      x.close()
+    })
+    server.start()
+    try {
+      val endpoint = s"http://localhost:${server.getAddress.getPort}/dead"
+      WebhookDelivery.resetBreaker()
+      // one partition → deterministic row order through the breaker
+      val rows = Tables(spark, sfTest, "events")
+        .orderBy($"event_id").limit(20).repartition(1)
+      val (ok, dead) = WebhookDelivery.deliverBatch(rows, 1L, endpoint,
+        "event_id", s"$dir/ledger", maxAttempts = 3, baseBackoffMs = 1L,
+        tripAfter = 4, cooldownMs = 600000L)
+      assert((ok, dead) == ((0L, 20L)))
+      // row 1 burns its full ladder (3 attempts), row 2's first attempt
+      // is the 4th consecutive failure and trips the breaker mid-ladder;
+      // rows 3..20 never reach HTTP at all
+      assert(hits.get() == 4,
+        s"expected 4 HTTP attempts before the trip, saw ${hits.get()}")
+      val dl = WebhookDelivery.deadLetters(spark, s"$dir/ledger").collect()
+      assert(dl.length == 20)
+      assert(dl.count(_.getAs[String]("error") == "circuit_open") == 19,
+        "rows behind the trip must settle as circuit_open")
+      assert(dl.count(_.getAs[Int]("attempts") == 0) == 18,
+        "open-circuit rows must not attempt delivery")
+      // every fast-failed payload is intact for redeliver
+      assert(dl.forall(_.getAs[String]("body").contains("\"event_id\"")))
+    } finally { server.stop(0); WebhookDelivery.resetBreaker() }
+  }
+
+  test("circuit breaker recovers through a half-open probe once the " +
+    "endpoint heals") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_halfopen").toString
+    val sick = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/ep", (x: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      x.sendResponseHeaders(if (sick.get()) 500 else 200, -1)
+      x.close()
+    })
+    server.start()
+    try {
+      val endpoint = s"http://localhost:${server.getAddress.getPort}/ep"
+      WebhookDelivery.resetBreaker()
+      val rows = Tables(spark, sfTest, "events")
+        .orderBy($"event_id").limit(4).repartition(1)
+      val (ok1, dead1) = WebhookDelivery.deliverBatch(rows, 1L, endpoint,
+        "event_id", s"$dir/ledger", maxAttempts = 2, baseBackoffMs = 1L,
+        tripAfter = 2, cooldownMs = 150L)
+      assert((ok1, dead1) == ((0L, 4L)) && hits.get() == 2,
+        s"trip after 2 attempts, saw ${hits.get()}")
+      // endpoint heals; after the cooldown ONE probe reopens the path
+      // and the rest of the batch flows normally
+      sick.set(false)
+      Thread.sleep(300L)
+      val (ok2, dead2) = WebhookDelivery.deliverBatch(rows, 2L, endpoint,
+        "event_id", s"$dir/ledger", maxAttempts = 2, baseBackoffMs = 1L,
+        tripAfter = 2, cooldownMs = 150L)
+      assert((ok2, dead2) == ((4L, 0L)), "healed endpoint must deliver")
+      // the dead-lettered first batch recovers via the operator verb
+      val (rOk, rDead) = WebhookDelivery.redeliver(spark, s"$dir/ledger",
+        endpoint, redeliveryBatch = 100L, baseBackoffMs = 1L)
+      assert((rOk, rDead) == ((4L, 0L)))
+    } finally { server.stop(0); WebhookDelivery.resetBreaker() }
+  }
+
+  test("maxInFlight caps concurrent POSTs to an endpoint across tasks") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_inflight").toString
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    // a real thread pool: the default single-thread executor would
+    // serialize handling and hide any client-side concurrency
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    server.createContext("/slow", (x: com.sun.net.httpserver.HttpExchange) => {
+      val now = inFlight.incrementAndGet()
+      maxSeen.accumulateAndGet(now, (a: Int, b: Int) => math.max(a, b))
+      Thread.sleep(50L)
+      inFlight.decrementAndGet()
+      x.sendResponseHeaders(200, -1)
+      x.close()
+    })
+    server.start()
+    try {
+      val endpoint = s"http://localhost:${server.getAddress.getPort}/slow"
+      WebhookDelivery.resetBreaker()
+      val rows = Tables(spark, sfTest, "events")
+        .orderBy($"event_id").limit(16).repartition(8)
+      val (ok, dead) = WebhookDelivery.deliverBatch(rows, 1L, endpoint,
+        "event_id", s"$dir/ledger", maxInFlight = 2)
+      assert((ok, dead) == ((16L, 0L)))
+      assert(maxSeen.get() <= 2,
+        s"8 tasks × slow endpoint must hold ≤2 in flight, saw ${maxSeen.get()}")
+    } finally { server.stop(0); WebhookDelivery.resetBreaker() }
+  }
+
   test("JSON-lines archive roundtrips events and flags damaged lines") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_arch").toString
