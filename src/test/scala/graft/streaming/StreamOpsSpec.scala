@@ -910,6 +910,158 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("windowed HLL uniques resume from their checkpoint: sketch state " +
+    "merges across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfTest, "events").as[Event].collect()
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft_uckpt").toString
+    val ms = MemoryStream[Event]
+    def start() = StreamOps.tumblingUniques(ms.toDF())
+      .writeStream.format("memory").queryName("t_uniq_rs")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("complete").start()
+    // half the corpus, stop, restart, the other half: every window that
+    // spans the boundary must merge its restored HLL buffer with the
+    // post-restart arrivals — lost state would undercount exactly there
+    val (first, second) = events.splitAt(events.length / 2)
+    val q1 = start()
+    ms.addData(first.toIndexedSeq)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    ms.addData(second.toIndexedSeq)
+    q2.processAllAvailable()
+    val streamed = spark.sql(
+      "select window.start as hour, event_type, n_users_approx from t_uniq_rs")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2))
+      .toMap
+    q2.stop()
+    val batch = Tables(spark, sfTest, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("n_users_approx"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      "restart diverged from the batch twin: HLL state did not survive")
+  }
+
+  test("windowed percentile sketches resume from their checkpoint across " +
+    "a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfTest, "events").as[Event].collect()
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft_pckpt").toString
+    val ms = MemoryStream[Event]
+    def start() = StreamOps.tumblingPercentiles(ms.toDF())
+      .writeStream.format("memory").queryName("t_pct_rs")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("complete").start()
+    val (first, second) = events.splitAt(events.length / 3)
+    val q1 = start()
+    ms.addData(first.toIndexedSeq)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    ms.addData(second.toIndexedSeq)
+    q2.processAllAvailable()
+    val streamed = spark.sql(
+      "select window.start as hour, event_type, n, p50, p95 from t_pct_rs")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    q2.stop()
+    val batch = Tables(spark, sfTest, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("p95"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(streamed.keySet == batch.keySet,
+      "restart lost or invented windows")
+    // counts are exact even across the restart (a reset KLL buffer would
+    // also reset its count); estimates stay in the sketch envelope
+    streamed.foreach { case (k, (n, p50, p95)) =>
+      val (bn, bp50, bp95) = batch(k)
+      assert(n == bn, s"$k count diverged after restart: $n vs $bn")
+      assert(p50 <= p95)
+      assert(math.abs(p50 - bp50) <= math.max(1.0, bp50.abs * 0.2),
+        s"$k p50 diverged: stream $p50 vs batch $bp50")
+      assert(math.abs(p95 - bp95) <= math.max(1.0, bp95.abs * 0.2),
+        s"$k p95 diverged: stream $p95 vs batch $bp95")
+    }
+  }
+
+  test("streaming top-k sketch resumes from its checkpoint: MapState " +
+    "counters survive a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft_tkckpt").toString
+    try {
+      val buckets = 8
+      val tokens = Tables(spark, sfTest, "documents")
+        .select(explode(split(lower($"text"), " ")).as("w"))
+        .as[String].collect()
+      val (b1, b2) = tokens.splitAt(tokens.length / 2)
+      // one occurrence of every distinct token, fed AFTER the restart:
+      // update mode re-emits every touched counter, so the post-restart
+      // snapshot covers the whole vocabulary — a counter that lost its
+      // pre-restart history cannot hide behind a stale earlier emission
+      val tick = tokens.distinct
+      val snapshot =
+        scala.collection.concurrent.TrieMap[(Int, String), Long]()
+      val ms = MemoryStream[String]
+      def start() = StreamOps.streamTopK(ms.toDS(), m = 1024,
+          buckets = buckets)
+        .toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => snapshot2Put(snapshot, r))
+        }.start()
+      val q1 = start()
+      ms.addData(b1.toIndexedSeq)
+      q1.processAllAvailable()
+      q1.stop()
+      snapshot.clear() // only post-restart emissions count
+      val q2 = start()
+      ms.addData(b2.toIndexedSeq)
+      q2.processAllAvailable()
+      ms.addData(tick.toIndexedSeq)
+      q2.processAllAvailable()
+      q2.stop()
+      val exact = (tokens ++ tick).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      val got = snapshot.map { case ((_, t), c) => t -> c }.toMap
+      // vocab ≪ m → Misra-Gries is exact; equality only holds if the
+      // b1 counters were restored from the checkpoint
+      assert(got == exact,
+        s"restart lost sketch state: missing=${exact.keySet -- got.keySet} " +
+          s"diff=${got.collect {
+            case (t, c) if exact.get(t).exists(_ != c) => (t, c, exact(t))
+          }.take(5)}")
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("completed funnel user who stays active is not retired: retirement " +
     "is idle-based, not completion-based") {
     import spark.implicits._
