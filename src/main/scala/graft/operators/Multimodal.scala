@@ -264,8 +264,9 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Container sniff + dispatch: PNG signature → image, RIFF → WAV, GFV1
-    * → video, anything else → dead-letter row. The metadata codec hint is
+  /** Container sniff + dispatch: PNG or JPEG signature → image (ImageIO
+    * hosts both codecs behind the same read call), RIFF → WAV, GFV1 →
+    * video, anything else → dead-letter row. The metadata codec hint is
     * advisory only — bytes win, as they must when payloads arrive from an
     * untrusted webhook.
     */
@@ -273,6 +274,8 @@ object Multimodal {
     def u(i: Int) = if (i < bytes.length) bytes(i) & 0xff else -1
     try {
       if (u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G')
+        decodeImage(bytes)
+      else if (u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff) // JPEG/JFIF
         decodeImage(bytes)
       else if (u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F')
         decodeWav(bytes)

@@ -484,6 +484,23 @@ class OperatorsSpec extends SparkSpec {
     // 8-bit PCM: unsupported width dead-letters instead of misreading
     // frame boundaries into garbage features
     assert(!Multimodal.decodeAny(load("pcm8_8k.wav")).ok)
+    // real JPEG (tools/make_jpeg_fixture.py — a from-the-spec baseline
+    // encoder sharing no code with ImageIO): the magic-byte sniff must
+    // route FFD8FF to the image decoder, and the decoded gradient must
+    // brighten left → right like its PNG siblings
+    val jpg = Multimodal.decodeAny(load("gradient_16x16.jpg"))
+    assert(jpg.ok && jpg.width == 16 && jpg.height == 16,
+      s"JPEG fixture did not decode: $jpg")
+    assert(math.abs(jpg.features.sum - 1f) < 1e-3)
+    // lossy 8x8 quantization pulls edge pixels toward block means, so
+    // only pin that real luminance mass lands on BOTH histogram halves
+    val darkHalf = jpg.features.take(8).sum
+    assert(darkHalf > 0.05f && darkHalf < 0.95f,
+      s"gradient mass should straddle the histogram: $darkHalf")
+    // checked-in TRUNCATED PNG (first 60 bytes of checker_16x16.png):
+    // right magic, torn IDAT — must dead-letter, not throw
+    assert(!Multimodal.decodeAny(load("truncated.png")).ok,
+      "truncated PNG must settle as a dead letter")
     // resize a real file through the full pipeline contract
     val small = Multimodal.decodeImage(
       Multimodal.resizeImage(load("checker_16x16.png"), 4, 4))
