@@ -153,4 +153,51 @@ object VectorIndex {
       .select($"q_id", $"b_id", round($"sim_raw", 6).as("sim"), $"rn")
       .orderBy($"q_id", $"rn")
   }
+
+  /** Serve a DISTRIBUTED batch of queries from the saved index — the
+    * bulk-probe shape (re-rank a corpus, entity-match two datasets)
+    * where the query set is itself a Dataset too large to hold on the
+    * driver, which [[probeIvf]]'s Seq signature requires.
+    *
+    * Plan shape: probe-cell assignment runs executor-side against the
+    * broadcast (nlist-row) centroid table, nprobe rows per query; the
+    * distinct probed cells — bounded by nlist, never by the batch size —
+    * are the ONLY driver collect, and compile to the same literal
+    * `cell IN (…)` partition predicates as the driver-side probe, so
+    * even a million-query batch reads only the directories some query
+    * probes. Candidates then meet their queries in ONE equi-join on
+    * `cell` (broadcast or shuffle, the planner's call by batch size) and
+    * score through the codegen'd `cosine_sim` expression — same
+    * double-accumulation order as [[VectorOps.cosine]], so results are
+    * byte-identical to [[probeIvf]] for the same queries.
+    */
+  def probeIvfBatch(s: SparkSession, indexPath: String,
+                    queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                    k: Int = 5, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val centroids = s.read.parquet(s"$indexPath/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    require(centroids.nonEmpty, s"no centroids at $indexPath")
+    val bcCent = s.sparkContext.broadcast(centroids)
+    val probes = queries.flatMap { case (qId, qv) =>
+      val q = qv.map(_.toDouble)
+      val cent = bcCent.value
+      cent.indices.sortBy(c => -VectorOps.cosine(q, cent(c)))
+        .take(nprobe).map(c => (c, qId, qv))
+    }.toDF("cell", "q_id", "q_emb")
+    val cells = probes.select($"cell").distinct().as[Int].collect().sorted
+    val lists = s.read.parquet(s"$indexPath/lists")
+      .filter($"cell".isin(cells.toIndexedSeq: _*))
+      .select($"cell", $"vec_id", $"embedding")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy(desc("sim_raw"), $"b_id")
+    lists.join(probes, Seq("cell"))
+      .filter($"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id".as("b_id"),
+        call_function("cosine_sim", $"q_emb", $"embedding").as("sim_raw"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+      .select($"q_id", $"b_id", round($"sim_raw", 6).as("sim"), $"rn")
+      .orderBy($"q_id", $"rn")
+  }
 }

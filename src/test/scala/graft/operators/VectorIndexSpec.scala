@@ -79,4 +79,38 @@ class VectorIndexSpec extends SparkSpec {
         s"appended twin not the top neighbor of $id: $hit")
     }
   }
+
+  test("distributed batch probe matches the driver-side probe byte-for-" +
+    "byte through one partition-pruned list scan") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_ivf_batch").toString
+    VectorIndex.buildIvf(spark, sfTest, idx)
+    val queries = Tables(spark, sfTest, "embeddings")
+      .select($"vec_id", $"embedding")
+      .orderBy($"vec_id").limit(20)
+      .as[(Long, Array[Float])].collect().toSeq
+
+    val batched = VectorIndex.probeIvfBatch(spark, idx,
+      spark.createDataset(queries))
+    // one scan of lists/, still carrying the literal cell IN (…)
+    // partition filter — the bulk join must not give up pruning
+    val scans = batched.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("lists") => f
+    }
+    assert(scans.length == 1,
+      s"expected exactly one list scan, found ${scans.length}")
+    assert(scans.head.metadata("PartitionFilters").contains("cell"),
+      s"batch probe lost partition pruning: ${scans.head.metadata}")
+
+    // the join + codegen'd cosine path must reproduce the broadcast
+    // mapPartitions path EXACTLY (same double accumulation order, same
+    // tie-breaks) — any drift here is a wrong answer, not noise
+    val a = VectorIndex.probeIvf(spark, idx, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val b = batched.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(a.nonEmpty && a.toSeq == b.toSeq,
+      s"batched probe diverged:\n got ${b.take(5).toSeq}\n exp ${a.take(5).toSeq}")
+  }
 }
