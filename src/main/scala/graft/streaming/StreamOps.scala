@@ -149,12 +149,22 @@ object StreamOps {
     * re-send the SAME `batchId:key` header (WebhookDelivery's contract).
     * State is bounded by the watermark on ingest time: a duplicate can
     * only arrive within the sender's replay horizon.
+    *
+    * KEYLESS posts (a sender that set no header → NULL `delivery_key`)
+    * pass through untouched: `dropDuplicates` compares nulls EQUAL, so
+    * deduping on the raw column would collapse every keyless delivery
+    * ever seen into the first one — silent data loss dressed as dedup.
+    * A per-attempt `uuid()` stands in for the missing key, which can
+    * never match another row (or a replay of itself): no header means
+    * no dedup contract, so those rows stay at-least-once by design.
     */
   def dedupDeliveries(posts: DataFrame,
                       replayHorizon: String = "2 hours"): DataFrame =
     posts
       .withWatermark("ingest_ts", replayHorizon)
-      .dropDuplicatesWithinWatermark("delivery_key")
+      .withColumn("dedup_key", coalesce(col("delivery_key"), expr("uuid()")))
+      .dropDuplicatesWithinWatermark("dedup_key")
+      .drop("dedup_key")
 
   /** Stream–static enrichment: join the live stream against the customer
     * dimension. The static side is broadcast per micro-batch; no stream

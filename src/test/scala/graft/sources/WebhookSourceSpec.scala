@@ -353,4 +353,40 @@ class WebhookSourceSpec extends SparkSpec {
     assert(g2 == Map(1L -> None, 2L -> Some("x")))
     assert(dead2.isEmpty)
   }
+
+  test("queue retention waits for the slowest registered consumer") {
+    // broker consumer-group semantics: several streaming queries read
+    // the one queue, each committing its own offset; truncation follows
+    // the MINIMUM — a fast reader's commit must never drop entries a
+    // slow reader has not read yet (the domain-loop composition relies
+    // on this: processor + wire-tap + receiver share the queue)
+    WebhookQueue.clear()
+    val base = WebhookQueue.latest
+    WebhookQueue.registerConsumer("fast")
+    WebhookQueue.registerConsumer("slow")
+    (1 to 5).foreach(i => WebhookQueue.post("t", s"""{"i":$i}"""))
+    assert(WebhookQueue.slice(base, base + 5).length == 5)
+    // the fast reader commits everything — nothing may truncate while
+    // the slow reader still sits at its registration floor
+    WebhookQueue.commitConsumer("fast", base + 5)
+    assert(WebhookQueue.slice(base, base + 5).length == 5,
+      "fast commit truncated entries the slow consumer has not read")
+    WebhookQueue.commitConsumer("slow", base + 3)
+    assert(WebhookQueue.slice(base, base + 5).map(_._1).toSeq ==
+      Seq(base + 4, base + 5), "truncation must follow the minimum commit")
+    // a consumer that deregisters stops holding the queue back
+    WebhookQueue.unregisterConsumer("slow")
+    WebhookQueue.commitConsumer("fast", base + 5)
+    assert(WebhookQueue.slice(base, base + 5).isEmpty)
+    // commits are monotonic per consumer: a replayed (older) commit
+    // cannot resurrect a lower floor
+    WebhookQueue.unregisterConsumer("fast")
+    WebhookQueue.registerConsumer("fast2")
+    (6 to 8).foreach(i => WebhookQueue.post("t", s"""{"i":$i}"""))
+    WebhookQueue.commitConsumer("fast2", base + 8)
+    WebhookQueue.commitConsumer("fast2", base + 6) // replay of an old commit
+    assert(WebhookQueue.slice(base, base + 8).isEmpty,
+      "an older replayed commit moved the floor backwards")
+    WebhookQueue.clear()
+  }
 }

@@ -151,6 +151,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.toSet == (1 to 50).map(_.toLong).toSet)
   }
 
+  test("delivery dedup collapses replayed keys but passes keyless posts " +
+    "through untouched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val ms = MemoryStream[(java.sql.Timestamp, String, String)]
+    val q = StreamOps.dedupDeliveries(
+        ms.toDF().toDF("ingest_ts", "delivery_key", "body"))
+      .writeStream.format("memory").queryName("t_ddel")
+      .outputMode("append").start()
+    ms.addData(Seq(
+      (at(0), "1:100", "r100"), (at(1), "1:200", "r200"),
+      // two deliveries from a sender with NO idempotency header: null
+      // keys must NOT collapse into each other (dropDuplicates compares
+      // nulls equal — the trap this spec pins shut)
+      (at(2), null, "keyless-a"), (at(3), null, "keyless-b")))
+    q.processAllAvailable()
+    // replay storm: both keyed rows re-POST with the same header
+    ms.addData(Seq((at(4), "1:100", "r100"), (at(5), "1:200", "r200")))
+    q.processAllAvailable()
+    val got = spark.sql("select delivery_key, body from t_ddel").collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)))
+    q.stop()
+    assert(got.length == 4, s"expected 4 rows, got ${got.toSeq}")
+    assert(got.count(_._1.isEmpty) == 2, "keyless rows must both survive")
+    assert(got.collect { case (Some(k), _) => k }.sorted.toSeq ==
+      Seq("1:100", "1:200"), "keyed replays must collapse to one each")
+  }
+
   test("events older than the watermark are dropped from aggregates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
