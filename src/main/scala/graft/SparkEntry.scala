@@ -106,6 +106,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => DedupOps.dedupClusters(s, d)),
     "q_dedup_incremental" ->
       ((s: SparkSession, d: String) => DedupOps.ngramIncremental(s, d)),
+    "q_dedup_substring" ->
+      ((s: SparkSession, d: String) => DedupOps.substringDup(s, d)),
     // multimodal: real JDK codecs (ImageIO / AudioSystem) over synthesized
     // PNG/WAV/frame-container blobs
     "q_multimodal" -> (Multimodal.mediaFeatures _),
@@ -426,6 +428,7 @@ object SparkEntry {
         |FROM r WHERE n_sh > 0 ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> DedupOps.decontaminateOracle,
     "q_dedup_incremental" -> DedupOps.ngramIncrementalOracle,
+    "q_dedup_substring" -> DedupOps.substringDupSql,
     "q_funnel" -> Events.funnelOracle,
     // the oracle states the SEMANTICS as the naive full-corpus window
     // cumsum; the Spark side computes the same prefix sum via the

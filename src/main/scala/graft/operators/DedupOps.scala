@@ -925,4 +925,74 @@ object DedupOps {
        |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
        |ORDER BY da, db""".stripMargin
   }
+
+  /** EXACT-SUBSTRING duplication — the span-level tier of the dedup
+    * family (doc-level exact `q_dedup_docs`, set-similarity
+    * `q_dedup_ngram`/minhash/simhash, embedding `q_dedup_embed`; this is
+    * the pass corpus pipelines run to find verbatim k-token passages
+    * repeated ACROSS documents — boilerplate, licenses, syndicated
+    * paragraphs — which set-similarity scores ignore when the rest of
+    * the documents differ). Per document: how many of its k-token
+    * positions start a span that also appears verbatim in another
+    * document, as a removal/penalty signal.
+    *
+    * Scale shape: ONE pass materializes the positional k-grams (a single
+    * explode, ~tokens-per-doc rows each — linear, same budget as
+    * `q_tfidf`'s token explode), then ONE hash exchange on the gram
+    * serves both sides of the plan: the cross-doc frequency aggregate
+    * (group state = a count + a seen-doc flag pair, never a posting
+    * list) and the per-position probe joining against it — the lazy
+    * localCheckpoint cut makes the two branches share the materialized
+    * grams instead of re-exploding the corpus. No pair generation at
+    * all: unlike the Jaccard family the answer needs only each span's
+    * cross-document frequency, so a boilerplate span shared by a million
+    * documents costs one counter, not 10¹² pairs.
+    */
+  def substringDup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val grams = docsParallel(s, dir)
+      .select($"doc_id", split(lower($"text"), " ").as("ts"))
+      .filter(size($"ts") >= k)
+      .select($"doc_id", $"ts",
+        explode(sequence(lit(1), size($"ts") - (k - 1))).as("i"))
+      .select($"doc_id", array_join(slice($"ts", $"i", lit(k)), " ").as("gram"))
+      .localCheckpoint(false)
+    val stats = grams.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("nd"))
+    grams.join(stats, Seq("gram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .filter($"n_dup_spans" > 0)
+      .withColumn("dup_ratio",
+        round($"n_dup_spans".cast("double") / $"n_spans", 4))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle for [[substringDup]] (k = 8 fixed; `7` below is k−1 —
+    * DuckDB list slices are 1-based inclusive, generate_series
+    * inclusive).
+    */
+  private[graft] def substringDupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+      |  FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 8),
+      |pos AS (
+      |  SELECT doc_id, ts, UNNEST(generate_series(1, len(ts) - 7)) AS i
+      |  FROM toks),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram FROM pos),
+      |stats AS (
+      |  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram)
+      |SELECT g.doc_id,
+      |  COUNT(*) AS n_spans,
+      |  CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_spans,
+      |  ROUND(CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 4) AS dup_ratio
+      |FROM grams g JOIN stats s USING (gram)
+      |GROUP BY g.doc_id
+      |HAVING CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) > 0
+      |ORDER BY doc_id""".stripMargin
 }

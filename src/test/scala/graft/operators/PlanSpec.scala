@@ -138,13 +138,13 @@ class PlanSpec extends SparkSpec {
     // exchange reuse fires for any of them). The top-level plan must
     // read only RDD scans — zero parquet scans means no recompute.
     for (q <- Seq("q_funnel", "q_conversion_lag", "q_dau_mau",
-        "q_cohort_retention", "q_gapfill")) {
+        "q_cohort_retention", "q_gapfill", "q_dedup_substring")) {
       val scans = SparkEntry.queries(q)(spark, sfTest)
         .queryExecution.executedPlan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => f
         }
       assert(scans.isEmpty,
-        s"$q re-reads events ${scans.size}× — stage checkpoint cut lost")
+        s"$q re-reads its source ${scans.size}× — stage checkpoint cut lost")
     }
   }
 
