@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -92,6 +92,91 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+  }
+
+  /** In-place compaction of selected hive partitions — the maintenance
+    * verb [[writeCompacted]]'s doc promises ("a separate compaction pass
+    * over closed partitions is the usual cure"): a streaming or
+    * daily-append writer leaves one file per task per batch, and after a
+    * partition CLOSES (its event-time date passed the watermark; nothing
+    * appends there again) those hundreds of small files pay per-file
+    * open cost on every read forever. This rewrites each named
+    * partition's files into `targetFiles` outputs bounded by
+    * `maxRecordsPerFile`, leaving every other partition byte-untouched.
+    *
+    * Swap protocol per partition: write compacted files to a
+    * dot-prefixed STAGING dir (hidden from Spark/Hadoop listings, so
+    * concurrent readers of `path` never see doubled rows), then
+    * rename live→trash, staging→live, delete trash. The two renames are
+    * each atomic on HDFS-like stores but not jointly atomic: a crash
+    * between them leaves the partition ABSENT until the next
+    * [[compactPartitions]] call on the same value, which detects the
+    * half-swap (staging present, live missing) and completes it instead
+    * of re-reading what is no longer there. Readers in that window miss
+    * one partition rather than double-count it — the safe side of the
+    * failure. (Table formats — Delta/Iceberg — exist precisely to make
+    * this swap a metadata transaction; on a plain-parquet lake this
+    * rename dance is the standard compromise, and it must NOT be
+    * pointed at a `writeStream` file-sink output, whose _spark_metadata
+    * log pins the exact file list the sink committed.)
+    *
+    * Caller picks WHICH partitions are closed (event-time watermark,
+    * date < today, …); [[partitionFileCounts]] lists candidates worth
+    * the rewrite.
+    */
+  def compactPartitions(s: SparkSession, path: String, partitionCol: String,
+                        values: Seq[String], targetFiles: Int = 1,
+                        maxRecordsPerFile: Long = 1L << 20): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    values.foreach { v =>
+      val live = new org.apache.hadoop.fs.Path(root, s"$partitionCol=$v")
+      val staging = new org.apache.hadoop.fs.Path(root, s".compacting_$v")
+      val trash = new org.apache.hadoop.fs.Path(root, s".compacted_old_$v")
+      if (!fs.exists(live) && fs.exists(staging)) {
+        // crashed between the two renames of a previous run: the staged
+        // rewrite is complete (it is written before any rename) — finish
+        fs.rename(staging, live)
+        fs.delete(trash, true)
+      } else {
+        require(fs.exists(live), s"no partition $partitionCol=$v under $path")
+        fs.delete(staging, true) // stale staging from a pre-rename crash
+        s.read.parquet(live.toString)
+          .repartition(targetFiles)
+          .write.mode(SaveMode.Overwrite)
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .parquet(staging.toString)
+        fs.delete(trash, true)
+        if (!fs.rename(live, trash))
+          throw new java.io.IOException(s"cannot move $live aside")
+        if (!fs.rename(staging, live)) // roll back: restore the original
+          { fs.rename(trash, live)
+            throw new java.io.IOException(s"cannot publish $staging") }
+        fs.delete(trash, true)
+      }
+    }
+  }
+
+  /** (partition value, data-file count) per hive partition of `path` —
+    * the compaction worklist (filter on count, pass values to
+    * [[compactPartitions]]). One driver-side listing, proportional to
+    * partition count, never to file count per partition beyond the leaf
+    * listing itself.
+    */
+  def partitionFileCounts(s: SparkSession, path: String,
+                          partitionCol: String): Seq[(String, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol="))
+      .map { st =>
+        val n = fs.listStatus(st.getPath)
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+        (st.getPath.getName.stripPrefix(s"$partitionCol="), n)
+      }
+      .sortBy(_._1)
   }
 
   /** Bucketed (hash-clustered) table layout — the CO-LOCATED JOIN lever:

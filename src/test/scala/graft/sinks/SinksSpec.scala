@@ -31,6 +31,63 @@ class SinksSpec extends SparkSpec {
       s"lang predicate did not reach partition pruning:\n$planStr")
   }
 
+  test("partition compaction rewrites only the closed partitions, hides " +
+    "its staging from readers, and completes a half-swapped crash") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compactp").toString
+    val docs = Tables(spark, sfTest, "documents")
+    // a daily-append writer's leavings: four appends × repartition(3)
+    // → ~12 small files per lang partition
+    (1 to 4).foreach { _ =>
+      docs.repartition(3).write.mode("append")
+        .partitionBy("lang").parquet(s"$dir/docs")
+    }
+    val before = spark.read.parquet(s"$dir/docs").collect()
+      .map(_.toString).sorted.toSeq
+    val counts0 = Sinks.partitionFileCounts(spark, s"$dir/docs", "lang").toMap
+    assert(counts0.size == 5 && counts0.values.forall(_ >= 4),
+      s"fixture did not fragment: $counts0")
+
+    def filesOf(lang: String) =
+      new java.io.File(s"$dir/docs/lang=$lang").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith("."))
+        .map(f => (f.getName, f.length)).sorted.toSeq
+    val esBefore = filesOf("es")
+
+    // compact two "closed" partitions; everything else stays byte-level
+    Sinks.compactPartitions(spark, s"$dir/docs", "lang", Seq("en", "fr"))
+    assert(filesOf("en").length == 1 && filesOf("fr").length == 1,
+      "compaction must leave one data file per closed partition")
+    assert(filesOf("es") == esBefore,
+      "an untouched partition's files changed")
+    assert(spark.read.parquet(s"$dir/docs").collect()
+      .map(_.toString).sorted.toSeq == before,
+      "compaction changed the data")
+
+    // crash between the two renames: staging written, live moved aside —
+    // the exact state the swap protocol can strand
+    val fsRoot = new org.apache.hadoop.fs.Path(s"$dir/docs")
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(fsRoot, "lang=de")
+    val staging = new org.apache.hadoop.fs.Path(fsRoot, ".compacting_de")
+    spark.read.parquet(live.toString).repartition(1)
+      .write.parquet(staging.toString)
+    // the hidden staging dir must be invisible to readers of the root
+    assert(spark.read.parquet(s"$dir/docs").collect()
+      .map(_.toString).sorted.toSeq == before,
+      "staging dir leaked into reads")
+    fs.rename(live, new org.apache.hadoop.fs.Path(fsRoot, ".compacted_old_de"))
+    // recovery: the next compaction call finishes the swap
+    Sinks.compactPartitions(spark, s"$dir/docs", "lang", Seq("de"))
+    assert(filesOf("de").length == 1)
+    assert(spark.read.parquet(s"$dir/docs").collect()
+      .map(_.toString).sorted.toSeq == before,
+      "half-swap recovery lost rows")
+    val counts1 = Sinks.partitionFileCounts(spark, s"$dir/docs", "lang").toMap
+    assert(counts1("en") == 1 && counts1("de") == 1 && counts1("es") >= 4)
+  }
+
   test("compacted write bounds file sizes and the file count") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sinkc").toString
