@@ -936,17 +936,21 @@ object DedupOps {
     * positions start a span that also appears verbatim in another
     * document, as a removal/penalty signal.
     *
-    * Scale shape: ONE pass materializes the positional k-grams (a single
-    * explode, ~tokens-per-doc rows each — linear, same budget as
-    * `q_tfidf`'s token explode), then ONE hash exchange on the gram
-    * serves both sides of the plan: the cross-doc frequency aggregate
-    * (group state = a count + a seen-doc flag pair, never a posting
-    * list) and the per-position probe joining against it — the lazy
-    * localCheckpoint cut makes the two branches share the materialized
-    * grams instead of re-exploding the corpus. No pair generation at
-    * all: unlike the Jaccard family the answer needs only each span's
-    * cross-document frequency, so a boilerplate span shared by a million
-    * documents costs one counter, not 10¹² pairs.
+    * Scale shape: one explode produces a position row per k-gram
+    * (linear, `q_tfidf`'s budget), immediately collapsed MAP-SIDE to its
+    * md5 — every later stage shuffles fixed-width digests, never the
+    * k-token strings themselves (at corpus scale the raw positional
+    * grams are ~k× the corpus; the digests are ~corpus-token-count ×
+    * 32 B). Then: partial-agg'd groupBy (doc, digest) collapses
+    * within-doc repeats, a count window over the digest attaches each
+    * span's cross-document frequency (a counter per span — NO pair
+    * generation, so a boilerplate span shared by a million documents
+    * costs one spill-safe window group, not 10¹² pairs, which is why
+    * this tier needs no maxDf stop-span guard), and a final per-doc
+    * aggregate folds the flags. Three skinny shuffles, no join, no
+    * materialization barrier. md5 (not a 64-bit hash) keeps the
+    * "exact" claim honest at corpus scale AND is reproducible in the
+    * DuckDB oracle.
     */
   def substringDup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
@@ -955,14 +959,16 @@ object DedupOps {
       .filter(size($"ts") >= k)
       .select($"doc_id", $"ts",
         explode(sequence(lit(1), size($"ts") - (k - 1))).as("i"))
-      .select($"doc_id", array_join(slice($"ts", $"i", lit(k)), " ").as("gram"))
-      .localCheckpoint(false)
-    val stats = grams.groupBy($"gram")
-      .agg(countDistinct($"doc_id").as("nd"))
-    grams.join(stats, Seq("gram"))
+      .select($"doc_id",
+        md5(array_join(slice($"ts", $"i", lit(k)), " ")).as("g"))
+    val perDocGram = grams.groupBy($"doc_id", $"g")
+      .agg(count(lit(1)).as("n_pos"))
+    val wNd = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+    perDocGram
+      .withColumn("nd", count(lit(1)).over(wNd)) // docs sharing the span
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .agg(sum($"n_pos").as("n_spans"),
+        sum(when($"nd" > 1, $"n_pos").otherwise(0L)).as("n_dup_spans"))
       .filter($"n_dup_spans" > 0)
       .withColumn("dup_ratio",
         round($"n_dup_spans".cast("double") / $"n_spans", 4))
@@ -971,7 +977,7 @@ object DedupOps {
 
   /** Oracle for [[substringDup]] (k = 8 fixed; `7` below is k−1 —
     * DuckDB list slices are 1-based inclusive, generate_series
-    * inclusive).
+    * inclusive; md5 is hex-lowercase in both engines).
     */
   private[graft] def substringDupSql: String =
     """WITH toks AS (
@@ -982,17 +988,19 @@ object DedupOps {
       |  SELECT doc_id, ts, UNNEST(generate_series(1, len(ts) - 7)) AS i
       |  FROM toks),
       |grams AS (
-      |  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram FROM pos),
-      |stats AS (
-      |  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram)
-      |SELECT g.doc_id,
-      |  COUNT(*) AS n_spans,
-      |  CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |  SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS g FROM pos),
+      |pg AS (
+      |  SELECT doc_id, g, COUNT(*) AS n_pos FROM grams GROUP BY doc_id, g),
+      |w AS (
+      |  SELECT doc_id, n_pos, COUNT(*) OVER (PARTITION BY g) AS nd FROM pg)
+      |SELECT doc_id,
+      |  CAST(SUM(n_pos) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN nd > 1 THEN n_pos ELSE 0 END) AS BIGINT)
       |    AS n_dup_spans,
-      |  ROUND(CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / COUNT(*), 4) AS dup_ratio
-      |FROM grams g JOIN stats s USING (gram)
-      |GROUP BY g.doc_id
-      |HAVING CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) > 0
+      |  ROUND(CAST(SUM(CASE WHEN nd > 1 THEN n_pos ELSE 0 END) AS DOUBLE)
+      |    / SUM(n_pos), 4) AS dup_ratio
+      |FROM w
+      |GROUP BY doc_id
+      |HAVING CAST(SUM(CASE WHEN nd > 1 THEN n_pos ELSE 0 END) AS BIGINT) > 0
       |ORDER BY doc_id""".stripMargin
 }

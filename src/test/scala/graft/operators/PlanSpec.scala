@@ -138,14 +138,42 @@ class PlanSpec extends SparkSpec {
     // exchange reuse fires for any of them). The top-level plan must
     // read only RDD scans — zero parquet scans means no recompute.
     for (q <- Seq("q_funnel", "q_conversion_lag", "q_dau_mau",
-        "q_cohort_retention", "q_gapfill", "q_dedup_substring")) {
+        "q_cohort_retention", "q_gapfill")) {
       val scans = SparkEntry.queries(q)(spark, sfTest)
         .queryExecution.executedPlan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => f
         }
       assert(scans.isEmpty,
-        s"$q re-reads its source ${scans.size}× — stage checkpoint cut lost")
+        s"$q re-reads events ${scans.size}× — stage checkpoint cut lost")
     }
+  }
+
+  test("substring dup is join-free: one scan, one explode, digests not " +
+    "grams on the wire") {
+    // the span-frequency question needs no pair generation and no
+    // posting lists; the plan must stay scan → explode → md5 →
+    // partial-agg'd groupBy → count window → final agg. A join or a
+    // second scan here means the gram stream is being re-derived or
+    // matched pairwise — both are the regressions this pin exists for.
+    val q = SparkEntry.queries("q_dedup_substring")(spark, sfTest)
+    val p = q.queryExecution.executedPlan
+    val scans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1, s"expected one documents scan, got ${scans.length}")
+    val txt = p.toString
+    assert(!txt.contains("Join"), s"substring dup grew a join:\n$txt")
+    assert("Generate ".r.findAllIn(txt).size == 1,
+      "exactly one explode should produce the position stream")
+    assert(txt.contains("partial_count") || txt.contains("HashAggregate"),
+      "per-(doc,gram) aggregate lost its map-side combine")
+    // the shuffle keys are md5 digests, computed map-side: in the
+    // printed tree (root first, leaves last) the md5 projection must sit
+    // BELOW even the deepest exchange — i.e. print after it
+    val deepestExchange = txt.lastIndexOf("Exchange hashpartitioning")
+    val md5Idx = txt.lastIndexOf("md5")
+    assert(deepestExchange > 0 && md5Idx > deepestExchange,
+      "md5 must be computed map-side, before the first shuffle")
   }
 
   test("sessionize shuffles once and keeps the spill-safe window form") {
