@@ -203,4 +203,103 @@ class PipelineSpec extends SparkSpec {
       WebhookQueue.clear()
     }
   }
+
+  test("domain loop survives a processor restart mid-stream: dedup state, " +
+    "aggregate state, ledger, and batch ids all resume") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.sources.WebhookQueue
+    import graft.streaming.StreamOps
+    import graft.sinks.WebhookDelivery
+
+    val port = WebhookQueue.startServer(0)
+    val dir = Files.createTempDirectory("graft_loop_rs").toString
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(topic: String, body: String): Int =
+      client.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/webhook/$topic"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+    WebhookQueue.clear()
+
+    def source() = spark.readStream
+      .format("graft.sources.WebhookSourceProvider").load()
+    val out = source().filter($"topic" === "out")
+    val qWire = out.select($"delivery_key", $"body")
+      .writeStream.format("memory").queryName("t_loop2_wire")
+      .option("checkpointLocation", s"$dir/ckpt_wire")
+      .outputMode("append").start()
+
+    val payloadSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def startProc() = {
+      val events = source().filter($"topic" === "in")
+        .select(from_json($"body", payloadSchema).as("e")).select("e.*")
+      val agg = StreamOps.tumbling(StreamOps.dedup(events)
+          .filter($"event_type".isin("click", "view", "error")))
+        .select(unix_millis($"window.start").as("window_start"),
+          $"event_type", $"n", $"sum_value")
+        .withColumn("key", abs(xxhash64($"window_start", $"event_type")))
+      WebhookDelivery.streamDeliver(agg,
+        s"http://localhost:$port/webhook/out", "key",
+        s"$dir/ledger", s"$dir/ckpt_proc")
+    }
+    val qProc1 = startProc()
+    var qProc2: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      Seq(qWire, qProc1).foreach(_.processAllAvailable())
+      def body(id: Long, h: Int, typ: String): String =
+        s"""{"event_id":$id,"ts":"2024-03-01 $h:05:00","user_id":${id % 3},""" +
+          s""""event_type":"$typ","value":$id.0}"""
+      // phase 1: hour-10 traffic (one duplicate) — ingested, deduped, and
+      // sitting OPEN in the aggregate when the processor stops
+      Seq((1L, 10, "click"), (2L, 10, "click"), (2L, 10, "click"),
+        (3L, 10, "view"))
+        .foreach { case (id, h, t) => assert(post("in", body(id, h, t)) == 200) }
+      qProc1.processAllAvailable()
+      qProc1.stop() // planned restart — nothing was delivered yet
+
+      // phase 2, after the restart: a LATE duplicate of event 2 (only the
+      // restored dedup state can drop it), hour-11 traffic, the sentinel
+      qProc2 = startProc()
+      qProc2.processAllAvailable()
+      Seq((2L, 10, "click"), (4L, 11, "click"), (5L, 11, "error"))
+        .foreach { case (id, h, t) => assert(post("in", body(id, h, t)) == 200) }
+      qProc2.processAllAvailable()
+      assert(post("in", body(999, 20, "zz_flush")) == 200)
+      qProc2.processAllAvailable()
+      qWire.processAllAvailable()
+
+      // 4 finalized groups, each delivered EXACTLY once at the wire —
+      // hour-10 groups finalize entirely from restored state, and the
+      // replayed duplicate of event 2 must not inflate the click count
+      val wire = spark.sql("select delivery_key, body from t_loop2_wire")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(wire.length == 4,
+        s"expected 4 post-restart deliveries, got ${wire.toSeq}")
+      val h10 = java.time.Instant.parse("2024-03-01T10:00:00Z").toEpochMilli
+      val h11 = h10 + 3600000L
+      val gotAgg = wire.map(_._2).map { b =>
+        val r = spark.read.json(Seq(b).toDS()).head()
+        (r.getAs[Long]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))
+      }.toSet
+      assert(gotAgg == Set(
+        (h10, "click", 2L, 3.0), (h10, "view", 1L, 3.0),
+        (h11, "click", 1L, 4.0), (h11, "error", 1L, 5.0)), s"got $gotAgg")
+      // ledger settled each group once, none dead, under post-restart
+      // batch ids (monotonic from the checkpoint, never reused)
+      val ledger = WebhookDelivery.ledger(spark, s"$dir/ledger")
+      assert(ledger.count() == 4)
+      assert(WebhookDelivery.deadLetters(spark, s"$dir/ledger").count() == 0)
+    } finally {
+      if (qProc2 != null) qProc2.stop()
+      qWire.stop()
+      WebhookQueue.stopServer()
+      WebhookQueue.clear()
+    }
+  }
 }
