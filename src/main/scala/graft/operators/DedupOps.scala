@@ -952,9 +952,16 @@ object DedupOps {
     * "exact" claim honest at corpus scale AND is reproducible in the
     * DuckDB oracle.
     */
-  def substringDup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  def substringDup(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    substringDupFrom(docsParallel(s, dir), k)
+
+  /** [[substringDup]] over any (doc_id, text) DataFrame — the seam the
+    * property suite drives with generated corpora.
+    */
+  def substringDupFrom(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val grams = docsParallel(s, dir)
+    val grams = docs
       .select($"doc_id", split(lower($"text"), " ").as("ts"))
       .filter(size($"ts") >= k)
       .select($"doc_id", $"ts",

@@ -136,4 +136,44 @@ class PropertySpec extends SparkSpec {
             s"rows, salted ${salted.size})")
     }
   }
+
+  test("substring dup law: equals brute force on any corpus, any k") {
+    import spark.implicits._
+    // tiny vocabulary → dense span collisions; doc lengths straddle k so
+    // the too-short path, within-doc-only repeats (e.g. "a a a a"), and
+    // cross-doc sharing all occur across the samples
+    val vocab = Vector("a", "b", "c", "d")
+    val docGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.zip(
+      Gen.choose(3, 9).flatMap(nd => Gen.listOfN(nd, docGen)),
+      Gen.choose(2, 4)) // k
+    samples(corpusGen, 20).foreach { case (texts, k) =>
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = {
+        val grams = corpus.map { case (id, text) =>
+          val ts = text.toLowerCase.split(" ", -1)
+          id -> (if (ts.length < k) Array.empty[String]
+                 else ts.sliding(k).map(_.mkString(" ")).toArray)
+        }
+        val docsOf = grams.flatMap { case (id, gs) =>
+          gs.distinct.map(_ -> id)
+        }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+        grams.flatMap { case (id, gs) =>
+          val dup = gs.count(g => docsOf(g) > 1)
+          if (dup == 0) None
+          else Some((id, gs.length.toLong, dup.toLong,
+            BigDecimal(dup.toDouble / gs.length)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }.sortBy(_._1)
+      }
+      val got = graft.operators.DedupOps
+        .substringDupFrom(corpus.toDF("doc_id", "text"), k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(got == expected,
+        s"k=$k corpus=${texts.take(4)}…: got $got expected $expected")
+    }
+  }
 }
