@@ -126,7 +126,31 @@ object Sinks {
     */
   def compactPartitions(s: SparkSession, path: String, partitionCol: String,
                         values: Seq[String], targetFiles: Int = 1,
-                        maxRecordsPerFile: Long = 1L << 20): Unit = {
+                        maxRecordsPerFile: Long = 1L << 20): Unit =
+    swapRewrite(s, path, partitionCol, values, targetFiles,
+      maxRecordsPerFile, identity)
+
+  /** Row-level erasure from selected partitions — the right-to-be-
+    * forgotten / bad-batch-removal shape on a plain-parquet lake: rows
+    * matching `condition` are DROPPED from the named partitions by the
+    * same staging + rename-swap rewrite as [[compactPartitions]] (same
+    * crash recovery, same other-partitions-byte-untouched guarantee),
+    * with the compaction thrown in for free since the partition is being
+    * rewritten anyway. The caller scopes the partition list (e.g. from
+    * the deletion request's date range) so the rewrite cost tracks the
+    * affected data, never the archive.
+    */
+  def erasePartitionRows(s: SparkSession, path: String, partitionCol: String,
+                         values: Seq[String], condition: Column,
+                         targetFiles: Int = 1,
+                         maxRecordsPerFile: Long = 1L << 20): Unit =
+    swapRewrite(s, path, partitionCol, values, targetFiles,
+      maxRecordsPerFile, _.filter(!condition))
+
+  private def swapRewrite(s: SparkSession, path: String, partitionCol: String,
+                          values: Seq[String], targetFiles: Int,
+                          maxRecordsPerFile: Long,
+                          rewrite: DataFrame => DataFrame): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     values.foreach { v =>
@@ -141,7 +165,7 @@ object Sinks {
       } else {
         require(fs.exists(live), s"no partition $partitionCol=$v under $path")
         fs.delete(staging, true) // stale staging from a pre-rename crash
-        s.read.parquet(live.toString)
+        rewrite(s.read.parquet(live.toString))
           .repartition(targetFiles)
           .write.mode(SaveMode.Overwrite)
           .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -156,6 +180,39 @@ object Sinks {
       }
     }
   }
+
+  /** Retention TTL: delete whole expired partitions (`date < horizon` is
+    * the caller's worklist — [[partitionFileCounts]] lists what exists).
+    * A directory delete per partition, no data read: dropping a day from
+    * a 100 TB archive costs a metadata operation, which is exactly why
+    * the archive partitions by date in the first place. Idempotent —
+    * already-absent values are skipped.
+    */
+  def dropPartitions(s: SparkSession, path: String, partitionCol: String,
+                     values: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    values.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"$partitionCol=$v"), true)
+    }
+  }
+
+  /** Partition re-statement — the backfill/correction verb: `df` (which
+    * must carry `cols` as columns) REPLACES exactly the partitions it
+    * contains rows for, and no others (dynamic partition overwrite; a
+    * static overwrite here would silently truncate the whole table to
+    * the backfill's partitions — the classic lake-corruption accident
+    * this wrapper exists to make unmakeable). The recompute-a-closed-day
+    * companion to the streaming path: very-late data beyond the
+    * watermark lands by re-deriving that day from the archive and
+    * re-stating its partition.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*)
+      .parquet(path)
 
   /** (partition value, data-file count) per hive partition of `path` —
     * the compaction worklist (filter on count, pass values to

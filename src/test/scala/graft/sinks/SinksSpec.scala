@@ -88,6 +88,59 @@ class SinksSpec extends SparkSpec {
     assert(counts1("en") == 1 && counts1("de") == 1 && counts1("es") >= 4)
   }
 
+  test("lake maintenance verbs: TTL drop, partition re-statement, and " +
+    "row erasure touch exactly the named partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_maint").toString
+    val docs = Tables(spark, sfTest, "documents")
+    Sinks.writePartitioned(docs, s"$dir/docs", "lang")
+    def filesOf(lang: String) =
+      new java.io.File(s"$dir/docs/lang=$lang").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith("."))
+        .map(f => (f.getName, f.length)).sorted.toSeq
+    val enBefore = filesOf("en")
+    val total = docs.count()
+    val perLang = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // TTL: expired partitions drop as a metadata operation (idempotent)
+    Sinks.dropPartitions(spark, s"$dir/docs", "lang", Seq("zh", "absent"))
+    assert(!new java.io.File(s"$dir/docs/lang=zh").exists())
+    assert(spark.read.parquet(s"$dir/docs").count() == total - perLang("zh"))
+
+    // re-statement: replace ONLY the partitions the backfill carries —
+    // here lang=de re-derives with a sentinel n_chars, en untouched
+    val restated = docs.filter($"lang" === "de")
+      .withColumn("n_chars", lit(-1L))
+    Sinks.overwritePartitions(restated, s"$dir/docs", "lang")
+    val back = spark.read.parquet(s"$dir/docs")
+    assert(back.count() == total - perLang("zh"),
+      "re-statement changed row counts outside its partitions")
+    assert(back.filter($"lang" === "de")
+      .filter($"n_chars" =!= -1L).count() == 0,
+      "the re-stated partition does not carry the corrected column")
+    assert(back.filter($"lang" =!= "de")
+      .filter($"n_chars" === -1L).count() == 0,
+      "the sentinel leaked outside the re-stated partition")
+    assert(filesOf("en") == enBefore,
+      "re-statement touched a partition it carried no rows for")
+
+    // erasure: drop the matching rows from one partition, byte-identical
+    // elsewhere; the rewrite compacts as a side effect
+    val esDoomed = docs.filter($"lang" === "es" && $"doc_id" % 7 === 0).count()
+    assert(esDoomed > 0, "fixture has no rows to erase — no test")
+    Sinks.erasePartitionRows(spark, s"$dir/docs", "lang", Seq("es"),
+      col("doc_id") % 7 === 0)
+    val after = spark.read.parquet(s"$dir/docs")
+    assert(after.filter($"lang" === "es" && $"doc_id" % 7 === 0).count() == 0,
+      "erased rows still readable")
+    assert(after.filter($"lang" === "es").count() ==
+      perLang("es") - esDoomed, "erasure dropped more than it should")
+    assert(filesOf("en") == enBefore, "erasure touched another partition")
+    assert(after.count() == total - perLang("zh") - esDoomed)
+  }
+
   test("compacted write bounds file sizes and the file count") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sinkc").toString
