@@ -214,6 +214,80 @@ object Sinks {
       .partitionBy(cols: _*)
       .parquet(path)
 
+  /** CDC apply — the MERGE verb on a plain-parquet lake, completing the
+    * maintenance family ([[compactPartitions]] rewrite, [[dropPartitions]]
+    * TTL, [[overwritePartitions]] re-statement, [[erasePartitionRows]]
+    * erasure): `changes` carries data rows plus the partition column and
+    * (optionally) an op column; per affected partition the live rows
+    * whose key appears in the changeset are dropped and the non-delete
+    * change rows are inserted — an upsert with last-write-wins against
+    * the archive. Rows for a partition value that does not exist yet
+    * CREATE it (the insert-into-a-fresh-day case), through the same
+    * staging+rename publish so readers never see a half-written
+    * partition.
+    *
+    * Scale shape: the changeset is computed ONCE (lazy local checkpoint)
+    * no matter how many partitions it spans; the only driver
+    * materialization is the distinct partition-value list (bounded by
+    * partitions touched, never rows); each partition rewrite reads only
+    * that partition, and the anti-join's right side is the changeset
+    * slice — small against an archive partition, so AQE broadcasts it.
+    * Cost tracks the touched data, never the archive — the property that
+    * makes a daily CDC apply feasible against 100 TB.
+    *
+    * Contracts: key collisions WITHIN one changeset are not resolved
+    * (both rows land — dedup upstream on (keys) if the feed can emit
+    * them); a delete row's non-key data columns are ignored; a NULL
+    * partition value is rejected (hive null-partition escapes are not
+    * worth their ambiguity in a maintenance verb).
+    */
+  def mergePartitions(s: SparkSession, path: String, partitionCol: String,
+                      changes: DataFrame, keyCols: Seq[String],
+                      opCol: Option[String] = None,
+                      deleteOp: String = "delete",
+                      targetFiles: Int = 1,
+                      maxRecordsPerFile: Long = 1L << 20): Unit = {
+    require(keyCols.nonEmpty, "mergePartitions needs at least one key column")
+    val staged = changes.localCheckpoint(false) // one compute across partitions
+    require(staged.filter(col(partitionCol).isNull).isEmpty,
+      s"changeset has rows with NULL $partitionCol")
+    val values = staged.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    values.foreach { v =>
+      val slice = staged
+        .filter(col(partitionCol).cast("string") === v).drop(partitionCol)
+      val upserts = opCol.fold(slice)(c => slice.filter(col(c) =!= deleteOp
+        || col(c).isNull).drop(c))
+      val changedKeys = opCol.fold(slice)(slice.drop(_))
+        .select(keyCols.map(col): _*).distinct()
+      val live = new org.apache.hadoop.fs.Path(root, s"$partitionCol=$v")
+      val staging = new org.apache.hadoop.fs.Path(root, s".compacting_$v")
+      if (!fs.exists(live) && fs.exists(staging))
+        // a PREDECESSOR crashed between its two renames: complete that
+        // swap first (identity rewrite hits the recovery path), so the
+        // merge below applies on top of it instead of vanishing into it
+        swapRewrite(s, path, partitionCol, Seq(v), targetFiles,
+          maxRecordsPerFile, identity)
+      if (fs.exists(live)) {
+        swapRewrite(s, path, partitionCol, Seq(v), targetFiles,
+          maxRecordsPerFile,
+          liveDf => liveDf.join(changedKeys, keyCols, "left_anti")
+            .unionByName(upserts))
+      } else {
+        // fresh partition value: nothing to merge against — publish the
+        // inserts through the same staging dance for crash consistency
+        upserts.repartition(targetFiles)
+          .write.mode(SaveMode.Overwrite)
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .parquet(staging.toString)
+        if (!fs.rename(staging, live))
+          throw new java.io.IOException(s"cannot publish $staging")
+      }
+    }
+  }
+
   /** (partition value, data-file count) per hive partition of `path` —
     * the compaction worklist (filter on count, pass values to
     * [[compactPartitions]]). One driver-side listing, proportional to

@@ -141,6 +141,68 @@ class SinksSpec extends SparkSpec {
     assert(after.count() == total - perLang("zh") - esDoomed)
   }
 
+  test("mergePartitions applies a CDC changeset: upserts, deletes, and a " +
+    "fresh partition, touching only the partitions the changes span") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge").toString
+    val docs = Tables(spark, sfTest, "documents")
+    Sinks.writePartitioned(docs, s"$dir/docs", "lang")
+    def filesOf(lang: String) =
+      new java.io.File(s"$dir/docs/lang=$lang").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith("."))
+        .map(f => (f.getName, f.length)).sorted.toSeq
+    val esBefore = filesOf("es")
+    val perLang = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.count()
+
+    // changeset: update 2 en docs (sentinel n_chars), insert one new en
+    // doc + one doc in a language the archive has never seen, delete 2
+    // de docs — all in ONE changeset spanning three partitions
+    val enUpdatedIds = docs.filter($"lang" === "en")
+      .select($"doc_id").orderBy($"doc_id").limit(2)
+      .as[Long].collect().toSeq
+    val deDoomedIds = docs.filter($"lang" === "de")
+      .select($"doc_id").orderBy($"doc_id").limit(2)
+      .as[Long].collect().toSeq
+    val updates = docs.filter($"doc_id".isin(enUpdatedIds: _*))
+      .withColumn("n_chars", lit(-5L)).withColumn("op", lit("upsert"))
+    val inserts = Seq(
+      (900001L, "brand new english doc", "en", "cdc", 21L, "upsert"),
+      (900002L, "cau un document nou", "xx", "cdc", 19L, "upsert"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "op")
+    val deletes = docs.filter($"doc_id".isin(deDoomedIds: _*))
+      .withColumn("op", lit("delete"))
+    val changes = updates.unionByName(inserts).unionByName(deletes)
+
+    Sinks.mergePartitions(spark, s"$dir/docs", "lang", changes,
+      Seq("doc_id"), opCol = Some("op"))
+
+    val back = spark.read.parquet(s"$dir/docs")
+    // updates: exactly the two rows carry the sentinel, old versions gone
+    assert(back.filter($"n_chars" === -5L).select($"doc_id")
+      .as[Long].collect().sorted.toSeq == enUpdatedIds.sorted)
+    assert(back.filter($"doc_id".isin(enUpdatedIds: _*)).count() == 2,
+      "an upserted key appears more than once")
+    // inserts: present, including the created partition
+    assert(back.filter($"doc_id" === 900001L && $"lang" === "en").count() == 1)
+    assert(new java.io.File(s"$dir/docs/lang=xx").isDirectory)
+    assert(back.filter($"lang" === "xx").select($"doc_id")
+      .as[Long].collect().toSeq == Seq(900002L))
+    // deletes: gone
+    assert(back.filter($"doc_id".isin(deDoomedIds: _*)).count() == 0)
+    assert(back.filter($"lang" === "de").count() == perLang("de") - 2)
+    // untouched partition byte-identical; total accounting holds
+    assert(filesOf("es") == esBefore, "merge touched an unaffected partition")
+    assert(back.count() == total + 2 - 2)
+
+    // idempotence of the delete + a second upsert round-trips
+    Sinks.mergePartitions(spark, s"$dir/docs", "lang",
+      changes.filter($"op" === "delete"), Seq("doc_id"), opCol = Some("op"))
+    assert(spark.read.parquet(s"$dir/docs").count() == total)
+  }
+
   test("compacted write bounds file sizes and the file count") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sinkc").toString
