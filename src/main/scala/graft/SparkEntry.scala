@@ -133,6 +133,10 @@ object SparkEntry {
     "q_fullouter_hours" -> (Events.fullOuterHours _),
     "q_except" -> (Relational.exceptBigSpenders _),
     "q_anomaly_hours" -> (Events.anomalyHours _),
+    // round 8: behavioral / cadence / vocab-coverage analytics
+    "q_event_transitions" -> (Events.eventTransitions _),
+    "q_order_gaps" -> (Relational.orderGaps _),
+    "q_oov_rate" -> ((s: SparkSession, d: String) => TextOps.oovRate(s, d)),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -758,5 +762,43 @@ object SparkEntry {
         | ROUND(CAST(vocab AS DOUBLE) / n_tokens, 6) AS ttr
         |FROM stats JOIN top USING (source)
         |ORDER BY source""".stripMargin,
+    "q_event_transitions" ->
+      """WITH nxt AS (SELECT event_type,
+        |  LEAD(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type
+        | FROM events),
+        |t AS (SELECT event_type, next_type, COUNT(*) AS n FROM nxt
+        | WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        | ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type),
+        |   6) AS p
+        |FROM t ORDER BY event_type, next_type""".stripMargin,
+    "q_order_gaps" ->
+      """WITH g AS (SELECT o_custkey,
+        |  date_diff('day',
+        |    LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey),
+        |    CAST(o_orderdate AS DATE)) AS gap_days
+        | FROM orders)
+        |SELECT c_mktsegment, COUNT(*) AS n_gaps,
+        | CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days,
+        | CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+        | ROUND(AVG(gap_days), 4) AS avg_gap_days
+        |FROM g JOIN customer ON o_custkey = c_custkey
+        |WHERE gap_days IS NOT NULL
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q_oov_rate" ->
+      """WITH toks AS (SELECT lang,
+        |  UNNEST(string_split(lower(text), ' ')) AS word FROM documents),
+        |vocab AS (SELECT word, 1 AS in_vocab FROM (
+        |  SELECT word, COUNT(*) AS nw FROM toks GROUP BY 1
+        |  ORDER BY nw DESC, word LIMIT 25))
+        |SELECT lang, COUNT(*) AS n_tokens,
+        | CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_oov,
+        | ROUND(CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
+        |     AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        |FROM toks LEFT JOIN vocab USING (word)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
   )
 }

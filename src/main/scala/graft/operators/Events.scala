@@ -514,4 +514,36 @@ object Events {
         coalesce($"sum_value", lit(0.0)).as("sum_value"))
       .orderBy($"hour", $"event_type")
   }
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * for every (event_type → next event_type) pair, the transition count
+    * and the row-normalized probability — the behavioral-model /
+    * next-event-prediction primitive (and the input a session-flow
+    * Sankey chart draws).
+    *
+    * Shape for scale: ONE shuffle partitions the stream by user for the
+    * `lead` window (per-user state is a single look-ahead row, nothing
+    * buffers beyond the sort), the pair count is a partial+final hash
+    * agg over at most |types|² group rows, and the row normalization is
+    * a window over those group rows — constant-size, never data-sized.
+    * Ordering ties (same user, same timestamp) are broken by event_id so
+    * the transition sequence is deterministic under any partitioning.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(byUser))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+    pairs
+      .select($"event_type", $"next_type", $"n",
+        round($"n" / sum($"n").over(byFrom), 6).as("p"))
+      .orderBy($"event_type", $"next_type")
+  }
 }

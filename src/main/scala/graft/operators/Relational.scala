@@ -580,4 +580,40 @@ object Relational {
           ($"n" * ($"n" - lit(1.0))), 2).as("cov_qty_price"))
       .orderBy($"l_returnflag")
   }
+
+  /** Inter-order cadence per market segment: for each customer the gaps
+    * (in whole days) between consecutive orders, aggregated per segment —
+    * the repeat-purchase / churn-signal shape (median time-to-next-order
+    * is what a retention model trains on).
+    *
+    * Shape for scale: one shuffle partitions orders by customer for the
+    * `lag` window; gaps then reduce per segment through a broadcast
+    * customer join and a partial+final hash agg over 5 group rows. Gap
+    * arithmetic runs on DATE values (whole-day integers) so both engines
+    * agree exactly; the mean is the only float, rounded at the boundary.
+    * Ties (same customer, same order date) are broken by o_orderkey —
+    * the gap multiset is already order-independent under date ties, the
+    * tie-break just pins the frame.
+    */
+  def orderGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byCust = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"d", $"o_orderkey")
+    val gaps = Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderdate".cast("date").as("d"),
+        $"o_orderkey")
+      .withColumn("prev_d", lag($"d", 1).over(byCust))
+      .filter($"prev_d".isNotNull)
+      .select($"o_custkey", datediff($"d", $"prev_d").cast("long")
+        .as("gap_days"))
+    val seg = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    gaps.join(broadcast(seg), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum($"gap_days").as("sum_gap_days"),
+        max($"gap_days").as("max_gap_days"),
+        round(avg($"gap_days"), 4).as("avg_gap_days"))
+      .orderBy($"c_mktsegment")
+  }
 }

@@ -483,4 +483,36 @@ object TextOps {
         round($"vocab".cast("double") / $"n_tokens", 6).as("ttr"))
       .orderBy($"source")
   }
+
+  /** Out-of-vocabulary rate per language against the corpus top-`vocabSize`
+    * vocabulary — the tokenizer-coverage signal a training pipeline
+    * checks before committing to a vocab: a language whose OOV rate
+    * spikes is about to be shredded into UNK tokens. Vocabulary =
+    * the `vocabSize` most frequent tokens corpus-wide (ties broken by
+    * token, so the cut is total-ordered and engine-independent).
+    *
+    * Shape for scale: the token stream aggregates to (word, n) FIRST
+    * (partial+final hash agg — only vocabulary-sized data shuffles),
+    * the top-V cut is a TakeOrdered over group rows, and membership
+    * tagging is a BROADCAST left join of the V-row vocab against the
+    * token stream — the stream itself never shuffles for the tag, and
+    * the final per-language rollup is again partial-agg'd. Two scans of
+    * documents (one to build the vocab, one to score) is the honest
+    * cost; at 100 TB the vocab build runs once and persists.
+    */
+  def oovRate(s: SparkSession, dir: String, vocabSize: Int = 25): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"lang", explode(split(lower($"text"), " ")).as("word"))
+    val vocab = toks.groupBy($"word").agg(count(lit(1)).as("nw"))
+      .orderBy(desc("nw"), $"word").limit(vocabSize)
+      .select($"word", lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"lang", $"n_tokens", $"n_oov",
+        round($"n_oov".cast("double") / $"n_tokens", 6).as("oov_rate"))
+      .orderBy($"lang")
+  }
 }
