@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max statistics manifest + data-skipping scan — the
+  * third read-path pruning lever next to hive-partition pruning
+  * (directory skips) and parquet row-group stats (intra-file skips):
+  * FILE skips, decided from a small manifest table without opening a
+  * single data-file footer. This is the core idea of the Iceberg/Delta
+  * manifest layer, rebuilt minimally on a plain-parquet lake.
+  *
+  * Why it matters at 100 TB: partition pruning only serves the
+  * partition column(s), and parquet footer stats still cost one
+  * open+footer-read per file — at a million files that is a million
+  * round trips before the first byte of data. A manifest holds one row
+  * per data file with min/max/count for the columns that matter; a
+  * range predicate prunes the file list by interval overlap against
+  * stats ALREADY in hand. Combined with [[graft.sinks.Sinks.writeZOrdered]]
+  * (which makes every file's rectangle tight on two columns) the
+  * manifest turns a two-column range query into a scan of the few
+  * overlapping files — the same file-skipping contract `OPTIMIZE
+  * ZORDER` + manifests deliver in Delta.
+  *
+  * The manifest lives under `path/_graft_manifest` — underscore-prefixed
+  * directories are invisible to Spark/Hadoop input listings (the
+  * `_spark_metadata` convention), so readers of `path` never see
+  * manifest rows as data.
+  *
+  * Staleness contract: the manifest describes the files that existed at
+  * [[write]] time. Maintenance verbs that REWRITE files
+  * ([[graft.sinks.Sinks.compactPartitions]], `mergePartitions`,
+  * `erasePartitionRows`) invalidate it — rebuild after maintenance
+  * (cost: one scan of the rewritten data, the same scan the rewrite
+  * already paid). [[scan]] fails safe on staleness: a file in the
+  * manifest but gone from disk throws on read (loud), a file on disk
+  * but missing from the manifest is SKIPPED silently — so rebuild, not
+  * hope. For an append-only lake, [[write]] after each append batch is
+  * the usual cadence.
+  */
+object Manifest {
+
+  /** One distributed pass over `path` computing per-FILE stats for
+    * `statCols`: row count plus min/max per column (wide schema:
+    * `n_rows, min_<c>, max_<c>, …`). Grouping key is
+    * `input_file_name()`, so stats attach to physical files — including
+    * files inside hive partition dirs (the partition column is readable
+    * and constant per file, so listing it in `statCols` records the
+    * partition value too). Shuffle weight: files × statCols scalars,
+    * never data-sized.
+    */
+  def build(s: SparkSession, path: String, statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "manifest needs at least one stat column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build + persist the manifest under `path/_graft_manifest`. */
+  def write(s: SparkSession, path: String, statCols: Seq[String]): Unit =
+    build(s, path, statCols)
+      .coalesce(1) // one row per data file — the manifest is tiny
+      .write.mode(SaveMode.Overwrite).parquet(manifestDir(s, path))
+
+  private def manifestDir(s: SparkSession, path: String): String = {
+    // resolve through the filesystem so relative/file: paths match scan()
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_manifest")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  /** The data files under `path` whose [min, max] interval on EVERY
+    * banded column overlaps the requested [lo, hi] — the candidate list
+    * a skipping scan reads. A file with NULL stats for a banded column
+    * (all-null column chunk) survives conservatively. The collect is the
+    * file LIST — the same driver-side object Spark's own file index
+    * materializes to plan any scan, so this adds no asymptotic driver
+    * weight.
+    */
+  def prunedFiles(s: SparkSession, path: String,
+                  bands: Map[String, (Any, Any)]): Seq[String] = {
+    val m = s.read.parquet(manifestDir(s, path))
+    val keep = bands.foldLeft(lit(true)) { case (acc, (c, (lo, hi))) =>
+      val minC = col(s"min_$c")
+      val maxC = col(s"max_$c")
+      // overlap unless the file sits wholly below lo or above hi;
+      // null stats (all-null chunk) survive conservatively
+      acc && (!(maxC < lit(lo) || minC > lit(hi))
+        || minC.isNull || maxC.isNull)
+    }
+    m.filter(keep).select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Data-skipping scan: read only the files whose manifest stats can
+    * satisfy `bands`, then apply the bands as a residual row filter
+    * (stats prune at file granularity; rows inside a surviving file
+    * still need the predicate). `basePath` keeps hive partition columns
+    * visible when reading leaf files directly. An empty survivor list
+    * returns an empty DataFrame with the table's schema.
+    */
+  def scan(s: SparkSession, path: String,
+           bands: Map[String, (Any, Any)]): DataFrame = {
+    val files = prunedFiles(s, path, bands)
+    val base =
+      if (files.isEmpty) s.read.parquet(path).filter(lit(false))
+      else s.read.option("basePath", path).parquet(files: _*)
+    bands.foldLeft(base) { case (df, (c, (lo, hi))) =>
+      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.sinks.Sinks
+
+class ManifestSpec extends SparkSpec {
+
+  test("manifest skipping scan prunes files on a z-ordered layout and " +
+    "returns exactly the full scan's rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_manifest").toString
+    val docs = Tables(spark, sfTest, "documents")
+    Sinks.writeZOrdered(docs, s"$dir/docs", "doc_id", "n_chars",
+      targetFiles = 8)
+    Manifest.write(spark, s"$dir/docs", Seq("doc_id", "n_chars"))
+
+    // the manifest dir must be invisible to plain readers of the table
+    assert(spark.read.parquet(s"$dir/docs").count() == docs.count(),
+      "manifest rows leaked into table reads")
+
+    val all = Manifest.prunedFiles(spark, s"$dir/docs", Map.empty)
+    assert(all.size >= 6, s"fixture produced too few files: ${all.size}")
+
+    val lo = 100L; val hi = 180L
+    val bands = Map("doc_id" -> (lo, hi))
+    val pruned = Manifest.prunedFiles(spark, s"$dir/docs", bands)
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"no skipping happened: ${pruned.size} of ${all.size} files survive")
+
+    val viaManifest = Manifest.scan(spark, s"$dir/docs", bands)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val full = spark.read.parquet(s"$dir/docs")
+      .filter($"doc_id" >= lo && $"doc_id" <= hi)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(viaManifest == full, "skipping scan lost or invented rows")
+
+    // two-column band: the z-order rectangle promise — both columns
+    // prune, the conjunction reads fewer files than either alone
+    val bands2 = Map("doc_id" -> (lo, hi), "n_chars" -> (50L, 120L))
+    val pruned2 = Manifest.prunedFiles(spark, s"$dir/docs", bands2)
+    assert(pruned2.size <= pruned.size)
+    val via2 = Manifest.scan(spark, s"$dir/docs", bands2)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val full2 = spark.read.parquet(s"$dir/docs")
+      .filter($"doc_id".between(lo, hi) && $"n_chars".between(50L, 120L))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(via2 == full2)
+
+    // a band no file can satisfy: empty result, schema intact, no error
+    val none = Manifest.scan(spark, s"$dir/docs",
+      Map("doc_id" -> (10000000L, 20000000L)))
+    assert(none.isEmpty && none.columns.toSeq ==
+      spark.read.parquet(s"$dir/docs").columns.toSeq)
+  }
+
+  test("manifest scan keeps hive partition columns via basePath") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_manifp").toString
+    val docs = Tables(spark, sfTest, "documents")
+    Sinks.writePartitioned(docs, s"$dir/docs", "lang")
+    Manifest.write(spark, s"$dir/docs", Seq("doc_id", "lang"))
+
+    val bands = Map("doc_id" -> (0L, 150L))
+    val got = Manifest.scan(spark, s"$dir/docs", bands)
+    assert(got.columns.contains("lang"),
+      "partition column lost when reading leaf files")
+    val expect = docs.filter($"doc_id".between(0L, 150L))
+      .select($"doc_id", $"lang").collect().map(_.toString).sorted.toSeq
+    assert(got.select($"doc_id", $"lang").collect()
+      .map(_.toString).sorted.toSeq == expect)
+
+    // a partition column listed in statCols prunes files too: lang is
+    // constant per file, so a lang band keeps only that partition's files
+    Manifest.write(spark, s"$dir/docs", Seq("doc_id", "lang"))
+    val enOnly = Manifest.prunedFiles(spark, s"$dir/docs",
+      Map("lang" -> ("en", "en")))
+    assert(enOnly.nonEmpty && enOnly.forall(_.contains("lang=en")),
+      s"lang band kept foreign files: $enOnly")
+  }
+}
