@@ -1,0 +1,137 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming → maintainable-lake composition: an EXACTLY-ONCE-effective
+  * date-partitioned parquet lake fed by a streaming query, built from
+  * the maintenance verbs this package already carries.
+  *
+  * The problem it solves: `Sinks.streamToParquet` (the file sink) is
+  * exactly-once but its `_spark_metadata` log pins the file list — none
+  * of the maintenance verbs (compaction, TTL, erasure, merge) may touch
+  * it. A plain `foreachBatch` append is maintainable but replays batches
+  * after a crash — at-least-once, duplicate rows. This sink closes the
+  * gap with the standard idempotent-overwrite trick: every micro-batch
+  * writes under `date=D/batch_id=N` via DYNAMIC partition overwrite, so
+  * a replayed batch N REPLACES exactly its own (date, batch) cells and
+  * converges instead of duplicating. Layout:
+  *
+  *   path/open/   date=D/batch_id=N/part-*.parquet   (live, appended)
+  *   path/sealed/ date=D/part-*.parquet              (closed, compacted)
+  *
+  * [[sealDays]] moves a CLOSED day (event-time watermark passed it —
+  * nothing appends there again) from open to sealed: one compacted
+  * rewrite that drops the batch_id level — the per-batch dirs are
+  * scaffolding for idempotence, not something a reader should pay
+  * per-file open cost for forever. The two roots exist because hive
+  * partition discovery rejects mixed directory depths under one root;
+  * open/sealed is the bronze/compacted split a real lake runs anyway.
+  *
+  * [[read]] is the one-table view: sealed ∪ open, sealed winning for
+  * any day present in both — which makes the seal protocol
+  * crash-tolerant without a transaction: sealing publishes to sealed/
+  * FIRST, then deletes from open/, and a crash between the two leaves a
+  * day double-stored but never double-READ, and the next [[sealDays]]
+  * call completes the cleanup. Readers prune on the date partition in
+  * both roots (PartitionFilters), so the open-side exclusion filter
+  * costs directory skips, not data.
+  *
+  * At 100 TB: each micro-batch shuffles only its own rows (dynamic
+  * overwrite of the cells it carries); sealing reads one day once;
+  * TTL = `Sinks.dropPartitions` on sealed/; erasure/merge verbs apply
+  * to sealed/ unchanged. The batch_id dir count per open day is bounded
+  * by batches-per-day, and sealing retires it daily.
+  */
+object LakeSink {
+
+  /** Idempotent micro-batch apply (exposed for direct testing): stamp
+    * the batch id, dynamic-overwrite the (date, batch) cells it carries.
+    */
+  def applyBatch(df: DataFrame, batchId: Long, path: String,
+                 dateCol: String): Unit =
+    Sinks.overwritePartitions(
+      df.withColumn("batch_id", lit(batchId)), s"$path/open",
+      dateCol, "batch_id")
+
+  /** Start the streaming feed. `df` must carry `dateCol`. Stateless or
+    * watermark-finalized input both work; aggregates should arrive in
+    * append mode (finalized groups) — partials would re-state a cell
+    * per update, converging but churning. */
+  def start(df: DataFrame, path: String, checkpoint: String,
+            dateCol: String): StreamingQuery =
+    Sinks.streamForeachBatch(df, checkpoint, "append") { (b, id) =>
+      applyBatch(b, id, path, dateCol)
+    }
+
+  /** Seal closed days: publish each day compacted (batch_id dropped) to
+    * sealed/, then retire its open/ dir. Idempotent and crash-tolerant:
+    * a day already sealed just gets its open/ leftover deleted; a crash
+    * mid-call resumes on the next call. Caller picks the worklist (days
+    * older than the watermark; [[openDays]] lists candidates).
+    */
+  def sealDays(s: SparkSession, path: String, dateCol: String,
+               values: Seq[String], targetFiles: Int = 1,
+               maxRecordsPerFile: Long = 1L << 20): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    values.foreach { v =>
+      val open = new org.apache.hadoop.fs.Path(s"$path/open/$dateCol=$v")
+      val sealedP = new org.apache.hadoop.fs.Path(s"$path/sealed/$dateCol=$v")
+      val staging = new org.apache.hadoop.fs.Path(s"$path/sealed/.sealing_$v")
+      if (!fs.exists(sealedP)) {
+        require(fs.exists(open), s"no open day $dateCol=$v under $path")
+        fs.delete(staging, true) // stale staging from a pre-publish crash
+        s.read.parquet(open.toString) // batch_id inferred from subdirs
+          .drop("batch_id")
+          .repartition(targetFiles)
+          .write.mode(SaveMode.Overwrite)
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .parquet(staging.toString)
+        if (!fs.rename(staging, sealedP))
+          throw new java.io.IOException(s"cannot publish $staging")
+      }
+      fs.delete(open, true) // sealed exists: reads already ignore open
+    }
+  }
+
+  /** Open-side day list (the seal worklist, before watermark filtering). */
+  def openDays(s: SparkSession, path: String, dateCol: String): Seq[String] =
+    Sinks.partitionFileCounts(s, s"$path/open", dateCol).map(_._1)
+
+  /** The one-table view: sealed ∪ open, sealed winning day-collisions
+    * (see object doc), batch_id scaffolding hidden. The anti-filter is
+    * an isin over the sealed DAY LIST (driver-side, bounded by days, the
+    * same scale as any partition listing), which partition-prunes the
+    * open scan.
+    */
+  def read(s: SparkSession, path: String, dateCol: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def side(p: String): Option[DataFrame] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(p)) &&
+          fs.listStatus(new org.apache.hadoop.fs.Path(p))
+            .exists(st => st.isDirectory &&
+              st.getPath.getName.startsWith(s"$dateCol=")))
+        Some(s.read.parquet(p))
+      else None
+    val sealedDf = side(s"$path/sealed")
+    val sealedVals =
+      if (sealedDf.isDefined)
+        Sinks.partitionFileCounts(s, s"$path/sealed", dateCol).map(_._1)
+      else Seq.empty[String]
+    val openDf = side(s"$path/open").map { df =>
+      val kept = if (sealedVals.isEmpty) df
+        else df.filter(!col(dateCol).cast("string").isin(sealedVals: _*))
+      kept.drop("batch_id")
+    }
+    (sealedDf, openDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        throw new IllegalArgumentException(s"empty lake at $path")
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.streaming.Event
+
+class LakeSinkSpec extends SparkSpec {
+
+  private def mk(ids: Seq[Int], day: String) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, day, s"p$i")).toDF("id", "day", "payload")
+  }
+
+  test("batch replay converges instead of duplicating, and read hides " +
+    "the batch scaffolding") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake").toString
+    val b0 = mk(1 to 3, "2024-03-01").unionByName(mk(4 to 5, "2024-03-02"))
+    val b1 = mk(6 to 7, "2024-03-02").unionByName(mk(8 to 8, "2024-03-03"))
+    LakeSink.applyBatch(b0, 0, dir, "day")
+    LakeSink.applyBatch(b1, 1, dir, "day")
+    // crash-replay of batch 1: same id, same rows — must overwrite its
+    // own (day, batch) cells, not append next to them
+    LakeSink.applyBatch(b1, 1, dir, "day")
+    val got = LakeSink.read(spark, dir, "day")
+    assert(!got.columns.contains("batch_id"), "batch scaffolding leaked")
+    assert(got.select($"id").as[Long].collect().sorted.toSeq ==
+      (1L to 8L).toSeq, "replay duplicated or lost rows")
+    // a replayed batch with REVISED content converges to the revision
+    LakeSink.applyBatch(mk(6 to 6, "2024-03-02"), 1, dir, "day")
+    assert(LakeSink.read(spark, dir, "day")
+      .filter($"day".cast("string") === "2024-03-02")
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(4L, 5L, 6L))
+  }
+
+  test("sealing compacts a closed day, survives the crash window, and " +
+    "TTL applies to the sealed side") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lakeseal").toString
+    LakeSink.applyBatch(mk(1 to 4, "2024-03-01"), 0, dir, "day")
+    LakeSink.applyBatch(mk(5 to 8, "2024-03-01")
+      .unionByName(mk(9 to 10, "2024-03-02")), 1, dir, "day")
+    assert(LakeSink.openDays(spark, dir, "day") ==
+      Seq("2024-03-01", "2024-03-02"))
+    val before = LakeSink.read(spark, dir, "day")
+      .select($"id").as[Long].collect().sorted.toSeq
+
+    LakeSink.sealDays(spark, dir, "day", Seq("2024-03-01"))
+    assert(!new java.io.File(s"$dir/open/day=2024-03-01").exists())
+    val sealedFiles = new java.io.File(s"$dir/sealed/day=2024-03-01")
+      .listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    assert(sealedFiles.length == 1, "seal did not compact to one file")
+    assert(LakeSink.read(spark, dir, "day")
+      .select($"id").as[Long].collect().sorted.toSeq == before,
+      "sealing changed the data")
+
+    // crash window: sealed published but open not yet deleted — the day
+    // exists on BOTH sides; read must not double-count, and the next
+    // sealDays call completes the cleanup
+    LakeSink.applyBatch(mk(101 to 102, "2024-03-01"), 7, dir, "day")
+    assert(LakeSink.read(spark, dir, "day")
+      .select($"id").as[Long].collect().sorted.toSeq == before,
+      "a double-stored day was double-read")
+    LakeSink.sealDays(spark, dir, "day", Seq("2024-03-01"))
+    assert(!new java.io.File(s"$dir/open/day=2024-03-01").exists())
+    assert(LakeSink.read(spark, dir, "day")
+      .select($"id").as[Long].collect().sorted.toSeq == before)
+
+    // TTL on the sealed side is the plain partition-drop verb
+    Sinks.dropPartitions(spark, s"$dir/sealed", "day", Seq("2024-03-01"))
+    assert(LakeSink.read(spark, dir, "day")
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(9L, 10L))
+  }
+
+  test("a streaming query feeds the lake end-to-end and a restart replay " +
+    "does not duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_lakestream").toString
+    val ms = MemoryStream[Event]
+    def feed() = LakeSink.start(
+      ms.toDF().withColumn("day", date_format($"ts", "yyyy-MM-dd")),
+      s"$dir/lake", s"$dir/ckpt", "day")
+    val q = feed()
+    ms.addData((1 to 6).map(i => Event(i,
+      java.sql.Timestamp.valueOf(s"2024-01-0${1 + i % 2} 10:00:00"),
+      i, "view", 1.0, "{}")))
+    q.processAllAvailable()
+    ms.addData((7 to 9).map(i => Event(i,
+      java.sql.Timestamp.valueOf("2024-01-03 10:00:00"),
+      i, "view", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    // restart from the same checkpoint: nothing new to do, nothing dups
+    val q2 = feed()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = LakeSink.read(spark, s"$dir/lake", "day")
+    assert(got.select($"event_id").as[Long].collect().sorted.toSeq ==
+      (1L to 9L).toSeq)
+    assert(LakeSink.openDays(spark, s"$dir/lake", "day") ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+  }
+}
