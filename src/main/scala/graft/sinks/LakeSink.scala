@@ -69,11 +69,20 @@ object LakeSink {
     * sealed/, then retire its open/ dir. Idempotent and crash-tolerant:
     * a day already sealed just gets its open/ leftover deleted; a crash
     * mid-call resumes on the next call. Caller picks the worklist (days
-    * older than the watermark; [[openDays]] lists candidates).
+    * older than the watermark; [[openDays]] lists candidates) — seal
+    * only days the watermark has CLOSED: open-side rows appended to an
+    * already-sealed day are presumed the crash window's duplicates and
+    * are discarded by the cleanup; genuinely very-late data for a
+    * sealed day lands via `Sinks.mergePartitions`/`overwritePartitions`
+    * on sealed/ instead. `manifestCols` non-empty additionally refreshes
+    * the sealed root's file-stats manifest for each sealed day
+    * ([[graft.sources.Manifest]]), at the cost of re-reading only the
+    * day just sealed.
     */
   def sealDays(s: SparkSession, path: String, dateCol: String,
                values: Seq[String], targetFiles: Int = 1,
-               maxRecordsPerFile: Long = 1L << 20): Unit = {
+               maxRecordsPerFile: Long = 1L << 20,
+               manifestCols: Seq[String] = Nil): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     values.foreach { v =>
@@ -93,6 +102,12 @@ object LakeSink {
           throw new java.io.IOException(s"cannot publish $staging")
       }
       fs.delete(open, true) // sealed exists: reads already ignore open
+      // per-day manifest refresh: stats for the files just sealed, at
+      // the cost of the data the seal already read — idempotent, so a
+      // crash-repeated seal just re-states the same rows
+      if (manifestCols.nonEmpty)
+        graft.sources.Manifest.refreshPartition(
+          s, s"$path/sealed", dateCol, v, manifestCols)
     }
   }
 

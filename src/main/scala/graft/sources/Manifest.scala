@@ -49,13 +49,15 @@ object Manifest {
     * partition value too). Shuffle weight: files × statCols scalars,
     * never data-sized.
     */
-  def build(s: SparkSession, path: String, statCols: Seq[String]): DataFrame = {
+  def build(s: SparkSession, path: String, statCols: Seq[String]): DataFrame =
+    statRows(s.read.parquet(path), statCols)
+
+  private def statRows(df: DataFrame, statCols: Seq[String]): DataFrame = {
     require(statCols.nonEmpty, "manifest needs at least one stat column")
     val aggs = count(lit(1)).as("n_rows") +:
       statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c")))
-    s.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+    df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -70,6 +72,41 @@ object Manifest {
     val p = new org.apache.hadoop.fs.Path(path, "_graft_manifest")
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
       .makeQualified(p).toString
+  }
+
+  /** Incremental refresh for ONE hive partition — the per-day manifest
+    * maintenance an appending lake runs (a full [[write]] re-reads the
+    * archive; this reads only the partition that changed, which is the
+    * same data its rewrite just paid for). The partition's old manifest
+    * rows are replaced by fresh ones; every other file's stats carry
+    * over untouched. If `statCols` lists the partition column itself,
+    * its (constant) value is recorded from the directory name — reading
+    * a leaf partition dir directly doesn't surface it as a column.
+    * The merged manifest is eagerly materialized before the overwrite
+    * (manifest-sized, one row per file) so the write never deletes
+    * files a lazy self-read still needs.
+    */
+  def refreshPartition(s: SparkSession, path: String, partitionCol: String,
+                       value: String, statCols: Seq[String]): Unit = {
+    val part = s.read.parquet(s"$path/$partitionCol=$value")
+    val withPart =
+      if (statCols.contains(partitionCol))
+        part.withColumn(partitionCol, lit(value))
+      else part
+    val fresh = statRows(withPart, statCols)
+    val dir = manifestDir(s, path)
+    val exists = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(dir))
+    val merged =
+      if (exists)
+        s.read.parquet(dir)
+          .filter(!col("file").contains(s"/$partitionCol=$value/"))
+          .unionByName(fresh)
+      else fresh
+    merged.localCheckpoint(true)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
   /** The data files under `path` whose [min, max] interval on EVERY

@@ -48,7 +48,8 @@ class LakeSinkSpec extends SparkSpec {
     val before = LakeSink.read(spark, dir, "day")
       .select($"id").as[Long].collect().sorted.toSeq
 
-    LakeSink.sealDays(spark, dir, "day", Seq("2024-03-01"))
+    LakeSink.sealDays(spark, dir, "day", Seq("2024-03-01"),
+      manifestCols = Seq("id", "day"))
     assert(!new java.io.File(s"$dir/open/day=2024-03-01").exists())
     val sealedFiles = new java.io.File(s"$dir/sealed/day=2024-03-01")
       .listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
@@ -65,10 +66,17 @@ class LakeSinkSpec extends SparkSpec {
     assert(LakeSink.read(spark, dir, "day")
       .select($"id").as[Long].collect().sorted.toSeq == before,
       "a double-stored day was double-read")
-    LakeSink.sealDays(spark, dir, "day", Seq("2024-03-01"))
+    LakeSink.sealDays(spark, dir, "day", Seq("2024-03-01"),
+      manifestCols = Seq("id", "day"))
     assert(!new java.io.File(s"$dir/open/day=2024-03-01").exists())
     assert(LakeSink.read(spark, dir, "day")
       .select($"id").as[Long].collect().sorted.toSeq == before)
+
+    // the seal-maintained manifest serves skipping scans on sealed/
+    val viaManifest = graft.sources.Manifest
+      .scan(spark, s"$dir/sealed", Map("id" -> (1L, 4L)))
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(viaManifest == Seq(1L, 2L, 3L, 4L))
 
     // TTL on the sealed side is the plain partition-drop verb
     Sinks.dropPartitions(spark, s"$dir/sealed", "day", Seq("2024-03-01"))

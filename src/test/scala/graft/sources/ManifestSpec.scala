@@ -80,4 +80,46 @@ class ManifestSpec extends SparkSpec {
     assert(enOnly.nonEmpty && enOnly.forall(_.contains("lang=en")),
       s"lang band kept foreign files: $enOnly")
   }
+
+  test("refreshPartition replaces one partition's manifest rows and " +
+    "leaves the rest untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_manifr").toString
+    val docs = Tables(spark, sfTest, "documents")
+    Sinks.writePartitioned(docs, s"$dir/docs", "lang")
+    // built incrementally from nothing: one partition at a time
+    Seq("en", "de").foreach { v =>
+      Manifest.refreshPartition(spark, s"$dir/docs", "lang", v,
+        Seq("doc_id", "lang"))
+    }
+    val m0 = spark.read.parquet(s"$dir/docs/_graft_manifest")
+    assert(m0.filter($"min_lang" === "en").count() >= 1 &&
+      m0.filter($"min_lang" === "de").count() >= 1)
+    val deRowsBefore = m0.filter($"min_lang" === "de")
+      .collect().map(_.toString).sorted.toSeq
+
+    // compaction rewrites en's files; the refresh replaces en's rows
+    // (no stale files, no duplicates) and de's rows carry over verbatim
+    Sinks.compactPartitions(spark, s"$dir/docs", "lang", Seq("en"),
+      targetFiles = 1)
+    Manifest.refreshPartition(spark, s"$dir/docs", "lang", "en",
+      Seq("doc_id", "lang"))
+    val m1 = spark.read.parquet(s"$dir/docs/_graft_manifest")
+    val enFiles = m1.filter($"min_lang" === "en").select($"file")
+      .as[String].collect().toSeq
+    assert(enFiles.length == 1, s"stale or duplicated en rows: $enFiles")
+    assert(new java.io.File(new java.net.URI(enFiles.head)).exists(),
+      "manifest points at a rewritten-away file")
+    assert(m1.filter($"min_lang" === "de").collect()
+      .map(_.toString).sorted.toSeq == deRowsBefore,
+      "an untouched partition's manifest rows changed")
+
+    // the refreshed manifest still serves a skipping scan correctly
+    val got = Manifest.scan(spark, s"$dir/docs",
+      Map("lang" -> ("en", "en"), "doc_id" -> (0L, 100L)))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val expect = docs.filter($"lang" === "en" && $"doc_id".between(0L, 100L))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expect)
+  }
 }
