@@ -210,6 +210,32 @@ class PlanSpec extends SparkSpec {
     assert(aggBelow.nonEmpty, "window consumes raw rows, not group rows")
   }
 
+  test("round-8 analytics queries keep their scale shapes: single event " +
+    "scan, broadcast small sides, partial aggs") {
+    // transitions: ONE events scan feeds the lead window; pair counting
+    // is partial+final; normalization windows over group rows only
+    val pt = physical("q_event_transitions")
+    assert("Scan parquet".r.findAllIn(pt).size == 1,
+      "transitions re-scans the event stream")
+    assert("HashAggregate".r.findAllIn(pt).size >= 2)
+
+    // order gaps: dim join broadcasts, the fact side shuffles once for
+    // the per-customer window
+    val pg = physical("q_order_gaps")
+    assert(pg.contains("BroadcastHashJoin") && !pg.contains("SortMergeJoin"),
+      "order gaps shuffles its dimension join")
+    assert("Exchange hashpartitioning".r.findAllIn(pg).size <= 2,
+      "order gaps added an unexpected shuffle")
+
+    // oov: the vocab cut is a TakeOrdered over group rows and joins back
+    // as a broadcast — the token stream itself never shuffles for the tag
+    val po = physical("q_oov_rate")
+    assert(po.contains("TakeOrderedAndProject"),
+      "vocab cut lost its TakeOrdered")
+    assert(po.contains("BroadcastHashJoin") && !po.contains("SortMergeJoin"),
+      "oov membership join stopped broadcasting")
+  }
+
   test("no graded query plans an unapproved nested-loop or cartesian join") {
     // the whole-surface sweep (graft.PlanAudit as a regression guard):
     // BNLJ is allowed only where documented — exact brute-force vector
