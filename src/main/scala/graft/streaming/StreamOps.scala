@@ -40,6 +40,13 @@ case class SilenceAlert(user_id: Long, last_ts: java.sql.Timestamp,
 case class HourlyVolume(event_type: String, hour: java.sql.Timestamp,
                         c: Long, n_hist: Long, anomaly: Boolean)
 
+/** One finalized consecutive-event pair in a user's event-time order —
+  * the streaming twin of `q_event_transitions`'s pair stream (`at` is
+  * the SECOND event's time; aggregate downstream for the live matrix).
+  */
+case class Transition(user_id: Long, from_type: String, to_type: String,
+                      at: java.sql.Timestamp)
+
 /** Structured Streaming operator inventory (SURVEY.md §2.9). Each takes a
   * *streaming* DataFrame with the Event schema and returns the transformed
   * streaming DataFrame — callers pick the sink. The same logical plans run
@@ -664,6 +671,115 @@ object StreamOps {
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor(horizonToMs(idleRetention)),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Per-user transition cursor: the type of the last FINALIZED event
+    * ("" = none yet — a fresh or freshly-retired user), the latest event
+    * time seen (drives idle retirement), and the armed timer (same
+    * one-timer-per-key discipline as [[FunnelProcessor]]).
+    */
+  case class TransitionCursor(lastTyp: String, lastMs: Long,
+                              armedTimerMs: Long)
+
+  /** Streaming Markov transitions — the stream twin of
+    * `q_event_transitions`'s pair stream: one [[Transition]] row per
+    * consecutive (event → next event) pair in a user's EVENT-TIME order,
+    * emitted exactly once when the watermark proves the pair final (a
+    * late event can land BETWEEN two eagerly-paired neighbors, so like
+    * the funnel this buffers per user until the watermark passes, then
+    * drains in (ts, event_id) order with the last finalized type carried
+    * as the chain cursor). Downstream keeps the live transition matrix
+    * with a plain windowed `groupBy(from_type, to_type).count` — the
+    * batch query's aggregation applied to the pair stream.
+    *
+    * State bound: the buffer holds at most one lateness-horizon of a
+    * user's events; the cursor is one string + two longs; a user idle
+    * past `idleRetentionMs` retires completely (cursor AND buffer
+    * dropped) and their return starts a fresh chain — the first event
+    * after retirement emits no pair, the same recycle contract as the
+    * funnel. So state is O(users active within the retention horizon).
+    */
+  private class TransitionProcessor(idleRetentionMs: Long = 30L * 86400000L)
+    extends StatefulProcessor[Long, Event, Transition] {
+    @transient private var cur: org.apache.spark.sql.streaming.ValueState[TransitionCursor] = _
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Event] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cur = getHandle.getValueState[TransitionCursor]("cur",
+        Encoders.product[TransitionCursor], TTLConfig.NONE)
+      buf = getHandle.getListState[Event]("buf", Encoders.product[Event],
+        TTLConfig.NONE)
+    }
+
+    private def flush(userId: Long, wmMs: Long, prev: TransitionCursor)
+    : (TransitionCursor, List[Transition], Int) = {
+      val (ready, pending) = buf.get().toSeq
+        .partition(_.ts.getTime <= wmMs)
+      val out = List.newBuilder[Transition]
+      var lastTyp = prev.lastTyp
+      ready.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (lastTyp.nonEmpty)
+          out += Transition(userId, lastTyp, e.event_type, e.ts)
+        lastTyp = e.event_type
+      }
+      buf.clear()
+      if (pending.nonEmpty) buf.appendList(pending.toArray)
+      val timer =
+        if (pending.nonEmpty) pending.map(_.ts.getTime).min
+        else prev.lastMs + idleRetentionMs
+      if (prev.armedTimerMs != 0L && prev.armedTimerMs != timer)
+        getHandle.deleteTimer(prev.armedTimerMs)
+      if (timer != 0L && timer != prev.armedTimerMs)
+        getHandle.registerTimer(timer)
+      (TransitionCursor(lastTyp, prev.lastMs, timer), out.result(),
+        pending.size)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Transition] = {
+      val prev = if (cur.exists()) cur.get()
+                 else TransitionCursor("", 0L, 0L)
+      val arrived = rows.toArray
+      if (arrived.nonEmpty) buf.appendList(arrived)
+      val last = arrived.foldLeft(prev.lastMs)((m, e) =>
+        math.max(m, e.ts.getTime))
+      val (next, out, _) = flush(userId, tv.getCurrentWatermarkInMs(),
+        prev.copy(lastMs = last))
+      cur.update(next)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+    : Iterator[Transition] = {
+      val prev = if (cur.exists()) cur.get()
+                 else TransitionCursor("", 0L, 0L)
+      val (next, out, nPending) = flush(userId,
+        tv.getCurrentWatermarkInMs(), prev.copy(armedTimerMs = 0L))
+      if (nPending == 0 &&
+          info.getExpiryTimeInMs() >= next.lastMs + idleRetentionMs) {
+        if (next.armedTimerMs != 0L) getHandle.deleteTimer(next.armedTimerMs)
+        cur.clear()
+        buf.clear()
+      } else cur.update(next)
+      out.iterator
+    }
+  }
+
+  /** Streaming transition-pair entry point (see [[TransitionProcessor]]).
+    * `lateness` is the replay-disorder tolerance and finalization delay;
+    * `idleRetention` bounds per-user state.
+    */
+  def transitions(events: Dataset[Event],
+                  lateness: String = "2 hours",
+                  idleRetention: String = "30 days")
+  : Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor(horizonToMs(idleRetention)),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -1201,4 +1201,113 @@ class StreamOpsSpec extends SparkSpec {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming transitions finalize per-user pairs in event-time " +
+    "order, bridge across drains, and drop too-late events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StreamOps.transitions(ms.toDS())
+        .writeStream.format("memory").queryName("t_trans")
+        .outputMode("append").start()
+      ms.addData(Seq(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        ev(3, "2024-01-01 10:20:00", 1, "purchase", 0.0),
+        ev(5, "2024-01-01 10:05:00", 2, "view", 0.0)))
+      q.processAllAvailable()
+      assert(spark.sql("select * from t_trans").collect().isEmpty,
+        "pairs emitted before the watermark finalized the order")
+      // the click lands BETWEEN two already-buffered events — an eager
+      // pairing would have emitted view→purchase and double-counted
+      ms.addData(Seq(ev(2, "2024-01-01 10:10:00", 1, "click", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(99, "2024-01-02 00:00:00", 42, "ping", 0.0)))
+      q.processAllAvailable()
+      def got() = spark.sql(
+        "select user_id, from_type, to_type, at from t_trans").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getTimestamp(3).toString.substring(0, 19))).toSet
+      val phase1 = Set(
+        (1L, "view", "click", "2024-01-01 10:10:00"),
+        (1L, "click", "purchase", "2024-01-01 10:20:00"))
+      assert(got() == phase1, s"got ${got()}")
+      // an event older than the watermark is dropped, not inserted
+      ms.addData(Seq(ev(7, "2024-01-01 10:15:00", 1, "error", 0.0)))
+      q.processAllAvailable()
+      assert(got() == phase1, "a too-late event changed finalized pairs")
+      // the cursor bridges drains: the next finalized event pairs with
+      // the LAST finalized one, hours later
+      ms.addData(Seq(ev(8, "2024-01-02 01:00:00", 1, "view", 0.0)))
+      ms.addData(Seq(ev(98, "2024-01-03 00:00:00", 42, "ping", 0.0)))
+      q.processAllAvailable()
+      assert(got() == phase1 +
+        ((1L, "purchase", "view", "2024-01-02 01:00:00")),
+        s"got ${got()}")
+      q.stop()
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming transitions resume from their checkpoint: buffered " +
+    "events and the chain cursor survive a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft_tckpt").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_tout").toString
+    try {
+      val ms = MemoryStream[Event]
+      def start() = StreamOps.transitions(ms.toDS())
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append").start()
+
+      // phase 1: two events buffer, nothing finalizes — the exact state
+      // a crash must not lose
+      val q1 = start()
+      ms.addData(Seq(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        ev(3, "2024-01-01 10:20:00", 1, "purchase", 0.0)))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // restart: a click lands BETWEEN the two buffered events — only
+      // possible if the restored buffer still holds both — then flush
+      val q2 = start()
+      ms.addData(Seq(ev(2, "2024-01-01 10:10:00", 1, "click", 0.0)))
+      ms.addData(Seq(ev(99, "2024-01-02 00:00:00", 42, "ping", 0.0)))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getTimestamp(3).toString.substring(0, 19))).toSet
+      assert(got == Set(
+        (1L, "view", "click", "2024-01-01 10:10:00"),
+        (1L, "click", "purchase", "2024-01-01 10:20:00")),
+        s"got $got")
+      assert(spark.read.parquet(outDir).count() == 2,
+        "a pair was emitted more than once across the restart")
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
