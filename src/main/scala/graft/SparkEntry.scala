@@ -137,6 +137,7 @@ object SparkEntry {
     "q_event_transitions" -> (Events.eventTransitions _),
     "q_order_gaps" -> (Relational.orderGaps _),
     "q_oov_rate" -> ((s: SparkSession, d: String) => TextOps.oovRate(s, d)),
+    "q_session_stats" -> (Windows.sessionStats _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -800,5 +801,23 @@ object SparkEntry {
         |     AS DOUBLE) / COUNT(*), 6) AS oov_rate
         |FROM toks LEFT JOIN vocab USING (word)
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |g AS (SELECT *, CASE WHEN prev_tus IS NULL
+        |   OR tus - prev_tus > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT *, LAG(tus) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS prev_tus FROM e)),
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |   ORDER BY tus, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS session_id FROM g),
+        |sess AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+        |   CAST(MAX(tus) - MIN(tus) AS BIGINT) AS duration_us
+        |  FROM s GROUP BY 1, 2)
+        |SELECT n_events, COUNT(*) AS n_sessions,
+        | CAST(SUM(duration_us) AS BIGINT) AS sum_duration_us,
+        | CAST(MAX(duration_us) AS BIGINT) AS max_duration_us
+        |FROM sess GROUP BY 1 ORDER BY n_events""".stripMargin,
   )
 }

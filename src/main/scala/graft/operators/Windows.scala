@@ -200,4 +200,36 @@ object Windows {
         round($"sum_raw", 2).as("sum_value"))
       .orderBy($"user_id", $"session_id")
   }
+
+  /** Session-length distribution — the engagement histogram a product
+    * analytics consumer reads off the sessionization: for each session
+    * size (events per session), how many sessions, their summed and
+    * longest durations. Same 30-minute-gap session assignment as
+    * [[sessionize]] (spill-safe lag+cumsum window, one fact shuffle);
+    * durations are exact integer MICROSECONDS (`unix_micros` here,
+    * `epoch_us` in the oracle) so no float can split the engines; the
+    * final rollup is a partial+final agg over session rows, grouped on
+    * the session size — output is histogram-sized, never data-sized.
+    */
+  def sessionStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"))
+      .withColumn("new_sess",
+        when(lag($"tus", 1).over(w).isNull ||
+          $"tus" - lag($"tus", 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(cum))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"tus") - min($"tus")).as("duration_us"))
+      .groupBy($"n_events")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"duration_us").as("sum_duration_us"),
+        max($"duration_us").as("max_duration_us"))
+      .orderBy($"n_events")
+  }
 }
