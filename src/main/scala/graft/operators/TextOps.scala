@@ -491,26 +491,30 @@ object TextOps {
     * the `vocabSize` most frequent tokens corpus-wide (ties broken by
     * token, so the cut is total-ordered and engine-independent).
     *
-    * Shape for scale: the token stream aggregates to (word, n) FIRST
-    * (partial+final hash agg — only vocabulary-sized data shuffles),
-    * the top-V cut is a TakeOrdered over group rows, and membership
-    * tagging is a BROADCAST left join of the V-row vocab against the
-    * token stream — the stream itself never shuffles for the tag, and
-    * the final per-language rollup is again partial-agg'd. Two scans of
-    * documents (one to build the vocab, one to score) is the honest
-    * cost; at 100 TB the vocab build runs once and persists.
+    * Shape for scale: ONE scan and ONE explode — the token stream
+    * aggregates straight to (lang, word, n) group rows (partial+final
+    * hash agg: only vocabulary×languages rows shuffle, never tokens),
+    * and EVERYTHING else derives from those group rows, cut from
+    * recomputation with the lazy-localCheckpoint idiom: the corpus
+    * vocab is a rollup over them (TakeOrdered cut, ties broken by word
+    * so the cut is total-ordered), membership tagging is a BROADCAST
+    * left join of the V-row vocab against the group rows, and the
+    * per-language rollup sums weighted counts. The raw token stream is
+    * never touched twice and never shuffles.
     */
   def oovRate(s: SparkSession, dir: String, vocabSize: Int = 25): DataFrame = {
     import s.implicits._
-    val toks = docs(s, dir)
+    val langWord = docs(s, dir)
       .select($"lang", explode(split(lower($"text"), " ")).as("word"))
-    val vocab = toks.groupBy($"word").agg(count(lit(1)).as("nw"))
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val vocab = langWord.groupBy($"word").agg(sum($"n").as("nw"))
       .orderBy(desc("nw"), $"word").limit(vocabSize)
       .select($"word", lit(1).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("word"), "left")
+    langWord.join(broadcast(vocab), Seq("word"), "left")
       .groupBy($"lang")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum($"n").as("n_tokens"),
+        sum(when($"in_vocab".isNull, $"n").otherwise(0L)).as("n_oov"))
       .select($"lang", $"n_tokens", $"n_oov",
         round($"n_oov".cast("double") / $"n_tokens", 6).as("oov_rate"))
       .orderBy($"lang")

@@ -227,9 +227,11 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(pg).size <= 2,
       "order gaps added an unexpected shuffle")
 
-    // oov: the vocab cut is a TakeOrdered over group rows and joins back
-    // as a broadcast — the token stream itself never shuffles for the tag
+    // oov: everything derives from checkpointed (lang, word) group rows —
+    // the raw token stream is scanned once, outside the top-level plan
     val po = physical("q_oov_rate")
+    assert(!po.contains("Scan parquet"),
+      "oov re-reads the corpus instead of the checkpointed group rows")
     assert(po.contains("TakeOrderedAndProject"),
       "vocab cut lost its TakeOrdered")
     assert(po.contains("BroadcastHashJoin") && !po.contains("SortMergeJoin"),
