@@ -170,13 +170,25 @@ object Sinks {
           .write.mode(SaveMode.Overwrite)
           .option("maxRecordsPerFile", maxRecordsPerFile)
           .parquet(staging.toString)
-        fs.delete(trash, true)
-        if (!fs.rename(live, trash))
-          throw new java.io.IOException(s"cannot move $live aside")
-        if (!fs.rename(staging, live)) // roll back: restore the original
-          { fs.rename(trash, live)
-            throw new java.io.IOException(s"cannot publish $staging") }
-        fs.delete(trash, true)
+        val hasData = fs.listStatus(staging).exists(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        if (!hasData) {
+          // the rewrite emptied the partition (erase-all, delete-all
+          // merge): retire the dir instead of publishing an empty one —
+          // hive convention, and a dir with no data files would break
+          // the NEXT rewrite's schema inference
+          fs.delete(staging, true)
+          fs.delete(live, true)
+        } else {
+          fs.delete(trash, true)
+          if (!fs.rename(live, trash))
+            throw new java.io.IOException(s"cannot move $live aside")
+          if (!fs.rename(staging, live)) // roll back: restore the original
+            { fs.rename(trash, live)
+              throw new java.io.IOException(s"cannot publish $staging") }
+          fs.delete(trash, true)
+        }
       }
     }
   }
@@ -275,9 +287,11 @@ object Sinks {
           maxRecordsPerFile,
           liveDf => liveDf.join(changedKeys, keyCols, "left_anti")
             .unionByName(upserts))
-      } else {
+      } else if (!upserts.isEmpty) {
         // fresh partition value: nothing to merge against — publish the
-        // inserts through the same staging dance for crash consistency
+        // inserts through the same staging dance for crash consistency.
+        // An all-deletes slice against an absent partition is a no-op
+        // (the isEmpty guard), not an empty-dir create.
         upserts.repartition(targetFiles)
           .write.mode(SaveMode.Overwrite)
           .option("maxRecordsPerFile", maxRecordsPerFile)

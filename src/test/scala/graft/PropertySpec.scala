@@ -3,6 +3,8 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
+import graft.sinks.Sinks
+
 /** Property tests for algebraic laws (SURVEY.md §5.2). Uses ScalaCheck
   * generators with a fixed seed and a manual sampling loop (the
   * scalatest-scalacheck bridge isn't in the offline cache).
@@ -174,6 +176,47 @@ class PropertySpec extends SparkSpec {
         .toSeq
       assert(got == expected,
         s"k=$k corpus=${texts.take(4)}…: got $got expected $expected")
+    }
+  }
+
+  test("mergePartitions law: any changeset sequence matches the " +
+    "(partition, key)-keyed reference model") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mprop").toString
+    val init = (0L until 30L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3),
+      i * 10L))
+    init.toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(s"$dir/t")
+    // reference model: the table IS a (partition, key) -> value map —
+    // merge is per-partition keyed, so a key living in two partitions
+    // is two independent entries (the documented contract)
+    val model = scala.collection.mutable.Map[(String, Long), Long]()
+    init.foreach { case (i, p, v) => model((p, i)) = v }
+
+    val opGen = for {
+      del <- Gen.frequency((3, false), (1, true))
+      id <- Gen.choose(0L, 40L)
+      part <- Gen.oneOf("a", "b", "c", "d") // d: starts absent
+      v <- Gen.choose(0L, 999L)
+    } yield (del, id, part, v)
+
+    samples(Gen.listOfN(25, opGen), 4).foreach { ops0 =>
+      // within-changeset (partition, key) collisions are out of contract
+      val ops = ops0.groupBy(o => (o._3, o._2)).map(_._2.head).toSeq
+      val changes = ops.map { case (del, id, p, v) =>
+        (id, p, v, if (del) "delete" else "upsert") }
+        .toDF("id", "part", "v", "op")
+      Sinks.mergePartitions(spark, s"$dir/t", "part", changes,
+        Seq("id"), opCol = Some("op"))
+      ops.foreach { case (del, id, p, v) =>
+        if (del) model.remove((p, id)) else model((p, id)) = v
+      }
+      val got = spark.read.parquet(s"$dir/t").collect()
+        .map(r => (r.getAs[String]("part"), r.getAs[Long]("id")) ->
+          r.getAs[Long]("v")).toMap
+      assert(got == model.toMap,
+        s"diverged: extra=${(got.toSet -- model.toSet).take(5)} " +
+          s"missing=${(model.toSet -- got.toSet).take(5)}")
     }
   }
 }
