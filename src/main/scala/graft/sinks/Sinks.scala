@@ -324,6 +324,44 @@ object Sinks {
       .sortBy(_._1)
   }
 
+  /** Deterministic seeded global shuffle into training shards — the
+    * export step between curation and the trainer: rows are permuted by
+    * `md5(seed : key)` and written as `shard=K/part-*.json[l]` dirs with
+    * a stable row ORDER inside each shard, so the same (data, seed,
+    * shards) produces byte-identical shards REGARDLESS of how the input
+    * happened to be partitioned — reproducible data order is part of a
+    * reproducible training run, and a re-export after a lake rebuild
+    * must not silently re-order the corpus. A different seed is a
+    * different permutation (epoch reshuffles without rewriting
+    * upstream).
+    *
+    * Shape for scale: the hash, shard assignment, and sort key are all
+    * codegen'd column expressions; one exchange distributes by shard id
+    * and the per-shard sort is task-local (spillable). `keyCol` must be
+    * unique per row (the usual doc_id/event_id) — ties under the same
+    * hash would leave sibling order to the engine. JSON-lines is the
+    * interchange format trainers read; `format` swaps in parquet when
+    * the consumer prefers columnar shards.
+    */
+  def exportShuffled(df: DataFrame, path: String, keyCol: String,
+                     shards: Int = 64, seed: Long = 42L,
+                     format: String = "json"): Unit = {
+    require(shards >= 1, "need at least one shard")
+    val h = md5(concat_ws(":", lit(seed.toString),
+      col(keyCol).cast("string")))
+    df.withColumn("_h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("_h"), 1, 8), 16, 10).cast("long"),
+          lit(shards.toLong)).cast("int"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("_h"))
+      .drop("_h")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .format(format)
+      .save(path)
+  }
+
   /** Bucketed (hash-clustered) table layout — the CO-LOCATED JOIN lever:
     * rows are hash-distributed into `buckets` files per partition by
     * `bucketCol` at WRITE time, and the catalog records that layout, so

@@ -203,6 +203,37 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/docs").count() == total)
   }
 
+  test("seeded shard export: same permutation under any input " +
+    "partitioning, different under a new seed, roughly balanced") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_shards").toString
+    val docs = Tables(spark, sfTest, "documents")
+    val nShards = 8
+    Sinks.exportShuffled(docs, s"$dir/s1", "doc_id", nShards)
+    // a differently-partitioned input must produce the SAME shards in
+    // the SAME order — reproducibility is the contract
+    Sinks.exportShuffled(docs.repartition(7), s"$dir/s2", "doc_id", nShards)
+    def slurp(p: String): Seq[Seq[Long]] =
+      (0 until nShards).map { i =>
+        spark.read.json(s"$p/shard=$i").select($"doc_id")
+          .as[Long].collect().toSeq
+      }
+    val s1 = slurp(s"$dir/s1")
+    val s2 = slurp(s"$dir/s2")
+    assert(s1 == s2, "shard contents or order depend on input partitioning")
+    assert(s1.flatten.sorted == docs.select($"doc_id").as[Long]
+      .collect().sorted.toSeq, "export lost or duplicated rows")
+    assert(s1.exists(sh => sh != sh.sorted),
+      "shards are in key order — no shuffle happened")
+    // new seed = new permutation
+    Sinks.exportShuffled(docs, s"$dir/s3", "doc_id", nShards, seed = 43L)
+    assert(slurp(s"$dir/s3") != s1, "the seed does not change the permutation")
+    // md5 balance: no empty shard, no shard hoarding the corpus
+    val sizes = s1.map(_.size)
+    assert(sizes.min > 0 && sizes.max <= 4 * sizes.min,
+      s"badly balanced shards: $sizes")
+  }
+
   test("compacted write bounds file sizes and the file count") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sinkc").toString
