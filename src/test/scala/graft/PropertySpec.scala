@@ -219,4 +219,44 @@ class PropertySpec extends SparkSpec {
           s"missing=${(model.toSet -- got.toSet).take(5)}")
     }
   }
+
+  test("manifest skipping law: scan(bands) == full-scan filter for any " +
+    "band combination, including empty and inverted bands") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manprop")
+      .toString
+    val docs = Tables(spark, sfTest, "documents")
+    graft.sinks.Sinks.writeZOrdered(docs, s"$dir/t", "doc_id", "n_chars",
+      targetFiles = 8)
+    graft.sources.Manifest.write(spark, s"$dir/t",
+      Seq("doc_id", "n_chars"))
+    val full = docs.select($"doc_id", $"n_chars")
+      .as[(Long, Long)].collect().toSeq
+
+    val bandGen = for {
+      useId <- Gen.oneOf(true, false)
+      useChars <- Gen.oneOf(true, false)
+      idLo <- Gen.choose(-50L, 600L); idW <- Gen.choose(-20L, 300L)
+      chLo <- Gen.choose(-50L, 400L); chW <- Gen.choose(-20L, 200L)
+    } yield {
+      val m = Map.newBuilder[String, (Any, Any)]
+      if (useId) m += "doc_id" -> (idLo, idLo + idW)
+      if (useChars) m += "n_chars" -> (chLo, chLo + chW)
+      m.result()
+    }
+    samples(bandGen.suchThat(_.nonEmpty), 25).foreach { bands =>
+      val got = graft.sources.Manifest.scan(spark, s"$dir/t", bands)
+        .select($"doc_id", $"n_chars").as[(Long, Long)]
+        .collect().toSeq.sorted
+      val expect = full.filter { case (id, nc) =>
+        bands.forall {
+          case ("doc_id", (lo: Long, hi: Long)) => id >= lo && id <= hi
+          case ("n_chars", (lo: Long, hi: Long)) => nc >= lo && nc <= hi
+          case _ => true
+        }
+      }.sorted
+      assert(got == expect, s"bands=$bands: got ${got.size} rows, " +
+        s"expected ${expect.size}")
+    }
+  }
 }
