@@ -111,6 +111,28 @@ object LakeSink {
     }
   }
 
+  /** Streaming CDC apply — a changelog stream (Debezium-style rows:
+    * data + partition column + op column) applied to the archive per
+    * micro-batch through [[Sinks.mergePartitions]]. Replay-safe without
+    * a ledger: re-applying a batch re-upserts the same values and
+    * re-deletes the same keys — the merge is idempotent per (partition,
+    * key), so a crash-replayed batch CONVERGES instead of corrupting
+    * (contrast an append sink, where replay duplicates). Per batch,
+    * cost tracks the partitions the changeset touches, never the
+    * archive — the property that makes continuous CDC into a 100 TB
+    * lake feasible.
+    */
+  def streamApplyChanges(changes: DataFrame, path: String,
+                         checkpoint: String, partitionCol: String,
+                         keyCols: Seq[String],
+                         opCol: Option[String] = None,
+                         deleteOp: String = "delete"): StreamingQuery =
+    Sinks.streamForeachBatch(changes, checkpoint, "append") { (b, _) =>
+      if (!b.isEmpty)
+        Sinks.mergePartitions(b.sparkSession, path, partitionCol, b,
+          keyCols, opCol, deleteOp)
+    }
+
   /** Open-side day list (the seal worklist, before watermark filtering). */
   def openDays(s: SparkSession, path: String, dateCol: String): Seq[String] =
     Sinks.partitionFileCounts(s, s"$path/open", dateCol).map(_._1)

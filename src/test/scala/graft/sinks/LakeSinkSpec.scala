@@ -84,6 +84,47 @@ class LakeSinkSpec extends SparkSpec {
       .select($"id").as[Long].collect().sorted.toSeq == Seq(9L, 10L))
   }
 
+  test("streaming CDC apply: a changelog stream merges into the lake, " +
+    "survives a restart, and a replayed batch converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cdc").toString
+    // base archive
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "part", "v").write.partitionBy("part")
+      .parquet(s"$dir/t")
+    val ms = MemoryStream[(Long, String, Long, String)]
+    def feed() = LakeSink.streamApplyChanges(
+      ms.toDF().toDF("id", "part", "v", "op"),
+      s"$dir/t", s"$dir/ckpt", "part", Seq("id"), Some("op"))
+
+    val q1 = feed()
+    ms.addData((1L, "a", 111L, "upsert"), (2L, "a", 0L, "delete"))
+    q1.processAllAvailable()
+    q1.stop()
+    def table() = spark.read.parquet(s"$dir/t").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("part"),
+        r.getAs[Long]("v"))).toSet
+    assert(table() == Set((1L, "a", 111L), (3L, "b", 30L)))
+
+    // restart from the checkpoint, apply a second batch incl. a fresh
+    // partition
+    val q2 = feed()
+    ms.addData((4L, "c", 40L, "upsert"), (3L, "b", 333L, "upsert"))
+    q2.processAllAvailable()
+    q2.stop()
+    val settled = Set((1L, "a", 111L), (3L, "b", 333L), (4L, "c", 40L))
+    assert(table() == settled)
+
+    // at-least-once replay: re-applying the SAME batch's changes (what
+    // a crash between merge and commit would cause) must converge
+    Sinks.mergePartitions(spark, s"$dir/t", "part",
+      Seq((4L, "c", 40L, "upsert"), (3L, "b", 333L, "upsert"))
+        .toDF("id", "part", "v", "op"),
+      Seq("id"), opCol = Some("op"))
+    assert(table() == settled, "a replayed CDC batch changed the table")
+  }
+
   test("a streaming query feeds the lake end-to-end and a restart replay " +
     "does not duplicate") {
     import spark.implicits._
