@@ -104,4 +104,46 @@ object Quality {
   /** True iff every constraint passed (row count row is informational). */
   def passed(report: DataFrame): Boolean =
     report.filter(!col("passed")).isEmpty
+
+  /** One-pass column profile — the "what is this data drop" look a lake
+    * operator takes before writing constraints at all: per column, null
+    * count/rate, approximate distinct count (HLL++, mergeable, never an
+    * exact-distinct shuffle), min/max (as strings so one report schema
+    * serves every column type), and the mean for numeric columns. Like
+    * [[check]], EVERY metric for EVERY column compiles into one
+    * `df.agg(...)` — profiling 50 columns of 100 TB costs one scan with
+    * map-side partials, not 50 jobs — and the driver materializes one
+    * row per column, O(columns) regardless of data.
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(cols.nonEmpty, "no columns to profile")
+    val fields = df.schema.fields.map(f => f.name -> f).toMap
+    def isNumeric(c: String) = fields(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val metrics = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long"),
+        approx_count_distinct(col(c)).cast("long"),
+        min(col(c)).cast("string"),
+        max(col(c)).cast("string"),
+        (if (isNumeric(c)) round(avg(col(c)), 4)
+         else lit(null).cast("double")))
+    }
+    val row = df.agg(metrics.head, metrics.tail: _*).head()
+    val n = row.getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.zipWithIndex.map { case (c, i) =>
+      val b = 1 + i * 5
+      val nulls = row.getLong(b)
+      (c, fields(c).dataType.simpleString, n, nulls,
+        if (n == 0) 0.0 else math.rint(nulls.toDouble / n * 1e6) / 1e6,
+        row.getLong(b + 1),
+        Option(row.getAs[String](b + 2)),
+        Option(row.getAs[String](b + 3)),
+        if (row.isNullAt(b + 4)) None else Some(row.getDouble(b + 4)))
+    }.toDF("column", "dtype", "n_rows", "n_null", "null_rate",
+      "approx_distinct", "min", "max", "mean")
+  }
 }

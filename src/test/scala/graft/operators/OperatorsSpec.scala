@@ -1009,6 +1009,38 @@ class OperatorsSpec extends SparkSpec {
     assert(!Quality.passed(Quality.check(bad, rules)))
   }
 
+  test("column profile reports nulls, distincts, extremes, and numeric " +
+    "means from one pass") {
+    import spark.implicits._
+    val docs = Tables(spark, sfTest, "documents")
+    // seed known damage: null out lang on doc_id % 7 == 0
+    val dirty = docs.withColumn("lang",
+      when($"doc_id" % 7 === 0, lit(null)).otherwise($"lang"))
+    val n = dirty.count()
+    val nullLang = dirty.filter($"lang".isNull).count()
+    val p = Quality.profile(dirty).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == dirty.columns.toSet)
+    assert(p("doc_id").getAs[Long]("n_rows") == n)
+    assert(p("doc_id").getAs[Long]("n_null") == 0L)
+    assert(p("lang").getAs[Long]("n_null") == nullLang)
+    assert(math.abs(p("lang").getAs[Double]("null_rate") -
+      nullLang.toDouble / n) < 1e-6)
+    // HLL estimate within its error envelope of the exact count
+    val exactIds = dirty.select($"doc_id").distinct().count()
+    val est = p("doc_id").getAs[Long]("approx_distinct")
+    assert(math.abs(est - exactIds) <= math.max(2L, (0.1 * exactIds).toLong),
+      s"distinct estimate $est vs exact $exactIds")
+    // extremes as strings, for every type; mean only for numerics
+    assert(p("doc_id").getAs[String]("min").toLong ==
+      dirty.agg(min($"doc_id")).head().getLong(0))
+    assert(p("lang").getAs[String]("max") != null)
+    assert(p("n_chars").getAs[Double]("mean") ==
+      dirty.agg(round(avg($"n_chars"), 4)).head().getDouble(0))
+    assert(p("text").isNullAt(p("text").fieldIndex("mean")),
+      "a string column must not report a mean")
+  }
+
   test("unique constraint counts repeated NULLs as key violations") {
     import spark.implicits._
     import Quality._
