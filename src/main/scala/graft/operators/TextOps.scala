@@ -494,20 +494,21 @@ object TextOps {
     * Shape for scale: ONE scan and ONE explode — the token stream
     * aggregates straight to (lang, word, n) group rows (partial+final
     * hash agg: only vocabulary×languages rows shuffle, never tokens),
-    * and EVERYTHING else derives from those group rows, cut from
-    * recomputation with the lazy-localCheckpoint idiom: the corpus
+    * and EVERYTHING else derives from those group rows: the corpus
     * vocab is a rollup over them (TakeOrdered cut, ties broken by word
     * so the cut is total-ordered), membership tagging is a BROADCAST
     * left join of the V-row vocab against the group rows, and the
-    * per-language rollup sums weighted counts. The raw token stream is
-    * never touched twice and never shuffles.
+    * per-language rollup sums weighted counts. Both consumers share the
+    * IDENTICAL aggregation prefix, so Spark's ReuseExchange serves the
+    * second branch from the first's shuffle files — one corpus scan,
+    * no checkpoint barrier needed (plan-pinned: one scan + a
+    * ReusedExchange).
     */
   def oovRate(s: SparkSession, dir: String, vocabSize: Int = 25): DataFrame = {
     import s.implicits._
     val langWord = docs(s, dir)
       .select($"lang", explode(split(lower($"text"), " ")).as("word"))
       .groupBy($"lang", $"word").agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
     val vocab = langWord.groupBy($"word").agg(sum($"n").as("nw"))
       .orderBy(desc("nw"), $"word").limit(vocabSize)
       .select($"word", lit(1).as("in_vocab"))

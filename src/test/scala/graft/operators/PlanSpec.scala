@@ -227,11 +227,14 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(pg).size <= 2,
       "order gaps added an unexpected shuffle")
 
-    // oov: everything derives from checkpointed (lang, word) group rows —
-    // the raw token stream is scanned once, outside the top-level plan
+    // oov: both consumers share the (lang, word) aggregation prefix, so
+    // the vocab branch must ride a ReusedExchange — one corpus scan, no
+    // second explode of the token stream
     val po = physical("q_oov_rate")
-    assert(!po.contains("Scan parquet"),
-      "oov re-reads the corpus instead of the checkpointed group rows")
+    assert("Scan parquet".r.findAllIn(po).size == 1,
+      "oov re-scans the corpus for the vocab branch")
+    assert(po.contains("ReusedExchange"),
+      "the vocab branch stopped reusing the group-rows exchange")
     assert(po.contains("TakeOrderedAndProject"),
       "vocab cut lost its TakeOrdered")
     assert(po.contains("BroadcastHashJoin") && !po.contains("SortMergeJoin"),
