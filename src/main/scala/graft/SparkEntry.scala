@@ -138,6 +138,7 @@ object SparkEntry {
     "q_order_gaps" -> (Relational.orderGaps _),
     "q_oov_rate" -> ((s: SparkSession, d: String) => TextOps.oovRate(s, d)),
     "q_session_stats" -> (Windows.sessionStats _),
+    "q_setops_all" -> (Relational.setopsAll _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -819,5 +820,19 @@ object SparkEntry {
         | CAST(SUM(duration_us) AS BIGINT) AS sum_duration_us,
         | CAST(MAX(duration_us) AS BIGINT) AS max_duration_us
         |FROM sess GROUP BY 1 ORDER BY n_events""".stripMargin,
+    "q_setops_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders),
+        |b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000),
+        |ea AS (SELECT o_custkey, COUNT(*) AS n_residual FROM (
+        |  SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+        | GROUP BY 1),
+        |ia AS (SELECT o_custkey, COUNT(*) AS n_matched FROM (
+        |  SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+        | GROUP BY 1)
+        |SELECT o_custkey,
+        | COALESCE(n_residual, 0) AS n_residual,
+        | COALESCE(n_matched, 0) AS n_matched
+        |FROM ea FULL OUTER JOIN ia USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -370,6 +370,32 @@ object Relational {
     all.except(big).orderBy($"o_custkey")
   }
 
+  /** BAG-semantics set ops — the ALL variants the distinct forms above
+    * can't express: per customer, how many orders survive EXCEPT ALL
+    * against the > 300k ones (multiplicity subtraction, not membership)
+    * and how many pair up under INTERSECT ALL (min of multiplicities).
+    * Spark plans both as a single aggregate + generate over counted
+    * groups (no row-by-row anti join), which is also the 100 TB shape:
+    * only (key, count) group rows shuffle. Emitted as per-key COUNTS
+    * (a total-ordered aggregate view of the bags) so the oracle compare
+    * is deterministic without ordering multiset duplicates.
+    */
+  def setopsAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables(s, dir, "orders").select($"o_custkey")
+    val big = Tables(s, dir, "orders")
+      .filter($"o_totalprice" > 300000).select($"o_custkey")
+    val exceptAll = all.exceptAll(big)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_residual"))
+    val intersectAll = all.intersectAll(big)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_matched"))
+    exceptAll.join(intersectAll, Seq("o_custkey"), "full_outer")
+      .select($"o_custkey",
+        coalesce($"n_residual", lit(0L)).as("n_residual"),
+        coalesce($"n_matched", lit(0L)).as("n_matched"))
+      .orderBy($"o_custkey")
+  }
+
   /** Pivot: order revenue by market segment × order priority, one column
     * per priority. The pivot value list is EXPLICIT (all five TPC-H
     * priorities) — with an implicit list Spark runs an extra distinct job
