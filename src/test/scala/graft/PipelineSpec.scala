@@ -65,6 +65,16 @@ class PipelineSpec extends SparkSpec {
       .select(size(org.apache.spark.sql.functions.split($"text", " "))
         .cast("long").as("n")).agg(sum($"n")).head().getLong(0)
     assert(lastOff + lastN == expectedTokens)
+
+    // the curated corpus materializes as training shards: every curated
+    // doc lands exactly once, in the seed's deterministic order
+    graft.sinks.Sinks.exportShuffled(curated, s"$dir/shards", "doc_id",
+      shards = 4)
+    val shardIds = spark.read.json(s"$dir/shards")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(shardIds == curated.select($"doc_id").as[Long]
+      .collect().sorted.toSeq,
+      "shard export lost or duplicated curated docs")
   }
 
   test("domain loop end-to-end: POST in → dedup → aggregate → deliver out " +
