@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   val AllowedBnlj: Set[String] = Set(
     "q_vector_knn", "q_dedup_embed", // documented exact brute force
+    "q_decontaminate_embed", // broadcast eval side, documented baseline
     "q_vector_search", // 1-row broadcast query side
     // constant-side cross joins (the r6-verdict-audited sites): the
     // broadcast side is a 1-row scalar aggregate or a plan-constant

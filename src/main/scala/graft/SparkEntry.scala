@@ -139,6 +139,8 @@ object SparkEntry {
     "q_oov_rate" -> ((s: SparkSession, d: String) => TextOps.oovRate(s, d)),
     "q_session_stats" -> (Windows.sessionStats _),
     "q_setops_all" -> (Relational.setopsAll _),
+    "q_decontaminate_embed" ->
+      ((s: SparkSession, d: String) => VectorOps.decontaminateEmbed(s, d)),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -834,5 +836,18 @@ object SparkEntry {
         | COALESCE(n_matched, 0) AS n_matched
         |FROM ea FULL OUTER JOIN ia USING (o_custkey)
         |ORDER BY o_custkey""".stripMargin,
+    "q_decontaminate_embed" ->
+      """WITH t AS (SELECT vec_id AS train_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 <> 0),
+        |v AS (SELECT vec_id AS eval_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |p AS (SELECT train_id,
+        |  list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+        |    CAST(v.embedding AS DOUBLE[])) AS sim
+        | FROM t CROSS JOIN v)
+        |SELECT train_id, COUNT(*) AS n_eval_hits,
+        | ROUND(MAX(sim), 6) AS max_sim
+        |FROM p WHERE sim >= 0.35
+        |GROUP BY 1 ORDER BY train_id""".stripMargin,
   )
 }

@@ -67,6 +67,45 @@ object VectorOps {
     (e.repartition(width).toDF("a_id", "ea"), e.toDF("b_id", "eb"))
   }
 
+  /** Embedding-space decontamination — the semantic leg of
+    * `q_decontaminate` (which catches verbatim/shingle overlap; this
+    * catches paraphrase-level leakage a shingle can't see): for every
+    * TRAIN vector, how many EVAL vectors sit within cosine ≥ threshold
+    * and how close the nearest one is. The eval set is the deterministic
+    * `vec_id % 10 == 0` slice (the `q_split_assign` discipline: a
+    * arithmetic split both engines compute identically). Output is a
+    * per-train-doc verdict — an integer hit count (no float boundary in
+    * the comparison beyond the documented threshold filter the
+    * `q_dedup_embed` oracle already proves stable) plus the max
+    * similarity rounded at the reporting boundary.
+    *
+    * Shape: the EVAL side broadcasts (it is the small side by
+    * construction — eval suites are thousands of rows, not corpora), so
+    * the train side streams through one codegen'd cosine pass with NO
+    * shuffle before the per-train aggregate. At 100 TB: identical plan,
+    * eval still broadcasts; if the threshold regime permits, the SRP
+    * banding of [[embedNearDupLsh]] or an IVF probe against the eval
+    * set prunes the candidate stream first — this exact form is the
+    * oracle-checkable baseline.
+    */
+  def decontaminateEmbed(s: SparkSession, dir: String,
+                         threshold: Double = 0.35): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val train = e.filter($"vec_id" % 10 =!= 0)
+      .toDF("train_id", "et")
+    val evalSide = e.filter($"vec_id" % 10 === 0)
+      .toDF("eval_id", "ee")
+    train.crossJoin(broadcast(evalSide))
+      .select($"train_id",
+        call_function("cosine_sim", $"et", $"ee").as("sim"))
+      .filter($"sim" >= threshold)
+      .groupBy($"train_id")
+      .agg(count(lit(1)).as("n_eval_hits"),
+        round(max($"sim"), 6).as("max_sim"))
+      .orderBy($"train_id")
+  }
+
   /** Brute-force k-NN: for each vector, top-5 cosine-similar vectors with a
     * larger vec_id (a.vec_id < b.vec_id pair dedup), presented ordered by
     * (a_id, rank) and limited to 100 rows.
