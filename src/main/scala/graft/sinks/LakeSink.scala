@@ -133,6 +133,25 @@ object LakeSink {
           keyCols, opCol, deleteOp)
     }
 
+  /** Streaming tail of the SEALED side — the downstream-consumer loop:
+    * a job that retrains / reindexes / re-exports per closed day
+    * subscribes here and receives each day's rows exactly when
+    * [[sealDays]] publishes them (the staging→sealed rename lands a
+    * day's files atomically, so the file source never sees a partial
+    * day). Reading sealed-only is the point: open days still mutate
+    * under batch replay, sealed days never do — the tail is replay-safe
+    * by construction. Schema (incl. the partition column) is taken from
+    * the sealed data already present; at least one sealed day must
+    * exist (bootstrap the subscription after the first seal).
+    */
+  def tailSealed(s: SparkSession, path: String): DataFrame = {
+    val sealedPath = s"$path/sealed"
+    s.readStream
+      .schema(s.read.parquet(sealedPath).schema)
+      .option("basePath", sealedPath)
+      .parquet(sealedPath)
+  }
+
   /** Open-side day list (the seal worklist, before watermark filtering). */
   def openDays(s: SparkSession, path: String, dateCol: String): Seq[String] =
     Sinks.partitionFileCounts(s, s"$path/open", dateCol).map(_._1)

@@ -125,6 +125,35 @@ class LakeSinkSpec extends SparkSpec {
     assert(table() == settled, "a replayed CDC batch changed the table")
   }
 
+  test("tailing the sealed side delivers each day exactly when it seals, " +
+    "never a partial or open day") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tail").toString
+    LakeSink.applyBatch(mk(1 to 4, "2024-06-01")
+      .unionByName(mk(5 to 6, "2024-06-02")), 0, dir, "day")
+    LakeSink.sealDays(spark, dir, "day", Seq("2024-06-01"))
+
+    val q = LakeSink.tailSealed(spark, dir)
+      .writeStream.format("memory").queryName("t_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def seen() = spark.sql("select id from t_tail")
+        .as[Long].collect().sorted.toSeq
+      // only the sealed day arrives; the open day 06-02 stays invisible
+      assert(seen() == (1L to 4L).toSeq, s"got ${seen()}")
+
+      // a second day seals while the tail runs: its rows arrive, once
+      LakeSink.sealDays(spark, dir, "day", Seq("2024-06-02"))
+      q.processAllAvailable()
+      assert(seen() == (1L to 6L).toSeq, s"got ${seen()}")
+      // partition column rides along
+      assert(spark.sql("select distinct cast(day as string) from t_tail")
+        .as[String].collect().sorted.toSeq ==
+        Seq("2024-06-01", "2024-06-02"))
+    } finally q.stop()
+  }
+
   test("a streaming query feeds the lake end-to-end and a restart replay " +
     "does not duplicate") {
     import spark.implicits._
