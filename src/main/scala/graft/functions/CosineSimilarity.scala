@@ -124,9 +124,13 @@ object GraftFunctions {
   /** Runtime registration into an existing session (the extension below
     * only applies at session build time).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(cosineSim._1, cosineSim._2, cosineSim._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      MortonInterleave.registration._1, MortonInterleave.registration._2,
+      MortonInterleave.registration._3)
+  }
 }
 
 /** Session extension injecting graft's native functions into the Catalyst
@@ -137,5 +141,6 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSim)
+    ext.injectFunction(MortonInterleave.registration)
   }
 }

@@ -78,14 +78,13 @@ object Sinks {
       if (hi <= lo) lit(0L)
       else least(lit(n - 1L), greatest(lit(0L),
         floor((col(c).cast("double") - lit(lo)) / lit((hi - lo) / n))))
-    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .plus(shiftleft(shiftright(col("_zba"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .plus(shiftleft(shiftright(col("_zbb"), i).bitwiseAND(lit(1L)), 2 * i))
-    }
+    // native codegen'd interleave (graft.functions.MortonInterleave) —
+    // one generated loop instead of a 2·bits-deep shift/plus tree on
+    // the archive-write hot path; registered by GraftExtensions
     df.withColumn("_zba", bucket(colA, loA, hiA))
       .withColumn("_zbb", bucket(colB, loB, hiB))
-      .withColumn("_z", z)
+      .withColumn("_z", call_function("morton_interleave",
+        col("_zba").cast("long"), col("_zbb").cast("long"), lit(bits)))
       .repartitionByRange(targetFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_zba", "_zbb", "_z")

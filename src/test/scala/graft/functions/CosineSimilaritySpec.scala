@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** The native expression must agree with the SQL-composed cosine
   * (aggregate+zip_with built-ins) bit-for-bit, run inside whole-stage
@@ -70,5 +71,48 @@ class CosineSimilaritySpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("cosine_sim") ||
       err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("morton_interleave matches the composed shift/plus form and a " +
+    "reference bit walk, inside codegen") {
+    import spark.implicits._
+    val bits = 8
+    val n = 1L << bits
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      (0 until bits).foreach { i =>
+        z |= ((a >> i) & 1L) << (2 * i + 1)
+        z |= ((b >> i) & 1L) << (2 * i)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(500)((rnd.nextLong(n), rnd.nextLong(n))) ++
+      Seq((0L, 0L), (n - 1, n - 1), (0L, n - 1), (n - 1, 0L))
+    val df = pairs.toDF("a", "b")
+    // native expression vs the composed built-ins vs the Scala walk
+    val composed = (0 until bits).foldLeft(org.apache.spark.sql.functions.lit(0L)) { (acc, i) =>
+      acc.plus(shiftleft(shiftright($"a", i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .plus(shiftleft(shiftright($"b", i).bitwiseAND(lit(1L)), 2 * i))
+    }
+    val rows = df.select($"a", $"b",
+      call_function("morton_interleave", $"a", $"b", lit(bits)).as("fast"),
+      composed.as("slow")).collect()
+    rows.foreach { r =>
+      val (a, b, fast, slow) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(fast == slow && fast == ref(a, b),
+        s"a=$a b=$b fast=$fast slow=$slow ref=${ref(a, b)}")
+    }
+    // adjacent cells in (a, b) stay within a bounded z-distance: the
+    // locality property the layout relies on (sanity, not a proof)
+    assert(ref(3, 3) < ref(4, 4) && ref(0, 0) == 0L && ref(1, 0) == 2L &&
+      ref(0, 1) == 1L && ref(1, 1) == 3L)
+    // SQL surface + codegen: runs through a whole-stage-codegen plan
+    val viaSql = df.createOrReplaceTempView("mz")
+    val sqlRows = spark.sql(
+      "SELECT morton_interleave(a, b, 8) AS z FROM mz").collect()
+    assert(sqlRows.map(_.getLong(0)).sorted.toSeq ==
+      rows.map(_.getLong(2)).sorted.toSeq)
   }
 }
