@@ -141,6 +141,7 @@ object SparkEntry {
     "q_setops_all" -> (Relational.setopsAll _),
     "q_decontaminate_embed" ->
       ((s: SparkSession, d: String) => VectorOps.decontaminateEmbed(s, d)),
+    "q_langid_confusion" -> (TextOps.langIdConfusion _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -849,5 +850,27 @@ object SparkEntry {
         | ROUND(MAX(sim), 6) AS max_sim
         |FROM p WHERE sim >= 0.35
         |GROUP BY 1 ORDER BY train_id""".stripMargin,
+    "q_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(tok, x -> x IN ('the','a','of','and','to'))) AS s_en,
+        |  len(list_filter(tok, x -> x IN ('el','la','de','y','que'))) AS s_es,
+        |  len(list_filter(tok, x -> x IN ('le','les','et','des','une'))) AS s_fr,
+        |  len(list_filter(tok, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        |  len(list_filter(tok, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
+        | FROM t),
+        |p AS (SELECT doc_id, lang,
+        |  CASE
+        |   WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        |   WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+        |   WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |   WHEN s_de >= s_zh THEN 'de'
+        |   ELSE 'zh' END AS pred_lang
+        | FROM s)
+        |SELECT lang, pred_lang, COUNT(*) AS n,
+        | ROUND(CAST(COUNT(*) AS DOUBLE)
+        |   / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS frac
+        |FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
   )
 }

@@ -186,6 +186,25 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Language-ID confusion matrix — the EVALUATION of [[langId]] against
+    * the labeled corpus: per (true lang, predicted lang) cell, the doc
+    * count and the row-normalized fraction (the per-language recall
+    * sits on the diagonal). The shape every classifier-quality check in
+    * a curation pipeline takes: per-doc predictions reduce to a
+    * |langs|² matrix via a partial+final agg, and the normalization is
+    * a window over those group rows — matrix-sized, never corpus-sized.
+    */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byTrue = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+    langId(s, dir)
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac", round($"n" / sum($"n").over(byTrue), 6))
+      .orderBy($"lang", $"pred_lang")
+  }
+
   /** Quality-gate retention report — the composition a training-data
     * pipeline runs after scoring: apply the admission gates (quality ≥ 0.35
     * AND ≥ 30 tokens, thresholds that split this corpus ~57/43) and report,
