@@ -203,6 +203,52 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/docs").count() == total)
   }
 
+  test("maintenance verbs run concurrently on disjoint partitions " +
+    "without interference") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft_conc").toString
+    val docs = Tables(spark, sfTest, "documents")
+    (1 to 3).foreach { _ =>
+      docs.repartition(3).write.mode("append")
+        .partitionBy("lang").parquet(s"$dir/docs")
+    }
+    val total = spark.read.parquet(s"$dir/docs").count()
+    val esBefore = spark.read.parquet(s"$dir/docs")
+      .filter($"lang" === "es").count()
+    // three different verbs, three different partitions, in parallel —
+    // the nightly-maintenance shape (per-partition staging dirs mean
+    // disjoint values never contend)
+    val fCompact = Future {
+      Sinks.compactPartitions(spark, s"$dir/docs", "lang", Seq("en"))
+    }
+    val fErase = Future {
+      Sinks.erasePartitionRows(spark, s"$dir/docs", "lang", Seq("de"),
+        col("doc_id") % 2 === 0)
+    }
+    val fMerge = Future {
+      Sinks.mergePartitions(spark, s"$dir/docs", "lang",
+        Seq((990001L, "happy new doc", "fr", "cdc", 13L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"),
+        Seq("doc_id"))
+    }
+    Await.result(Future.sequence(Seq(fCompact, fErase, fMerge)), 120.seconds)
+    val after = spark.read.parquet(s"$dir/docs")
+    val deDropped = docs.filter($"lang" === "de" && $"doc_id" % 2 === 0)
+      .count() * 3 // fixture appended 3×
+    assert(after.filter($"lang" === "es").count() == esBefore,
+      "an untouched partition changed under concurrent maintenance")
+    assert(after.filter($"lang" === "de" && $"doc_id" % 2 === 0).count() == 0)
+    assert(after.filter($"doc_id" === 990001L).count() == 1)
+    assert(after.count() == total - deDropped + 1)
+    val files = new java.io.File(s"$dir/docs/lang=en").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    assert(files == 1, "compaction did not land under concurrency")
+  }
+
   test("seeded shard export: same permutation under any input " +
     "partitioning, different under a new seed, roughly balanced") {
     import spark.implicits._
