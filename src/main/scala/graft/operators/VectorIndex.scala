@@ -60,6 +60,30 @@ object VectorIndex {
     centroids.length
   }
 
+  /** Remove vectors from a saved index — right-to-be-forgotten reaching
+    * the ANN serving layer (an erased document whose embedding still
+    * answers similarity queries is not erased). Two bounded steps:
+    * one column-pruned scan of (vec_id, cell) finds WHICH inverted
+    * lists hold the doomed ids (the collect is the affected-cell list,
+    * bounded by nlist), then [[graft.sinks.Sinks.erasePartitionRows]]
+    * rewrites exactly those cell partitions through the staging+rename
+    * swap — untouched cells stay byte-identical, probes before/after
+    * never see a half-rewritten list, and cell geometry is unchanged
+    * (deletion never moves a surviving vector). Returns the number of
+    * cells rewritten.
+    */
+  def removeIvf(s: SparkSession, indexPath: String,
+                vecIds: Seq[Long]): Int = {
+    require(vecIds.nonEmpty, "no ids to remove")
+    val doomed = col("vec_id").isin(vecIds: _*)
+    val cells = s.read.parquet(s"$indexPath/lists")
+      .filter(doomed).select(col("cell").cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    graft.sinks.Sinks.erasePartitionRows(s, s"$indexPath/lists", "cell",
+      cells.toIndexedSeq, doomed)
+    cells.length
+  }
+
   /** Incrementally ingest a new vector batch into a saved index — the
     * daily-drop operation that makes the index a living artifact instead
     * of a rebuild-every-time one. New vectors are assigned with the

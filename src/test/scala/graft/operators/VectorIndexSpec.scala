@@ -80,6 +80,58 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("removal erases vectors from the serving index: probes forget " +
+    "them, untouched cells stay byte-identical") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_ivf_rm").toString
+    VectorIndex.buildIvf(spark, sfTest, idx)
+    val lists = spark.read.parquet(s"$idx/lists")
+    val total = lists.count()
+
+    // doom two ids from one cell; find an unaffected cell to byte-check
+    val victims = lists.select($"cell", $"vec_id").orderBy($"vec_id")
+      .limit(2).collect().map(r => (r.getInt(0), r.getLong(1)))
+    val doomedIds = victims.map(_._2).toSeq
+    val doomedCells = victims.map(_._1).toSet
+    val quietCell = lists.select($"cell").distinct()
+      .as[Int].collect().filterNot(doomedCells).head
+    def filesOf(c: Int) =
+      new java.io.File(s"$idx/lists/cell=$c").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith("."))
+        .map(f => (f.getName, f.length)).sorted.toSeq
+    val quietBefore = filesOf(quietCell)
+
+    // probes with the doomed vectors' OWN embeddings under shifted query
+    // ids (probeIvf excludes query_id == vec_id self-matches) must find
+    // them at sim 1.0 before removal
+    val qs = Tables(spark, sfTest, "embeddings")
+      .filter($"vec_id".isin(doomedIds: _*))
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id + 500000L, v) }.toSeq
+    val preHits = VectorIndex.probeIvf(spark, idx, qs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    qs.foreach { case (qid, _) => assert(preHits(qid) == 1.0,
+      s"probe for $qid missed the still-indexed twin: ${preHits(qid)}") }
+
+    val cellsRewritten = VectorIndex.removeIvf(spark, idx, doomedIds)
+    assert(cellsRewritten == doomedCells.size)
+    val after = spark.read.parquet(s"$idx/lists")
+    assert(after.count() == total - doomedIds.size)
+    assert(after.filter($"vec_id".isin(doomedIds: _*)).count() == 0,
+      "removed vectors still in the lists")
+    assert(filesOf(quietCell) == quietBefore,
+      "removal rewrote a cell it had no business touching")
+    // probes no longer return the removed vectors (a duplicate embedding
+    // elsewhere in the corpus may still score 1.0 — the claim is about
+    // the removed IDS, not the similarity value)
+    val postHits = VectorIndex.probeIvf(spark, idx, qs, k = 3).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(doomedIds.forall(id => !postHits.contains(id)),
+      s"a removed vector still answers probes: $postHits")
+  }
+
   test("distributed batch probe matches the driver-side probe byte-for-" +
     "byte through one partition-pruned list scan") {
     import spark.implicits._
