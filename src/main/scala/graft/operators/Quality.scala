@@ -23,6 +23,10 @@ object Quality {
     def column: String
     /** Number of violating rows (0 ⇒ passed). */
     private[operators] def metric: Column
+    /** Row-level violation predicate, where the constraint is about a
+      * single row (None for dataset-level constraints like [[Unique]]).
+      */
+    private[operators] def rowViolation: Option[Column] = None
   }
 
   /** No NULLs in `column`. */
@@ -30,6 +34,8 @@ object Quality {
     val name = "not_null"
     private[operators] def metric: Column =
       sum(when(col(column).isNull, 1L).otherwise(0L))
+    override private[operators] def rowViolation: Option[Column] =
+      Some(col(column).isNull)
   }
 
   /** `column` is a key: every value appears exactly once. Violations =
@@ -59,6 +65,8 @@ object Quality {
     private[operators] def metric: Column =
       sum(when(col(column).isNotNull &&
         (col(column) < lo || col(column) > hi), 1L).otherwise(0L))
+    override private[operators] def rowViolation: Option[Column] =
+      Some(col(column).isNotNull && (col(column) < lo || col(column) > hi))
   }
 
   /** `column` drawn from a closed value set; NULLs are violations (an
@@ -69,6 +77,8 @@ object Quality {
     val name = "accepted_values"
     private[operators] def metric: Column =
       sum(when(col(column).isin(values: _*), 0L).otherwise(1L))
+    override private[operators] def rowViolation: Option[Column] =
+      Some(!col(column).isin(values: _*) || col(column).isNull)
   }
 
   /** Arbitrary row predicate that must hold everywhere. */
@@ -78,6 +88,8 @@ object Quality {
     val name = label
     private[operators] def metric: Column =
       sum(when(predicate, 0L).otherwise(1L))
+    override private[operators] def rowViolation: Option[Column] =
+      Some(!coalesce(predicate, lit(false)))
   }
 
   /** Run every constraint in one aggregate pass; returns one row per
@@ -104,6 +116,37 @@ object Quality {
   /** True iff every constraint passed (row count row is informational). */
   def passed(report: DataFrame): Boolean =
     report.filter(!col("passed")).isEmpty
+
+  /** Row-level admission gate — [[check]]'s per-row companion: split a
+    * batch into (clean, rejects) where a reject carries the names of
+    * EVERY constraint it violates (`violations ARRAY<STRING>`) — the
+    * dead-letter convention the webhook sources use, applied to
+    * constraint checking. All predicates evaluate in one projection
+    * (no shuffle, no extra scan: the split is two filters over the same
+    * codegen'd stage), so gating a 100 TB drop costs the scan it
+    * already needed. Dataset-level constraints ([[Unique]]) have no
+    * per-row meaning and are rejected loudly — run [[check]] for those.
+    * Streaming use: call inside `foreachBatch` and route each half to
+    * its sink.
+    */
+  def split(df: DataFrame, constraints: Seq[Constraint])
+  : (DataFrame, DataFrame) = {
+    require(constraints.nonEmpty, "no constraints given")
+    val rowPreds = constraints.map { c =>
+      c.rowViolation match {
+        case Some(p) => (s"${c.name}(${c.column})", p)
+        case None => throw new IllegalArgumentException(
+          s"${c.name} is a dataset-level constraint — use check()")
+      }
+    }
+    val tags = array(rowPreds.map { case (label, p) =>
+      when(p, lit(label)) }: _*)
+    val tagged = df.withColumn("_violations",
+      filter(tags, _.isNotNull))
+    (tagged.filter(size(col("_violations")) === 0).drop("_violations"),
+      tagged.filter(size(col("_violations")) > 0)
+        .withColumnRenamed("_violations", "violations"))
+  }
 
   /** One-pass column profile — the "what is this data drop" look a lake
     * operator takes before writing constraints at all: per column, null

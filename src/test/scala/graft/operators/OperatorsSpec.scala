@@ -1041,6 +1041,37 @@ class OperatorsSpec extends SparkSpec {
       "a string column must not report a mean")
   }
 
+  test("row-level admission gate splits clean rows from rejects with " +
+    "every violated constraint named") {
+    import spark.implicits._
+    import Quality._
+    val rows = Seq(
+      (1L, Option("en"), 10L),   // clean
+      (2L, None, 20L),           // null lang
+      (3L, Option("xx"), 30L),   // unknown lang
+      (4L, Option("en"), -5L),   // out of range
+      (5L, None, -9L))           // null lang AND out of range
+      .toDF("id", "lang", "n")
+    val rules = Seq(NotNull("lang"),
+      Accepted("lang", Seq("en", "de", "es")),
+      InRange("n", 0.0, 100.0))
+    val (clean, rejects) = Quality.split(rows, rules)
+    assert(clean.select($"id").as[Long].collect().toSeq == Seq(1L))
+    val got = rejects.select($"id", $"violations").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got(2L) == Set("not_null(lang)", "accepted_values(lang)"))
+    assert(got(3L) == Set("accepted_values(lang)"))
+    assert(got(4L) == Set("in_range(n)"))
+    assert(got(5L) == Set("not_null(lang)", "accepted_values(lang)",
+      "in_range(n)"))
+    // clean ∪ rejects partition the input exactly
+    assert(clean.count() + rejects.count() == rows.count())
+    // dataset-level constraints are rejected loudly, not silently passed
+    intercept[IllegalArgumentException] {
+      Quality.split(rows, Seq(Unique("id")))
+    }
+  }
+
   test("unique constraint counts repeated NULLs as key violations") {
     import spark.implicits._
     import Quality._
