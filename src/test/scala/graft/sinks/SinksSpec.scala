@@ -828,6 +828,38 @@ class SinksSpec extends SparkSpec {
     } finally { server.stop(0); WebhookDelivery.resetBreaker() }
   }
 
+  test("streaming admission gate: clean rows land in the lake, rejects " +
+    "dead-letter with their violations") {
+    import spark.implicits._
+    import graft.operators.Quality
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sgate").toString
+    val rules = Seq(Quality.InRange("value", 0.0, 100.0),
+      Quality.Accepted("event_type", Seq("view", "click", "purchase")))
+    val ms = MemoryStream[Event]
+    val q = Sinks.streamForeachBatch(ms.toDF(), s"$dir/ckpt") { (b, _) =>
+      val (clean, rejects) = Quality.split(b, rules)
+      clean.write.mode("append").parquet(s"$dir/clean")
+      rejects.withColumn("violations",
+          concat_ws(";", col("violations")))
+        .write.mode("append").parquet(s"$dir/dead")
+    }
+    ms.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 5.0),
+      ev(2, "2024-01-01 10:01:00", 1, "bogus", 5.0),
+      ev(3, "2024-01-01 10:02:00", 2, "click", -1.0),
+      ev(4, "2024-01-01 10:03:00", 2, "purchase", 50.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$dir/clean").select($"event_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    val dead = spark.read.parquet(s"$dir/dead")
+      .select($"event_id", $"violations").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dead(2L) == "accepted_values(event_type)")
+    assert(dead(3L) == "in_range(value)")
+  }
+
   test("JSON-lines archive roundtrips events and flags damaged lines") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_arch").toString
