@@ -313,6 +313,92 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("full-system walk: webhook ingest feeds the lake, a sealed day's " +
+    "aggregate delivers downstream exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.sources.WebhookQueue
+    import graft.sinks.{LakeSink, WebhookDelivery}
+
+    val port = WebhookQueue.startServer(0)
+    val dir = Files.createTempDirectory("graft_walk").toString
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(topic: String, body: String): Int =
+      client.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/webhook/$topic"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+    WebhookQueue.clear()
+
+    def source() = spark.readStream
+      .format("graft.sources.WebhookSourceProvider").load()
+    val payloadSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+
+    // capture wire for the outbound report (register before posting)
+    val qWire = source().filter($"topic" === "report")
+      .select($"body")
+      .writeStream.format("memory").queryName("t_walk_wire")
+      .option("checkpointLocation", s"$dir/ckpt_wire")
+      .outputMode("append").start()
+
+    // ingest feed: webhook events land in the date-partitioned lake
+    val events = source().filter($"topic" === "ingest")
+      .select(from_json($"body", payloadSchema).as("e")).select("e.*")
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    val qFeed = LakeSink.start(events, s"$dir/lake", s"$dir/ckpt_feed",
+      "day")
+    try {
+      Seq(qWire, qFeed).foreach(_.processAllAvailable())
+      def body(id: Long, day: String, typ: String, v: Double) =
+        s"""{"event_id":$id,"ts":"$day 10:0$id:00","event_type":"$typ","value":$v}"""
+      Seq(
+        body(1, "2024-03-01", "click", 2.0),
+        body(2, "2024-03-01", "click", 3.0),
+        body(3, "2024-03-01", "view", 5.0),
+        body(4, "2024-03-02", "view", 7.0)).foreach { b =>
+        assert(post("ingest", b) == 200)
+      }
+      qFeed.processAllAvailable()
+      qFeed.stop()
+
+      // day 1 closed: seal it, aggregate THE SEALED VIEW, deliver the
+      // report, with the ledger making a crash-replay exactly-once
+      LakeSink.sealDays(spark, s"$dir/lake", "day", Seq("2024-03-01"))
+      val dayAgg = LakeSink.read(spark, s"$dir/lake", "day")
+        .filter($"day".cast("string") === "2024-03-01")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .withColumn("key", abs(xxhash64($"event_type")))
+      val (posted, dead) = WebhookDelivery.deliverBatch(dayAgg, 1L,
+        s"http://localhost:$port/webhook/report", "key", s"$dir/ledger")
+      assert(posted == 2 && dead == 0)
+      // replay of the same batch settles without re-posting
+      val (re, reDead) = WebhookDelivery.deliverBatch(dayAgg, 1L,
+        s"http://localhost:$port/webhook/report", "key", s"$dir/ledger")
+      assert(re == 0 && reDead == 0)
+
+      qWire.processAllAvailable()
+      val got = spark.sql("select body from t_walk_wire").collect()
+        .map { r =>
+          val b = spark.read.json(Seq(r.getString(0)).toDS()).head()
+          (b.getAs[String]("event_type"), b.getAs[Long]("n"),
+            b.getAs[Double]("sum_value"))
+        }.toSet
+      assert(got == Set(("click", 2L, 5.0), ("view", 1L, 5.0)),
+        s"delivered report diverged: $got")
+      // the open day stayed out of the sealed-day report
+      assert(!got.exists(_._3 == 7.0))
+    } finally {
+      qWire.stop()
+      WebhookQueue.stopServer()
+      WebhookQueue.clear()
+    }
+  }
+
   test("lake lifecycle composes: feed → seal → CDC correction → erasure " +
     "→ manifest scan → TTL, with exact accounting at every step") {
     import spark.implicits._
