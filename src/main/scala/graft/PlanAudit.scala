@@ -19,7 +19,8 @@ object PlanAudit {
     // dimension, so the "nested loop" is a single pass over the big side
     "q_gapfill", // hours grid × distinct-types (both plan-constant)
     "q_mix_sources", // per-source counts × 1-row totals
-    "q_tfidf" // (doc,term,tf) rows × 1-row n_docs count
+    "q_tfidf", // (doc,term,tf) rows × 1-row n_docs count
+    "q_rfm_segments" // per-customer rows × 1-row date anchor
   )
 
   def main(args: Array[String]): Unit = {

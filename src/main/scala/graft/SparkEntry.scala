@@ -142,6 +142,7 @@ object SparkEntry {
     "q_decontaminate_embed" ->
       ((s: SparkSession, d: String) => VectorOps.decontaminateEmbed(s, d)),
     "q_langid_confusion" -> (TextOps.langIdConfusion _),
+    "q_rfm_segments" -> (Relational.rfmSegments _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -872,5 +873,19 @@ object SparkEntry {
         | ROUND(CAST(COUNT(*) AS DOUBLE)
         |   / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS frac
         |FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH pc AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE))
+        |   AS last_d,
+        |  COUNT(*) AS frequency,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+        | FROM orders GROUP BY 1),
+        |a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders)
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        | ROUND(AVG(date_diff('day', last_d, anchor)), 4)
+        |   AS avg_recency_days,
+        | ROUND(AVG(frequency), 4) AS avg_frequency,
+        | CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+        |FROM pc CROSS JOIN a JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
   )
 }

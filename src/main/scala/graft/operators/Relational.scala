@@ -370,6 +370,42 @@ object Relational {
     all.except(big).orderBy($"o_custkey")
   }
 
+  /** RFM profile per market segment — the customer-value decomposition
+    * (recency / frequency / monetary) every CRM-ish analytics layer
+    * ships, aggregated to segment granularity: per-customer RFM rows
+    * reduce to 5 segment profiles. Recency anchors on the corpus's max
+    * order date (a 1-row broadcast — the `q_tfidf` scalar-side idiom)
+    * in whole DATE days, frequency and monetary are exact
+    * integer/DECIMAL sums; the only floats are the reported means,
+    * rounded at the boundary. Two partial+final aggs (customer, then
+    * segment) + a broadcast dim join — group rows only ever shuffle.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderdate".cast("date").as("d"),
+        $"o_totalprice")
+      .groupBy($"o_custkey")
+      .agg(max($"d").as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum($"o_totalprice".cast("decimal(12,2)")).as("monetary"))
+    val anchor = Tables(s, dir, "orders")
+      .agg(max($"o_orderdate".cast("date")).as("anchor"))
+    val seg = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    perCust
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff($"anchor", $"last_d").cast("long"))
+      .join(broadcast(seg), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg($"recency_days"), 4).as("avg_recency_days"),
+        round(avg($"frequency"), 4).as("avg_frequency"),
+        sum($"monetary").cast("double").as("total_monetary"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** BAG-semantics set ops — the ALL variants the distinct forms above
     * can't express: per customer, how many orders survive EXCEPT ALL
     * against the > 300k ones (multiplicity subtraction, not membership)
