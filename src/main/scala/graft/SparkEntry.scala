@@ -143,6 +143,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => VectorOps.decontaminateEmbed(s, d)),
     "q_langid_confusion" -> (TextOps.langIdConfusion _),
     "q_rfm_segments" -> (Relational.rfmSegments _),
+    "q_basket_pairs" ->
+      ((s: SparkSession, d: String) => Relational.basketPairs(s, d)),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -887,5 +889,11 @@ object SparkEntry {
         | CAST(SUM(monetary) AS DOUBLE) AS total_monetary
         |FROM pc CROSS JOIN a JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q_basket_pairs" ->
+      """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        | COUNT(*) AS n
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY n DESC, part_a, part_b LIMIT 20""".stripMargin,
   )
 }

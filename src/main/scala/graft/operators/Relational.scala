@@ -370,6 +370,28 @@ object Relational {
     all.except(big).orderBy($"o_custkey")
   }
 
+  /** Market-basket co-occurrence: the top part pairs ordered together
+    * (same order key), the association-mining primitive behind
+    * "frequently bought together". Pair generation is a self-join on
+    * the ORDER key, so fan-out is bounded by items-per-order² (~7² per
+    * TPC-H order) — never parts², never orders² — and the surviving
+    * pair counts reduce through a partial+final agg before a TakeOrdered
+    * cut with a total-ordered tie-break (counts tie heavily at the
+    * tail; (n, part_a, part_b) pins the boundary on both engines).
+    */
+  def basketPairs(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), $"part_a", $"part_b")
+      .limit(topK)
+  }
+
   /** RFM profile per market segment — the customer-value decomposition
     * (recency / frequency / monetary) every CRM-ish analytics layer
     * ships, aggregated to segment granularity: per-customer RFM rows
