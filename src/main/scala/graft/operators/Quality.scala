@@ -132,6 +132,13 @@ object Quality {
   def split(df: DataFrame, constraints: Seq[Constraint])
   : (DataFrame, DataFrame) = {
     require(constraints.nonEmpty, "no constraints given")
+    // withColumn REPLACES an existing column of the same name — a batch
+    // already carrying either name would silently lose it in the clean
+    // half (the r8 advice finding); the reject contract owns "violations"
+    require(!df.columns.contains("_violations") &&
+      !df.columns.contains("violations"),
+      "input must not carry a violations/_violations column — " +
+        "rename it before gating")
     val rowPreds = constraints.map { c =>
       c.rowViolation match {
         case Some(p) => (s"${c.name}(${c.column})", p)
@@ -166,7 +173,12 @@ object Quality {
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val metrics = count(lit(1)).as("_n") +: cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long"),
+        // sum() over ZERO rows is NULL, and getLong would unbox it before
+        // the n==0 guard below can apply — coalesce keeps the empty-input
+        // profile reachable (count/approx_count_distinct return 0, min/
+        // max/avg NULLs are already read through Option/isNullAt)
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("long"),
         approx_count_distinct(col(c)).cast("long"),
         min(col(c)).cast("string"),
         max(col(c)).cast("string"),

@@ -90,9 +90,16 @@ object Manifest {
                        value: String, statCols: Seq[String]): Unit = {
     val part = s.read.parquet(s"$path/$partitionCol=$value")
     val withPart =
-      if (statCols.contains(partitionCol))
-        part.withColumn(partitionCol, lit(value))
-      else part
+      if (statCols.contains(partitionCol)) {
+        // cast to the partition column's NATIVE type from the root
+        // table's (hive-discovered) schema — build() records that type,
+        // and a raw string lit here would make unionByName coerce the
+        // whole merged min_/max_ column to string, after which
+        // prunedFiles compares lexicographically ('9' > '10') and scan()
+        // silently skips overlapping files (the r8 advice finding)
+        val t = s.read.parquet(path).schema(partitionCol).dataType
+        part.withColumn(partitionCol, lit(value).cast(t))
+      } else part
     val fresh = statRows(withPart, statCols)
     val dir = manifestDir(s, path)
     val exists = new org.apache.hadoop.fs.Path(dir)

@@ -64,18 +64,34 @@ case class Transition(user_id: Long, from_type: String, to_type: String,
 object StreamOps {
 
   /** `withWatermark`, idempotently: a no-op when the incoming plan
-    * already carries an event-time watermark, so the operators here
+    * already carries THE SAME event-time watermark, so the operators here
     * compose (e.g. `tumbling(dedup(events))`) without tripping Spark's
-    * redefining-watermark error — the upstream operator's (equal)
-    * horizon governs the whole chain.
+    * redefining-watermark error. An existing watermark on a DIFFERENT
+    * column or horizon fails loudly instead of silently substituting its
+    * late-data semantics (the r8 advice finding: a replay-horizon
+    * `ingest_ts` watermark is not the documented `ts`/2h one) — the
+    * caller must re-watermark explicitly if the substitution is meant.
     */
   private def ensureWatermark(df: DataFrame, tsCol: String,
-                              delay: String): DataFrame = {
-    val has = df.queryExecution.logical.collectFirst {
+                              delay: String): DataFrame =
+    df.queryExecution.logical.collectFirst {
       case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
-    }.isDefined
-    if (has) df else df.withWatermark(tsCol, delay)
-  }
+    } match {
+      case None => df.withWatermark(tsCol, delay)
+      case Some(e) =>
+        require(e.eventTime.name == tsCol,
+          s"plan already carries a watermark on '${e.eventTime.name}' but " +
+            s"this operator defines lateness on '$tsCol' — different " +
+            "late-data semantics; withWatermark the intended column first")
+        val want = org.apache.spark.sql.catalyst.util.IntervalUtils
+          .safeStringToInterval(
+            org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+        require(want == null || e.delay == want,
+          s"plan already carries a '${e.delay}' watermark on '$tsCol' but " +
+            s"this operator documents '$delay' — compose with the matching " +
+            "horizon or re-watermark explicitly")
+        df
+    }
 
   /** Per-hour per-type tumbling counts + sums; 2h watermark bounds state
     * and admits late events up to 2h behind the max seen ts.

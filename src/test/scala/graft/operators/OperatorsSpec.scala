@@ -1070,6 +1070,33 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Quality.split(rows, Seq(Unique("id")))
     }
+    // an input already carrying the working/output column name would be
+    // silently dropped from the clean half — must be rejected loudly
+    intercept[IllegalArgumentException] {
+      Quality.split(rows.withColumn("violations", lit("user data")), rules)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.split(rows.withColumn("_violations", lit("user data")), rules)
+    }
+  }
+
+  test("profile of an empty table returns a zero-row profile, not a crash") {
+    import spark.implicits._
+    // sum() over zero rows is NULL — profiling an empty table/partition
+    // is a plausible call (a day with no data) and must return the n=0
+    // profile the code anticipates, not NPE on unboxing
+    val empty = Seq((1L, "x", 2.0)).toDF("id", "s", "v").filter(lit(false))
+    val p = Quality.profile(empty).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("id", "s", "v"))
+    for (c <- p.keys) {
+      assert(p(c).getAs[Long]("n_rows") == 0L)
+      assert(p(c).getAs[Long]("n_null") == 0L)
+      assert(p(c).getAs[Double]("null_rate") == 0.0)
+      assert(p(c).getAs[Long]("approx_distinct") == 0L)
+      assert(p(c).getAs[String]("min") == null)
+      assert(p(c).isNullAt(p(c).fieldIndex("mean")))
+    }
   }
 
   test("unique constraint counts repeated NULLs as key violations") {

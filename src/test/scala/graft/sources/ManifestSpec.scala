@@ -122,4 +122,49 @@ class ManifestSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(got == expect)
   }
+
+  test("refreshPartition keeps a NUMERIC partition column's stats in its " +
+    "native type — no silent string coercion, no lexicographic skips") {
+    import spark.implicits._
+    // the r8 advice finding: refresh recorded the partition value as a
+    // string lit while build() records the hive-discovered native type;
+    // unionByName then coerced the merged min_/max_ columns to string and
+    // prunedFiles compared lexicographically ('9' > '10') — silently
+    // skipping overlapping files. Buckets 0..11 make the 2-vs-10 ordering
+    // trap live.
+    val dir = Files.createTempDirectory("graft_manifnum").toString
+    val docs = Tables(spark, sfTest, "documents")
+      .withColumn("bucket", ($"doc_id" % 12).cast("int"))
+    Sinks.writePartitioned(docs, s"$dir/docs", "bucket")
+    Manifest.write(spark, s"$dir/docs", Seq("doc_id", "bucket"))
+    val nativeType = spark.read.parquet(s"$dir/docs/_graft_manifest")
+      .schema("min_bucket").dataType
+    assert(nativeType.typeName == "integer",
+      s"build() no longer records the native type: $nativeType")
+
+    // refresh two partitions (one >= 10, so lexicographic order differs
+    // from numeric) — the merged manifest must KEEP the native type
+    Seq("2", "10").foreach { v =>
+      Manifest.refreshPartition(spark, s"$dir/docs", "bucket", v,
+        Seq("doc_id", "bucket"))
+    }
+    val merged = spark.read.parquet(s"$dir/docs/_graft_manifest")
+    assert(merged.schema("min_bucket").dataType == nativeType &&
+      merged.schema("max_bucket").dataType == nativeType,
+      s"refresh coerced bucket stats to " +
+        s"${merged.schema("min_bucket").dataType}")
+
+    // and the skipping scan over a band that straddles the refreshed
+    // partitions still answers exactly like the full scan
+    val bands = Map("bucket" -> (2, 10))
+    val got = Manifest.scan(spark, s"$dir/docs", bands)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val expect = docs.filter($"bucket".between(2, 10))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expect, "numeric band skipped overlapping files")
+    // pruning still actually prunes (buckets 0,1,11 are skippable)
+    val all = Manifest.prunedFiles(spark, s"$dir/docs", Map.empty)
+    val kept = Manifest.prunedFiles(spark, s"$dir/docs", bands)
+    assert(kept.size < all.size, "band kept every file — no skipping")
+  }
 }

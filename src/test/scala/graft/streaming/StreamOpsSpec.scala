@@ -46,6 +46,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("watermark composition accepts an equal horizon, rejects a foreign " +
+    "column or delay loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // equal column+delay upstream: composes (the dedup→tumbling chain)
+    val ok = MemoryStream[Event]
+    val composed = StreamOps.tumbling(
+      ok.toDF().withWatermark("ts", "2 hours"))
+    assert(composed.isStreaming)
+    // a watermark on a DIFFERENT event-time column must not silently
+    // govern this operator's late-data semantics (the advice finding:
+    // tumbling over an ingest_ts/replay-horizon watermark)
+    val wrongCol = MemoryStream[Event]
+    val e1 = intercept[IllegalArgumentException] {
+      StreamOps.tumbling(wrongCol.toDF()
+        .withColumn("ingest_ts", col("ts"))
+        .withWatermark("ingest_ts", "2 hours"))
+    }
+    assert(e1.getMessage.contains("ingest_ts"))
+    // same column, different horizon: also loud — "15 minutes" admits
+    // less lateness than the documented 2h contract
+    val wrongDelay = MemoryStream[Event]
+    val e2 = intercept[IllegalArgumentException] {
+      StreamOps.tumbling(wrongDelay.toDF().withWatermark("ts", "15 minutes"))
+    }
+    assert(e2.getMessage.contains("15 minutes") ||
+      e2.getMessage.contains("2 hours"))
+  }
+
   test("stream windowed approx-distinct equals its batch twin on sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
