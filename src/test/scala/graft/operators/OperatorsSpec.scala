@@ -355,6 +355,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("prefix twin broadcasts only the capped hot-shingle set, never the " +
+    "vocabulary-sized df table") {
+    // the r8 verdict finding: the df table grows with the corpus, so a
+    // broadcast hint on it is a scale hazard even in the \"scale twin\".
+    // With broadcasting-by-stats off, the only surviving BroadcastExchanges
+    // must be the HINTED bounded sides: the hot-shingle exclusion set
+    // (≤ occurrences/maxDf rows by construction) and the two candidate-doc
+    // shingle-set fetches; the df-weights join must fall back to a shuffle.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = DedupOps.ngramJaccardPrefix(s2, sfTest, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    val bcasts = "BroadcastExchange".r.findAllIn(p).size
+    assert(bcasts == 3,
+      s"expected exactly the 3 bounded hinted broadcasts (hot set + 2 " +
+        s"candidate set fetches), got $bcasts:\n$p")
+    assert(p.contains("LeftAnti"), "hot-shingle exclusion lost its anti-join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "df-weights join did not fall back to a shuffle join")
+  }
+
   test("salted join equals the plain join and scatters the hot key") {
     import spark.implicits._
     // 5k rows of one hot key + a uniform tail, joined to a 10-row dim
