@@ -164,22 +164,22 @@ object Sinks {
       } else {
         require(fs.exists(live), s"no partition $partitionCol=$v under $path")
         fs.delete(staging, true) // stale staging from a pre-rename crash
-        rewrite(s.read.parquet(live.toString))
-          .repartition(targetFiles)
-          .write.mode(SaveMode.Overwrite)
-          .option("maxRecordsPerFile", maxRecordsPerFile)
-          .parquet(staging.toString)
-        val hasData = fs.listStatus(staging).exists(f => f.isFile &&
-          !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
-        if (!hasData) {
-          // the rewrite emptied the partition (erase-all, delete-all
+        val rewritten = rewrite(s.read.parquet(live.toString))
+        if (rewritten.isEmpty) {
+          // the rewrite empties the partition (erase-all, delete-all
           // merge): retire the dir instead of publishing an empty one —
-          // hive convention, and a dir with no data files would break
-          // the NEXT rewrite's schema inference
-          fs.delete(staging, true)
+          // hive convention. Checked on the PLAN (isEmpty = a limit-1
+          // probe), not on the staged output: Spark writes a schema-only
+          // parquet file even for zero rows, so a file-presence test
+          // publishes a ghost partition instead of retiring (found by
+          // MaintenanceSpec's erase-all case in r9).
           fs.delete(live, true)
         } else {
+          rewritten
+            .repartition(targetFiles)
+            .write.mode(SaveMode.Overwrite)
+            .option("maxRecordsPerFile", maxRecordsPerFile)
+            .parquet(staging.toString)
           fs.delete(trash, true)
           if (!fs.rename(live, trash))
             throw new java.io.IOException(s"cannot move $live aside")

@@ -116,6 +116,58 @@ object Manifest {
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
+  /** The stat columns an existing manifest records, recovered from its
+    * own schema (`min_<c>`/`max_<c>` pairs) — what lets maintenance
+    * refresh a manifest without being told how it was built. None when
+    * `path` carries no manifest.
+    */
+  def statColsOf(s: SparkSession, path: String): Option[Seq[String]] = {
+    val dir = new org.apache.hadoop.fs.Path(manifestDir(s, path))
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else Some(s.read.parquet(dir.toString).schema.fieldNames
+      .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
+      .toSeq)
+  }
+
+  /** Forget a partition's manifest rows — the refresh shape for a
+    * partition that no longer exists (TTL drop, erase-to-empty
+    * retirement). Eagerly materialized before the overwrite, like
+    * [[refreshPartition]].
+    */
+  def removePartitionRows(s: SparkSession, path: String, partitionCol: String,
+                          value: String): Unit = {
+    val dir = manifestDir(s, path)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir))) {
+      s.read.parquet(dir)
+        .filter(!col("file").contains(s"/$partitionCol=$value/"))
+        .localCheckpoint(true)
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+  }
+
+  /** Re-stat `values` of a manifested table after maintenance touched
+    * them: present partitions re-stat via [[refreshPartition]], absent
+    * ones (dropped/retired) are forgotten. A table with NO manifest is a
+    * no-op — the pairing is only owed where a manifest exists. Stat
+    * columns come from the manifest's own schema, so callers don't
+    * restate how it was built.
+    */
+  def refreshPartitions(s: SparkSession, path: String, partitionCol: String,
+                        values: Seq[String]): Unit =
+    statColsOf(s, path).foreach { cols =>
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      values.foreach { v =>
+        val live = new org.apache.hadoop.fs.Path(root, s"$partitionCol=$v")
+        if (fs.exists(live)) refreshPartition(s, path, partitionCol, v, cols)
+        else removePartitionRows(s, path, partitionCol, v)
+      }
+    }
+
   /** The data files under `path` whose [min, max] interval on EVERY
     * banded column overlaps the requested [lo, hi] — the candidate list
     * a skipping scan reads. A file with NULL stats for a banded column
