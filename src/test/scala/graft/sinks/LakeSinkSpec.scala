@@ -84,6 +84,40 @@ class LakeSinkSpec extends SparkSpec {
       .select($"id").as[Long].collect().sorted.toSeq == Seq(9L, 10L))
   }
 
+  test("read caches the sealed-day listing per lake: repeat constructions " +
+    "list once, a new seal invalidates, semantics unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lakecache").toString
+    LakeSink.applyBatch(mk(1 to 4, "2024-03-01")
+      .unionByName(mk(5 to 6, "2024-03-02"))
+      .unionByName(mk(7 to 8, "2024-03-03")), 0, dir, "day")
+    LakeSink.sealDays(spark, dir, "day", Seq("2024-03-01"))
+
+    def ids() = LakeSink.read(spark, dir, "day")
+      .select($"id").as[Long].collect().sorted.toSeq
+    val l0 = LakeSink.sealedListings.get()
+    assert(ids() == (1L to 8L).toSeq)
+    val afterFirst = LakeSink.sealedListings.get()
+    assert(afterFirst == l0 + 1, "first construction must list sealed/")
+    // a hot caller (dashboard): many constructions + actions, ZERO
+    // further sealed-root walks while no seal has landed
+    for (_ <- 1 to 5) assert(ids() == (1L to 8L).toSeq)
+    assert(LakeSink.sealedListings.get() == afterFirst,
+      "unchanged sealed root was re-listed")
+
+    // sealing a new day bumps the root mtime → exactly one re-list, and
+    // the fresh exclusion set keeps the double-stored-day guarantee
+    LakeSink.sealDays(spark, dir, "day", Seq("2024-03-02"))
+    assert(ids() == (1L to 8L).toSeq, "cache served a stale day list")
+    assert(LakeSink.sealedListings.get() == afterFirst + 1,
+      "a changed sealed root must re-list exactly once")
+    // stale-cache hazard probe: the crash window writes an open leftover
+    // for a SEALED day; a stale exclusion list would double-read it
+    LakeSink.applyBatch(mk(201 to 202, "2024-03-02"), 9, dir, "day")
+    assert(ids() == (1L to 8L).toSeq,
+      "a double-stored day was double-read through the cache")
+  }
+
   test("streaming CDC apply: a changelog stream merges into the lake, " +
     "survives a restart, and a replayed batch converges") {
     import spark.implicits._
