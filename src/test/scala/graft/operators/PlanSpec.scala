@@ -120,15 +120,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank cut not pushed down:\n$p")
   }
 
-  test("dau/mau fans out arithmetically — no nested-loop day join") {
-    // the ≤28-bucket visibility join must be explode(sequence)→equi-join;
-    // a predicate join (day BETWEEN d-27 AND d) plans as a
-    // BroadcastNestedLoopJoin that tests every activity row against every
-    // day in the horizon — O(act × days) at 100 TB instead of a flat 28×
-    val p = physical("q_dau_mau")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"q_dau_mau regressed to a nested-loop day join:\n$p")
-    assert(p.contains("Generate explode"), "bucket fan-out generator missing")
+  test("dau/mau is single-pass: one scan, interval endpoints, no day join") {
+    // the interval-endpoint form reads events ONCE and never fans
+    // activity out by the horizon: visibility intervals come from a
+    // per-user lag/cumsum chain, the MAU curve from +1/−1 endpoint
+    // deltas (a flat 2× explode) prefix-summed along the calendar axis.
+    // A BroadcastNestedLoopJoin (predicate day-range join) or a >2×
+    // generator (the old explode(0..27) fan-out) are the regressions.
+    val q = SparkEntry.queries("q_dau_mau")(spark, sfTest)
+    val p = q.queryExecution.executedPlan
+    val scans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1,
+      s"q_dau_mau must read events exactly once, got ${scans.length}")
+    val txt = p.toString
+    assert(!txt.contains("BroadcastNestedLoopJoin"),
+      s"q_dau_mau regressed to a nested-loop day join:\n$txt")
+    assert(txt.contains("Generate explode"), "endpoint-delta generator missing")
+    assert(!txt.contains("sequence("),
+      s"horizon-sized sequence fan-out reappeared:\n$txt")
   }
 
   test("funnel stages materialize once — consumers read checkpointed rows") {
@@ -137,7 +148,9 @@ class PlanSpec extends SparkSpec {
     // 3× in dau/mau and gapfill, 2× in cohort retention (measured; zero
     // exchange reuse fires for any of them). The top-level plan must
     // read only RDD scans — zero parquet scans means no recompute.
-    for (q <- Seq("q_funnel", "q_conversion_lag", "q_dau_mau",
+    // (q_dau_mau left this set in r9: its single-pass interval form has
+    // exactly one consumer of the scan, pinned in its own test above.)
+    for (q <- Seq("q_funnel", "q_conversion_lag",
         "q_cohort_retention", "q_gapfill")) {
       val scans = SparkEntry.queries(q)(spark, sfTest)
         .queryExecution.executedPlan.collect {
@@ -167,13 +180,14 @@ class PlanSpec extends SparkSpec {
       "exactly one explode should produce the position stream")
     assert(txt.contains("partial_count") || txt.contains("HashAggregate"),
       "per-(doc,gram) aggregate lost its map-side combine")
-    // the shuffle keys are md5 digests, computed map-side: in the
-    // printed tree (root first, leaves last) the md5 projection must sit
-    // BELOW even the deepest exchange — i.e. print after it
+    // the shuffle keys are fixed-width xxhash64 digests, computed
+    // map-side: in the printed tree (root first, leaves last) the digest
+    // projection must sit BELOW even the deepest exchange — i.e. print
+    // after it — so the k-token strings never cross the wire
     val deepestExchange = txt.lastIndexOf("Exchange hashpartitioning")
-    val md5Idx = txt.lastIndexOf("md5")
-    assert(deepestExchange > 0 && md5Idx > deepestExchange,
-      "md5 must be computed map-side, before the first shuffle")
+    val digestIdx = txt.lastIndexOf("xxhash64")
+    assert(deepestExchange > 0 && digestIdx > deepestExchange,
+      "digests must be computed map-side, before the first shuffle")
   }
 
   test("sessionize shuffles once and keeps the spill-safe window form") {
