@@ -98,22 +98,32 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp ([PARQUET_TYPE_ILLEGAL]). The session builder
-    * (GraftSession) sets `spark.sql.legacy.parquet.nanosAsLong`, so the
-    * column arrives as a long; truncate ns→µs with integer division — the
-    * same truncation DuckDB's CAST(ts AS TIMESTAMP) applies, so oracle SQL
-    * stays aligned.
+  /** `events.ts` has arrived from the producer in three physical encodings
+    * over time, and the loader is the one seam that owns normalizing them —
+    * every downstream operator sees exactly one canonical `TimestampType`:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp
+    *    ([PARQUET_TYPE_ILLEGAL]); the session builder sets
+    *    `spark.sql.legacy.parquet.nanosAsLong` so it arrives as a long.
+    *    Truncate ns→µs with integer division — the same truncation DuckDB's
+    *    CAST(ts AS TIMESTAMP) applies, so oracle SQL stays aligned.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    `TIMESTAMP_NTZ`. Cast to `TimestampType` — value-preserving under
+    *    the session's pinned-UTC timezone, and the type every `unix_micros`
+    *    call site expects (NTZ fails its analysis-time input check).
+    *  - TIMESTAMP (instant-adjusted, e.g. our own re-written copies): pass
+    *    through.
     */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // Re-written copies of the table (tests, downstream materializations)
-    // already carry µs timestamps — only the driver's ns parquet needs the
-    // long→timestamp conversion.
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }
