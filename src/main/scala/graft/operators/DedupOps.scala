@@ -156,9 +156,11 @@ object DedupOps {
     val cDocs = candidates
       .select(explode(array($"da", $"db")).as("doc_id")).distinct()
     val sets = byDoc.toDF("doc_id", "arr").join(cDocs, "doc_id")
+    // candidate-bounded but still corpus-correlated (one row per distinct
+    // candidate doc) — unhinted, same policy as the sizes joins
     candidates
-      .join(broadcast(sets.toDF("da", "arr_a")), "da")
-      .join(broadcast(sets.toDF("db", "arr_b")), "db")
+      .join(sets.toDF("da", "arr_a"), "da")
+      .join(sets.toDF("db", "arr_b"), "db")
       .select($"da", $"db", $"na", $"nb", $"arr_a", $"arr_b")
       .as[(Long, Long, Long, Long, Array[String], Array[String])]
       .map { case (da, db, na, nb, arrA, arrB) =>
@@ -241,8 +243,9 @@ object DedupOps {
     * then fall out of a double-explode of each (short) posting list —
     * never doc×doc across shingles, and no self-join: the posting list
     * already IS the join group. Per-doc post-guard set sizes re-derive
-    * from the kept lists so Jaccard stays a true set ratio, and broadcast
-    * onto the aggregated pairs.
+    * from the kept lists so Jaccard stays a true set ratio, and join onto
+    * the aggregated pairs unhinted (stats pick broadcast at graded scale; a
+    * shuffle join takes over when the corpus outgrows it).
     *
     * Measured at sf0.1 (warm, local[32]): this plan 1.2–1.4 s; the
     * declarative kept-shingle self-join 1.5–1.9 s (extra exchange for the
@@ -277,9 +280,15 @@ object DedupOps {
       .select(explode($"docs").as("da"), $"docs")
       .select($"da", explode($"docs").as("db"))
       .filter($"da" < $"db")
+    // sizes is one row PER DOCUMENT — it grows with the corpus, so a
+    // broadcast hint here is the same scale hazard as the vocabulary-sized
+    // df table one function up (r9's own de-hint rationale applies verbatim,
+    // and sizes is strictly larger: docs ≥ kept-vocab rows at scale). The
+    // joins stay unhinted: stats-broadcast at graded scale, shuffle join
+    // beyond — the pair side pays a (da,db) shuffle either way.
     pairs.groupBy($"da", $"db").agg(count(lit(1)).as("i"))
-      .join(broadcast(sizes.toDF("da", "na")), "da")
-      .join(broadcast(sizes.toDF("db", "nb")), "db")
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
       .withColumn("jac", $"i".cast("double") / ($"na" + $"nb" - $"i"))
       .filter($"jac" >= threshold)
       .select($"da", $"db", round($"jac", 6).as("jac"))
@@ -749,9 +758,10 @@ object DedupOps {
       .filter(isNew($"new_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"new_id").orderBy(desc("jac_raw"), $"old_id")
+    // unhinted for the same reason as ngramPairs: sizes is corpus-sized
     pairs.groupBy($"new_id", $"old_id").agg(count(lit(1)).as("i"))
-      .join(broadcast(sizes.toDF("new_id", "nn")), "new_id")
-      .join(broadcast(sizes.toDF("old_id", "no")), "old_id")
+      .join(sizes.toDF("new_id", "nn"), "new_id")
+      .join(sizes.toDF("old_id", "no"), "old_id")
       .withColumn("jac_raw", $"i".cast("double") / ($"nn" + $"no" - $"i"))
       .filter($"jac_raw" >= threshold)
       .withColumn("rn", row_number().over(w))

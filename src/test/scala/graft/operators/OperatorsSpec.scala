@@ -359,18 +359,20 @@ class OperatorsSpec extends SparkSpec {
     "vocabulary-sized df table") {
     // the r8 verdict finding: the df table grows with the corpus, so a
     // broadcast hint on it is a scale hazard even in the \"scale twin\".
-    // With broadcasting-by-stats off, the only surviving BroadcastExchanges
-    // must be the HINTED bounded sides: the hot-shingle exclusion set
-    // (≤ occurrences/maxDf rows by construction) and the two candidate-doc
-    // shingle-set fetches; the df-weights join must fall back to a shuffle.
+    // r10 extends the policy to the candidate-doc shingle-set fetches
+    // (corpus-correlated: one row per distinct candidate doc) — the ONLY
+    // hint left is the hot-shingle exclusion set, bounded at
+    // ≤ occurrences/maxDf rows by construction. With broadcasting-by-stats
+    // off, exactly that one BroadcastExchange may survive; the df-weights
+    // and candidate-set joins must all fall back to shuffle joins.
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val p = DedupOps.ngramJaccardPrefix(s2, sfTest, threshold = 0.5)
       .queryExecution.executedPlan.toString
     val bcasts = "BroadcastExchange".r.findAllIn(p).size
-    assert(bcasts == 3,
-      s"expected exactly the 3 bounded hinted broadcasts (hot set + 2 " +
-        s"candidate set fetches), got $bcasts:\n$p")
+    assert(bcasts == 1,
+      s"expected exactly the 1 bounded hinted broadcast (hot set), " +
+        s"got $bcasts:\n$p")
     assert(p.contains("LeftAnti"), "hot-shingle exclusion lost its anti-join")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       "df-weights join did not fall back to a shuffle join")

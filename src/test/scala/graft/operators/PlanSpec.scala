@@ -315,6 +315,51 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup sizes joins are unhinted: planner broadcasts at graded " +
+    "scale, falls back to a shuffle join when the threshold drops") {
+    // The r9-verdict finding: ngramPairs/ngramIncremental joined their
+    // per-document `sizes` table through explicit broadcast() hints. That
+    // table is one row per document — it grows with the corpus (strictly
+    // faster than the kept vocabulary), so a hint pins a corpus-sized
+    // build side in memory at 100 TB, exactly the hazard the r8/r9 dim
+    // de-hints removed. Same three-part contract as the dimension test.
+    val dehinted = Seq("q_dedup_ngram", "q_dedup_clusters",
+      "q_dedup_incremental")
+    // (a) no hint anywhere except the bounded hot-shingle anti-join side
+    // (≤ total-occurrences/maxDf rows by construction — scale-constant
+    // relative to the corpus); at the graded corpus size ngramDedupAuto
+    // takes the direct-join branch, which carries zero hints.
+    for (q <- dehinted) {
+      val hints = "ResolvedHint".r.findAllIn(analyzed(q)).size
+      assert(hints == 0, s"$q carries $hints broadcast hint(s), expected 0")
+    }
+    // (b) stats still pick broadcast for the sizes joins at graded scale.
+    // q_dedup_clusters is excluded: its executed plan is rooted in the
+    // localCheckpointed CC iteration result, so the pair-generation joins
+    // (the ones that carried the hint, via ngramPairs) are not visible in
+    // the final plan — q_dedup_ngram checks that shared subplan directly.
+    for (q <- Seq("q_dedup_ngram", "q_dedup_incremental")) {
+      val p = physical(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q no longer broadcasts its sizes join at graded scale")
+    }
+    // (c) threshold off → shuffle-join fallback, byte-identical rows
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for (q <- Seq("q_dedup_ngram", "q_dedup_incremental")) {
+      val fallback = SparkEntry.queries(q)(s2, sfTest)
+      val pf = fallback.queryExecution.executedPlan.toString
+      assert(pf.contains("SortMergeJoin") || pf.contains("ShuffledHashJoin"),
+        s"$q did not fall back to a shuffle join with broadcasting off:\n$pf")
+      assert(!pf.contains("BroadcastHashJoin"),
+        s"$q still broadcasts with the threshold off — a hint survives")
+      val a = SparkEntry.queries(q)(spark, sfTest)
+        .collect().map(_.toString).toSeq
+      val b = fallback.collect().map(_.toString).toSeq
+      assert(a == b, s"$q: fallback plan changed the result")
+    }
+  }
+
   test("no graded query plans an unapproved nested-loop or cartesian join") {
     // the whole-surface sweep (graft.PlanAudit as a regression guard):
     // BNLJ is allowed only where documented — exact brute-force vector
