@@ -9,10 +9,14 @@ import org.apache.spark.sql.SparkSession
   * concurrent query planning against the same session would observe it).
   *
   * Config notes:
-  *  - `nanosAsLong`: the driver's `events.parquet` carries TIMESTAMP(NANOS),
-  *    which Spark 4 refuses to read natively ([PARQUET_TYPE_ILLEGAL]);
-  *    `Tables.events` converts the resulting long to µs. Must be set before
-  *    the first read, hence here.
+  *  - `nanosAsLong`: historical drops of `events.parquet` carried
+  *    TIMESTAMP(NANOS), which Spark 4 refuses to read natively
+  *    ([PARQUET_TYPE_ILLEGAL]); with this set they arrive as longs and
+  *    `Tables.events` converts to µs. The 2026-08-13 regen ships
+  *    TIMESTAMP(MICROS, isAdjustedToUTC=false) instead (arrives as NTZ,
+  *    also normalized in `Tables.events`), but the flag stays so an older
+  *    ns drop remains readable. Must be set before the first read, hence
+  *    here.
   *  - `shuffle.partitions` = task width: on the local[N] harness one
   *    partition per core; on a real cluster this seam is where you'd size
   *    partitions to executor memory (SCALE.md §1).

@@ -994,8 +994,10 @@ object DedupOps {
       // digest = a PAIR of independent xxhash64 values (128 bits
       // together): codegen'd, allocation-free, and a 16-byte fixed
       // shuffle key — where md5 paid a MessageDigest allocation per
-      // position and shipped 32-char hex strings (measured 1.53 →
-      // 1.14 s at sf0.1). The digests never reach the output (only
+      // position and shipped 32-char hex strings. (sf0.1 wall-clock is
+      // within run-to-run noise of the md5 form — r9-verdict rerun —
+      // the digest-width win is a shuffle-bytes argument, not a
+      // measured local speedup.) The digests never reach the output (only
       // span COUNTS do), so any injective-on-the-data keying matches
       // the oracle; 2⁻¹²⁸ collision odds keep "exact" honest at any
       // corpus size, same as md5's 128 bits.
