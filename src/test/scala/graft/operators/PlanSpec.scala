@@ -360,6 +360,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("basket pairs: the fact self-join is unhinted and survives the " +
+    "no-broadcast fallback row-identically") {
+    // The r10-verdict cold-path wart: with the cache off, the 2-column
+    // pruned lineitem scan estimates under the broadcast threshold and
+    // the planner broadcasts the FULL FACT SIDE of the self-join — fine
+    // at fixture scale, a stats-cliff at 100 TB. The contract mirrors
+    // the sizes pins: (a) the query carries no broadcast hint that could
+    // pin the fact side past the threshold's protection, and (b) with
+    // broadcasting off the planner's shuffle join answers byte-identically
+    // (the self-heal path the scale argument relies on), keeping the
+    // map-side pair combine and the TakeOrdered cut.
+    assert("ResolvedHint".r.findAllIn(analyzed("q_basket_pairs")).isEmpty,
+      "q_basket_pairs must not hint its self-join sides")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fallback = SparkEntry.queries("q_basket_pairs")(s2, sfTest)
+    val pf = fallback.queryExecution.executedPlan.toString
+    assert(pf.contains("SortMergeJoin") || pf.contains("ShuffledHashJoin"),
+      s"q_basket_pairs did not fall back to a shuffle join:\n$pf")
+    assert(!pf.contains("BroadcastHashJoin"),
+      s"q_basket_pairs still broadcasts with the threshold off:\n$pf")
+    assert("HashAggregate".r.findAllIn(pf).size >= 2,
+      "pair counting lost its partial+final (map-side) aggregate")
+    assert(pf.contains("TakeOrderedAndProject"),
+      "top-k cut regressed to a global sort")
+    val a = SparkEntry.queries("q_basket_pairs")(spark, sfTest)
+      .collect().map(_.toString).toSeq
+    val b = fallback.collect().map(_.toString).toSeq
+    assert(a == b, "q_basket_pairs: fallback plan changed the result")
+  }
+
   test("no graded query plans an unapproved nested-loop or cartesian join") {
     // the whole-surface sweep (graft.PlanAudit as a regression guard):
     // BNLJ is allowed only where documented — exact brute-force vector
