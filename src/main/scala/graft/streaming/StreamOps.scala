@@ -854,6 +854,43 @@ object StreamOps {
         col("purchase_value"))
   }
 
+  /** LEFT OUTER variant of [[conversionJoin]] — the attribution mode a
+    * real conversion pipeline needs: every click is emitted exactly once,
+    * either joined to a purchase inside its hour or, once no future match
+    * is possible, with NULL purchase columns ("the click that didn't
+    * convert" is the row funnel-loss analysis consumes; the inner join
+    * silently drops it).
+    *
+    * Mechanics: same bidirectional event-time bound as the inner form, so
+    * buffered state stays O(events inside the interval). A click's
+    * unmatched row is emitted only when the join watermark passes
+    * click_ts + 1 h — the moment the engine can PROVE no matching
+    * purchase can still arrive — so unmatched emission is late exactly by
+    * the watermark delay, never wrong. Events behind the watermark on
+    * either side are dropped, same as every stateful op here. The
+    * matched/unmatched/late trichotomy is replay-pinned in StreamOpsSpec.
+    */
+  def conversionJoinOuter(clicks: DataFrame, purchases: DataFrame)
+  : DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p, expr(
+      """c_user = p_user AND
+        |purchase_ts >= click_ts AND
+        |purchase_ts <= click_ts + interval 1 hour""".stripMargin),
+      "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+
   /** Custom stateful detector: alarm when a user produces `threshold`
     * consecutive 'error' events; the run counter carries across
     * micro-batches via flatMapGroupsWithState. (cf. the alarm-verification

@@ -493,6 +493,56 @@ class StreamOpsSpec extends SparkSpec {
       s"interval-join attribution wrong: ${got.toSeq}")
   }
 
+  test("left-outer interval join: matched clicks pair, unmatched clicks " +
+    "emit nulls on watermark expiry, late events drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.conversionJoinOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("t_conv_outer")
+      .outputMode("append").start()
+    // batch 1 — one converting click, one that never will
+    clicks.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+      ev(2, "2024-01-01 10:05:00", 2, "click", 0.0)))
+    purchases.addData(Seq(
+      ev(10, "2024-01-01 10:30:00", 1, "purchase", 9.99))) // ← click 1
+    q.processAllAvailable()
+    // batch 2 — advance BOTH watermarks past click2_ts + 1h + 2h delay,
+    // so the engine can prove click 2 unmatched (join watermark is the
+    // min across sides; one side alone would hold it back)
+    clicks.addData(Seq(ev(3, "2024-01-01 16:00:00", 9, "click", 0.0)))
+    purchases.addData(Seq(
+      ev(11, "2024-01-01 16:00:00", 7, "nonmatching", 1.0)))
+    q.processAllAvailable()
+    // watermark advances at end-of-batch; the null emission lands in the
+    // NEXT micro-batch — nudge one through
+    purchases.addData(Seq(
+      ev(12, "2024-01-01 16:00:01", 8, "nonmatching", 1.0)))
+    q.processAllAvailable()
+    // batch 3 — late on both sides (watermark sits ~14:00): a click from
+    // 09:00 and a purchase that WOULD pair with click 2 (10:40 ≤ 11:05)
+    // must both drop — no resurrected pair, no duplicate unmatched row
+    clicks.addData(Seq(ev(4, "2024-01-01 09:00:00", 3, "click", 0.0)))
+    purchases.addData(Seq(
+      ev(13, "2024-01-01 10:40:00", 2, "purchase", 2.0)))
+    q.processAllAvailable()
+    val got = spark.sql(
+      """select click_id,
+        |  purchase_id, purchase_value is null as no_value
+        |from t_conv_outer order by click_id""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+    q.stop()
+    // click 1 matched; click 2 unmatched → nulls; click 3 still buffered
+    // (its horizon is inside the watermark) → not emitted; click 4 late →
+    // dropped; purchase 13 late → must NOT create (2, 13)
+    assert(got.toSeq == Seq((1L, 10L, false), (2L, -1L, true)),
+      s"left-outer trichotomy wrong: ${got.toSeq}")
+  }
+
   test("transformWithState alarm matches flatMapGroupsWithState on replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
