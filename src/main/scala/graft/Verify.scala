@@ -35,6 +35,40 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Run provenance (r10 ADVICE): tie the dump to the commit and the data
+    // snapshot it ran against, so a correctness record can't silently mix
+    // a new testdata drop with an old build (the events.ts re-encodings
+    // made exactly that ambiguity real three rounds running).
+    Files.writeString(Paths.get(s"$outDir/provenance.json"),
+      provenanceJson(sfDir))
     spark.stop()
+  }
+
+  /** {sha, sf_dir, timestamp, table → {bytes, md5}} for every parquet in
+    * the sf dir. md5 here is a content fingerprint, not a security hash.
+    */
+  def provenanceJson(sfDir: String): String = {
+    def sha: String = try {
+      val head = Files.readString(Paths.get(".git/HEAD")).trim
+      if (head.startsWith("ref: "))
+        Files.readString(Paths.get(".git/" + head.drop(5))).trim
+      else head
+    } catch { case _: Exception => "unknown" }
+    def md5(p: java.nio.file.Path): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(Files.readAllBytes(p))
+        .map("%02x".format(_)).mkString
+    val tables = {
+      val d = new java.io.File(sfDir)
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      fs.map { f =>
+        val p = f.toPath
+        s""""${f.getName}":{"bytes":${f.length},"md5":"${md5(p)}"}"""
+      }.mkString("{", ",", "}")
+    }
+    s"""{"git_sha":"$sha","sf_dir":"$sfDir",""" +
+      s""""timestamp":"${java.time.Instant.now()}",""" +
+      s""""n_queries":${SparkEntry.queries.size},"tables":$tables}"""
   }
 }
