@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The sf1 scale probe (round-11 verdict item #2): generate a seeded 10×
+  * replica of the sf0.1 fixtures, time the most expensive queries at both
+  * scales, and print the sf0.1→sf1 scaling exponent per query —
+  * log10(t_sf1 / t_sf0.1), so 1.0 = perfectly linear, > 1 = superlinear.
+  * This turns the "would the plan survive 100×" argument from plan-shape
+  * reasoning into a measured number and catches any accidentally
+  * superlinear plan one scale step early.
+  *
+  *   sbt "runMain graft.ScaleProbe /tmp/sf1 [q_name ...]"
+  *
+  * Generation is DETERMINISTIC (no RNG): each table is the union of K
+  * key-shifted copies of its sf0.1 original, mirroring the fixtures' own
+  * growth pattern (sf0.01→sf0.1 multiplied every entity table 10×, kept
+  * region/nation fixed, embeddings 4×). Keys shift by copy × (max+1) so
+  * per-entity densities — items per order, events per user, orders per
+  * customer — are preserved exactly; what grows is the entity population,
+  * which is how real deployments grow.
+  *
+  * Two tables need more than a key shift:
+  *  - documents: verbatim copies would make every doc a 10-way exact+near
+  *    duplicate, inflating dedup pair counts quadratically IN THE COPY
+  *    COUNT — a semantics change, not a scale-up. Each copy k > 0 instead
+  *    suffixes every token with "·k": per-copy shingle/df distributions
+  *    (and so per-copy dup rates) are preserved, copies share zero
+  *    shingles, and the vocabulary grows with the corpus — the shape of
+  *    10× fresh content.
+  *  - embeddings: verbatim copies would stack k identical points per
+  *    cell; each copy adds a small deterministic hash-derived offset per
+  *    dimension (±1%), so copies land in the same REGION (cell balance
+  *    preserved) without being degenerate duplicates.
+  */
+object ScaleProbe {
+  /** Queries probed by default: every query ≥ ~0.6 s in BENCH_FULL_r10
+    * plus the three vector paths (knn is the documented brute-force
+    * baseline — its superlinear exponent is the expected contrast with
+    * the IVF scale path, not a finding).
+    */
+  val DefaultQueries: Seq[String] = Seq(
+    "q_basket_pairs", "q_dedup_clusters", "q_dedup_ngram",
+    "q_conversion_lag", "q_dedup_incremental", "q_cohort_retention",
+    "q_dedup_substring", "q_decontaminate", "q_above_avg", "q_dau_mau",
+    "q_setops_all", "q_tfidf", "q_funnel",
+    "q_ann_ivf", "q_ann_ivfpq", "q_vector_knn")
+
+  def main(args: Array[String]): Unit = {
+    val outRoot = if (args.nonEmpty) args(0) else "/tmp/sf1"
+    val queries = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    val src = "/root/testdata/sf0.1"
+    val spark = GraftSession.builder(GraftSession.envCpus)
+      .config("spark.graft.cacheTables", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$outRoot/_GENERATED").exists()) {
+      generate(spark, src, outRoot)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outRoot/_GENERATED"), "ok")
+    }
+
+    def time3(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      fn(spark, dir).count(); fn(spark, dir).count() // warm (plan + C2)
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.sorted.apply(1)
+    }
+
+    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s  exponent")
+    val rows = queries.map { q =>
+      val t01 = time3(q, src)
+      val t1 = time3(q, outRoot)
+      val exp = math.log10(t1 / t01)
+      println(f"$q%-22s $t01%8.2f $t1%8.2f  $exp%.2f")
+      s""""$q":{"sf01":$t01,"sf1":$t1,"exponent":${f"$exp%.3f"}}"""
+    }
+    val json = rows.mkString(
+      s"""{"probe":"sf0.1->sf1","factor":10,"queries":{""", ",", "}}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/scaleprobe.json"), json + "\n")
+    println("wrote /tmp/scaleprobe.json")
+    spark.stop()
+  }
+
+  /** Key-shifted K-fold replication of every sf0.1 table into outRoot. */
+  def generate(spark: SparkSession, src: String, outRoot: String): Unit = {
+    new java.io.File(outRoot).mkdirs()
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(t: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$outRoot/$t.parquet")
+      println(s"[scaleprobe] $t: ${spark.read.parquet(s"$outRoot/$t.parquet").count()} rows")
+    }
+    // fixed-size dims copy through unchanged
+    for (t <- Seq("region", "nation")) write(t, read(t))
+
+    /** Union of `copies` key-shifted replicas; each key column shifts by
+      * copy × (max+1) so replica key ranges never collide.
+      */
+    def replicate(t: String, keys: Seq[String], copies: Int = 10,
+                  tweak: (DataFrame, Int) => DataFrame = (d, _) => d)
+    : DataFrame = {
+      val base = read(t)
+      val offsets = keys.map(k =>
+        k -> (base.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+      (0 until copies).map { i =>
+        val shifted = keys.foldLeft(base)((d, k) =>
+          d.withColumn(k, col(k) + lit(i * offsets(k))))
+        tweak(shifted, i)
+      }.reduce(_ union _)
+    }
+
+    write("customer", replicate("customer", Seq("c_custkey")))
+    write("supplier", replicate("supplier", Seq("s_suppkey")))
+    write("part", replicate("part", Seq("p_partkey")))
+    write("orders", replicate("orders", Seq("o_orderkey", "o_custkey")))
+    write("lineitem", replicate("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey")))
+    write("events", replicate("events", Seq("event_id", "user_id")))
+    write("documents", replicate("documents", Seq("doc_id"),
+      tweak = (d, i) =>
+        if (i == 0) d
+        else d.withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            w => concat(w, lit("·" + i))), " "))))
+    // embeddings grew 4× per sf step in the fixtures; hash-derived ±1%
+    // per-dimension offsets keep copies in the same cell region without
+    // stacking degenerate duplicates
+    write("embeddings", replicate("embeddings", Seq("vec_id"), copies = 4,
+      tweak = (d, i) =>
+        if (i == 0) d
+        else d.withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            (x + (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(2000L))
+              .cast("double") / 100000.0 - 0.01)).cast("float")))))
+  }
+}

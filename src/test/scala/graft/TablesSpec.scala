@@ -72,4 +72,38 @@ class TablesSpec extends SparkSpec {
   test("driver testdata loads with a TimestampType ts") {
     assert(canonical(sfTest).schema("ts").dataType == TimestampType)
   }
+
+  test("archive JSON and CSV round-trips preserve microseconds from every " +
+    "producer encoding") {
+    // r10 optional item: the Archive sources sit downstream of the same
+    // seam (events load via Tables, archives are written from the loaded
+    // frame), but only the instant arrival was spec-fed through them.
+    // Feed all THREE producer encodings through Tables → archive write →
+    // archive read, both formats: canonical TimestampType, zero
+    // dead-letters, and the exact original microseconds must survive.
+    def fullRows(dir: String): DataFrame =
+      canonical(dir).select(
+        $"user_id".as("event_id"), $"ts", $"user_id",
+        lit("click").as("event_type"), lit(1.5).as("value"),
+        lit("{}").as("props"))
+    for (src <- Seq(asLongNs, asNtz, asTimestamp)) {
+      val df = fullRows(src)
+      val dir = Files.createTempDirectory("tables-archive-").toString
+      graft.sources.Archive.writeEvents(df, s"$dir/j")
+      graft.sources.Archive.writeEventsCsv(df, s"$dir/c")
+      val reads = Seq(
+        "json" -> graft.sources.Archive.readEvents(spark, s"$dir/j"),
+        "csv" -> graft.sources.Archive.readEventsCsv(spark, s"$dir/c"))
+      for ((fmt, back) <- reads) {
+        assert(back.schema("ts").dataType == TimestampType, s"$fmt schema")
+        val cached = back.cache()
+        assert(cached.filter($"_corrupt".isNotNull).count() == 0,
+          s"$fmt round-trip dead-lettered clean rows")
+        val got = cached.select($"user_id", unix_micros($"ts").as("us"))
+          .orderBy($"user_id").as[(Long, Long)].collect().map(_._2).toSeq
+        assert(got == micros, s"$fmt round-trip lost microseconds: $got")
+        cached.unpersist()
+      }
+    }
+  }
 }

@@ -61,8 +61,40 @@ def main():
         ok = line(c) in survey
         print("SURVEY.md %s the generated inventory line"
               % ("carries" if ok else "DISAGREES with"))
+        ok = check_bench(c) and ok
         return 0 if ok else 1
     return 0
+
+
+def check_bench(c):
+    """Sweep the newest committed lossless bench record against the query
+    inventory: a query timed at -1.0 is a silent per-query failure (the r9
+    record carried seven of them for a full round); queries missing from
+    the record are reported but don't fail the check — a query added after
+    the record was taken is expected to be absent until the next bench run.
+    """
+    import json
+    recs = sorted(glob.glob(os.path.join(ROOT, "BENCH_FULL_r*.json")))
+    if not recs:
+        print("bench record: none committed (BENCH_FULL_r*.json)")
+        return True
+    newest = recs[-1]
+    timings = json.load(open(newest)).get("queries", {})
+    src = open(os.path.join(
+        ROOT, "src/main/scala/graft/SparkEntry.scala")).read()
+    qi, oi = src.index("def queries"), src.index("def oracleSql")
+    queries = set(re.findall(r'"(q_\w+)"\s*->', src[qi:oi]))
+    failed = sorted(k for k, v in timings.items() if v < 0)
+    missing = sorted(queries - set(timings))
+    name = os.path.basename(newest)
+    if failed:
+        print("bench record: %s carries FAILED timings (-1.0): %s"
+              % (name, ", ".join(failed)))
+        return False
+    print("bench record: %s covers %d/%d queries, no failed timings%s"
+          % (name, len(queries) - len(missing), len(queries),
+             "; not yet benched: " + ", ".join(missing) if missing else ""))
+    return True
 
 
 if __name__ == "__main__":
