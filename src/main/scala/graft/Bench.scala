@@ -32,6 +32,17 @@ import org.apache.spark.sql.SparkSession
   * alphabetical order, every flagged-fast one mid/late alphabet. With
   * interleaved sweeps a loaded window dilates ALL queries a little, and
   * the per-query median over sweeps spaced minutes apart damps it.
+  *
+  * Within a sweep each sample is run 2 of a PAIR (one untimed run, then
+  * the timed one). Cycling 87 queries between samples thrashes Spark's
+  * fixed-size generated-code cache (~100 compiled classes; the inventory
+  * needs several hundred), so a naively interleaved sample pays Janino
+  * recompilation on every codegen stage — measured as a uniform
+  * +0.2-0.3 s on every sub-second query (first interleaved record ran
+  * 51 s vs 35 s back-to-back with per-query TimeQ unchanged). The
+  * untimed first run of the pair eats the recompilation; the timed run
+  * sees the warm-cache conditions the old protocol measured, while the
+  * sweep structure still spreads machine weather across the alphabet.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -67,8 +78,10 @@ object Bench {
     // sweep, so the three samples for any query are spaced minutes apart.
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    for (_ <- 1 to 3; (name, fn) <- ordered if warmOk(name))
+    for (_ <- 1 to 3; (name, fn) <- ordered if warmOk(name)) {
+      timeOnce(fn) // re-warm pair run: absorbs codegen-cache recompilation
       samples(name) = timeOnce(fn) :: samples(name)
+    }
     val results = ordered.map { case (name, _) =>
       val runs = samples(name)
       if (!warmOk(name) || runs.exists(_ < 0)) name -> (-1.0, -1.0, -1.0)
@@ -96,7 +109,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spread,"runs_per_query":3,"stat":"median",""" +
-        s""""sampling":"interleaved-sweeps",""" +
+        s""""sampling":"interleaved-sweeps-paired",""" +
         s""""sf":"$sfDir",$env}"""
     println(line)
     // the stdout line gets truncated by log-buffer limits once the query
