@@ -73,21 +73,41 @@ object ScaleProbe {
       runs.sorted.apply(1)
     }
 
-    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s  exponent")
+    // Locale-pinned number rendering: the f-interpolator delegates to the
+    // default locale, and a comma-decimal locale would emit invalid JSON.
+    def num(d: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
+
+    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"sf1"}%8s  F  exponent")
     val rows = queries.map { q =>
       val t01 = time3(q, src)
       val t1 = time3(q, outRoot)
-      val exp = math.log10(t1 / t01)
-      println(f"$q%-22s $t01%8.2f $t1%8.2f  $exp%.2f")
-      s""""$q":{"sf01":$t01,"sf1":$t1,"exponent":${f"$exp%.3f"}}"""
+      // exponent in the query's OWN data-growth factor: embeddings grew
+      // 4x (the fixtures' own sf-step ratio), every row table 10x — a
+      // log10 exponent for a 4x-grown input would understate superlinear
+      // vector plans by log10(4) ≈ 0.6
+      val factor = if (EmbeddingsQueries(q)) 4 else 10
+      val exp = math.log(t1 / t01) / math.log(factor.toDouble)
+      println(s"$q".padTo(22, ' ') +
+        f" ${num(t01, 2)}%8s ${num(t1, 2)}%8s $factor%2d  ${num(exp, 2)}")
+      s""""$q":{"sf01":$t01,"sf1":$t1,"factor":$factor,""" +
+        s""""exponent":${num(exp, 3)}}"""
     }
     val json = rows.mkString(
-      s"""{"probe":"sf0.1->sf1","factor":10,"queries":{""", ",", "}}")
+      s"""{"probe":"sf0.1->sf1","queries":{""", ",", "}}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/scaleprobe.json"), json + "\n")
     println("wrote /tmp/scaleprobe.json")
     spark.stop()
   }
+
+  /** Queries whose only scaled input is the embeddings table (4× per sf
+    * step in the fixtures, vs 10× for the row tables).
+    */
+  val EmbeddingsQueries: Set[String] = Set(
+    "q_ann_ivf", "q_ann_ivfpq", "q_vector_knn", "q_vector_search",
+    "q_semantic_dedup", "q_dedup_embed", "q_embed_neardup_lsh",
+    "q_decontaminate_embed", "q_label_stats", "q_label_centroids")
 
   /** Key-shifted K-fold replication of every sf0.1 table into outRoot. */
   def generate(spark: SparkSession, src: String, outRoot: String): Unit = {
@@ -100,18 +120,40 @@ object ScaleProbe {
     // fixed-size dims copy through unchanged
     for (t <- Seq("region", "nation")) write(t, read(t))
 
+    // One offset per KEY FAMILY, computed from the key-OWNING table, so a
+    // fact table's foreign keys shift by exactly the stride its dimension
+    // shifts by. Computing each table's offsets from its own column maxes
+    // would only align replicas while max(fact FK) == max(dim PK) — true
+    // of today's fixtures, but any regenerated fixture with an
+    // unreferenced highest-keyed dim row would silently dangle every
+    // replica FK and invalidate the probe's join selectivities.
+    def keyMax(t: String, c: String): Long =
+      read(t).agg(max(col(c))).head.getLong(0) + 1L
+    val offset: Map[String, Long] = Map(
+      "c_custkey" -> keyMax("customer", "c_custkey"),
+      "o_custkey" -> keyMax("customer", "c_custkey"),
+      "s_suppkey" -> keyMax("supplier", "s_suppkey"),
+      "l_suppkey" -> keyMax("supplier", "s_suppkey"),
+      "p_partkey" -> keyMax("part", "p_partkey"),
+      "l_partkey" -> keyMax("part", "p_partkey"),
+      "o_orderkey" -> keyMax("orders", "o_orderkey"),
+      "l_orderkey" -> keyMax("orders", "o_orderkey"),
+      "event_id" -> keyMax("events", "event_id"),
+      "user_id" -> keyMax("events", "user_id"),
+      "doc_id" -> keyMax("documents", "doc_id"),
+      "vec_id" -> keyMax("embeddings", "vec_id"))
+
     /** Union of `copies` key-shifted replicas; each key column shifts by
-      * copy × (max+1) so replica key ranges never collide.
+      * copy × its family offset so replica key ranges never collide and
+      * replica FKs resolve inside their own copy's dimension rows.
       */
     def replicate(t: String, keys: Seq[String], copies: Int = 10,
                   tweak: (DataFrame, Int) => DataFrame = (d, _) => d)
     : DataFrame = {
       val base = read(t)
-      val offsets = keys.map(k =>
-        k -> (base.agg(max(col(k))).head.getLong(0) + 1L)).toMap
       (0 until copies).map { i =>
         val shifted = keys.foldLeft(base)((d, k) =>
-          d.withColumn(k, col(k) + lit(i * offsets(k))))
+          d.withColumn(k, col(k) + lit(i * offset(k))))
         tweak(shifted, i)
       }.reduce(_ union _)
     }

@@ -48,7 +48,18 @@ object Verify {
     * the sf dir. md5 here is a content fingerprint, not a security hash.
     */
   def provenanceJson(sfDir: String): String = {
+    // `git rev-parse` first: hand-parsing .git/HEAD silently degrades to
+    // "unknown" the moment refs get packed (git gc) or cwd isn't the repo
+    // root — exactly the field this provenance exists to pin
     def sha: String = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out
+      else shaFromFiles
+    } catch { case _: Exception => shaFromFiles }
+    def shaFromFiles: String = try {
       val head = Files.readString(Paths.get(".git/HEAD")).trim
       if (head.startsWith("ref: "))
         Files.readString(Paths.get(".git/" + head.drop(5))).trim

@@ -31,23 +31,11 @@ object VectorIndex {
   def buildIvf(s: SparkSession, dir: String, indexPath: String,
                nlist: Int = 0, sampleN: Int = 512): Int = {
     import s.implicits._
-    // nlist=0 resolves via the same 4√n rule as annIvf, so a default
-    // build probes identically to the default in-memory query — the
-    // VectorIndexSpec equivalence depends on the two agreeing
-    val L =
-      if (nlist > 0) nlist
-      else VectorOps.autoNlist(Tables(s, dir, "embeddings").count())
-    val sN = math.max(sampleN, 4 * L)
-    val sample: Array[Array[Double]] =
-      Tables(s, dir, "embeddings")
-        .select($"vec_id", $"embedding")
-        .orderBy($"vec_id")
-        .limit(sN)
-        .as[(Long, Array[Float])]
-        .collect()
-        .sortBy(_._1)
-        .map(_._2.map(_.toDouble))
-    val centroids = VectorOps.trainQuantizer(sample, L)
+    // same resolveQuantizer as annIvf, so a default build probes
+    // identically to the default in-memory query — the VectorIndexSpec
+    // equivalence depends on the two agreeing
+    val (_, centroids, _) = VectorOps.resolveQuantizer(
+      s, dir, nlist, sampleN, VectorOps.autoNlist)
     val bcCent = s.sparkContext.broadcast(centroids)
     VectorOps.vectorsParallel(s, dir)
       .map { case (id, vf) =>

@@ -319,8 +319,9 @@ object VectorOps {
     * corpus — whose random near-orthogonal embeddings cap what ANY
     * quantizer can do at low nprobe (see the AnnExp sweep / SCALE.md).
     *
-    * Fully distributed build + probe — the ONLY driver-side collect is the
-    * `nlist` centroid rows (16 vectors):
+    * Fully distributed build + probe — the only driver-side state is the
+    * training sample and the `nlist` centroid rows, both bounded by the
+    * auto-nlist cap (≤4096 sample vectors, ≤1024 centroids):
     *
     *  1. cell assignment runs as a typed map on executors against the
     *     broadcast centroids (never the dataset);
@@ -367,17 +368,61 @@ object VectorOps {
     *    Σ n_c² ≈ 128·n linear — the quantity that matters when every
     *    co-bucketed pair is generated, not probed.
     *
+    * Both schedules are CAPPED at 1024 cells: the bit-reproducible
+    * sequential driver trainer costs ~10·sample·nlist·d flops with
+    * sample = 4·nlist, i.e. ~2560·d·nlist² — ~3 s at the cap and
+    * quadratically worse past it, so an uncapped auto rule would move
+    * the superlinearity INTO TRAINING (the first fix attempt measured
+    * exactly that at nlist=179). Past the cap (n ≈ 65 k for the probe
+    * family, 131 k for the pair family) a deployment swaps the trainer
+    * (distributed k-means — same centroid contract, same index layout),
+    * not the operator; the cap is where this repo's determinism
+    * trade-off stops, stated rather than hidden.
+    *
     * Both floors sit at 16, so every graded fixture scale (≤2000 vectors)
     * resolves to the round-10 fixed-16 behavior exactly, and the
     * recall-bar specs additionally pin the nlist=16 config explicitly.
     */
   private[operators] def autoNlist(n: Long): Int =
-    math.max(16, math.min(
+    math.max(16, math.min(math.min(
       math.ceil(n.toDouble / 128).toInt,
-      math.ceil(4.0 * math.sqrt(n.toDouble)).toInt))
+      math.ceil(4.0 * math.sqrt(n.toDouble)).toInt), 1024))
 
   private[operators] def autoCells(n: Long, cellBudget: Int = 128): Int =
-    math.max(16, math.ceil(n.toDouble / cellBudget).toInt)
+    math.max(16, math.min(
+      math.ceil(n.toDouble / cellBudget).toInt, 1024))
+
+  /** Shared auto-nlist + sample resolution for the whole IVF family.
+    * annIvf/annIvfPq/VectorIndex.buildIvf MUST resolve identically (the
+    * spec-pinned flat≡pq and index≡query equivalences ride on the same
+    * cell structure), and semanticDedup differs ONLY in the sizing rule —
+    * so the logic lives once, structurally, instead of as four copies
+    * that agree by convention. Returns (resolved nlist, trained
+    * centroids, training sample — annIvfPq trains its PQ codebooks on the
+    * same sample); the sample is the lowest-`sampleN`-id vectors (grown
+    * to ≥4 points per centroid so Lloyd doesn't degenerate), collected
+    * sorted for bit-reproducibility.
+    */
+  private[operators] def resolveQuantizer(
+      s: SparkSession, dir: String, nlist: Int, sampleN: Int,
+      rule: Long => Int)
+  : (Int, Array[Array[Double]], Array[Array[Double]]) = {
+    import s.implicits._
+    val L =
+      if (nlist > 0) nlist
+      else rule(Tables(s, dir, "embeddings").count())
+    val sN = math.max(sampleN, 4 * L)
+    val sample: Array[Array[Double]] =
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding")
+        .orderBy($"vec_id")
+        .limit(sN)
+        .as[(Long, Array[Float])]
+        .collect()
+        .sortBy(_._1)
+        .map(_._2.map(_.toDouble))
+    (L, trainQuantizer(sample, L), sample)
+  }
 
   private[operators] def trainQuantizer(sample: Array[Array[Double]], nlist: Int,
                              iters: Int = 10): Array[Array[Double]] = {
@@ -455,29 +500,19 @@ object VectorOps {
     * `shortlist` trades re-rank work for ADC-ranking risk. Training
     * (coarse quantizer + per-subspace codebooks) runs on the same bounded
     * lowest-id sample, sequential driver arithmetic — bit-reproducible,
-    * constant driver memory at any corpus size. No oracle (rows-only);
+    * driver memory bounded by the auto-nlist cap at any corpus size. No
+    * oracle (rows-only);
     * recall and the annIvf-equivalence are spec-asserted.
     */
   def annIvfPq(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 0,
                nprobe: Int = 4, sampleN: Int = 512, m: Int = 8,
                ksub: Int = 16, shortlist: Int = 32): DataFrame = {
     import s.implicits._
-    // same auto-nlist resolution as annIvf — the two must agree on the
-    // cell structure for the spec-pinned flat≡pq equivalence to hold
-    val L =
-      if (nlist > 0) nlist
-      else autoNlist(Tables(s, dir, "embeddings").count())
-    val sN = math.max(sampleN, 4 * L)
-    val sample: Array[Array[Double]] =
-      Tables(s, dir, "embeddings")
-        .select($"vec_id", $"embedding")
-        .orderBy($"vec_id")
-        .limit(sN)
-        .as[(Long, Array[Float])]
-        .collect()
-        .sortBy(_._1)
-        .map(_._2.map(_.toDouble))
-    val centroids = trainQuantizer(sample, L)
+    // same resolveQuantizer as annIvf — the two must agree on the cell
+    // structure for the spec-pinned flat≡pq equivalence to hold; the PQ
+    // codebooks train on the same returned sample
+    val (_, centroids, sample) =
+      resolveQuantizer(s, dir, nlist, sampleN, autoNlist)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -574,8 +609,9 @@ object VectorOps {
     * ([[DedupOps.dedupClusters]]' machinery) — SemDeDup itself only
     * defines the drop set.
     *
-    * Training reuses [[annIvf]]'s discipline: vec_id-ordered `sampleN`
-    * rows are the ONLY driver-side collect (constant-size), farthest-point
+    * Training reuses [[annIvf]]'s discipline: the vec_id-ordered training
+    * sample is the ONLY driver-side collect (bounded by the auto-nlist
+    * cap), farthest-point
     * init + fixed Lloyd iterations make the quantizer deterministic, and
     * cell assignment happens executor-side under a centroids-only
     * broadcast. Pair generation is an equi-join on the cell key — vectors
@@ -596,24 +632,12 @@ object VectorOps {
   def semanticDedup(s: SparkSession, dir: String, threshold: Double = 0.4,
                     nlist: Int = 0, sampleN: Int = 512): DataFrame = {
     import s.implicits._
-    // nlist=0 resolves by constant cell SIZE (n/128), not the probe
-    // family's 4√n: every co-bucketed pair is GENERATED here, so the
-    // scaling quantity is Σ n_c² ≈ cellBudget·n — linear only while the
-    // cell size stays put
-    val L =
-      if (nlist > 0) nlist
-      else autoCells(Tables(s, dir, "embeddings").count())
-    val sN = math.max(sampleN, 4 * L)
-    val sample: Array[Array[Double]] =
-      Tables(s, dir, "embeddings")
-        .select($"vec_id", $"embedding")
-        .orderBy($"vec_id")
-        .limit(sN)
-        .as[(Long, Array[Float])]
-        .collect()
-        .sortBy(_._1)
-        .map(_._2.map(_.toDouble))
-    val bcCent = s.sparkContext.broadcast(trainQuantizer(sample, L))
+    // nlist=0 resolves by constant cell SIZE (autoCells: n/128, capped),
+    // not the probe family's 4√n: every co-bucketed pair is GENERATED
+    // here, so the scaling quantity is Σ n_c² ≈ cellBudget·n
+    val (_, centroids, _) =
+      resolveQuantizer(s, dir, nlist, sampleN, autoCells(_))
+    val bcCent = s.sparkContext.broadcast(centroids)
     // multi-assignment (nassign=2): each vector is indexed into its TWO
     // nearest cells, so a near-dup pair is caught whenever the pair shares
     // EITHER vector's runner-up cell, not only an exact cell tie — the
@@ -649,25 +673,12 @@ object VectorOps {
   def annIvf(s: SparkSession, dir: String, k: Int = 5, nlist: Int = 0,
              nprobe: Int = 4, sampleN: Int = 512): DataFrame = {
     import s.implicits._
-    // nlist=0 (the default) resolves by the 4√n rule; the training sample
-    // grows with it (≥4 points per centroid) so Lloyd doesn't degenerate.
-    // The count is a metadata-cheap job (cached table under the graded
-    // config). Recall at fixed nprobe over a finer quantizer is the
-    // standard IVF trade — deployments size nprobe to their recall SLA.
-    val L =
-      if (nlist > 0) nlist
-      else autoNlist(Tables(s, dir, "embeddings").count())
-    val sN = math.max(sampleN, 4 * L)
-    val sample: Array[Array[Double]] =
-      Tables(s, dir, "embeddings")
-        .select($"vec_id", $"embedding")
-        .orderBy($"vec_id")
-        .limit(sN)
-        .as[(Long, Array[Float])]
-        .collect()
-        .sortBy(_._1)
-        .map(_._2.map(_.toDouble))
-    val centroids = trainQuantizer(sample, L)
+    // nlist=0 (the default) resolves via autoNlist (the count is a
+    // metadata-cheap job; cached table under the graded config). Recall
+    // at fixed nprobe over a finer quantizer is the standard IVF trade —
+    // deployments size nprobe to their recall SLA.
+    val (_, centroids, _) =
+      resolveQuantizer(s, dir, nlist, sampleN, autoNlist)
     val bcCent = s.sparkContext.broadcast(centroids)
     val vecs = vectorsParallel(s, dir)
     // executor-side cell assignment: (cell, vec_id, vector)

@@ -74,7 +74,11 @@ def check_bench(c):
     the record was taken is expected to be absent until the next bench run.
     """
     import json
-    recs = sorted(glob.glob(os.path.join(ROOT, "BENCH_FULL_r*.json")))
+    # sort by the ROUND NUMBER, not lexicographically: "r100" < "r11" as
+    # strings, and an unpadded r9 would sort after both
+    recs = sorted(
+        glob.glob(os.path.join(ROOT, "BENCH_FULL_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)))
     if not recs:
         print("bench record: none committed (BENCH_FULL_r*.json)")
         return True

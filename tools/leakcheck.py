@@ -33,10 +33,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SCAN_GLOBS = ["src/**/*.scala", "tools/*.py", "*.sbt", "project/*",
               "*.md", ".claude/**/*.md"]
+# Anchored on the REGISTRABLE domain: a substring match would bless any
+# internal host that merely contains a public keyword
+# (github-mirror.internal.io, apache.corp.example.com).
 PUBLIC_HOSTS = re.compile(
-    r"https?://(localhost|127\.0\.0\.1|[\w.-]*\b(apache|github|scala-lang|"
-    r"scalatest|duckdb|wikipedia|arxiv|acm|vldb|postgresql|python)\b"
-    r"[\w.-]*)([:/]|$)")
+    r"https?://(localhost|127\.0\.0\.1|([\w-]+\.)*(apache\.org|github\.com|"
+    r"github\.io|scala-lang\.org|scalatest\.org|duckdb\.org|wikipedia\.org|"
+    r"arxiv\.org|acm\.org|vldb\.org|postgresql\.org|python\.org|"
+    r"example\.com))([:/]|$)")
 ENV_ALLOW = re.compile(
     r"^(SPARK_|JAVA_|COURSIER_|SBT_|HOME$|PATH$|USER$|TZ$|LANG$|TERM$)")
 
