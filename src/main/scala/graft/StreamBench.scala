@@ -56,10 +56,39 @@ object StreamBench {
       name -> (events.length / secs)
     }
 
+    // two-stream pipelines: the event stream splits by type into the
+    // click/purchase sides, fed in lockstep micro-batches so both
+    // watermarks advance together (a starved side would hold the join
+    // watermark at zero and buffer the other side forever)
+    def runJoin(name: String,
+                join: (org.apache.spark.sql.DataFrame,
+                  org.apache.spark.sql.DataFrame) =>
+                  org.apache.spark.sql.DataFrame): (String, Double) = {
+      val mc = MemoryStream[Event]
+      val mp = MemoryStream[Event]
+      val q = join(mc.toDF(), mp.toDF())
+        .writeStream.format("memory").queryName(s"sb_$name")
+        .outputMode("append").start()
+      val (clicks, purchases) = events.partition(_.event_type == "click")
+      val cChunks = clicks.grouped(batchSize).toSeq
+      val pChunks = purchases.grouped(batchSize).toSeq
+      val t0 = System.nanoTime()
+      for (i <- 0 until math.max(cChunks.size, pChunks.size)) {
+        cChunks.lift(i).foreach(ch => mc.addData(ch.toIndexedSeq))
+        pChunks.lift(i).foreach(ch => mp.addData(ch.toIndexedSeq))
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      name -> (events.length / secs)
+    }
+
     val results = Seq(
       run("tumbling", StreamOps.tumbling, "update"),
       run("dedup", StreamOps.dedup, "append"),
-      run("sessions", StreamOps.sessions, "append"))
+      run("sessions", StreamOps.sessions, "append"),
+      runJoin("join_inner", StreamOps.conversionJoin),
+      runJoin("join_outer", StreamOps.conversionJoinOuter))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
