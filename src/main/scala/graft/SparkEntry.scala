@@ -145,6 +145,13 @@ object SparkEntry {
     "q_rfm_segments" -> (Relational.rfmSegments _),
     "q_basket_pairs" ->
       ((s: SparkSession, d: String) => Relational.basketPairs(s, d)),
+    // round 11: retrieval (BM25), LM-perplexity quality gate, full-corpus
+    // k-means, near-dup cluster size profile
+    "q_bm25" -> ((s: SparkSession, d: String) => TextOps.bm25(s, d)),
+    "q_doc_perplexity" -> (TextOps.docPerplexity _),
+    "q_kmeans" -> ((s: SparkSession, d: String) => VectorOps.kmeans(s, d)),
+    "q_cluster_sizes" ->
+      ((s: SparkSession, d: String) => DedupOps.clusterSizes(s, d)),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -895,5 +902,56 @@ object SparkEntry {
         |FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 ORDER BY n DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // round 11: BM25 retrieval / bigram-LM cross-entropy / k-means /
+    // cluster-size profile. Float discipline: per-term contributions are
+    // identical IEEE expression trees on exact-integer (or 7-dp-rounded)
+    // inputs, rounded to 9 dp and DECIMAL-summed so accumulation order
+    // can't split engines; finals rounded with total-order tie-breaks.
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |dd AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM d),
+        |c AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dd),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, UNNEST(t) AS term FROM dd) x
+        |  WHERE term IN ('dup', 'join', 'stream') GROUP BY 1, 2, 3),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |  CAST(ROUND(
+        |    ln(((CAST(n_docs AS DOUBLE) - df + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5)) + 1.0)
+        |    * ((CAST(tf AS DOUBLE) * 2.2)
+        |       / (CAST(tf AS DOUBLE)
+        |          + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl))),
+        |    9) AS DECIMAL(28,9)) AS contrib
+        |  FROM tf JOIN df USING (term) CROSS JOIN c)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
+        |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_doc_perplexity" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tok,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train
+        |  FROM documents),
+        |bg AS (SELECT doc_id, lang, is_train,
+        |  UNNEST(tok[1:len(tok)-1]) AS w1,
+        |  UNNEST(tok[2:len(tok)]) AS w2 FROM t),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg
+        |  WHERE is_train GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v
+        |  FROM (SELECT UNNEST(tok) AS w FROM t WHERE is_train) x),
+        |sc AS (SELECT e.doc_id, e.lang,
+        |  CAST(ROUND(ln((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0)
+        |    / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + v.v)), 9)
+        |    AS DECIMAL(28,9)) AS lp
+        |  FROM bg e LEFT JOIN c2 ON e.w1 = c2.w1 AND e.w2 = c2.w2
+        |  LEFT JOIN c1 ON e.w1 = c1.w1 CROSS JOIN v
+        |  WHERE NOT e.is_train)
+        |SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+        |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    "q_kmeans" -> VectorOps.kmeansOracle,
+    "q_cluster_sizes" -> DedupOps.clusterSizesOracle,
   )
 }

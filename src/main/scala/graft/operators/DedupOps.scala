@@ -508,6 +508,31 @@ object DedupOps {
     clusterPairs(s, pairs.select(col("da"), col("db")))
   }
 
+  /** Near-dup cluster SIZE profile — the curation report a dedup run is
+    * judged by: for each component size, how many clusters exist and how
+    * many documents they tie up (n_docs − n_clusters of them are the
+    * removable near-dup excess). Like [[dedupClusters]], singletons are
+    * excluded: at corpus scale they are ~the whole corpus and carry no
+    * information (every size-1 "cluster" keeps its only member).
+    *
+    * Scale shape: the CC output is one row per CLUSTERED doc (bounded by
+    * the pair graph, not the corpus), and both rollups shuffle only group
+    * rows — cluster_id rows first, then ≤ max-component-size histogram
+    * rows. Nothing here ever touches text.
+    */
+  def clusterSizes(s: SparkSession, dir: String,
+                   threshold: Double = 0.5,
+                   maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    dedupClusters(s, dir, threshold, maxDf)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Distributed connected components by min-label propagation: every doc
     * starts labeled with its own id; each round, every doc takes the min
     * label across itself and its neighbours (one shuffle join keyed on the
@@ -847,8 +872,9 @@ object DedupOps {
     * closure of the symmetric pair graph (component_size² rows per
     * component — fine for an oracle over bounded near-dup families), and
     * the min reachable id per doc is exactly the propagated min label.
+    * Shared prefix for [[clustersOracle]] and [[clusterSizesOracle]].
     */
-  val clustersOracle: String =
+  private val ccReachCte: String =
     shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       s""",
         |hot AS (SELECT s FROM sh GROUP BY s
@@ -869,11 +895,29 @@ object DedupOps {
         |reach(doc_id, root) AS (
         |  SELECT doc_id, doc_id FROM nodes
         |  UNION
-        |  SELECT e.src, r.root FROM edges e JOIN reach r ON e.dst = r.doc_id)
+        |  SELECT e.src, r.root FROM edges e JOIN reach r ON e.dst = r.doc_id)""".stripMargin
+
+  val clustersOracle: String =
+    ccReachCte +
+      """
         |SELECT min(root) AS cluster_id, doc_id,
         |  (doc_id = min(root)) AS keep
         |FROM reach GROUP BY doc_id
         |ORDER BY cluster_id, doc_id""".stripMargin
+
+  /** Oracle for [[clusterSizes]]: the same transitive closure, rolled up
+    * to a size histogram over the min-label components.
+    */
+  val clusterSizesOracle: String =
+    ccReachCte +
+      """,
+        |m AS (SELECT min(root) AS cluster_id, doc_id
+        |  FROM reach GROUP BY doc_id),
+        |cs AS (SELECT cluster_id, COUNT(*) AS sz FROM m GROUP BY 1)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin
 
   val minhashOracle: String = {
     val mins = (0 until 16)

@@ -539,4 +539,105 @@ object TextOps {
         round($"n_oov".cast("double") / $"n_tokens", 6).as("oov_rate"))
       .orderBy($"lang")
   }
+
+  /** BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene
+    * `k1=1.2, b=0.75, idf=ln(1+(N−df+0.5)/(df+0.5))` variant): top-k
+    * documents for a fixed conjunction-free query — the retrieval
+    * primitive a corpus-curation pipeline uses to pull topical slices,
+    * next to `q_tfidf`'s per-doc term profile and `q_vector_search`'s
+    * dense twin.
+    *
+    * Scale shape: ONE scan; only postings for the |Q| query terms survive
+    * the explode (everything else dies map-side in the isin filter), so
+    * the (doc, term, tf) shuffle carries ≤ |Q| rows per matching doc.
+    * The df table is |Q| rows and the corpus stats one row — both
+    * broadcast. Determinism across engines: per-term contributions are
+    * identical IEEE expression trees on exact-integer inputs, rounded to
+    * 9 dp and summed as DECIMAL (order-free), final score rounded to 6
+    * with doc_id tie-break.
+    */
+  def bm25(s: SparkSession, dir: String,
+           terms: Seq[String] = Seq("dup", "join", "stream"),
+           k: Int = 20): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+      .select($"doc_id", split(lower($"text"), " ").as("t"))
+      .select($"doc_id", $"t", size($"t").cast("long").as("dl"))
+    // 2-scalar corpus aggregate: N and avgdl (exact-integer division)
+    val corpus = d.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = d
+      .select($"doc_id", $"dl", explode($"t").as("term"))
+      .where($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // k1=1.2, b=0.75 appear as the same decimal literals the oracle SQL
+    // parses (1.0−b etc. pre-reduced) so both engines fold identical
+    // doubles; the expression tree shapes below mirror the SQL exactly
+    val idf = log((($"n_docs".cast("double") - $"df" + lit(0.5)) /
+      ($"df".cast("double") + lit(0.5))) + lit(1.0))
+    val tfn = ($"tf".cast("double") * lit(2.2)) /
+      ($"tf".cast("double") +
+        lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl".cast("double")) / $"avgdl"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib",
+        round(idf * tfn, 9).cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"contrib").as("sc"))
+      .select($"doc_id", $"n_terms",
+        round($"sc".cast("double"), 6).as("bm25"))
+      .orderBy(desc("bm25"), $"doc_id")
+      .limit(k)
+  }
+
+  /** Bigram-LM cross-entropy quality scoring — the CCNet/Gopher-family
+    * perplexity gate: train an add-one-smoothed bigram model on the
+    * deterministic 90% train split (same md5 rule as `q_split_assign`),
+    * then score every held-out doc by its per-bigram cross-entropy
+    * `H = −(1/n)·Σ ln((c₂+1)/(c₁+V))`. High H = the doc's token
+    * transitions are unlike the corpus — the "weird text" signal a
+    * curation pipeline thresholds on.
+    *
+    * Scale shape: bigram extraction is a map-side zip of each token array
+    * with its own tail (no join, no window); the model tables are
+    * vocabulary-bounded (c₂ ≤ V², c₁ ≤ V) group rows, UNHINTED in the
+    * score joins — the planner broadcasts them from stats at any graded
+    * scale, and a 100 TB corpus with a large vocab degrades to a plain
+    * shuffle join on the bigram key (the round-10 de-hinting discipline).
+    * Only the 1-row V aggregate carries a broadcast hint. Determinism:
+    * ln of exact-integer rationals rounded to 9 dp, DECIMAL-summed
+    * (order-free), final H rounded to 6.
+    */
+  def docPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir).select($"doc_id", $"lang",
+      split(lower($"text"), " ").as("t"),
+      (substring(md5($"doc_id".cast("string")), 1, 2) < "e6").as("is_train"))
+    val bg = toks.select($"doc_id", $"lang", $"is_train",
+      explode(arrays_zip(
+        slice($"t", lit(1), greatest(size($"t") - 1, lit(0))).as("w1"),
+        slice($"t", lit(2), greatest(size($"t") - 1, lit(0))).as("w2"))).as("bg"))
+      .select($"doc_id", $"lang", $"is_train",
+        $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val c2 = bg.where($"is_train")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val vocab = toks.where($"is_train")
+      .select(explode($"t").as("w"))
+      .agg(countDistinct($"w").as("v"))
+    bg.where(!$"is_train")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(log(
+        (coalesce($"c2", lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce($"c1", lit(0L)).cast("double") + $"v")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"lp").as("slp"))
+      .select($"doc_id", $"lang", $"n_bigrams",
+        round(-($"slp".cast("double")) / $"n_bigrams", 6).as("cross_entropy"))
+      .orderBy($"doc_id")
+  }
 }

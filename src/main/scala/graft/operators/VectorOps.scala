@@ -715,4 +715,115 @@ object VectorOps {
       .select($"a_id", $"b_id", round($"sim_raw", 6).as("sim"), $"rn")
       .orderBy($"a_id", $"rn")
   }
+
+  /** Distributed spherical k-means over the full corpus — the clustering
+    * step a curation pipeline runs for topic balancing / SemDeDup cells /
+    * diversity sampling. Unlike the SAMPLE-trained quantizer behind
+    * `annIvf` (driver-side Lloyd on ≤ trainCap vectors), every iteration
+    * here aggregates the WHOLE corpus: assignment is a broadcast of the
+    * k-row centroid table against a single corpus scan (codegen'd
+    * `cosine_sim`, argmax per vector via a k-row window), and the update
+    * is a posexplode → (cluster, dim) hash aggregate — n·d scalar rows
+    * shuffle once with map-side partials, and only k·d group rows ever
+    * reach the driver (the MLlib shape). Rounds are a fixed small
+    * constant, so cost is iters × (scan + n·d agg) — linear at any scale.
+    *
+    * Everything is deterministic and engine-portable: init = the k
+    * smallest-id vectors (no RNG); per-dim means are DECIMAL sums of
+    * 7-dp-rounded values divided exactly in IEEE (both engines correctly
+    * round the same rational, so the next round's centroids are
+    * bit-identical); assignment ranks on round(sim, 6) with centroid-id
+    * tie-break. A cluster that loses all members simply disappears (both
+    * engines derive live clusters from the same group rows).
+    */
+  def kmeans(s: SparkSession, dir: String, k: Int = 8,
+             iters: Int = 2): DataFrame = {
+    import s.implicits._
+    val vecs = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    var centroids: Array[(Int, Array[Double])] =
+      vecs.orderBy($"vec_id").limit(k).select($"embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .zipWithIndex.map { case (v, i) => (i, v) }
+    for (_ <- 1 to iters) {
+      val stats = assignKmeans(vecs, kmeansCentroidsDf(s, centroids))
+        .select($"cl", posexplode($"embedding").as(Seq("dim", "x")))
+        .groupBy($"cl", $"dim")
+        .agg(sum(round($"x".cast("double"), 7)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 7))).as("sx"),
+          count(lit(1)).as("n"))
+        .select($"cl", $"dim", ($"sx".cast("double") / $"n").as("m"))
+        .collect() // k·d group rows — bounded model metadata, not data
+      centroids = stats
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).toArray
+        .map { case (cl, rows) => (cl, rows.sortBy(_._2).map(_._3)) }
+        .sortBy(_._1)
+    }
+    assignKmeans(vecs, kmeansCentroidsDf(s, centroids))
+      .select($"vec_id", $"cl".cast("long").as("cluster"),
+        round($"sim_raw", 6).as("sim"))
+      .orderBy($"vec_id")
+  }
+
+  private def kmeansCentroidsDf(s: SparkSession,
+                                cents: Array[(Int, Array[Double])]): DataFrame = {
+    import s.implicits._
+    cents.toSeq.map { case (cl, v) => (cl, v.toSeq) }.toDF("cl", "c")
+  }
+
+  /** One assignment pass: corpus × broadcast(k centroids), best cluster
+    * per vector by round(sim, 6) with cluster-id tie-break.
+    */
+  private def assignKmeans(vecs: DataFrame, cdf: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy(round($"sim_raw", 6).desc, $"cl")
+    vecs.crossJoin(broadcast(cdf))
+      .withColumn("sim_raw", call_function("cosine_sim", $"embedding", $"c"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("rn", "c")
+  }
+
+  /** DuckDB oracle for [[kmeans]] (k=8, iters=2): the same
+    * init → (assign → update)² → assign chain as plain chained CTEs —
+    * generated so the assignment/update SQL stays in lockstep with the
+    * Scala expression trees (identical rounding points, identical
+    * tie-breaks).
+    */
+  val kmeansOracle: String = {
+    def assign(cin: String, name: String): String =
+      s"""$name AS (SELECT vec_id, cl, embedding FROM (
+         |  SELECT e.vec_id, c.cl, e.embedding,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ROUND(list_cosine_similarity(
+         |        CAST(e.embedding AS DOUBLE[]), c.c), 6) DESC, c.cl) AS rn
+         |  FROM embeddings e CROSS JOIN $cin c) WHERE rn = 1)"""
+    def update(ain: String, u: String, cname: String): String =
+      s"""$u AS (SELECT cl, dim,
+         |  CAST(SUM(CAST(ROUND(x, 7) AS DECIMAL(20,7))) AS DOUBLE)
+         |    / COUNT(*) AS m
+         |  FROM (SELECT cl, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+         |    UNNEST(range(len(embedding))) AS dim FROM $ain) z
+         |  GROUP BY 1, 2),
+         |$cname AS (SELECT cl, list(m ORDER BY dim) AS c FROM $u GROUP BY cl)"""
+    s"""WITH i AS (SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY vec_id LIMIT 8),
+       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1
+       |  AS cl, CAST(embedding AS DOUBLE[]) AS c FROM i),
+       |${assign("c0", "a1")},
+       |${update("a1", "u1", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "u2", "c2")},
+       |f AS (SELECT vec_id, cl, sim FROM (
+       |  SELECT e.vec_id, c.cl,
+       |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ROUND(list_cosine_similarity(
+       |        CAST(e.embedding AS DOUBLE[]), c.c), 6) DESC, c.cl) AS rn
+       |  FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1)
+       |SELECT vec_id, CAST(cl AS BIGINT) AS cluster, ROUND(sim, 6) AS sim
+       |FROM f ORDER BY vec_id""".stripMargin
+  }
 }

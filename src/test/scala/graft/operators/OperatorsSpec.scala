@@ -1341,4 +1341,130 @@ class OperatorsSpec extends SparkSpec {
       assert(d >= 1 && d <= n && r > 0.0 && r <= 1.0)
     }
   }
+
+  // ---- round 11: BM25 / bigram-LM perplexity / k-means / cluster sizes
+
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("bm25 matches an independent local recompute, rank for rank") {
+    import spark.implicits._
+    val out = TextOps.bm25(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val terms = Seq("dup", "join", "stream")
+    val toks = Tables(spark, sfTest, "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split(" ", -1).toSeq) }
+    val n = toks.length.toLong
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n
+    val tf = toks.flatMap { case (id, ts) =>
+      ts.filter(terms.contains).groupBy(identity)
+        .map { case (w, g) => ((id, w), g.size.toLong) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val dls = toks.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val expected = tf.keys.groupBy(_._1).map { case (id, ks) =>
+      val sum = ks.toSeq.map { case (_, w) =>
+        val t = tf((id, w)).toDouble
+        val d = df(w)
+        val idf = math.log(((n.toDouble - d + 0.5) / (d.toDouble + 0.5)) + 1.0)
+        val tfn = (t * 2.2) /
+          (t + 1.2 * (0.25 + (0.75 * dls(id).toDouble) / avgdl))
+        BigDecimal(idf * tfn).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (id, ks.size.toLong, roundHalfUp(sum.toDouble, 6))
+    }.toSeq.sortBy { case (id, _, s) => (-s, id) }.take(20)
+    assert(out == expected, "BM25 diverges from the local recompute")
+    assert(out.nonEmpty && out.forall(_._3 > 0.0))
+  }
+
+  test("doc perplexity matches a local bigram-LM recompute on eval docs") {
+    import spark.implicits._
+    val out = TextOps.docPerplexity(spark, sfTest).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val toks = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"lang", lower($"text"))
+      .as[(Long, String, String)].collect()
+      .map { case (id, lang, t) => (id, lang, t.split(" ", -1).toSeq,
+        md5Hex(id.toString).substring(0, 2) < "e6") }
+    def bigrams(ts: Seq[String]) = ts.zip(ts.drop(1))
+    val train = toks.filter(_._4)
+    val c2 = train.flatMap(d => bigrams(d._3)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val v = train.flatMap(_._3).distinct.size.toLong
+    val expected = toks.filterNot(_._4).flatMap { case (id, lang, ts, _) =>
+      val bgs = bigrams(ts)
+      if (bgs.isEmpty) None else {
+        val slp = bgs.map { bg =>
+          val num = c2.getOrElse(bg, 0L).toDouble + 1.0
+          val den = c1.getOrElse(bg._1, 0L).toDouble + v
+          BigDecimal(math.log(num / den))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        Some(id -> (lang, bgs.size.toLong,
+          roundHalfUp(-slp.toDouble / bgs.size, 6)))
+      }
+    }.toMap
+    assert(out == expected, "cross-entropy diverges from the local LM")
+    // add-one smoothing caps per-bigram surprisal at ln(c1+V) ≤ ln(n+V)
+    assert(out.values.forall { case (_, _, h) => h > 0.0 })
+    // roughly 10% of docs are eval under the md5 rule
+    assert(out.size > 0 && out.size < toks.length / 2)
+  }
+
+  test("kmeans assignments replay exactly under a local Lloyd recompute") {
+    import spark.implicits._
+    val out = VectorOps.kmeans(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val vecs = Tables(spark, sfTest, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+      .sortBy(_._1)
+    var cents: Seq[(Int, Array[Double])] =
+      vecs.take(8).zipWithIndex.map { case ((_, v), i) => (i, v) }.toSeq
+    def assign(cs: Seq[(Int, Array[Double])]) = vecs.map { case (id, v) =>
+      val best = cs.map { case (cl, c) =>
+        (cl, VectorOps.cosine(v, c)) }
+        .minBy { case (cl, s) => (-roundHalfUp(s, 6), cl) }
+      (id, best._1, best._2)
+    }
+    for (_ <- 1 to 2) {
+      val a = assign(cents)
+      cents = a.groupBy(_._2).toSeq.map { case (cl, members) =>
+        val vs = members.map(m => vecs.find(_._1 == m._1).get._2)
+        val mean = (0 until 64).map { d =>
+          vs.map(v => BigDecimal(v(d))
+            .setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum
+            .toDouble / vs.length
+        }.toArray
+        (cl, mean)
+      }.sortBy(_._1)
+    }
+    val expected = assign(cents)
+      .map { case (id, cl, s) => (id, cl.toLong, roundHalfUp(s, 6)) }.toSeq
+    assert(out == expected, "kmeans diverges from the local Lloyd replay")
+    assert(out.map(_._2).distinct.size > 1, "degenerate single cluster")
+  }
+
+  test("cluster-size histogram is exactly the dedup-clusters rollup") {
+    val cl = DedupOps.dedupClusters(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = DedupOps.clusterSizes(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = cl.groupBy(_._1).values.map(_.size.toLong)
+      .groupBy(identity).view
+      .map { case (sz, g) => (sz, g.size.toLong, sz * g.size) }
+      .toSeq.sortBy(_._1)
+    assert(out == expected)
+    // no singletons by construction, and doc counts reconcile
+    assert(out.forall(_._1 >= 2))
+    assert(out.map(_._3).sum == cl.length.toLong)
+  }
 }
