@@ -547,46 +547,53 @@ object TextOps {
     * next to `q_tfidf`'s per-doc term profile and `q_vector_search`'s
     * dense twin.
     *
-    * Scale shape: ONE scan; only postings for the |Q| query terms survive
-    * the explode (everything else dies map-side in the isin filter), so
-    * the (doc, term, tf) shuffle carries ≤ |Q| rows per matching doc.
-    * The df table is |Q| rows and the corpus stats one row — both
-    * broadcast. Determinism across engines: per-term contributions are
-    * identical IEEE expression trees on exact-integer inputs, rounded to
-    * 9 dp and summed as DECIMAL (order-free), final score rounded to 6
-    * with doc_id tie-break.
+    * Scale shape: per-term tf is computed MAP-SIDE from each doc's token
+    * array (a higher-order `filter` count per query term — no explode,
+    * no (doc, term) shuffle), so the only wide operation is ONE 1-row
+    * corpus aggregate carrying N, avgdl, and every term's df together;
+    * scoring is then a narrow projection of matching docs against that
+    * broadcast row into a TakeOrdered top-k. Determinism across engines:
+    * per-term contributions are identical IEEE expression trees on
+    * exact-integer inputs, rounded to 9 dp and summed as DECIMAL in
+    * fixed term order (exact, so it equals the oracle's grouped sum),
+    * final score rounded to 6 with doc_id tie-break.
     */
   def bm25(s: SparkSession, dir: String,
            terms: Seq[String] = Seq("dup", "join", "stream"),
            k: Int = 20): DataFrame = {
     import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val tfCols = terms.zipWithIndex.map { case (w, i) =>
+      size(filter($"t", x => x === w)).cast("long").as(s"tf_$i")
+    }
     val d = docs(s, dir)
       .select($"doc_id", split(lower($"text"), " ").as("t"))
-      .select($"doc_id", $"t", size($"t").cast("long").as("dl"))
-    // 2-scalar corpus aggregate: N and avgdl (exact-integer division)
-    val corpus = d.agg(count(lit(1)).as("n_docs"),
-      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
-    val tf = d
-      .select($"doc_id", $"dl", explode($"t").as("term"))
-      .where($"term".isin(terms: _*))
-      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .select($"doc_id" +: size($"t").cast("long").as("dl") +: tfCols: _*)
+    // ONE 1-row aggregate: corpus size, avgdl (exact-integer division),
+    // and per-term document frequencies
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
     // k1=1.2, b=0.75 appear as the same decimal literals the oracle SQL
     // parses (1.0−b etc. pre-reduced) so both engines fold identical
     // doubles; the expression tree shapes below mirror the SQL exactly
-    val idf = log((($"n_docs".cast("double") - $"df" + lit(0.5)) /
-      ($"df".cast("double") + lit(0.5))) + lit(1.0))
-    val tfn = ($"tf".cast("double") * lit(2.2)) /
-      ($"tf".cast("double") +
-        lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl".cast("double")) / $"avgdl"))
-    tf.join(broadcast(df), Seq("term"))
-      .crossJoin(broadcast(corpus))
-      .withColumn("contrib",
-        round(idf * tfn, 9).cast(org.apache.spark.sql.types.DecimalType(28, 9)))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum($"contrib").as("sc"))
-      .select($"doc_id", $"n_terms",
-        round($"sc".cast("double"), 6).as("bm25"))
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val dfc = col(s"df_$i")
+      val idf = log((($"n_docs".cast("double") - dfc + lit(0.5)) /
+        (dfc.cast("double") + lit(0.5))) + lit(1.0))
+      val tfn = (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl".cast("double")) / $"avgdl"))
+      when(col(s"tf_$i") > 0, round(idf * tfn, 9).cast(dec))
+        .otherwise(lit(BigDecimal(0)).cast(dec))
+    }
+    d.where(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select($"doc_id",
+        terms.indices.map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_terms"),
+        round(contribs.reduce(_ + _).cast("double"), 6).as("bm25"))
       .orderBy(desc("bm25"), $"doc_id")
       .limit(k)
   }

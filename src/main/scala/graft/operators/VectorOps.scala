@@ -745,7 +745,7 @@ object VectorOps {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
         .zipWithIndex.map { case (v, i) => (i, v) }
     for (_ <- 1 to iters) {
-      val stats = assignKmeans(vecs, kmeansCentroidsDf(s, centroids))
+      val stats = assignKmeans(vecs, centroids)
         .select($"cl", posexplode($"embedding").as(Seq("dim", "x")))
         .groupBy($"cl", $"dim")
         .agg(sum(round($"x".cast("double"), 7)
@@ -759,31 +759,35 @@ object VectorOps {
         .map { case (cl, rows) => (cl, rows.sortBy(_._2).map(_._3)) }
         .sortBy(_._1)
     }
-    assignKmeans(vecs, kmeansCentroidsDf(s, centroids))
+    assignKmeans(vecs, centroids)
       .select($"vec_id", $"cl".cast("long").as("cluster"),
-        round($"sim_raw", 6).as("sim"))
+        $"sim6".as("sim"))
       .orderBy($"vec_id")
   }
 
-  private def kmeansCentroidsDf(s: SparkSession,
-                                cents: Array[(Int, Array[Double])]): DataFrame = {
-    import s.implicits._
-    cents.toSeq.map { case (cl, v) => (cl, v.toSeq) }.toDF("cl", "c")
-  }
-
-  /** One assignment pass: corpus × broadcast(k centroids), best cluster
-    * per vector by round(sim, 6) with cluster-id tie-break.
+  /** One assignment pass, fully MAP-SIDE: the k centroids enter the
+    * generated code as literal arrays (one `cosine_sim` call each), and
+    * `array_max` over (round(sim, 6), −cl) structs picks the best cluster
+    * by lexicographic order — max similarity, min cluster id on ties.
+    * No n·k-row shuffle, no window sort, no broadcast exchange: the
+    * alternative (crossJoin a k-row centroid table + row_number window)
+    * shuffles every vector k times per Lloyd round, which is exactly the
+    * cost this shape deletes at corpus scale.
     */
-  private def assignKmeans(vecs: DataFrame, cdf: DataFrame): DataFrame = {
+  private def assignKmeans(vecs: DataFrame,
+                           cents: Array[(Int, Array[Double])]): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy(round($"sim_raw", 6).desc, $"cl")
-    vecs.crossJoin(broadcast(cdf))
-      .withColumn("sim_raw", call_function("cosine_sim", $"embedding", $"c"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .drop("rn", "c")
+    val simStructs = cents.map { case (cl, c) =>
+      struct(
+        round(call_function("cosine_sim", $"embedding",
+          array(c.toIndexedSeq.map(lit(_)): _*)), 6).as("s"),
+        lit(-cl).as("negcl"))
+    }
+    vecs.withColumn("best", array_max(array(simStructs.toIndexedSeq: _*)))
+      .withColumn("cl", -$"best.negcl")
+      .withColumn("sim6", $"best.s")
+      .drop("best")
   }
 
   /** DuckDB oracle for [[kmeans]] (k=8, iters=2): the same
