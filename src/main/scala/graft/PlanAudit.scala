@@ -20,7 +20,9 @@ object PlanAudit {
     "q_gapfill", // hours grid × distinct-types (both plan-constant)
     "q_mix_sources", // per-source counts × 1-row totals
     "q_tfidf", // (doc,term,tf) rows × 1-row n_docs count
-    "q_rfm_segments" // per-customer rows × 1-row date anchor
+    "q_rfm_segments", // per-customer rows × 1-row date anchor
+    "q_bm25", // matching docs × 1-row corpus-stats aggregate (N/avgdl/df)
+    "q_doc_perplexity" // eval bigrams × 1-row vocabulary-size aggregate
   )
 
   def main(args: Array[String]): Unit = {

@@ -45,7 +45,13 @@ object ScaleProbe {
     "q_conversion_lag", "q_dedup_incremental", "q_cohort_retention",
     "q_dedup_substring", "q_decontaminate", "q_above_avg", "q_dau_mau",
     "q_setops_all", "q_tfidf", "q_funnel",
-    "q_ann_ivf", "q_ann_ivfpq", "q_vector_knn")
+    "q_ann_ivf", "q_ann_ivfpq", "q_vector_knn",
+    // round-11 additions: the iterative/CC-backed newcomers (bm25 and
+    // perplexity ride along as the new text family's representatives —
+    // note copy-k documents suffix tokens with ·k, so the fixed bm25
+    // query terms match only the original copy: the absolute score list
+    // is copy-0's, while the corpus stats side still scales 10×)
+    "q_kmeans", "q_cluster_sizes", "q_bm25", "q_doc_perplexity")
 
   def main(args: Array[String]): Unit = {
     val outRoot = if (args.nonEmpty) args(0) else "/tmp/sf1"

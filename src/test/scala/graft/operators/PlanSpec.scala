@@ -520,4 +520,59 @@ class PlanSpec extends SparkSpec {
     assert(s2.metadata("PushedFilters").contains("EqualTo(event_type,click)"),
       s"event_type not pushed beside the partition filter:\n${s2.metadata}")
   }
+
+  test("bm25 is one scalar aggregate + map-side scoring: no wide shuffle, " +
+    "no join of postings, TakeOrdered top-k") {
+    val p = physical("q_bm25")
+    // per-term tf comes from higher-order filter counts, df/avgdl/N fold
+    // into ONE 1-row aggregate — nothing ever hash-partitions
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bm25 grew a wide shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "bm25 must not shuffle-join postings")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort")
+  }
+
+  test("doc perplexity leaves the vocab-scaling model joins unhinted") {
+    // same three-part contract as the dedup sizes pins: the c2/c1 model
+    // tables scale with the VOCABULARY — only the 1-row V aggregate may
+    // carry a hint; stats broadcast the model at graded scale; with the
+    // threshold off the score joins degrade to shuffle joins with
+    // byte-identical rows
+    val hints = "ResolvedHint".r.findAllIn(analyzed("q_doc_perplexity")).size
+    assert(hints == 1, s"expected only the 1-row V hint, found $hints")
+    assert(physical("q_doc_perplexity").contains("BroadcastHashJoin"),
+      "stats no longer broadcast the bigram model at graded scale")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fallback = SparkEntry.queries("q_doc_perplexity")(s2, sfTest)
+    val pf = fallback.queryExecution.executedPlan.toString
+    assert(pf.contains("SortMergeJoin") || pf.contains("ShuffledHashJoin"),
+      s"no shuffle-join fallback with broadcasting off:\n$pf")
+    val a = SparkEntry.queries("q_doc_perplexity")(spark, sfTest)
+      .collect().map(_.toString).toSeq
+    assert(a == fallback.collect().map(_.toString).toSeq,
+      "fallback plan changed the result")
+  }
+
+  test("kmeans assignment is map-side: no window, no join, no wide shuffle " +
+    "in the final pass") {
+    val p = physical("q_kmeans")
+    assert(!p.contains("Window"), s"assignment regressed to a window:\n$p")
+    assert(!p.toLowerCase.contains("join"),
+      "assignment must not join a centroid table")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "nothing in the final assignment pass should hash-partition")
+  }
+
+  test("cluster-size histogram aggregates checkpointed CC rows only") {
+    // the expensive pair/CC machinery is behind the localCheckpoint; the
+    // visible plan is two bounded group-row aggregates
+    val p = physical("q_cluster_sizes")
+    assert(!p.toLowerCase.contains("join"),
+      s"histogram must not re-join the pair graph:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "rollup grew extra shuffles")
+  }
 }
