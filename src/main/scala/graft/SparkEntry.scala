@@ -152,6 +152,10 @@ object SparkEntry {
     "q_kmeans" -> ((s: SparkSession, d: String) => VectorOps.kmeans(s, d)),
     "q_cluster_sizes" ->
       ((s: SparkSession, d: String) => DedupOps.clusterSizes(s, d)),
+    "q_sample_weighted" ->
+      ((s: SparkSession, d: String) => TextOps.sampleWeighted(s, d)),
+    "q_curriculum_buckets" ->
+      ((s: SparkSession, d: String) => TextOps.curriculumBuckets(s, d)),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -953,5 +957,36 @@ object SparkEntry {
         |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "q_kmeans" -> VectorOps.kmeansOracle,
     "q_cluster_sizes" -> DedupOps.clusterSizesOracle,
+    // A-ES weighted sampling: u from md5 (exact integer arithmetic both
+    // engines), key = u^(1/w) rounded 9 (pow is ~1 ulp across libms)
+    "q_sample_weighted" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |  (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |     AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  ROUND(pow(u, 1.0 / CAST(n_chars AS DOUBLE)), 9) AS wkey
+        |FROM d ORDER BY wkey DESC, doc_id LIMIT 100""".stripMargin,
+    // equi-depth curriculum buckets from the exact global rank; the
+    // oracle may sort globally — the Spark side ranks via the two-level
+    // bucketed prefix sum (bucket assignment is integer arithmetic, so
+    // identical cuts)
+    "q_curriculum_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+        |  FROM documents),
+        |u AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(tok)) AS BIGINT) AS n_uniq FROM t),
+        |q AS (SELECT doc_id, n_tokens,
+        |  ROUND((CAST(n_uniq AS DOUBLE) / n_tokens)
+        |    * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 6) AS q6
+        |  FROM u),
+        |r AS (SELECT doc_id, n_tokens, q6,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY q6, doc_id) AS BIGINT) AS rank,
+        |  COUNT(*) OVER () AS n_total FROM q)
+        |SELECT CAST(((rank - 1) * 10) // n_total + 1 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(q6) AS min_quality, MAX(q6) AS max_quality,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

@@ -598,6 +598,81 @@ object TextOps {
       .limit(k)
   }
 
+  /** Deterministic WEIGHTED sampling without replacement — the
+    * Efraimidis–Spirakis A-ES scheme, the distributed answer to
+    * "sample k docs proportionally to weight" (here weight = n_chars,
+    * i.e. length-proportional selection; in a curation pipeline the
+    * weight is a quality or domain-mix score). Each doc draws the
+    * engine-portable uniform u from its md5 (the corpus' standing
+    * no-RNG discipline) and scores key = u^(1/w); the global top-k keys
+    * ARE a weighted sample without replacement — reproducible across
+    * runs, engines, and repartitioning, unlike any rand()-based sampler.
+    *
+    * Scale shape: one narrow projection + TakeOrdered (map-side bounded
+    * heaps, k rows per partition cross the shuffle — never the corpus).
+    * Determinism: u is exact integer arithmetic; pow differs by ≤1 ulp
+    * across libm implementations, so the key is rounded to 9 dp with
+    * doc_id tie-break before the cut.
+    */
+  def sampleWeighted(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    docs(s, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        ((h.cast("double") + lit(0.5)) / lit(4294967296.0)).as("u"))
+      .select($"doc_id", $"lang", $"n_chars",
+        round(pow($"u", lit(1.0) / $"n_chars".cast("double")), 9).as("wkey"))
+      .orderBy(desc("wkey"), $"doc_id")
+      .limit(k)
+  }
+
+  /** Curriculum difficulty deciles: every doc ranked by its quality score
+    * (the [[scoredDocs]] formula, shared with `q_text_stats` /
+    * `q_quality_filter`), the rank cut into `n` equi-depth buckets —
+    * the ordering a curriculum-learning loader consumes, reported as the
+    * per-bucket profile (count, quality boundaries, token mass).
+    *
+    * The global rank is NOT a corpus-wide single-partition window: the
+    * same two-level bucketed prefix-sum idiom as `q_pack_sequences` —
+    * equi-width quality cells give an intra-cell `row_number` (one
+    * hash-partitioned window) plus a cells-sized offset rollup broadcast
+    * back. Skewed quality mass skews cell sizes, not correctness (exact
+    * offsets from exact counts); at 100 TB the cell boundaries would come
+    * from a quantile sketch instead of a fixed grid, same plan shape.
+    * Bucket assignment is pure integer arithmetic on (rank, N), so both
+    * engines cut identically; ranking compares round(quality, 6) so a
+    * last-ulp float divergence can't reorder neighbors.
+    */
+  def curriculumBuckets(s: SparkSession, dir: String, n: Int = 10,
+                        qCells: Int = 16): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = scoredDocs(s, dir)
+      .select($"doc_id", $"n_tokens", round($"quality_raw", 6).as("q6"))
+      .withColumn("cell",
+        least(floor($"q6" * qCells).cast("long"), lit(qCells - 1L)))
+    val wIn = Window.partitionBy($"cell").orderBy($"q6", $"doc_id")
+    val wCell = Window.orderBy($"cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ qCells rows: the only global window runs over the cell rollup
+    val cellOff = t.groupBy($"cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("cell_off", coalesce(sum($"cnt").over(wCell), lit(0L)))
+      .select($"cell", $"cell_off")
+    val nTotal = t.agg(count(lit(1)).as("n_total"))
+    t.withColumn("rk_in", row_number().over(wIn).cast("long"))
+      .join(broadcast(cellOff), "cell")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("rank", $"rk_in" + $"cell_off")
+      // integral div (Spark's `/` on longs is double division)
+      .withColumn("bucket", expr(s"((rank - 1) * $n) div n_total") + 1L)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"q6").as("min_quality"), max($"q6").as("max_quality"),
+        sum($"n_tokens").as("sum_tokens"))
+      .orderBy($"bucket")
+  }
+
   /** Bigram-LM cross-entropy quality scoring — the CCNet/Gopher-family
     * perplexity gate: train an add-one-smoothed bigram model on the
     * deterministic 90% train split (same md5 rule as `q_split_assign`),

@@ -1453,6 +1453,58 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._2).distinct.size > 1, "degenerate single cluster")
   }
 
+  test("weighted sample matches the local A-ES recompute and skews long") {
+    import spark.implicits._
+    val out = TextOps.sampleWeighted(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    val expected = docs.map { case (id, lang, nc) =>
+      val h = java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 8), 16)
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      (id, lang, nc, roundHalfUp(math.pow(u, 1.0 / nc.toDouble), 9))
+    }.sortBy { case (id, _, _, k) => (-k, id) }.take(100).toSeq
+    assert(out == expected, "A-ES sample diverges from the local recompute")
+    // weight = n_chars ⇒ the sample must skew longer than the corpus
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    val sampleMean = out.map(_._3).sum.toDouble / out.length
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample is not longer than average " +
+        s"($sampleMean <= $corpusMean)")
+  }
+
+  test("curriculum buckets: equi-depth cuts over the exact quality rank") {
+    import spark.implicits._
+    val out = TextOps.curriculumBuckets(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val tok = t.split(" ", -1).toSeq
+        val q = (tok.distinct.size.toDouble / tok.size) *
+          math.min(1.0, tok.size.toDouble / 50.0)
+        (id, tok.size.toLong, roundHalfUp(q, 6))
+      }
+    val n = docs.length.toLong
+    val ranked = docs.sortBy { case (id, _, q) => (q, id) }.zipWithIndex
+    val expected = ranked
+      .groupBy { case (_, i) => i.toLong * 10L / n + 1L }
+      .map { case (b, g) =>
+        (b, g.size.toLong, g.map(_._1._3).min, g.map(_._1._3).max,
+          g.map(_._1._2).sum)
+      }.toSeq.sortBy(_._1)
+    assert(out == expected, "bucket profile diverges from the local rank")
+    assert(out.map(_._2).sum == n, "buckets must partition the corpus")
+    // boundaries are monotone across buckets
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 <= b._3 + 1e-12)
+      case _ =>
+    }
+  }
+
   test("cluster-size histogram is exactly the dedup-clusters rollup") {
     val cl = DedupOps.dedupClusters(spark, sfTest).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
