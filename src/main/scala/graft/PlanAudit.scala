@@ -22,7 +22,9 @@ object PlanAudit {
     "q_tfidf", // (doc,term,tf) rows × 1-row n_docs count
     "q_rfm_segments", // per-customer rows × 1-row date anchor
     "q_bm25", // matching docs × 1-row corpus-stats aggregate (N/avgdl/df)
-    "q_doc_perplexity" // eval bigrams × 1-row vocabulary-size aggregate
+    "q_doc_perplexity", // eval bigrams × 1-row vocabulary-size aggregate
+    "q_curriculum_buckets", // ranked docs × 1-row corpus-count aggregate
+    "q_hard_negatives" // broadcast anchor batch, documented baseline
   )
 
   def main(args: Array[String]): Unit = {

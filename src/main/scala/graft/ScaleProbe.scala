@@ -51,7 +51,13 @@ object ScaleProbe {
     // note copy-k documents suffix tokens with ·k, so the fixed bm25
     // query terms match only the original copy: the absolute score list
     // is copy-0's, while the corpus stats side still scales 10×)
-    "q_kmeans", "q_cluster_sizes", "q_bm25", "q_doc_perplexity")
+    "q_kmeans", "q_cluster_sizes", "q_bm25", "q_doc_perplexity",
+    // round-11 batch 4: dedup_keep rides the CC plan plus a corpus-side
+    // enrichment join; shuffle_order's stride rollup grows as
+    // corpus/n_sources — both worth an exponent. (hard_negatives /
+    // embedding_outliers are single broadcast scans; knn already
+    // represents that cost class.)
+    "q_dedup_keep", "q_shuffle_order")
 
   def main(args: Array[String]): Unit = {
     val outRoot = if (args.nonEmpty) args(0) else "/tmp/sf1"

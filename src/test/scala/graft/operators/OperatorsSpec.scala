@@ -1519,4 +1519,103 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_._1 >= 2))
     assert(out.map(_._3).sum == cl.length.toLong)
   }
+
+  test("hard negatives are the brute-force cross-label top-3 per anchor") {
+    import spark.implicits._
+    val out = VectorOps.hardNegatives(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    val vecs = Tables(spark, sfTest, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+      .map { case (id, v, l) => (id, v.map(_.toDouble).toArray, l) }
+    val expected = vecs.filter(_._1 % 50 == 0).sortBy(_._1).flatMap {
+      case (qid, qv, ql) =>
+        vecs.filter(_._3 != ql)
+          .map { case (id, v, _) => (id, VectorOps.cosine(v, qv)) }
+          .sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+          .map { case ((id, s), i) =>
+            (qid, ql.toLong, id, roundHalfUp(s, 6), i + 1L) }
+    }.toSeq
+    assert(out == expected, "hard negatives diverge from brute force")
+    // every reported negative really carries a different label
+    val labelOf = vecs.map(v => v._1 -> v._3).toMap
+    out.foreach { case (qid, _, nid, _, _) =>
+      assert(labelOf(qid) != labelOf(nid))
+    }
+  }
+
+  test("embedding outliers are the 20 weakest own-centroid members") {
+    import spark.implicits._
+    val out = VectorOps.labelOutliers(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val vecs = Tables(spark, sfTest, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+      .map { case (id, v, l) => (id, v.map(_.toDouble).toArray, l) }
+    val centroids = vecs.groupBy(_._3).map { case (l, members) =>
+      val mean = (0 until 64).map { d =>
+        members.map(m => BigDecimal(m._2(d))
+          .setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum
+          .toDouble / members.length
+      }.toArray
+      l -> mean
+    }
+    val expected = vecs
+      .map { case (id, v, l) =>
+        (id, l.toLong, roundHalfUp(VectorOps.cosine(v, centroids(l)), 6)) }
+      .sortBy { case (id, _, s) => (s, id) }.take(20).toSeq
+    assert(out == expected, "outlier list diverges from the local centroids")
+    // an outlier is WEAKLY attached: below the corpus median similarity
+    val allSims = vecs.map { case (_, v, l) =>
+      VectorOps.cosine(v, centroids(l)) }.sorted
+    val median = allSims(allSims.length / 2)
+    assert(out.forall(_._3 < median))
+  }
+
+  test("dedup keep verdicts reconcile with cluster membership and chars") {
+    import spark.implicits._
+    val out = DedupOps.dedupKeep(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val members = DedupOps.dedupClusters(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chars = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val expected = members.groupBy(_._1).map { case (cid, g) =>
+      val withChars = g.map { case (_, d) => (d, chars(d)) }
+      val keep = withChars.minBy { case (d, nc) => (-nc, d) }
+      (cid, g.length.toLong, keep._1, keep._2,
+        withChars.map(_._2).sum - keep._2)
+    }.toSeq.sortBy(_._1)
+    assert(out == expected, "keep verdicts diverge from the membership")
+    // the survivor is always a member of its own cluster
+    val memberSet = members.toSet
+    out.foreach { case (cid, _, keepId, _, _) =>
+      assert(memberSet.contains((cid, keepId)))
+    }
+  }
+
+  test("shuffle order is a dense source-interleaved permutation") {
+    import spark.implicits._
+    val out = TextOps.shuffleOrder(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val expected = docs
+      .map { case (id, src) => (id, src, md5Hex(id.toString)) }
+      .groupBy(_._2).toSeq.flatMap { case (_, g) =>
+        g.sortBy { case (id, _, h) => (h, id) }.zipWithIndex
+          .map { case ((id, src, _), i) => (i + 1L, src, id) }
+      }
+      .sortBy { case (stride, src, _) => (stride, src) }.zipWithIndex
+      .map { case ((_, src, id), i) => (i + 1L, id, src) }.toSeq
+    assert(out == expected, "order diverges from the local round-robin")
+    // dense permutation of the whole corpus
+    assert(out.map(_._1) == (1L to docs.length.toLong))
+    assert(out.map(_._2).toSet == docs.map(_._1).toSet)
+    // the first cycle touches every source exactly once
+    val nSources = docs.map(_._2).distinct.length
+    assert(out.take(nSources).map(_._3).distinct.length == nSources)
+  }
 }

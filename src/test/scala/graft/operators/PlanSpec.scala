@@ -575,4 +575,53 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       "rollup grew extra shuffles")
   }
+
+  test("hard negatives: anchors broadcast, candidates die map-side in " +
+    "the partial top-k") {
+    val p = physical("q_hard_negatives")
+    // the cross-label condition is non-equi, so the anchor broadcast IS
+    // the BNLJ the allowlist documents; the corpus must never shuffle
+    // before the bounded-heap aggregate's partial phase
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"anchor batch no longer broadcasts:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "pair stream grew an extra shuffle")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "top-k heap lost its partial (map-side) phase")
+  }
+
+  test("embedding outliers: bounded centroid table broadcasts, corpus " +
+    "pass ends in TakeOrdered") {
+    val p = physical("q_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"label-domain centroid join must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bottom-k must be TakeOrdered, not a global sort")
+    // raw vectors shuffle only inside the posexplode'd (label, dim)
+    // centroid aggregate — scalar group rows, never whole embeddings
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus must not shuffle-join the centroids")
+  }
+
+  test("dedup keep: the chars join is unhinted and the survivor pick is " +
+    "one aggregate, not a window") {
+    val hints = "ResolvedHint".r.findAllIn(analyzed("q_dedup_keep")).size
+    assert(hints == 0,
+      s"clustered-side size scales with dup volume — no hints, found $hints")
+    val p = physical("q_dedup_keep")
+    assert(!p.contains("Window"),
+      s"survivor pick regressed to a window:\n$p")
+  }
+
+  test("shuffle order: the global position is the two-level prefix sum, " +
+    "not a corpus-wide window") {
+    val p = physical("q_shuffle_order")
+    // exactly one single-partition window may appear — the one over the
+    // per-stride rollup (bounded by the largest source); the corpus-wide
+    // windows stay hash-partitioned by source/stride
+    assert(p.contains("BroadcastHashJoin"),
+      s"stride-offset rollup no longer broadcasts:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"corpus rows entered a single-partition exchange:\n$p")
+  }
 }
