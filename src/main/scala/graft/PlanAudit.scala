@@ -24,7 +24,9 @@ object PlanAudit {
     "q_bm25", // matching docs × 1-row corpus-stats aggregate (N/avgdl/df)
     "q_doc_perplexity", // eval bigrams × 1-row vocabulary-size aggregate
     "q_curriculum_buckets", // ranked docs × 1-row corpus-count aggregate
-    "q_hard_negatives" // broadcast anchor batch, documented baseline
+    "q_hard_negatives", // broadcast anchor batch, documented baseline
+    "q_source_temperature", // per-source rows × 1-row normalizer
+    "q_token_budget" // ranked docs × 1-row budget aggregate
   )
 
   def main(args: Array[String]): Unit = {

@@ -165,6 +165,12 @@ object SparkEntry {
     "q_dedup_keep" ->
       ((s: SparkSession, d: String) => DedupOps.dedupKeep(s, d)),
     "q_shuffle_order" -> (TextOps.shuffleOrder _),
+    // round 11, batch 5: temperature mixing weights, budget-constrained
+    // quality selection
+    "q_source_temperature" ->
+      ((s: SparkSession, d: String) => TextOps.sourceTemperature(s, d)),
+    "q_token_budget" ->
+      ((s: SparkSession, d: String) => TextOps.tokenBudget(s, d)),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -1044,5 +1050,45 @@ object SparkEntry {
         |    AS BIGINT) AS pos,
         |  doc_id, source
         |FROM r ORDER BY pos""".stripMargin,
+    // temperature mixing: per-source w = round(pow(mass, 0.7), 6) is the
+    // only libm op; the normalizer is a DECIMAL sum of those rounded
+    // values, so both engines divide identical IEEE inputs
+    "q_source_temperature" ->
+      """WITH ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |  CAST(ROUND(pow(CAST(n_tokens AS DOUBLE), 0.7), 6)
+        |    AS DECIMAL(28,6)) AS w6 FROM ps),
+        |t AS (SELECT CAST(SUM(w6) AS DOUBLE) AS sum_w,
+        |  CAST(SUM(n_tokens) AS DOUBLE) AS tot FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(CAST(w6 AS DOUBLE) / sum_w, 6) AS p,
+        |  ROUND((CAST(w6 AS DOUBLE) / sum_w)
+        |    / (CAST(n_tokens AS DOUBLE) / tot), 6) AS boost
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+    // budget selection: greedy by (q6 DESC, doc_id) while the running
+    // token total fits sum/5 — the oracle's one global cumsum window
+    // equals the Spark side's two-level prefix sum (cells partition the
+    // q6 axis, so (cell ASC, q6 DESC, doc_id) IS (q6 DESC, doc_id))
+    "q_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  string_split(text, ' ') AS tok FROM documents),
+        |u AS (SELECT doc_id, source,
+        |  CAST(len(tok) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(tok)) AS BIGINT) AS n_uniq FROM t),
+        |q AS (SELECT doc_id, source, n_tokens,
+        |  ROUND((CAST(n_uniq AS DOUBLE) / n_tokens)
+        |    * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 6) AS q6
+        |  FROM u),
+        |b AS (SELECT SUM(n_tokens) // 5 AS budget FROM q),
+        |r AS (SELECT doc_id, source, n_tokens, q6,
+        |  SUM(n_tokens) OVER (ORDER BY q6 DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+        |  MIN(q6) AS min_quality
+        |FROM r CROSS JOIN b WHERE cum <= budget
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -113,7 +113,7 @@ object TextOps {
     import s.implicits._
     val tok = split($"text", " ")
     docs(s, dir)
-      .select($"doc_id", $"lang", $"n_chars",
+      .select($"doc_id", $"lang", $"source", $"n_chars",
         size(tok).cast("long").as("n_tokens"),
         size(array_distinct(tok)).cast("long").as("n_uniq"),
         // BPE-ish token estimate: ⌈len/4⌉ subword units per word —
@@ -711,6 +711,98 @@ object TextOps {
       .join(broadcast(strideOff), "stride")
       .select(($"off" + $"rk_src").as("pos"), $"doc_id", $"source")
       .orderBy($"pos")
+  }
+
+  /** Temperature-scaled source mixing weights — the mT5/Pile sampling
+    * schedule: p_s ∝ (token mass of s)^α with α = 0.7, flattening the
+    * natural distribution so small sources aren't drowned and huge ones
+    * don't dominate. Reported per source with the boost factor
+    * p_s / natural_share — the up/down-sampling multiplier a loader
+    * applies (> 1 = source repeats more often than its raw share).
+    *
+    * Cross-engine float discipline: w = pow(mass, 0.7) is libm (~1 ulp
+    * across implementations), so each w is rounded to 6 dp and the
+    * normalizer Σw is a DECIMAL sum of those rounded values — exact and
+    * order-free in both engines; the divisions are then single IEEE ops
+    * on identical inputs, rounded at the reporting boundary.
+    *
+    * Scale shape: one corpus scan → per-source group rows; the 1-row
+    * normalizer folds via a broadcast cross join (PlanAudit-allowlisted
+    * 1-row class). Nothing data-sized shuffles twice.
+    */
+  def sourceTemperature(s: SparkSession, dir: String,
+                        alpha: Double = 0.7): DataFrame = {
+    import s.implicits._
+    // the per-source rollup feeds the normalizer AND the report — the
+    // mixSources discipline: checkpoint the ≤ n_sources group rows so
+    // the corpus scan + agg run once, not per consumer
+    val perSource = docs(s, dir)
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long")
+        .as("n_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .withColumn("w6", round(pow($"n_tokens".cast("double"), lit(alpha)), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+      .localCheckpoint(false)
+    val totals = perSource
+      .agg(sum($"w6").as("sum_w"), sum($"n_tokens").as("tot_tokens"))
+    perSource.crossJoin(broadcast(totals))
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"w6".cast("double") / $"sum_w".cast("double"), 6).as("p"),
+        round(($"w6".cast("double") / $"sum_w".cast("double")) /
+          ($"n_tokens".cast("double") / $"tot_tokens".cast("double")), 6)
+          .as("boost"))
+      .orderBy($"source")
+  }
+
+  /** Budget-constrained data selection — "take the best docs until the
+    * token budget is spent" (the FineWeb/DataComp selection step): docs
+    * ranked by the shared quality formula (desc, doc_id ties), selected
+    * greedily while the running token total fits budget = corpus ÷ 5,
+    * reported as the per-source slice of the selection (with each
+    * source's weakest admitted quality — the effective per-source bar).
+    *
+    * The running total is the `q_shuffle_order`/`q_pack_sequences`
+    * two-level prefix sum, here summing TOKENS instead of counting rows:
+    * equi-width quality cells give an intra-cell cumulative sum (one
+    * hash-partitioned window) plus a ≤ qCells-row token-mass rollup
+    * broadcast back. Budget and cumulative totals are exact integers, so
+    * the cut is engine-independent; ranking compares round(quality, 6).
+    */
+  def tokenBudget(s: SparkSession, dir: String, budgetDiv: Long = 5L,
+                  qCells: Int = 16): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = scoredDocs(s, dir)
+      .select($"doc_id", $"source", $"n_tokens",
+        round($"quality_raw", 6).as("q6"))
+      // cells ascend in SELECTION order (best quality first)
+      .withColumn("cell",
+        lit(qCells - 1L) - least(floor($"q6" * qCells).cast("long"),
+          lit(qCells - 1L)))
+    val wIn = Window.partitionBy($"cell").orderBy(desc("q6"), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCell = Window.orderBy($"cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ qCells rows, checkpointed: the offsets window AND the budget
+    // both read this rollup, so the corpus aggregates exactly once (the
+    // budget is Σ cell mass — no separate corpus-sum pass)
+    val cellAgg = t.groupBy($"cell").agg(sum($"n_tokens").as("mass"))
+      .localCheckpoint(false)
+    val cellOff = cellAgg
+      .withColumn("cell_off", coalesce(sum($"mass").over(wCell), lit(0L)))
+      .select($"cell", $"cell_off")
+    // integral div: Spark's `/` on longs is double division
+    val budget = cellAgg.agg(expr(s"sum(mass) div $budgetDiv").as("budget"))
+    t.withColumn("cum_in", sum($"n_tokens").over(wIn))
+      .join(broadcast(cellOff), "cell")
+      .crossJoin(broadcast(budget))
+      .filter($"cell_off" + $"cum_in" <= $"budget")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum($"n_tokens").as("tokens_selected"),
+        min($"q6").as("min_quality"))
+      .orderBy($"source")
   }
 
   /** Bigram-LM cross-entropy quality scoring — the CCNet/Gopher-family

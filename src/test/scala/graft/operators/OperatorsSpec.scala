@@ -1618,4 +1618,67 @@ class OperatorsSpec extends SparkSpec {
     val nSources = docs.map(_._2).distinct.length
     assert(out.take(nSources).map(_._3).distinct.length == nSources)
   }
+
+  test("temperature mixing matches the local recompute and flattens " +
+    "the source distribution") {
+    import spark.implicits._
+    val out = TextOps.sourceTemperature(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val perSource = docs.groupBy(_._1).map { case (src, g) =>
+      (src, g.length.toLong,
+        g.map(_._2.split(" ", -1).length.toLong).sum)
+    }.toSeq.sortBy(_._1)
+    val w6 = perSource.map { case (src, nd, nt) =>
+      (src, nd, nt,
+        BigDecimal(roundHalfUp(math.pow(nt.toDouble, 0.7), 6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val sumW = w6.map(_._4).sum.toDouble
+    val tot = perSource.map(_._3).sum.toDouble
+    val expected = w6.map { case (src, nd, nt, w) =>
+      val p = w.toDouble / sumW
+      (src, nd, nt, roundHalfUp(p, 6),
+        roundHalfUp(p / (nt.toDouble / tot), 6))
+    }
+    assert(out == expected, "mixing weights diverge from the recompute")
+    // α < 1 flattens: boost is monotone non-increasing in token mass
+    for (a <- out; b <- out if a._3 > b._3)
+      assert(a._5 <= b._5,
+        s"larger source ${a._1} boosted above smaller ${b._1}")
+    // probabilities normalize (up to per-source rounding)
+    assert(math.abs(out.map(_._4).sum - 1.0) < out.length * 5e-7)
+  }
+
+  test("token budget selection is the greedy quality prefix") {
+    import spark.implicits._
+    val out = TextOps.tokenBudget(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+      .map { case (id, src, t) =>
+        val tok = t.split(" ", -1).toSeq
+        val q = (tok.distinct.size.toDouble / tok.size) *
+          math.min(1.0, tok.size.toDouble / 50.0)
+        (id, src, tok.size.toLong, roundHalfUp(q, 6))
+      }
+    val budget = docs.map(_._3).sum / 5
+    val ranked = docs.sortBy { case (id, _, _, q) => (-q, id) }
+    var cum = 0L
+    val selected = ranked.takeWhile { d => cum += d._3; cum <= budget }
+    val expected = selected.groupBy(_._2).map { case (src, g) =>
+      (src, g.length.toLong, g.map(_._3).sum, g.map(_._4).min)
+    }.toSeq.sortBy(_._1)
+    assert(out == expected, "selection diverges from the greedy prefix")
+    // budget is respected and maximal: the next-ranked doc cannot fit
+    val used = out.map(_._3).sum
+    assert(used <= budget)
+    val next = ranked.drop(selected.length).headOption
+    next.foreach(d => assert(used + d._3 > budget,
+      "a further doc still fits — selection is not maximal"))
+  }
 }

@@ -624,4 +624,30 @@ class PlanSpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
       s"corpus rows entered a single-partition exchange:\n$p")
   }
+
+  test("temperature mixing is one corpus scan into group rows") {
+    val p = physical("q_source_temperature")
+    // per-source agg is the only wide shuffle; the normalizer folds via
+    // the allowlisted 1-row broadcast cross join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"mixing grew a second wide shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "nothing here may shuffle-join")
+  }
+
+  test("token budget selection keeps the two-level prefix sum and never " +
+    "single-partitions the corpus") {
+    val p = physical("q_token_budget")
+    // two single-partition exchanges are allowed — the offsets window
+    // and the budget aggregate, BOTH over the ≤ qCells-row checkpointed
+    // rollup; corpus rows stay behind hash partitionings
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2,
+      s"corpus rows entered a single-partition exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-offset rollup no longer broadcasts:\n$p")
+    // the rollup is checkpointed: the corpus token aggregate must not
+    // re-run for the budget (no third corpus-width aggregate)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"cell rollup no longer checkpoint-shared:\n$p")
+  }
 }
