@@ -328,6 +328,37 @@ object StreamOps {
     }
   }
 
+  /** Streaming weighted reservoir — the stream twin of
+    * `q_sample_weighted`: the same Efraimidis–Spirakis key
+    * (wkey = u^(1/n_chars), u from md5 — the no-RNG discipline, so the
+    * reservoir is replay-deterministic where a `rand()` reservoir is
+    * not) maintained continuously as a GLOBAL streaming top-k via the
+    * bounded-heap `top_k` Aggregator. At every micro-batch the single
+    * state row IS a valid weighted sample-without-replacement of
+    * everything streamed so far — the "always-fresh training sample"
+    * a continuous-curation loop reads.
+    *
+    * State bound: the aggregation buffer is ≤ k (id, key) pairs —
+    * FOREVER, regardless of stream volume. The global (no-key) agg is
+    * not a bottleneck: partial aggregation reduces each input partition
+    * to ≤ k pairs before the single-group merge, so the per-batch
+    * shuffle is partitions·k rows, never the batch. Emit in Update (or
+    * Complete) mode; each emission carries the full reservoir in rank
+    * order.
+    */
+  def streamWeightedSample(docs: DataFrame, k: Int = 100): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val h = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    docs
+      .select($"doc_id",
+        round(pow((h.cast("double") + lit(0.5)) / lit(4294967296.0),
+          lit(1.0) / $"n_chars".cast("double")), 9).as("wkey"))
+      .agg(topk($"doc_id", $"wkey").as("sample"))
+  }
+
   /** Streaming frequent items — the streaming form of `q_approx_topk`
     * (completing the mergeable-sketch family's streaming column next to
     * s_uniques' HLL): a token stream is hash-routed into `buckets`

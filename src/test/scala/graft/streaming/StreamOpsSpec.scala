@@ -582,6 +582,59 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming weighted reservoir equals batch A-ES at every " +
+    "micro-batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def aes(rows: Seq[(Long, Long)]): Seq[(Long, Double)] = rows
+      .map { case (id, nc) =>
+        val u = (java.lang.Long.parseLong(
+          md5Hex(id.toString).substring(0, 8), 16).toDouble + 0.5) /
+          4294967296.0
+        (id, BigDecimal(math.pow(u, 1.0 / nc.toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, k) => (-k, id) }.take(100)
+
+    var snapshots = Vector.empty[Seq[(Long, Double)]]
+    val ms = MemoryStream[(Long, Long)]
+    val q = StreamOps.streamWeightedSample(ms.toDS().toDF("doc_id", "n_chars"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect()
+        if (rows.nonEmpty && !rows.head.isNullAt(0))
+          snapshots :+= rows.head
+            .getSeq[org.apache.spark.sql.Row](0)
+            .map(r => (r.getLong(0), r.getDouble(1)))
+      }.start()
+    // three uneven micro-batches: after EACH, the single state row must
+    // be exactly the batch A-ES sample of everything streamed so far
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 5)
+    Seq(b1, b2, b3).foreach { b =>
+      ms.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    assert(snapshots.length == 3)
+    val prefixes = Seq(b1, b1 ++ b2, b1 ++ b2 ++ b3)
+    snapshots.zip(prefixes).zipWithIndex.foreach {
+      case ((snap, prefix), i) =>
+        assert(snap == aes(prefix.toSeq),
+          s"reservoir after batch ${i + 1} diverges from batch A-ES")
+    }
+    // and the final reservoir matches the graded batch operator's cut
+    val batchTop = graft.operators.TextOps.sampleWeighted(spark, sfTest)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(snapshots.last == batchTop,
+      "final reservoir != q_sample_weighted batch result")
+  }
+
   test("streaming top-k sketch equals exact counts across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
