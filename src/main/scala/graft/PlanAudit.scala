@@ -26,7 +26,9 @@ object PlanAudit {
     "q_curriculum_buckets", // ranked docs × 1-row corpus-count aggregate
     "q_hard_negatives", // broadcast anchor batch, documented baseline
     "q_source_temperature", // per-source rows × 1-row normalizer
-    "q_token_budget" // ranked docs × 1-row budget aggregate
+    "q_token_budget", // ranked docs × 1-row budget aggregate
+    "q_quality_perplexity" // CE rows × 1-row count (the perplexity
+                           // vocab 1-row V cross join rides along)
   )
 
   def main(args: Array[String]): Unit = {

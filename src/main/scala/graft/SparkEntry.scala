@@ -171,6 +171,19 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.sourceTemperature(s, d)),
     "q_token_budget" ->
       ((s: SparkSession, d: String) => TextOps.tokenBudget(s, d)),
+    // round 11, batch 6: leak attribution, signal calibration, threshold
+    // tuning
+    "q_contamination_sources" ->
+      ((s: SparkSession, d: String) => DedupOps.contaminationSources(s, d)),
+    "q_quality_perplexity" ->
+      ((s: SparkSession, d: String) => TextOps.qualityPerplexity(s, d)),
+    "q_sim_histogram" ->
+      ((s: SparkSession, d: String) => DedupOps.simHistogram(s, d)),
+    // round 11, batch 7: feed-level duplication structure
+    "q_cross_source_dups" ->
+      ((s: SparkSession, d: String) => DedupOps.crossSourceDups(s, d)),
+    "q_dup_rate_by_source" ->
+      ((s: SparkSession, d: String) => DedupOps.dupRateBySource(s, d)),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -948,28 +961,7 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
         |  ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
         |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
-    "q_doc_perplexity" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tok,
-        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train
-        |  FROM documents),
-        |bg AS (SELECT doc_id, lang, is_train,
-        |  UNNEST(tok[1:len(tok)-1]) AS w1,
-        |  UNNEST(tok[2:len(tok)]) AS w2 FROM t),
-        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg
-        |  WHERE is_train GROUP BY 1, 2),
-        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT w) AS v
-        |  FROM (SELECT UNNEST(tok) AS w FROM t WHERE is_train) x),
-        |sc AS (SELECT e.doc_id, e.lang,
-        |  CAST(ROUND(ln((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0)
-        |    / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + v.v)), 9)
-        |    AS DECIMAL(28,9)) AS lp
-        |  FROM bg e LEFT JOIN c2 ON e.w1 = c2.w1 AND e.w2 = c2.w2
-        |  LEFT JOIN c1 ON e.w1 = c1.w1 CROSS JOIN v
-        |  WHERE NOT e.is_train)
-        |SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
-        |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    "q_doc_perplexity" -> TextOps.docPerplexityOracle,
     "q_kmeans" -> VectorOps.kmeansOracle,
     "q_cluster_sizes" -> DedupOps.clusterSizesOracle,
     // A-ES weighted sampling: u from md5 (exact integer arithmetic both
@@ -1090,5 +1082,10 @@ object SparkEntry {
         |  MIN(q6) AS min_quality
         |FROM r CROSS JOIN b WHERE cum <= budget
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_contamination_sources" -> DedupOps.contaminationSourcesOracle,
+    "q_quality_perplexity" -> TextOps.qualityPerplexityOracle,
+    "q_sim_histogram" -> DedupOps.simHistogramOracle,
+    "q_cross_source_dups" -> DedupOps.crossSourceDupsOracle,
+    "q_dup_rate_by_source" -> DedupOps.dupRateBySourceOracle,
   )
 }

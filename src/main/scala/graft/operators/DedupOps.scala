@@ -569,6 +569,112 @@ object DedupOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** Contamination attribution — `q_decontaminate` rolled up to the
+    * lever a pipeline owner can actually pull: per SOURCE, how much of
+    * its train split shares shingles with the eval split (doc counts, a
+    * leak rate, total shared-shingle volume, and the worst single doc).
+    * Dropping or re-crawling a leaky source is the remediation; the
+    * per-doc list says which rows, this says which feed.
+    *
+    * Shape: the per-train-doc verdict is the bounded-posting-list single
+    * scan of [[decontaminate]] (group rows only); the source enrichment
+    * join and the train-population rollup are doc_id/source-keyed hash
+    * aggregates. The left join keeps CLEAN sources in the report with
+    * zero counts — absence of evidence, shown as evidence of absence.
+    */
+  def contaminationSources(s: SparkSession, dir: String,
+                           maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import s.implicits._
+    val srcs = Tables(s, dir, "documents").select($"doc_id", $"source")
+    val isTrain = substring(md5($"doc_id".cast("string")), 1, 2) < "e6"
+    val trainPop = srcs.filter(isTrain)
+      .groupBy($"source").agg(count(lit(1)).as("n_train"))
+    val perDoc = decontaminate(s, dir, maxDf)
+      .join(srcs.withColumnRenamed("doc_id", "train_id"), "train_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_contaminated"),
+        sum($"n_shared").as("shared_shingles"),
+        max($"n_shared").as("worst_overlap"))
+    trainPop.join(perDoc, Seq("source"), "left_outer")
+      .select($"source", $"n_train",
+        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
+        round(coalesce($"n_contaminated", lit(0L)).cast("double") /
+          $"n_train", 4).as("leak_rate"),
+        coalesce($"shared_shingles", lit(0L)).as("shared_shingles"),
+        coalesce($"worst_overlap", lit(0L)).as("worst_overlap"))
+      .orderBy($"source")
+  }
+
+  /** Near-dup similarity histogram — the threshold-tuning report: the
+    * pair-Jaccard distribution in 0.05 buckets above a LOW floor (0.3),
+    * showing where the mass sits before committing to the graded 0.5
+    * cut. Same bounded-posting-list pair machinery as [[ngramJaccard]];
+    * the rollup shuffles ≤ 20 histogram rows.
+    */
+  def simHistogram(s: SparkSession, dir: String,
+                   floorJac: Double = 0.3,
+                   maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import s.implicits._
+    ngramPairs(s, dir, floorJac, maxDf)
+      .select(least(floor($"jac" * 20), lit(19L)).cast("long").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(round($"bucket" / 20.0, 2).as("jac_lo"),
+        round(($"bucket" + 1) / 20.0, 2).as("jac_hi"), $"n_pairs")
+      .orderBy($"jac_lo")
+  }
+
+  /** Cross-source duplication structure — which FEEDS copy each other:
+    * near-dup pairs (the graded 0.5 cut) attributed to their source
+    * pair, ordered sources so (a,b) and (b,a) collapse. Diagonal rows
+    * are within-source template families (boilerplate); off-diagonal
+    * mass is mirroring/syndication between feeds — the signal for
+    * collapsing two crawls into one.
+    *
+    * Shape: the bounded-posting-list pair machinery plus two doc_id
+    * hash joins onto (doc_id, source) and a ≤ sources² rollup.
+    */
+  def crossSourceDups(s: SparkSession, dir: String,
+                      threshold: Double = 0.5,
+                      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import s.implicits._
+    val srcs = Tables(s, dir, "documents").select($"doc_id", $"source")
+    ngramPairs(s, dir, threshold, maxDf)
+      .join(srcs.toDF("da", "sa"), "da")
+      .join(srcs.toDF("db", "sb"), "db")
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  /** Per-source duplication rate — the feed-quality scorecard: how many
+    * of each source's docs sit in a near-dup cluster at all, and how
+    * many of those are removable excess (non-survivors under the min-id
+    * canonical pick). A feed with a high removable rate is paying for
+    * crawl volume the corpus doesn't keep.
+    */
+  def dupRateBySource(s: SparkSession, dir: String,
+                      threshold: Double = 0.5,
+                      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import s.implicits._
+    val srcs = Tables(s, dir, "documents").select($"doc_id", $"source")
+    val pop = srcs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val clustered = dedupClusters(s, dir, threshold, maxDf)
+      .join(srcs, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_clustered"),
+        sum(when($"keep", 0L).otherwise(1L)).as("n_removable"))
+    pop.join(clustered, Seq("source"), "left_outer")
+      .select($"source", $"n_docs",
+        coalesce($"n_clustered", lit(0L)).as("n_clustered"),
+        coalesce($"n_removable", lit(0L)).as("n_removable"),
+        round(coalesce($"n_removable", lit(0L)).cast("double") /
+          $"n_docs", 4).as("removable_rate"))
+      .orderBy($"source")
+  }
+
   /** Distributed connected components by min-label propagation: every doc
     * starts labeled with its own id; each round, every doc takes the min
     * label across itself and its neighbours (one shuffle join keyed on the
@@ -868,7 +974,10 @@ object DedupOps {
       |  [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok)-1)]))
       |  AS s FROM t)""".stripMargin
 
-  val decontaminateOracle: String =
+  /** Shared split/hot/kept prefix for [[decontaminateOracle]] and
+    * [[contaminationSourcesOracle]].
+    */
+  private val decontKeptCte: String =
     shingleCte +
       s""",
         |tagged AS (SELECT doc_id, s,
@@ -877,13 +986,117 @@ object DedupOps {
         |hot AS (SELECT s FROM tagged GROUP BY s
         |  HAVING COUNT(*) > $DefaultMaxShingleDf),
         |kept AS (SELECT * FROM tagged
-        |  WHERE s NOT IN (SELECT s FROM hot))
+        |  WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
+
+  val decontaminateOracle: String =
+    decontKeptCte +
+      """
         |SELECT a.doc_id AS train_id,
         |  COUNT(DISTINCT a.s) AS n_shared,
         |  COUNT(DISTINCT b.doc_id) AS n_eval_docs
         |FROM kept a JOIN kept b ON a.s = b.s
         |WHERE a.split = 'train' AND b.split = 'eval'
         |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Oracle for [[contaminationSources]]: the same per-train-doc verdict
+    * as a CTE, source-joined and rolled up against the full train
+    * population (clean sources kept via the left join).
+    */
+  val contaminationSourcesOracle: String =
+    decontKeptCte +
+      """,
+        |cont AS (SELECT a.doc_id AS train_id,
+        |  COUNT(DISTINCT a.s) AS n_shared
+        |  FROM kept a JOIN kept b ON a.s = b.s
+        |  WHERE a.split = 'train' AND b.split = 'eval'
+        |  GROUP BY 1),
+        |pop AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train
+        |  FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |  GROUP BY 1),
+        |bysrc AS (SELECT d.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(c.n_shared) AS BIGINT) AS shared_shingles,
+        |  CAST(MAX(c.n_shared) AS BIGINT) AS worst_overlap
+        |  FROM cont c JOIN documents d ON c.train_id = d.doc_id
+        |  GROUP BY 1)
+        |SELECT p.source, p.n_train,
+        |  COALESCE(b.n_contaminated, 0) AS n_contaminated,
+        |  ROUND(CAST(COALESCE(b.n_contaminated, 0) AS DOUBLE)
+        |    / p.n_train, 4) AS leak_rate,
+        |  COALESCE(b.shared_shingles, 0) AS shared_shingles,
+        |  COALESCE(b.worst_overlap, 0) AS worst_overlap
+        |FROM pop p LEFT JOIN bysrc b USING (source)
+        |ORDER BY p.source""".stripMargin
+
+  /** Oracle for [[crossSourceDups]]: the graded-cut pair list joined to
+    * its source pair, ordered so (a,b) ≡ (b,a).
+    */
+  lazy val crossSourceDupsOracle: String =
+    // reuse ccReachCte's shingle→pairs prefix only (cut before the
+    // recursive closure — the pair report doesn't need components)
+    ccReachCte.split(",\nedges AS")(0)
+      .replaceFirst("WITH RECURSIVE ", "WITH ") +
+      """,
+        |sp AS (SELECT LEAST(da_s, db_s) AS source_a,
+        |  GREATEST(da_s, db_s) AS source_b FROM (
+        |  SELECT a.source AS da_s, b.source AS db_s
+        |  FROM pairs p JOIN documents a ON p.da = a.doc_id
+        |  JOIN documents b ON p.db = b.doc_id) x)
+        |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM sp GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
+  /** Oracle for [[dupRateBySource]]: the transitive-closure membership
+    * (min-label components, min-id keep flag) source-joined and rolled
+    * up against each source's population.
+    */
+  lazy val dupRateBySourceOracle: String =
+    ccReachCte +
+      """,
+        |m AS (SELECT min(root) AS cluster_id, doc_id,
+        |  (doc_id = min(root)) AS keep FROM reach GROUP BY doc_id),
+        |pop AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |cl AS (SELECT d.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clustered,
+        |  CAST(SUM(CASE WHEN m.keep THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_removable
+        |  FROM m JOIN documents d USING (doc_id) GROUP BY 1)
+        |SELECT p.source, p.n_docs,
+        |  COALESCE(cl.n_clustered, 0) AS n_clustered,
+        |  COALESCE(cl.n_removable, 0) AS n_removable,
+        |  ROUND(CAST(COALESCE(cl.n_removable, 0) AS DOUBLE)
+        |    / p.n_docs, 4) AS removable_rate
+        |FROM pop p LEFT JOIN cl USING (source)
+        |ORDER BY p.source""".stripMargin
+
+  /** Oracle for [[simHistogram]]: the kept-shingle pair Jaccard above
+    * the 0.3 floor, bucketed at 0.05 — identical rounding point
+    * (round 6 before the bucket arithmetic) as the Spark side.
+    */
+  val simHistogramOracle: String =
+    shingleCte +
+      s""",
+        |hot AS (SELECT s FROM sh GROUP BY s
+        |  HAVING COUNT(*) > $DefaultMaxShingleDf),
+        |kept AS (SELECT doc_id, s FROM sh
+        |  WHERE s NOT IN (SELECT s FROM hot)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jacs AS (SELECT
+        |  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jac
+        |  FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3),
+        |hist AS (SELECT CAST(LEAST(FLOOR(jac * 20), 19) AS BIGINT)
+        |    AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM jacs GROUP BY 1)
+        |SELECT ROUND(bucket / 20.0, 2) AS jac_lo,
+        |  ROUND((bucket + 1) / 20.0, 2) AS jac_hi, n_pairs
+        |FROM hist ORDER BY jac_lo""".stripMargin
 
   val ngramOracle: String =
     shingleCte +

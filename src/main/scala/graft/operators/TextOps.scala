@@ -713,6 +713,110 @@ object TextOps {
       .orderBy($"pos")
   }
 
+  /** Quality↔perplexity calibration — "does the cheap heuristic score
+    * track the LM gate?": held-out docs (the `q_doc_perplexity` scored
+    * set) cut into quality quintiles by the shared formula, each bucket
+    * reporting its mean bigram cross-entropy. A curation pipeline runs
+    * this before trusting the cheap score as a perplexity proxy at
+    * full-corpus scale (the LM pass is the expensive one).
+    *
+    * Shape: the per-doc CE table is [[docPerplexity]]'s group rows
+    * (eval split only); the quintile rank is the two-level bucketed
+    * prefix sum over the JOINED set. Mean CE is a DECIMAL sum of the
+    * 6-dp-rounded per-doc values ÷ count — order-free in both engines.
+    */
+  def qualityPerplexity(s: SparkSession, dir: String, n: Int = 5,
+                        qCells: Int = 16): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ce = docPerplexity(s, dir).select($"doc_id", $"cross_entropy")
+    val q = scoredDocs(s, dir)
+      .select($"doc_id", round($"quality_raw", 6).as("q6"))
+    val t = q.join(ce, "doc_id")
+      .withColumn("cell",
+        least(floor($"q6" * qCells).cast("long"), lit(qCells - 1L)))
+    val wIn = Window.partitionBy($"cell").orderBy($"q6", $"doc_id")
+    val wCell = Window.orderBy($"cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellAgg = t.groupBy($"cell").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val cellOff = cellAgg
+      .withColumn("cell_off", coalesce(sum($"cnt").over(wCell), lit(0L)))
+      .select($"cell", $"cell_off")
+    val nTotal = cellAgg.agg(sum($"cnt").as("n_total"))
+    t.withColumn("rk_in", row_number().over(wIn).cast("long"))
+      .join(broadcast(cellOff), "cell")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("rank", $"rk_in" + $"cell_off")
+      .withColumn("bucket", expr(s"((rank - 1) * $n) div n_total") + 1L)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"q6").as("min_quality"), max($"q6").as("max_quality"),
+        round(sum($"cross_entropy"
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double") / count(lit(1)), 6).as("mean_ce"))
+      .orderBy($"bucket")
+  }
+
+  /** Shared model CTEs for [[docPerplexityOracle]] and
+    * [[qualityPerplexityOracle]]: add-one bigram model on the md5 train
+    * split, per-held-out-bigram log-prob (`sc`), 9-dp-rounded and
+    * DECIMAL-typed so accumulation order cannot split engines.
+    */
+  val perplexityCte: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS tok,
+      |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train
+      |  FROM documents),
+      |bg AS (SELECT doc_id, lang, is_train,
+      |  UNNEST(tok[1:len(tok)-1]) AS w1,
+      |  UNNEST(tok[2:len(tok)]) AS w2 FROM t),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg
+      |  WHERE is_train GROUP BY 1, 2),
+      |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w) AS v
+      |  FROM (SELECT UNNEST(tok) AS w FROM t WHERE is_train) x),
+      |sc AS (SELECT e.doc_id, e.lang,
+      |  CAST(ROUND(ln((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0)
+      |    / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + v.v)), 9)
+      |    AS DECIMAL(28,9)) AS lp
+      |  FROM bg e LEFT JOIN c2 ON e.w1 = c2.w1 AND e.w2 = c2.w2
+      |  LEFT JOIN c1 ON e.w1 = c1.w1 CROSS JOIN v
+      |  WHERE NOT e.is_train)""".stripMargin
+
+  val docPerplexityOracle: String =
+    perplexityCte +
+      """
+        |SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+        |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[qualityPerplexity]]: per-doc CE as a CTE, joined to
+    * the shared quality formula, quintiled by the exact global rank.
+    */
+  val qualityPerplexityOracle: String =
+    perplexityCte +
+      """,
+        |pp AS (SELECT doc_id,
+        |  ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+        |  FROM sc GROUP BY 1),
+        |tok2 AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |qq AS (SELECT doc_id,
+        |  ROUND((CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+        |    * LEAST(1.0, CAST(len(tk) AS DOUBLE) / 50.0), 6) AS q6
+        |  FROM tok2),
+        |j AS (SELECT pp.doc_id, qq.q6, pp.cross_entropy
+        |  FROM pp JOIN qq USING (doc_id)),
+        |r AS (SELECT doc_id, q6, cross_entropy,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY q6, doc_id) AS BIGINT) AS rank,
+        |  COUNT(*) OVER () AS n_total FROM j)
+        |SELECT CAST(((rank - 1) * 5) // n_total + 1 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(q6) AS min_quality, MAX(q6) AS max_quality,
+        |  ROUND(CAST(SUM(CAST(cross_entropy AS DECIMAL(20,6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_ce
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Temperature-scaled source mixing weights — the mT5/Pile sampling
     * schedule: p_s ∝ (token mass of s)^α with α = 0.7, flattening the
     * natural distribution so small sources aren't drowned and huge ones

@@ -1681,4 +1681,127 @@ class OperatorsSpec extends SparkSpec {
     next.foreach(d => assert(used + d._3 > budget,
       "a further doc still fits — selection is not maximal"))
   }
+
+  test("contamination attribution reconciles with the per-doc verdicts") {
+    import spark.implicits._
+    val out = DedupOps.contaminationSources(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSeq
+    val perDoc = DedupOps.decontaminate(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // train_id -> n_shared
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val srcOf = docs.toMap
+    val trainPop = docs
+      .filter { case (id, _) => md5Hex(id.toString).substring(0, 2) < "e6" }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = trainPop.toSeq.sortBy(_._1).map { case (src, nTrain) =>
+      val hits = perDoc.filter { case (id, _) => srcOf(id) == src }
+      val nc = hits.size.toLong
+      (src, nTrain, nc, roundHalfUp(nc.toDouble / nTrain, 4),
+        if (hits.isEmpty) 0L else hits.values.sum,
+        if (hits.isEmpty) 0L else hits.values.max)
+    }
+    assert(out == expected, "attribution diverges from the per-doc list")
+    // every source appears (clean ones with zero counts), and the doc
+    // counts reconcile with the per-doc verdict list
+    assert(out.map(_._1).toSet == docs.map(_._2).toSet)
+    assert(out.map(_._3).sum == perDoc.size.toLong)
+  }
+
+  test("quality-perplexity calibration matches the local quintile join") {
+    import spark.implicits._
+    val out = TextOps.qualityPerplexity(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val ce = TextOps.docPerplexity(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val q6 = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val tok = t.split(" ", -1).toSeq
+        id -> roundHalfUp((tok.distinct.size.toDouble / tok.size) *
+          math.min(1.0, tok.size.toDouble / 50.0), 6)
+      }.toMap
+    val joined = ce.keys.toSeq.map(id => (id, q6(id), ce(id)))
+      .sortBy { case (id, q, _) => (q, id) }
+    val n = joined.length.toLong
+    val expected = joined.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 5L / n + 1L }
+      .map { case (b, g) =>
+        val ces = g.map(_._1._3)
+        val meanCe = ces.map(BigDecimal(_)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+          ces.length
+        (b, g.size.toLong, g.map(_._1._2).min, g.map(_._1._2).max,
+          roundHalfUp(meanCe, 6))
+      }.toSeq.sortBy(_._1)
+    assert(out == expected, "calibration diverges from the local quintiles")
+    assert(out.map(_._2).sum == n, "buckets must partition the scored set")
+  }
+
+  test("similarity histogram is exactly the low-floor pair rollup") {
+    val pairs = DedupOps.ngramJaccard(spark, sfTest, threshold = 0.3)
+      .collect().map(_.getDouble(2))
+    val out = DedupOps.simHistogram(spark, sfTest).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+    val expected = pairs
+      .groupBy(j => math.min(math.floor(j * 20).toLong, 19L))
+      .map { case (b, g) =>
+        (roundHalfUp(b / 20.0, 2), roundHalfUp((b + 1) / 20.0, 2),
+          g.length.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(out == expected, "histogram diverges from the pair list")
+    assert(out.map(_._3).sum == pairs.length.toLong)
+    // nothing below the floor leaks in
+    assert(out.forall(_._1 >= 0.30 - 1e-9))
+  }
+
+  test("cross-source dup matrix reconciles with the graded pair list") {
+    import spark.implicits._
+    val out = DedupOps.crossSourceDups(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val srcOf = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val pairs = DedupOps.ngramJaccard(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((a, b), n) => (a, b, n) }.sortBy(p => (p._1, p._2))
+    assert(out == expected, "matrix diverges from the pair list")
+    assert(out.map(_._3).sum == pairs.length.toLong)
+    out.foreach { case (a, b, _) => assert(a <= b) }
+  }
+
+  test("per-source dup rates reconcile with cluster membership") {
+    import spark.implicits._
+    val out = DedupOps.dupRateBySource(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val srcOf = docs.toMap
+    val members = DedupOps.dedupClusters(spark, sfTest).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2))) // doc_id, keep
+    val bySrc = members.groupBy { case (id, _) => srcOf(id) }
+    val expected = docs.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (src, g) =>
+        val cl = bySrc.getOrElse(src, Array.empty[(Long, Boolean)])
+        val removable = cl.count(!_._2).toLong
+        (src, g.length.toLong, cl.length.toLong, removable,
+          roundHalfUp(removable.toDouble / g.length, 4))
+      }
+    assert(out == expected, "rates diverge from the membership")
+    // removable ≤ clustered ≤ population, and the removable total is
+    // the corpus' near-dup excess (members − clusters)
+    out.foreach { case (_, nd, nc, nr, _) =>
+      assert(nr <= nc && nc <= nd)
+    }
+    val nClusters = members.count(_._2).toLong
+    assert(out.map(_._4).sum == members.length - nClusters)
+  }
 }
