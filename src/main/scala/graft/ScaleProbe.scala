@@ -57,7 +57,11 @@ object ScaleProbe {
     // corpus/n_sources — both worth an exponent. (hard_negatives /
     // embedding_outliers are single broadcast scans; knn already
     // represents that cost class.)
-    "q_dedup_keep", "q_shuffle_order")
+    "q_dedup_keep", "q_shuffle_order",
+    // round-11 batches 6–7: the pair/CC-riding reports and the
+    // model-building calibration query
+    "q_sim_histogram", "q_cross_source_dups", "q_dup_rate_by_source",
+    "q_quality_perplexity")
 
   def main(args: Array[String]): Unit = {
     val outRoot = if (args.nonEmpty) args(0) else "/tmp/sf1"

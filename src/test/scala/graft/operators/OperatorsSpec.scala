@@ -1804,4 +1804,22 @@ class OperatorsSpec extends SparkSpec {
     val nClusters = members.count(_._2).toLong
     assert(out.map(_._4).sum == members.length - nClusters)
   }
+
+  test("order-defining surfaces are invariant to the session's shuffle " +
+    "width") {
+    // The reproducibility claim the md5-key discipline makes is ACROSS
+    // CLUSTER SHAPES: the same corpus on 3 partitions and 11 must emit
+    // byte-identical samples, orders, and cuts. rand()-based samplers
+    // and unpinned window orders fail exactly this test.
+    val wide = spark.newSession()
+    wide.conf.set("spark.sql.shuffle.partitions", "11")
+    for (q <- Seq("q_sample_weighted", "q_shuffle_order", "q_token_budget",
+      "q_curriculum_buckets", "q_sample_stratified", "q_kmeans")) {
+      val a = graft.SparkEntry.queries(q)(spark, sfTest)
+        .collect().map(_.toString).toSeq
+      val b = graft.SparkEntry.queries(q)(wide, sfTest)
+        .collect().map(_.toString).toSeq
+      assert(a == b, s"$q changes under a different shuffle width")
+    }
+  }
 }
