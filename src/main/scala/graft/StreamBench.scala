@@ -83,12 +83,34 @@ object StreamBench {
       name -> (events.length / secs)
     }
 
+    // the weighted reservoir streams the documents table (doc_id,
+    // n_chars), not events — smaller chunks so the run still spans
+    // several micro-batches at the fixture's corpus size
+    def runReservoir(): (String, Double) = {
+      val docsRows = Tables(spark, sfDir, "documents")
+        .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+      val ms = MemoryStream[(Long, Long)]
+      val q = StreamOps
+        .streamWeightedSample(ms.toDS().toDF("doc_id", "n_chars"))
+        .writeStream.format("memory").queryName("sb_reservoir")
+        .outputMode("complete").start()
+      val t0 = System.nanoTime()
+      docsRows.grouped(500).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      "reservoir" -> (docsRows.length / secs)
+    }
+
     val results = Seq(
       run("tumbling", StreamOps.tumbling, "update"),
       run("dedup", StreamOps.dedup, "append"),
       run("sessions", StreamOps.sessions, "append"),
       runJoin("join_inner", StreamOps.conversionJoin),
-      runJoin("join_outer", StreamOps.conversionJoinOuter))
+      runJoin("join_outer", StreamOps.conversionJoinOuter),
+      runReservoir())
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
