@@ -27,8 +27,13 @@ object PlanAudit {
     "q_hard_negatives", // broadcast anchor batch, documented baseline
     "q_source_temperature", // per-source rows × 1-row normalizer
     "q_token_budget", // ranked docs × 1-row budget aggregate
-    "q_quality_perplexity" // CE rows × 1-row count (the perplexity
-                           // vocab 1-row V cross join rides along)
+    "q_quality_perplexity", // CE rows × 1-row count (the perplexity
+                            // vocab 1-row V cross join rides along)
+    "q_epoch_plan", // per-source rows × 1-row normalizer (the
+                    // q_source_temperature shape)
+    "q_minhash_recall", // ≤ band-count curve rows × 1-row truth total
+    "q_psi_drift" // (type,day,bucket) group rows × 1-row min/max anchor
+                  // and × the 10-row bucket spine (both plan-constant)
   )
 
   def main(args: Array[String]): Unit = {

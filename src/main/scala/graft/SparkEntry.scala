@@ -184,6 +184,16 @@ object SparkEntry {
       ((s: SparkSession, d: String) => DedupOps.crossSourceDups(s, d)),
     "q_dup_rate_by_source" ->
       ((s: SparkSession, d: String) => DedupOps.dupRateBySource(s, d)),
+    // round 11, batch 8: sketch calibration, feed novelty, label
+    // cohesion, drift monitoring, epoch planning
+    "q_minhash_recall" ->
+      ((s: SparkSession, d: String) => DedupOps.minhashRecall(s, d)),
+    "q_ngram_novelty" -> (DedupOps.ngramNovelty _),
+    "q_label_cohesion" -> (VectorOps.labelCohesion _),
+    "q_psi_drift" ->
+      ((s: SparkSession, d: String) => Events.psiDrift(s, d)),
+    "q_epoch_plan" ->
+      ((s: SparkSession, d: String) => TextOps.epochPlan(s, d)),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -1087,5 +1097,32 @@ object SparkEntry {
     "q_sim_histogram" -> DedupOps.simHistogramOracle,
     "q_cross_source_dups" -> DedupOps.crossSourceDupsOracle,
     "q_dup_rate_by_source" -> DedupOps.dupRateBySourceOracle,
+    "q_minhash_recall" -> DedupOps.minhashRecallOracle,
+    "q_ngram_novelty" -> DedupOps.ngramNoveltyOracle,
+    "q_label_cohesion" -> VectorOps.labelCohesionOracle,
+    "q_psi_drift" -> Events.psiDriftOracle,
+    // epoch plan: shares are q_source_temperature's round-6 values; the
+    // target is floor(p6 * exact-integer total), the 4-epoch cap is
+    // integer arithmetic
+    "q_epoch_plan" ->
+      """WITH ps AS (SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |  CAST(ROUND(pow(CAST(n_tokens AS DOUBLE), 0.7), 6)
+        |    AS DECIMAL(28,6)) AS w6 FROM ps),
+        |t AS (SELECT CAST(SUM(w6) AS DOUBLE) AS sum_w,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tot FROM w),
+        |plan AS (SELECT source, n_tokens,
+        |  ROUND(CAST(w6 AS DOUBLE) / sum_w, 6) AS p,
+        |  CAST(FLOOR(ROUND(CAST(w6 AS DOUBLE) / sum_w, 6) * tot)
+        |    AS BIGINT) AS target_tokens
+        |  FROM w CROSS JOIN t)
+        |SELECT source, n_tokens, p, target_tokens,
+        |  ROUND(CAST(target_tokens AS DOUBLE) / n_tokens, 4) AS epochs,
+        |  (target_tokens > n_tokens * 4) AS capped,
+        |  LEAST(target_tokens, n_tokens * 4) AS effective_tokens,
+        |  GREATEST(target_tokens - n_tokens * 4, 0) AS shortfall
+        |FROM plan ORDER BY source""".stripMargin,
   )
 }

@@ -339,6 +339,15 @@ object DedupOps {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    minhashPairs(s, dir).orderBy($"da", $"db")
+  }
+
+  /** [[minhashLsh]] minus the presentation ORDER BY (the [[ngramPairs]]
+    * convention) — the form consumers that immediately re-aggregate
+    * ([[minhashRecall]]) should take.
+    */
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val bands = docsParallel(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
@@ -368,7 +377,91 @@ object DedupOps {
     a.join(b, $"band_a" === $"band_b" && $"sig_a" === $"sig_b" &&
         $"da" < $"db")
       .groupBy($"da", $"db").agg(count(lit(1)).as("n_bands"))
-      .orderBy($"da", $"db")
+  }
+
+  /** LSH calibration — the sketch-vs-truth report a pipeline reads before
+    * trusting MinHash at a scale where the exact pair join is
+    * unaffordable: for each band-agreement cutoff b (keep candidates
+    * sharing ≥ b of the 8 bands), the candidate volume, how many of the
+    * exact-Jaccard ≥ 0.5 pairs survive (recall), and how many candidates
+    * are real (precision). Read it as the banding tuning curve: b = 1 is
+    * the standard LSH candidate set; raising b trades recall for a
+    * smaller verification bill.
+    *
+    * Scale shape: the candidate side is [[minhashPairs]] (8 fixed-width
+    * band rows per doc into the band self-join), the truth side is the
+    * graded bounded-posting-list machinery ([[ngramPairs]]); they meet in
+    * a (da, db) hash join whose both sides are pair lists, never the
+    * corpus. The cutoff rollup shuffles ≤ 8 rows into a single-partition
+    * cumulative window (bounded by the BAND COUNT, the
+    * [[simHistogram]] ≤-20-rows class), and the truth total rides the
+    * 1-row broadcast class. Note the calibration is of the sketch AS
+    * DEPLOYED: signatures hash every shingle, while the truth join is
+    * df-capped — hot-shingle pairs the graded dedup refuses to expand are
+    * "spurious" here by construction, which is exactly what the
+    * verification bill would see in production.
+    */
+  def minhashRecall(s: SparkSession, dir: String,
+                    threshold: Double = 0.5,
+                    maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import s.implicits._
+    val truth = ngramPairs(s, dir, threshold, maxDf)
+      .select($"da", $"db", lit(1L).as("hit"))
+    val perCut = minhashPairs(s, dir)
+      .join(truth, Seq("da", "db"), "left_outer")
+      .groupBy($"n_bands")
+      .agg(count(lit(1)).as("n_cand_b"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit_b"))
+    // ≤ 8 rows (one per observed band count): the single-partition
+    // cumulative window is bounded by the band constant, not the corpus.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_bands".desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+    perCut
+      .select($"n_bands".as("min_bands"),
+        sum($"n_cand_b").over(w).as("n_candidates"),
+        sum($"n_hit_b").over(w).as("n_true_caught"))
+      .crossJoin(broadcast(tot)) // 1-row anchor (allowed hint class)
+      .select($"min_bands", $"n_candidates", $"n_true_caught", $"n_truth",
+        round($"n_true_caught".cast("double") / $"n_truth", 4).as("recall"),
+        round($"n_true_caught".cast("double") / $"n_candidates", 4)
+          .as("precision"))
+      .orderBy($"min_bands")
+  }
+
+  /** Per-source n-gram NOVELTY — the corpus-composition report behind
+    * "what does this feed actually add": each source's distinct 3-gram
+    * shingle count and the fraction of them appearing in NO other source.
+    * A low-novelty feed is re-crawling content the corpus already has
+    * (the acquisition-side complement of [[dupRateBySource]]'s
+    * doc-level scorecard — novelty sees partial overlap that never forms
+    * a near-dup pair).
+    *
+    * Scale shape: no pair machinery at all — (shingle, source) distinct
+    * rows (one shingle-width shuffle, the same budget as the dedup
+    * explode), a per-shingle source-count aggregate (group rows), and two
+    * ≤|sources| rollups. A shingle unique to one source carries that
+    * source in `min(source)`, so uniqueness attribution needs no second
+    * join against the corpus.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcs = Tables(s, dir, "documents").select($"doc_id", $"source")
+    val ss = shingles(s, dir).join(srcs, "doc_id")
+      .select($"s", $"source").distinct()
+    val per = ss.groupBy($"s")
+      .agg(count(lit(1)).as("n_src"), min($"source").as("only_src"))
+    val tot = ss.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
+    val uniq = per.filter($"n_src" === 1)
+      .groupBy($"only_src".as("source"))
+      .agg(count(lit(1)).as("n_unique"))
+    tot.join(uniq, Seq("source"), "left_outer")
+      .select($"source", $"n_shingles",
+        coalesce($"n_unique", lit(0L)).as("n_unique"),
+        round(coalesce($"n_unique", lit(0L)).cast("double") /
+          $"n_shingles", 4).as("novelty_rate"))
+      .orderBy($"source")
   }
 
   /** 16-bit SimHash per document: dimension i flips ±1 on the i-th hex
@@ -1206,6 +1299,81 @@ object DedupOps {
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY da, db""".stripMargin
   }
+
+  /** Oracle for [[minhashRecall]]: the minhash candidate CTEs (generated
+    * in lockstep with [[minhashOracle]]) left-joined against the graded
+    * exact-Jaccard truth CTEs, cumulated over the band cutoff.
+    */
+  val minhashRecallOracle: String = {
+    val mins = (0 until 16)
+      .map(i => s"min(substring(md5(s) || md5('x:' || s), ${4 * i + 1}, 4)) AS h$i")
+      .mkString(", ")
+    val bands = (0 until 8).map(j =>
+      s"SELECT doc_id, $j AS band, md5(h${2 * j} || h${2 * j + 1}) AS sig FROM mh")
+      .mkString(" UNION ALL ")
+    shingleCte +
+      s""",
+         |hot AS (SELECT s FROM sh GROUP BY s
+         |  HAVING COUNT(*) > $DefaultMaxShingleDf),
+         |kept AS (SELECT doc_id, s FROM sh
+         |  WHERE s NOT IN (SELECT s FROM hot)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+         |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT da, db FROM inter
+         |  JOIN sizes sa ON da = sa.doc_id
+         |  JOIN sizes sb ON db = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+         |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS ($bands),
+         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |per AS (SELECT c.n_bands,
+         |    CASE WHEN t.da IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM cand c LEFT JOIN truth t ON c.da = t.da AND c.db = t.db),
+         |agg AS (SELECT n_bands, CAST(COUNT(*) AS BIGINT) AS n_cand_b,
+         |    CAST(SUM(hit) AS BIGINT) AS n_hit_b
+         |  FROM per GROUP BY 1),
+         |cum AS (SELECT n_bands AS min_bands,
+         |    SUM(n_cand_b) OVER (ORDER BY n_bands DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS n_candidates,
+         |    SUM(n_hit_b) OVER (ORDER BY n_bands DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS n_true_caught
+         |  FROM agg),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+         |SELECT min_bands, CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_true_caught AS BIGINT) AS n_true_caught, n_truth,
+         |  ROUND(CAST(n_true_caught AS DOUBLE) / n_truth, 4) AS recall,
+         |  ROUND(CAST(n_true_caught AS DOUBLE) / n_candidates, 4)
+         |    AS precision
+         |FROM cum CROSS JOIN tot ORDER BY min_bands""".stripMargin
+  }
+
+  /** Oracle for [[ngramNovelty]]: distinct (shingle, source) pairs, the
+    * single-source shingles attributed via min(source).
+    */
+  val ngramNoveltyOracle: String =
+    shingleCte +
+      """,
+        |ss AS (SELECT DISTINCT sh.s, d.source
+        |  FROM sh JOIN documents d USING (doc_id)),
+        |per AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_src,
+        |  MIN(source) AS only_src FROM ss GROUP BY s),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        |  FROM ss GROUP BY source),
+        |uniq AS (SELECT only_src AS source, CAST(COUNT(*) AS BIGINT)
+        |  AS n_unique FROM per WHERE n_src = 1 GROUP BY 1)
+        |SELECT t.source, t.n_shingles,
+        |  COALESCE(u.n_unique, 0) AS n_unique,
+        |  ROUND(CAST(COALESCE(u.n_unique, 0) AS DOUBLE) / t.n_shingles, 4)
+        |    AS novelty_rate
+        |FROM tot t LEFT JOIN uniq u USING (source)
+        |ORDER BY t.source""".stripMargin
 
   /** Shared signature CTE (`sig(doc_id, simhash)`) for the simhash oracle
     * pair — generated so the 16-term CASE chain stays in lockstep with the

@@ -589,4 +589,101 @@ object Events {
         round($"n" / sum($"n").over(byFrom), 6).as("p"))
       .orderBy($"event_type", $"next_type")
   }
+
+  /** Distribution DRIFT monitor — the population-stability-index (PSI)
+    * report a payload pipeline runs to catch producers silently changing
+    * their value distribution: per (event_type, day), the day's `value`
+    * histogram vs the type's all-time histogram,
+    * PSI = Σ_buckets (p_b − q_b)·ln(p_b/q_b), flagged past the
+    * conventional 0.2 "significant shift" threshold. Buckets are 10
+    * equal-width cells of the global value range (deterministic — no
+    * percentile estimation in the bucket edges); both distributions are
+    * add-one smoothed so empty cells contribute finite terms, the same
+    * Laplace discipline as `q_doc_perplexity`.
+    *
+    * Scale shape: one events scan collapses to (type, day, bucket) counts
+    * — group rows bounded by types × days × 10, never event rows — and
+    * the global min/max rides the 1-row broadcast class; the day-bucket
+    * spine is a types×days rollup crossed with a 10-row range. Every ln
+    * sees an exact-integer rational, each term is 9-dp-rounded into a
+    * DECIMAL sum (order-free), so `round(psi, 6)` is engine-stable.
+    * Streaming twin: `StreamOps.psiDrift` (s_drift) judges arriving
+    * windows against a frozen baseline with the same formula.
+    */
+  def psiDrift(s: SparkSession, dir: String, buckets: Int = 10,
+               flagAt: Double = 0.2): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType
+    val ev0 = Tables(s, dir, "events")
+      .select($"event_type",
+        date_trunc("day", $"ts").cast("date").as("day"), $"value")
+    val mm = ev0.agg(min($"value").as("lo"), max($"value").as("hi"))
+    val ev = ev0.crossJoin(broadcast(mm)) // 1-row anchor (allowed class)
+      .select($"event_type", $"day",
+        least(floor(($"value" - $"lo") / (($"hi" - $"lo") / buckets)),
+          lit(buckets - 1L)).cast("long").as("bucket"))
+    val baseN = ev.groupBy($"event_type").agg(count(lit(1)).as("base_n"))
+    val baseC = ev.groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("base_c"))
+    val dayN = ev.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("day_n"))
+    val dayC = ev.groupBy($"event_type", $"day", $"bucket")
+      .agg(count(lit(1)).as("day_c"))
+    // spine: every (type, day) × every bucket, so empty cells smooth
+    // instead of vanishing — bounded by the group-row domain.
+    val spine = dayN
+      .crossJoin(broadcast(s.range(buckets).select($"id".as("bucket"))))
+      .join(baseN, "event_type")
+    val terms = spine
+      .join(dayC, Seq("event_type", "day", "bucket"), "left_outer")
+      .join(baseC, Seq("event_type", "bucket"), "left_outer")
+      .select($"event_type", $"day",
+        ((coalesce($"day_c", lit(0L)) + 1).cast("double") /
+          ($"day_n" + buckets)).as("p"),
+        ((coalesce($"base_c", lit(0L)) + 1).cast("double") /
+          ($"base_n" + buckets)).as("q"))
+    terms.groupBy($"event_type", $"day")
+      .agg(round(sum(round(($"p" - $"q") * log($"p" / $"q"), 9)
+        .cast(dec(20, 9))).cast("double"), 6).as("psi"))
+      .select($"event_type", $"day", $"psi", ($"psi" > flagAt).as("drift"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Oracle for [[psiDrift]]: the same spine/smoothing/DECIMAL-sum
+    * construction over DuckDB's range().
+    */
+  val psiDriftOracle: String =
+    """WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      |ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(LEAST(FLOOR((value - mm.lo) / ((mm.hi - mm.lo) / 10)), 9)
+      |      AS BIGINT) AS bucket
+      |  FROM events CROSS JOIN mm),
+      |base_n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ev GROUP BY 1),
+      |base_c AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY 1, 2),
+      |day_n AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ev GROUP BY 1, 2),
+      |day_c AS (SELECT event_type, day, bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY 1, 2, 3),
+      |spine AS (SELECT d.event_type, d.day, g.b AS bucket, d.n AS day_n,
+      |    bn.n AS base_n
+      |  FROM day_n d
+      |  CROSS JOIN (SELECT UNNEST(range(0, 10)) AS b) g
+      |  JOIN base_n bn USING (event_type)),
+      |terms AS (SELECT s.event_type, s.day,
+      |    CAST(COALESCE(dc.c, 0) + 1 AS DOUBLE) / (s.day_n + 10) AS p,
+      |    CAST(COALESCE(bc.c, 0) + 1 AS DOUBLE) / (s.base_n + 10) AS q
+      |  FROM spine s
+      |  LEFT JOIN day_c dc ON s.event_type = dc.event_type
+      |    AND s.day = dc.day AND s.bucket = dc.bucket
+      |  LEFT JOIN base_c bc ON s.event_type = bc.event_type
+      |    AND s.bucket = bc.bucket),
+      |psi AS (SELECT event_type, day,
+      |    ROUND(CAST(SUM(CAST(ROUND((p - q) * ln(p / q), 9)
+      |      AS DECIMAL(20,9))) AS DOUBLE), 6) AS psi
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT event_type, day, psi, (psi > 0.2) AS drift
+      |FROM psi ORDER BY event_type, day""".stripMargin
 }

@@ -859,6 +859,51 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** The EPOCH PLAN — [[sourceTemperature]]'s mixing weights turned into
+    * the executable loader schedule: allocate a one-corpus-sized token
+    * budget across sources by the temperature shares, and report how many
+    * EPOCHS of each source that demands (target ÷ natural tokens). An
+    * up-weighted small source repeats; data-constrained scaling says
+    * repetition stops paying around 4 epochs (Muennighoff et al., 2023),
+    * so the plan caps there and reports each source's unfillable
+    * shortfall — the signal to either acquire more of that source or
+    * renormalize the mix.
+    *
+    * Determinism: shares are the same round-6 values as
+    * `q_source_temperature`; the target is floor(p₆ · tot_tokens) on an
+    * exact integer total, and the cap comparison is integer arithmetic —
+    * nothing order-dependent anywhere. Scale shape: identical to the
+    * parent (one corpus scan → ≤ n_sources group rows → 1-row
+    * normalizer broadcast).
+    */
+  def epochPlan(s: SparkSession, dir: String, alpha: Double = 0.7,
+                maxEpochs: Int = 4): DataFrame = {
+    import s.implicits._
+    val perSource = docs(s, dir)
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long")
+        .as("n_tokens"))
+      .groupBy($"source")
+      .agg(sum($"n_tokens").as("n_tokens"))
+      .withColumn("w6", round(pow($"n_tokens".cast("double"), lit(alpha)), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+      .localCheckpoint(false)
+    val totals = perSource
+      .agg(sum($"w6").as("sum_w"), sum($"n_tokens").as("tot_tokens"))
+    perSource.crossJoin(broadcast(totals))
+      .select($"source", $"n_tokens",
+        round($"w6".cast("double") / $"sum_w".cast("double"), 6).as("p"),
+        floor(round($"w6".cast("double") / $"sum_w".cast("double"), 6) *
+          $"tot_tokens").cast("long").as("target_tokens"))
+      .select($"source", $"n_tokens", $"p", $"target_tokens",
+        round($"target_tokens".cast("double") / $"n_tokens", 4).as("epochs"),
+        ($"target_tokens" > $"n_tokens" * maxEpochs).as("capped"),
+        least($"target_tokens", $"n_tokens" * maxEpochs)
+          .as("effective_tokens"),
+        greatest($"target_tokens" - $"n_tokens" * maxEpochs, lit(0L))
+          .as("shortfall"))
+      .orderBy($"source")
+  }
+
   /** Budget-constrained data selection — "take the best docs until the
     * token budget is spent" (the FineWeb/DataComp selection step): docs
     * ranked by the shared quality formula (desc, doc_id ties), selected

@@ -382,6 +382,54 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Within-label COHESION — the diversity audit a labeled training set
+    * gets before contrastive/classification training: per label, the mean
+    * pairwise cosine among its members (how redundant the class is) and
+    * the mean-resultant length ‖Σv̂‖/n (how directionally concentrated).
+    * High cohesion = the label's examples are near-duplicates of each
+    * other; near-zero = the class is internally diverse.
+    *
+    * The n² pairs are never generated: for unit vectors,
+    * Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σv̂‖² − Σ‖v̂‖², so one pass accumulating the
+    * per-dimension component sums (and the self-dot total) yields the
+    * exact mean pairwise cosine — group rows only (labels × dims), raw
+    * vectors never shuffle, any label size costs the same. Cross-engine
+    * float discipline: components are normalized per row (identical IEEE
+    * left-fold norm in both engines), 7-dp-rounded into DECIMAL(20,7)
+    * dimension sums; the squared sums and self-dots re-enter DECIMAL
+    * after a 9/14-dp round, so both engines aggregate exact decimals in
+    * any order and `round(…, 6)` cannot split.
+    */
+  def labelCohesion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"), $"embedding",
+        sqrt(aggregate($"embedding", lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+    val rows = e
+      .select($"label", $"nrm", posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"label", $"dim",
+        round($"v".cast("double") / $"nrm", 7).as("r"))
+    val perDim = rows.groupBy($"label", $"dim")
+      .agg(sum($"r".cast(dec(20, 7))).as("sdec"),
+        sum(round($"r" * $"r", 14).cast(dec(24, 14))).as("ssqdec"))
+    val perLabel = perDim
+      .select($"label",
+        ($"sdec".cast("double") * $"sdec".cast("double")).as("sd2"),
+        $"ssqdec")
+      .groupBy($"label")
+      .agg(sum(round($"sd2", 9).cast(dec(38, 9))).cast("double").as("sumsq"),
+        sum($"ssqdec").cast("double").as("selfsq"))
+    val n = e.groupBy($"label").agg(count(lit(1)).as("n_vectors"))
+    n.join(perLabel, "label")
+      .select($"label", $"n_vectors",
+        round(($"sumsq" - $"selfsq") /
+          ($"n_vectors" * ($"n_vectors" - 1)), 6).as("cohesion"),
+        round(sqrt($"sumsq") / $"n_vectors", 6).as("resultant_len"))
+      .orderBy($"label")
+  }
+
   /** IVF-style approximate nearest neighbours (the 100 TB scale path for
     * `knn`): a deterministic sample-trained coarse quantizer (spherical
     * k-means on the lowest-id `sampleN` vectors: Gonzalez farthest-point
@@ -906,4 +954,35 @@ object VectorOps {
        |SELECT vec_id, CAST(cl AS BIGINT) AS cluster, ROUND(sim, 6) AS sim
        |FROM f ORDER BY vec_id""".stripMargin
   }
+
+  /** Oracle for [[labelCohesion]]: the same sum-vector identity with the
+    * same DECIMAL re-entry points (7-dp components, 9-dp squared sums,
+    * 14-dp self-dots).
+    */
+  val labelCohesionOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |rows_ AS (SELECT label, dim, ROUND(x / nrm, 7) AS r
+      |  FROM (SELECT label, nrm,
+      |      UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+      |      UNNEST(range(len(embedding))) AS dim FROM e) z),
+      |per_dim AS (SELECT label, dim,
+      |    CAST(SUM(CAST(r AS DECIMAL(20,7))) AS DOUBLE) AS sd,
+      |    SUM(CAST(ROUND(r * r, 14) AS DECIMAL(24,14))) AS ssqdec
+      |  FROM rows_ GROUP BY label, dim),
+      |per_label AS (SELECT label,
+      |    CAST(SUM(CAST(ROUND(sd * sd, 9) AS DECIMAL(38,9))) AS DOUBLE)
+      |      AS sumsq,
+      |    CAST(SUM(ssqdec) AS DOUBLE) AS selfsq
+      |  FROM per_dim GROUP BY label),
+      |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      |  FROM e GROUP BY label)
+      |SELECT n.label, n.n_vectors,
+      |  ROUND((p.sumsq - p.selfsq) / (n.n_vectors * (n.n_vectors - 1)), 6)
+      |    AS cohesion,
+      |  ROUND(sqrt(p.sumsq) / n.n_vectors, 6) AS resultant_len
+      |FROM n JOIN per_label p USING (label)
+      |ORDER BY n.label""".stripMargin
 }

@@ -144,6 +144,67 @@ object StreamOps {
         expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
         expr(s"approx_percentile(value, 0.95, $accuracy)").as("p95"))
 
+  /** Streaming distribution-DRIFT monitor (s_drift) — the streaming twin
+    * of `q_psi_drift` (Events.psiDrift): each 1-day event-time window's
+    * `value` histogram is judged against a FROZEN baseline histogram
+    * (built once from the historical corpus by [[driftBaseline]]) with
+    * the same add-one-smoothed PSI formula, flagged past `flagAt`. In
+    * production the baseline is the last vetted corpus profile; freezing
+    * it is what makes the monitor a detector rather than a tautology (a
+    * self-updating baseline absorbs the drift it should report).
+    *
+    * State: one (window, type) row of `buckets` counters — the
+    * windowed-agg class, bounded by the watermark horizon. The baseline
+    * joins per micro-batch as a static |types|-row table (stream–static
+    * enrich class), and the PSI fold is stateless column arithmetic over
+    * the finalized agg row with the batch twin's exact DECIMAL re-entry
+    * discipline — so replay ≡ batch row-for-row, booleans included.
+    */
+  def psiDrift(events: DataFrame, baseline: DataFrame,
+               lo: Double, hi: Double, buckets: Int = 10,
+               flagAt: Double = 0.2): DataFrame = {
+    val width = (hi - lo) / buckets
+    val counted = ensureWatermark(events, "ts", "2 hours")
+      .withColumn("bucket",
+        least(floor((col("value") - lo) / width), lit(buckets - 1L))
+          .cast("long"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("day_n"),
+        (0 until buckets).map(i =>
+          sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"c$i")): _*)
+    val dec = org.apache.spark.sql.types.DecimalType(20, 9)
+    val psi = (0 until buckets).map { i =>
+      val p = (col(s"c$i") + 1).cast("double") / (col("day_n") + buckets)
+      val q = (col(s"q$i") + 1).cast("double") / (col("base_n") + buckets)
+      round((p - q) * log(p / q), 9).cast(dec)
+    }.reduce(_ + _)
+    counted.join(baseline, "event_type")
+      .select(col("window"), col("event_type"),
+        round(psi.cast("double"), 6).as("psi"))
+      .withColumn("drift", col("psi") > flagAt)
+  }
+
+  /** Frozen baseline for [[psiDrift]]: per event_type the bucket-count
+    * histogram of the historical corpus plus its total, and the bucket
+    * edges (global min/max) the monitor must keep using. The 1-row
+    * min/max collect is bounded metadata (the centroid-table class).
+    */
+  def driftBaseline(static: DataFrame,
+                    buckets: Int = 10): (DataFrame, Double, Double) = {
+    val r = static.agg(min(col("value")), max(col("value"))).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val width = (hi - lo) / buckets
+    val b = static
+      .withColumn("bucket",
+        least(floor((col("value") - lo) / width), lit(buckets - 1L))
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("base_n"),
+        (0 until buckets).map(i =>
+          sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"q$i")): _*)
+    (b, lo, hi)
+  }
+
   /** Session windows with a 30-minute inactivity gap — the streaming twin
     * of Windows.sessionize (same gap constant).
     */

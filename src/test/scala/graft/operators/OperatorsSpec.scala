@@ -1805,6 +1805,150 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._4).sum == members.length - nClusters)
   }
 
+  test("minhash recall curve reconciles with the candidate and truth " +
+    "lists") {
+    val cand = DedupOps.minhashLsh(spark, sfTest).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val truth = DedupOps.ngramJaccard(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture lost its near-dup pairs")
+    val out = DedupOps.minhashRecall(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    val expected = cand.map(_._2).distinct.sorted.toSeq.map { b =>
+      val kept = cand.filter(_._2 >= b)
+      val hits = kept.count(c => truth(c._1)).toLong
+      (b, kept.length.toLong, hits, truth.size.toLong,
+        roundHalfUp(hits.toDouble / truth.size, 4),
+        roundHalfUp(hits.toDouble / kept.length, 4))
+    }
+    assert(out == expected, "curve diverges from the parent queries")
+    // b = 1 is the whole LSH candidate set; volume shrinks with the cutoff
+    assert(out.head._2 == cand.length.toLong)
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 >= b._2 && a._3 >= b._3)
+      case _ =>
+    }
+  }
+
+  test("ngram novelty matches the local shingle recompute") {
+    import spark.implicits._
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    val ss = docs.flatMap { case (_, src, t) =>
+      DedupOps.shingleSet(t).iterator.map(sh => (sh, src)) }.distinct
+    val tot = ss.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val uniq = ss.groupBy(_._1).filter(_._2.length == 1)
+      .map { case (_, g) => g.head._2 }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = tot.keys.toSeq.sorted.map { src =>
+      val u = uniq.getOrElse(src, 0L)
+      (src, tot(src), u, roundHalfUp(u.toDouble / tot(src), 4))
+    }
+    val out = DedupOps.ngramNovelty(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == expected, "novelty diverges from the recompute")
+    out.foreach { case (_, n, u, _) => assert(u <= n) }
+  }
+
+  test("label cohesion equals the brute-force mean pairwise cosine") {
+    import spark.implicits._
+    val vecs = Tables(spark, sfTest, "embeddings")
+      .select($"label".cast("long"), $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val out = VectorOps.labelCohesion(spark, sfTest).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == vecs.map(_._1).toSet)
+    vecs.groupBy(_._1).foreach { case (label, g) =>
+      val normed = g.map { case (_, v) =>
+        val d = v.map(_.toDouble).toArray
+        val nrm = math.sqrt(d.map(x => x * x).sum)
+        d.map(x => roundHalfUp(x / nrm, 7))
+      }
+      val n = normed.length
+      val brute = (for { i <- 0 until n; j <- (i + 1) until n } yield
+        normed(i).zip(normed(j)).map { case (a, b) => a * b }.sum)
+        .sum * 2 / (n.toDouble * (n - 1))
+      val (cnt, coh, res) = out(label)
+      assert(cnt == n.toLong)
+      // the sum-vector identity is exact; the tolerance covers only the
+      // DECIMAL re-entry rounding on both paths
+      assert(math.abs(coh - brute) < 5e-6,
+        s"label $label cohesion $coh vs brute-force $brute")
+      assert(res >= 0.0 && res <= 1.0 + 1e-6)
+    }
+  }
+
+  test("psi drift matches the local smoothed-histogram recompute") {
+    import spark.implicits._
+    val ev = Tables(spark, sfTest, "events")
+      .select($"event_type",
+        date_trunc("day", $"ts").cast("date").cast("string"), $"value")
+      .as[(String, String, Double)].collect()
+    val lo = ev.map(_._3).min
+    val hi = ev.map(_._3).max
+    def bucket(v: Double): Long =
+      math.min(math.floor((v - lo) / ((hi - lo) / 10)).toLong, 9L)
+    val out = Events.psiDrift(spark, sfTest).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getDouble(2), r.getBoolean(3)))).toMap
+    var checked = 0
+    ev.groupBy(_._1).foreach { case (typ, g) =>
+      val bn = g.length
+      val bc = g.groupBy(e => bucket(e._3)).view.mapValues(_.length).toMap
+      g.groupBy(_._2).foreach { case (day, dg) =>
+        val dn = dg.length
+        val dc = dg.groupBy(e => bucket(e._3)).view.mapValues(_.length).toMap
+        val psi = (0 until 10).map { b =>
+          val p = (dc.getOrElse(b.toLong, 0) + 1).toDouble / (dn + 10)
+          val q = (bc.getOrElse(b.toLong, 0) + 1).toDouble / (bn + 10)
+          BigDecimal(roundHalfUp((p - q) * math.log(p / q), 9))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+        val (o, drift) = out((typ, day))
+        assert(o == roundHalfUp(psi, 6), s"$typ $day: $o vs $psi")
+        assert(drift == (o > 0.2))
+        checked += 1
+      }
+    }
+    assert(checked == out.size, "spine rows beyond the observed days")
+  }
+
+  test("epoch plan allocates the temperature shares under the 4-epoch " +
+    "cap") {
+    import spark.implicits._
+    val out = TextOps.epochPlan(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5), r.getLong(6), r.getLong(7))).toSeq
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val perSource = docs.groupBy(_._1).view
+      .mapValues(_.map(_._2.split(" ", -1).length.toLong).sum).toMap
+    val w6 = perSource.toSeq.sortBy(_._1).map { case (src, nt) =>
+      (src, nt, BigDecimal(roundHalfUp(math.pow(nt.toDouble, 0.7), 6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val sumW = w6.map(_._3).sum.toDouble
+    val tot = perSource.values.sum
+    val expected = w6.map { case (src, nt, w) =>
+      val p = roundHalfUp(w.toDouble / sumW, 6)
+      val target = math.floor(p * tot).toLong
+      (src, nt, p, target, roundHalfUp(target.toDouble / nt, 4),
+        target > nt * 4, math.min(target, nt * 4),
+        math.max(target - nt * 4, 0L))
+    }
+    assert(out == expected, "plan diverges from the recompute")
+    // the plan allocates the whole one-corpus budget up to share rounding
+    assert(math.abs(out.map(_._4).sum - tot) <= out.length)
+    out.foreach { case (_, _, _, target, _, capped, eff, short) =>
+      assert(capped == (short > 0))
+      assert(eff + short == target)
+    }
+  }
+
   test("order-defining surfaces are invariant to the session's shuffle " +
     "width") {
     // The reproducibility claim the md5-key discipline makes is ACROSS

@@ -109,6 +109,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming PSI drift equals its batch twin against the frozen " +
+    "baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfTest, "events").as[Event].collect()
+    // the baseline is the full historical corpus — the same reference
+    // distribution the batch twin derives internally, so stream ≡ batch
+    // must hold row-for-row, drift booleans included
+    val (baseline, lo, hi) =
+      StreamOps.driftBaseline(Tables(spark, sfTest, "events"))
+
+    val ms = MemoryStream[Event]
+    val q = StreamOps.psiDrift(ms.toDF(), baseline, lo, hi)
+      .writeStream.format("memory").queryName("t_drift")
+      .outputMode("complete").start()
+    // uneven micro-batches: the histogram counters must merge across
+    // batch boundaries, not restart per batch
+    events.grouped(371).foreach { g =>
+      ms.addData(g.toIndexedSeq)
+      q.processAllAvailable()
+    }
+
+    val streamed = spark.sql(
+      "select cast(window.start as date) as day, event_type, psi, drift " +
+        "from t_drift")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) ->
+        (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val batch = graft.operators.Events.psiDrift(spark, sfTest).collect()
+      .map(r => (r.getDate(1).toString, r.getString(0)) ->
+        (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    q.stop()
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream windowed approx-percentiles equal their batch twin " +
     "across micro-batch splits") {
     import spark.implicits._
