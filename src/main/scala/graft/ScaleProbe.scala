@@ -61,7 +61,12 @@ object ScaleProbe {
     // round-11 batches 6–7: the pair/CC-riding reports and the
     // model-building calibration query
     "q_sim_histogram", "q_cross_source_dups", "q_dup_rate_by_source",
-    "q_quality_perplexity")
+    "q_quality_perplexity",
+    // round-11 batch 8: minhash_recall runs BOTH pair machineries,
+    // ngram_novelty a full (shingle, source) distinct; the rest are
+    // group-rows-only reports (cohesion is the embeddings-table F=4)
+    "q_minhash_recall", "q_ngram_novelty", "q_label_cohesion",
+    "q_psi_drift", "q_epoch_plan")
 
   def main(args: Array[String]): Unit = {
     val outRoot = if (args.nonEmpty) args(0) else "/tmp/sf1"
@@ -124,7 +129,8 @@ object ScaleProbe {
     "q_ann_ivf", "q_ann_ivfpq", "q_vector_knn", "q_vector_search",
     "q_semantic_dedup", "q_dedup_embed", "q_embed_neardup_lsh",
     "q_decontaminate_embed", "q_label_stats", "q_label_centroids",
-    "q_kmeans", "q_hard_negatives", "q_embedding_outliers")
+    "q_kmeans", "q_hard_negatives", "q_embedding_outliers",
+    "q_label_cohesion")
 
   /** Key-shifted K-fold replication of every sf0.1 table into outRoot. */
   def generate(spark: SparkSession, src: String, outRoot: String): Unit = {

@@ -327,11 +327,20 @@ object DedupOps {
     * pruned without ever being compared; 8 bands put the miss rate for a
     * j≈0.7 near-dup below 1% ((1−j²)^8).
     *
-    * The 16 hash functions are the disjoint 4-hex slices of TWO md5s per
-    * shingle (16-bit hashes each) — two digests instead of sixteen, same
-    * md5-reproducibility in the DuckDB oracle. Signatures and band keys
+    * The 16 hash functions are the disjoint 8-hex slices of FOUR md5s per
+    * shingle (32-bit hashes each) — four digests instead of sixteen, same
+    * md5-reproducibility in the DuckDB oracle. 32 bits, not 16: with
+    * ~150 shingles per doc, the min of n draws from a 2¹⁶ space
+    * concentrates near n/2¹⁶ of the range, so two UNRELATED docs match a
+    * 16-bit minhash with P ≈ n/2¹⁷ ≈ 1e-3 — per band ~1.3e-6, which
+    * is a CHANCE-candidate term growing quadratically in the corpus (the
+    * round-11 sf1 probe measured it directly: 1 384 → 15 026 candidates
+    * for 10× docs with disjoint vocabularies, ~80 % chance pairs — the
+    * q_minhash_recall exponent hit 1.05). At 32 bits the per-band chance
+    * rate is ~1e-16 and the candidate set is the true j²-curve set at
+    * any realistic corpus size. Signatures and band keys
     * are computed in ONE typed pass over the (cached, pre-spread)
-    * documents table — per-doc state is 16 four-char strings, nothing is
+    * documents table — per-doc state is 16 eight-char strings, nothing is
     * exploded or shuffled until the 8 band rows per doc hit the band
     * self-join. The declarative twin (explode → 16 min() aggregate
     * columns → stack) shuffles the full shingle explosion; this one
@@ -356,12 +365,13 @@ object DedupOps {
           val seen = shingleSet(text)
           if (seen.isEmpty) Iterator.empty
           else {
-            val mins = Array.fill(16)("￿") // > any 4-hex substring
+            val mins = Array.fill(16)("￿") // > any 8-hex substring
             seen.foreach { sh =>
-              val d = md5Hex(md, sh) + md5Hex(md, "x:" + sh)
+              val d = md5Hex(md, sh) + md5Hex(md, "x:" + sh) +
+                md5Hex(md, "y:" + sh) + md5Hex(md, "z:" + sh)
               var k = 0
               while (k < 16) {
-                val sub = d.substring(4 * k, 4 * k + 4)
+                val sub = d.substring(8 * k, 8 * k + 8)
                 if (sub < mins(k)) mins(k) = sub
                 k += 1
               }
@@ -405,8 +415,14 @@ object DedupOps {
                     threshold: Double = 0.5,
                     maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
+    // the truth list feeds BOTH the hit join and the 1-row total — the
+    // mixSources/sourceTemperature discipline: checkpoint the (bounded)
+    // pair rows so the posting-list machinery runs once, not per consumer
+    // (unchecked, the second consumer re-paid the whole dedup plan —
+    // measured 2× the dominant term at sf1)
     val truth = ngramPairs(s, dir, threshold, maxDf)
       .select($"da", $"db", lit(1L).as("hit"))
+      .localCheckpoint(false)
     val perCut = minhashPairs(s, dir)
       .join(truth, Seq("da", "db"), "left_outer")
       .groupBy($"n_bands")
@@ -1285,7 +1301,8 @@ object DedupOps {
 
   val minhashOracle: String = {
     val mins = (0 until 16)
-      .map(i => s"min(substring(md5(s) || md5('x:' || s), ${4 * i + 1}, 4)) AS h$i")
+      .map(i => "min(substring(md5(s) || md5('x:' || s) || md5('y:' || s)" +
+        s" || md5('z:' || s), ${8 * i + 1}, 8)) AS h$i")
       .mkString(", ")
     val bands = (0 until 8).map(j =>
       s"SELECT doc_id, $j AS band, md5(h${2 * j} || h${2 * j + 1}) AS sig FROM mh")
@@ -1306,7 +1323,8 @@ object DedupOps {
     */
   val minhashRecallOracle: String = {
     val mins = (0 until 16)
-      .map(i => s"min(substring(md5(s) || md5('x:' || s), ${4 * i + 1}, 4)) AS h$i")
+      .map(i => "min(substring(md5(s) || md5('x:' || s) || md5('y:' || s)" +
+        s" || md5('z:' || s), ${8 * i + 1}, 8)) AS h$i")
       .mkString(", ")
     val bands = (0 until 8).map(j =>
       s"SELECT doc_id, $j AS band, md5(h${2 * j} || h${2 * j + 1}) AS sig FROM mh")
