@@ -104,10 +104,16 @@ object StreamBench {
       "reservoir" -> (docsRows.length / secs)
     }
 
+    // the drift monitor joins each finalized window against a frozen
+    // baseline computed once from the same corpus (the production shape:
+    // last vetted profile vs live windows)
+    val (baseline, lo, hi) =
+      StreamOps.driftBaseline(Tables(spark, sfDir, "events"))
     val results = Seq(
       run("tumbling", StreamOps.tumbling, "update"),
       run("dedup", StreamOps.dedup, "append"),
       run("sessions", StreamOps.sessions, "append"),
+      run("drift", df => StreamOps.psiDrift(df, baseline, lo, hi), "update"),
       runJoin("join_inner", StreamOps.conversionJoin),
       runJoin("join_outer", StreamOps.conversionJoinOuter),
       runReservoir())
