@@ -194,6 +194,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Events.psiDrift(s, d)),
     "q_epoch_plan" ->
       ((s: SparkSession, d: String) => TextOps.epochPlan(s, d)),
+    // round 11, batch 9: eval-side contamination verdict, entropy gate
+    "q_eval_leakage" -> (DedupOps.evalLeakage _),
+    "q_text_entropy" -> (TextOps.textEntropy _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -1099,6 +1102,24 @@ object SparkEntry {
     "q_dup_rate_by_source" -> DedupOps.dupRateBySourceOracle,
     "q_minhash_recall" -> DedupOps.minhashRecallOracle,
     "q_ngram_novelty" -> DedupOps.ngramNoveltyOracle,
+    "q_eval_leakage" -> DedupOps.evalLeakageOracle,
+    // entropy: every term is -(p)ln(p) on an exact-integer rational,
+    // 9-dp-rounded into a DECIMAL sum (the perplexity float discipline)
+    "q_text_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |  UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS w FROM documents),
+        |c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab FROM c GROUP BY 1)
+        |SELECT n.doc_id, n.n_tokens, n.vocab,
+        |  ROUND(CAST(SUM(CAST(ROUND(-(CAST(c.c AS DOUBLE) / n.n_tokens)
+        |    * ln(CAST(c.c AS DOUBLE) / n.n_tokens), 9) AS DECIMAL(20,9)))
+        |    AS DOUBLE), 6) AS entropy
+        |FROM c JOIN n USING (doc_id)
+        |GROUP BY n.doc_id, n.n_tokens, n.vocab
+        |ORDER BY n.doc_id""".stripMargin,
     "q_label_cohesion" -> VectorOps.labelCohesionOracle,
     "q_psi_drift" -> Events.psiDriftOracle,
     // epoch plan: shares are q_source_temperature's round-6 values; the

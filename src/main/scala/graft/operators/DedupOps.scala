@@ -714,6 +714,62 @@ object DedupOps {
       .orderBy($"source")
   }
 
+  /** EVAL-side leakage verdict — the report benchmark trust is judged by:
+    * for each EVAL-split document (md5 ≥ 'e6', the `q_split_assign`
+    * complement), how many of its 3-gram shingles appear verbatim
+    * anywhere in the TRAIN split, and the burned flag at the Llama-style
+    * ≥ 80 % dirty threshold (integer arithmetic — 5·leaked ≥ 4·total — so
+    * the boundary can't split on float rounding). `q_decontaminate`
+    * answers the train-side question (which training docs to drop);
+    * this answers the eval-side one (which benchmark items are
+    * compromised and must be excluded from the score).
+    *
+    * Scale shape: NO pair machinery and no df cap needed — membership is
+    * a per-shingle flag, so a boilerplate shingle costs one group row,
+    * never a posting list: tagged shingle rows → distinct train-shingle
+    * set (shingle-width shuffle) → one shingle-keyed left join for the
+    * eval rows → per-doc counts. Three bounded shuffles.
+    */
+  def evalLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+      .withColumn("is_train",
+        substring(md5($"doc_id".cast("string")), 1, 2) < "e6")
+    val trainSh = sh.filter($"is_train")
+      .select($"s").distinct().withColumn("hit", lit(1L))
+    sh.filter(!$"is_train").select($"doc_id", $"s")
+      .join(trainSh, Seq("s"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce($"hit", lit(0L))).as("n_leaked"))
+      .select($"doc_id", $"n_shingles", $"n_leaked",
+        round($"n_leaked".cast("double") / $"n_shingles", 4).as("leak_frac"),
+        ($"n_leaked" * 5 >= $"n_shingles" * 4).as("burned"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle for [[evalLeakage]]: the same tag/flag/left-join construction.
+    * (lazy: declared above shingleCte in source order)
+    */
+  lazy val evalLeakageOracle: String =
+    shingleCte +
+      """,
+        |tagged AS (SELECT doc_id, s,
+        |  (substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6')
+        |    AS is_train FROM sh),
+        |trainsh AS (SELECT DISTINCT s FROM tagged WHERE is_train),
+        |ev AS (SELECT doc_id, s FROM tagged WHERE NOT is_train)
+        |SELECT ev.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN t.s IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_leaked,
+        |  ROUND(CAST(SUM(CASE WHEN t.s IS NULL THEN 0 ELSE 1 END)
+        |    AS DOUBLE) / COUNT(*), 4) AS leak_frac,
+        |  (SUM(CASE WHEN t.s IS NULL THEN 0 ELSE 1 END) * 5
+        |    >= COUNT(*) * 4) AS burned
+        |FROM ev LEFT JOIN trainsh t USING (s)
+        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin
+
   /** Near-dup similarity histogram — the threshold-tuning report: the
     * pair-Jaccard distribution in 0.05 buckets above a LOW floor (0.3),
     * showing where the mass sits before committing to the graded 0.5

@@ -859,6 +859,38 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** Per-document unigram ENTROPY — the information-density quality
+    * signal next to TTR (`q_text_stats`), repetition (`q_text_repetition`)
+    * and the bigram-LM gate (`q_doc_perplexity`): H = −Σ_w p_w ln p_w
+    * over the doc's own token distribution. Near-zero entropy is a
+    * keyword-stuffed or template page regardless of length; the signal
+    * is cheap enough to gate the whole corpus where the LM pass is the
+    * expensive one.
+    *
+    * Scale shape: one explode to (doc, word) counts (the `q_tfidf`
+    * budget), a per-doc rollup, and the entropy fold over exact-integer
+    * rationals — each term 9-dp-rounded into a DECIMAL sum (order-free,
+    * the perplexity float discipline), so `round(H, 6)` is
+    * engine-stable.
+    */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(20, 9)
+    val c = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    val n = c.groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"))
+    val p = $"c".cast("double") / $"n_tokens"
+    c.join(n, "doc_id")
+      .select($"doc_id", $"n_tokens", $"vocab",
+        round(-(p * log(p)), 9).cast(dec).as("term"))
+      .groupBy($"doc_id", $"n_tokens", $"vocab")
+      .agg(round(sum($"term").cast("double"), 6).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
   /** The EPOCH PLAN — [[sourceTemperature]]'s mixing weights turned into
     * the executable loader schedule: allocate a one-corpus-sized token
     * budget across sources by the temperature shares, and report how many

@@ -1949,6 +1949,56 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("eval leakage matches the local shingle-membership recompute") {
+    import spark.implicits._
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def isTrain(id: Long) = md5Hex(id.toString).substring(0, 2) < "e6"
+    val trainSh = docs.filter(d => isTrain(d._1))
+      .flatMap(d => DedupOps.shingleSet(d._2)).toSet
+    val expected = docs.filter(d => !isTrain(d._1))
+      .map { case (id, t) =>
+        val sh = DedupOps.shingleSet(t)
+        val leaked = sh.count(trainSh.contains).toLong
+        (id, sh.size.toLong, leaked,
+          roundHalfUp(leaked.toDouble / sh.size, 4),
+          leaked * 5 >= sh.size.toLong * 4)
+      }.filter(_._2 > 0).sortBy(_._1).toSeq
+    val out = DedupOps.evalLeakage(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(out == expected, "verdicts diverge from the recompute")
+    // the split complement: leakage rows are exactly the eval docs (with
+    // at least one shingle), and no train doc ever appears
+    out.foreach { case (id, _, _, _, _) => assert(!isTrain(id)) }
+  }
+
+  test("text entropy equals the local distribution recompute and is " +
+    "bounded by ln(vocab)") {
+    import spark.implicits._
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) =>
+      val tok = t.split(" ", -1).filter(_.nonEmpty)
+      val counts = tok.groupBy(identity).view.mapValues(_.length).toMap
+      val n = tok.length
+      val h = counts.values.map { c =>
+        val p = c.toDouble / n
+        BigDecimal(roundHalfUp(-(p * math.log(p)), 9))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      (id, n.toLong, counts.size.toLong, roundHalfUp(h, 6))
+    }.sortBy(_._1).toSeq
+    val out = TextOps.textEntropy(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == expected, "entropy diverges from the recompute")
+    // 0 ≤ H ≤ ln(vocab), with equality iff uniform
+    out.foreach { case (_, _, v, h) =>
+      assert(h >= 0.0 && h <= math.log(v.toDouble) + 1e-6)
+    }
+  }
+
   test("order-defining surfaces are invariant to the session's shuffle " +
     "width") {
     // The reproducibility claim the md5-key discipline makes is ACROSS
