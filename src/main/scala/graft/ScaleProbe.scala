@@ -66,7 +66,10 @@ object ScaleProbe {
     // ngram_novelty a full (shingle, source) distinct; the rest are
     // group-rows-only reports (cohesion is the embeddings-table F=4)
     "q_minhash_recall", "q_ngram_novelty", "q_label_cohesion",
-    "q_psi_drift", "q_epoch_plan")
+    "q_psi_drift", "q_epoch_plan",
+    // round-11 batch 9: leakage walks the full shingle set, entropy the
+    // full (doc, word) explode
+    "q_eval_leakage", "q_text_entropy")
 
   def main(args: Array[String]): Unit = {
     val outRoot = if (args.nonEmpty) args(0) else "/tmp/sf1"
