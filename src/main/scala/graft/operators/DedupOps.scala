@@ -464,6 +464,10 @@ object DedupOps {
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val srcs = Tables(s, dir, "documents").select($"doc_id", $"source")
+    // both rollups consume the SAME distinct subtree, so ReuseExchange
+    // computes the corpus explode once (a localCheckpoint here measured
+    // STRICTLY SLOWER at fixture scale — the reused exchange is already
+    // the materialization)
     val ss = shingles(s, dir).join(srcs, "doc_id")
       .select($"s", $"source").distinct()
     val per = ss.groupBy($"s")

@@ -618,17 +618,24 @@ object Events {
       .select($"event_type",
         date_trunc("day", $"ts").cast("date").as("day"), $"value")
     val mm = ev0.agg(min($"value").as("lo"), max($"value").as("hi"))
-    val ev = ev0.crossJoin(broadcast(mm)) // 1-row anchor (allowed class)
+    // the finest rollup is the ONLY consumer of the raw events — every
+    // coarser table (per-day totals, the all-time histogram, the type
+    // totals) is an exact re-aggregation of these ≤ types·days·buckets
+    // group rows, so the corpus is scanned twice (min/max + counts), not
+    // once per rollup (the naive form planned 12 scans — the
+    // mixSources/tokenBudget checkpoint-the-group-rows discipline)
+    val dayC = ev0.crossJoin(broadcast(mm)) // 1-row anchor (allowed class)
       .select($"event_type", $"day",
         least(floor(($"value" - $"lo") / (($"hi" - $"lo") / buckets)),
           lit(buckets - 1L)).cast("long").as("bucket"))
-    val baseN = ev.groupBy($"event_type").agg(count(lit(1)).as("base_n"))
-    val baseC = ev.groupBy($"event_type", $"bucket")
-      .agg(count(lit(1)).as("base_c"))
-    val dayN = ev.groupBy($"event_type", $"day")
-      .agg(count(lit(1)).as("day_n"))
-    val dayC = ev.groupBy($"event_type", $"day", $"bucket")
+      .groupBy($"event_type", $"day", $"bucket")
       .agg(count(lit(1)).as("day_c"))
+      .localCheckpoint(false)
+    val baseN = dayC.groupBy($"event_type").agg(sum($"day_c").as("base_n"))
+    val baseC = dayC.groupBy($"event_type", $"bucket")
+      .agg(sum($"day_c").as("base_c"))
+    val dayN = dayC.groupBy($"event_type", $"day")
+      .agg(sum($"day_c").as("day_n"))
     // spine: every (type, day) × every bucket, so empty cells smooth
     // instead of vanishing — bounded by the group-row domain.
     val spine = dayN

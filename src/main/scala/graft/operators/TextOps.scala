@@ -875,15 +875,20 @@ object TextOps {
     */
   def textEntropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(20, 9)
     val c = docs(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .filter($"w" =!= "")
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-    val n = c.groupBy($"doc_id")
-      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"))
+    // per-doc totals via a window over the count rows — the q_tfidf
+    // idiom: no second explode, no self-join, the corpus is scanned once
+    val byDoc = Window.partitionBy($"doc_id")
+    val withTotals = c
+      .withColumn("n_tokens", sum($"c").over(byDoc))
+      .withColumn("vocab", count(lit(1)).over(byDoc))
     val p = $"c".cast("double") / $"n_tokens"
-    c.join(n, "doc_id")
+    withTotals
       .select($"doc_id", $"n_tokens", $"vocab",
         round(-(p * log(p)), 9).cast(dec).as("term"))
       .groupBy($"doc_id", $"n_tokens", $"vocab")
