@@ -69,7 +69,10 @@ object ScaleProbe {
     "q_psi_drift", "q_epoch_plan",
     // round-11 batch 9: leakage walks the full shingle set, entropy the
     // full (doc, word) explode
-    "q_eval_leakage", "q_text_entropy")
+    "q_eval_leakage", "q_text_entropy",
+    // round-11 batch 10: the estimator runs the signature pass AND the
+    // unfiltered inter machinery
+    "q_minhash_est")
 
   def main(args: Array[String]): Unit = {
     val outRoot = if (args.nonEmpty) args(0) else "/tmp/sf1"

@@ -197,6 +197,9 @@ object SparkEntry {
     // round 11, batch 9: eval-side contamination verdict, entropy gate
     "q_eval_leakage" -> (DedupOps.evalLeakage _),
     "q_text_entropy" -> (TextOps.textEntropy _),
+    // round 11, batch 10: the estimator leg of the sketch-trust triad
+    "q_minhash_est" ->
+      ((s: SparkSession, d: String) => DedupOps.minhashEst(s, d)),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -1103,6 +1106,7 @@ object SparkEntry {
     "q_minhash_recall" -> DedupOps.minhashRecallOracle,
     "q_ngram_novelty" -> DedupOps.ngramNoveltyOracle,
     "q_eval_leakage" -> DedupOps.evalLeakageOracle,
+    "q_minhash_est" -> DedupOps.minhashEstOracle,
     // entropy: every term is -(p)ln(p) on an exact-integer rational,
     // 9-dp-rounded into a DECIMAL sum (the perplexity float discipline)
     "q_text_entropy" ->

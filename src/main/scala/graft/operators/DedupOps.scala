@@ -264,9 +264,13 @@ object DedupOps {
     * that immediately reshuffle (the cluster query) should take, so the
     * global sort isn't paid just to be destroyed.
     */
-  private[operators] def ngramPairs(
-      s: SparkSession, dir: String, threshold: Double,
-      maxDf: Int): DataFrame = {
+  /** The unfiltered shared-shingle counts (`inter`: da, db, i) and the
+    * per-doc kept-shingle sizes the Jaccard machinery is built from —
+    * exposed so the estimator calibration can score candidate pairs
+    * below any threshold.
+    */
+  private def ngramInterSizes(s: SparkSession, dir: String,
+                              maxDf: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     val sh = shingles(s, dir)
     val grouped = sh.groupBy($"s")
@@ -280,13 +284,21 @@ object DedupOps {
       .select(explode($"docs").as("da"), $"docs")
       .select($"da", explode($"docs").as("db"))
       .filter($"da" < $"db")
+    (pairs.groupBy($"da", $"db").agg(count(lit(1)).as("i")), sizes)
+  }
+
+  private[operators] def ngramPairs(
+      s: SparkSession, dir: String, threshold: Double,
+      maxDf: Int): DataFrame = {
+    import s.implicits._
+    val (inter, sizes) = ngramInterSizes(s, dir, maxDf)
     // sizes is one row PER DOCUMENT — it grows with the corpus, so a
     // broadcast hint here is the same scale hazard as the vocabulary-sized
     // df table one function up (r9's own de-hint rationale applies verbatim,
     // and sizes is strictly larger: docs ≥ kept-vocab rows at scale). The
     // joins stay unhinted: stats-broadcast at graded scale, shuffle join
     // beyond — the pair side pays a (da,db) shuffle either way.
-    pairs.groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+    inter
       .join(sizes.toDF("da", "na"), "da")
       .join(sizes.toDF("db", "nb"), "db")
       .withColumn("jac", $"i".cast("double") / ($"na" + $"nb" - $"i"))
@@ -355,9 +367,13 @@ object DedupOps {
     * convention) — the form consumers that immediately re-aggregate
     * ([[minhashRecall]]) should take.
     */
-  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** One row per document: the 16-value minhash signature (the typed
+    * pass described on [[minhashLsh]]); bands and the estimator both
+    * derive from these rows.
+    */
+  private[operators] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bands = docsParallel(s, dir)
+    docsParallel(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -376,12 +392,28 @@ object DedupOps {
                 k += 1
               }
             }
-            (0 until 8).iterator.map(j =>
-              (id, j, md5Hex(md, mins(2 * j) + mins(2 * j + 1))))
+            Iterator.single((id, mins.toSeq))
           }
         }
       }
-      .toDF("doc_id", "band", "sig")
+      .toDF("doc_id", "mins")
+  }
+
+  /** The 8 LSH band rows per doc, derived from a signature table
+    * (`md5(min_{2j} || min_{2j+1})` — Spark's `md5()` is the same
+    * lowercase hex as the typed pass used before the refactor).
+    */
+  private def minhashBands(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
+    sigs.select($"doc_id", posexplode(array(
+      (0 until 8).map(j => md5(concat(
+        element_at($"mins", 2 * j + 1),
+        element_at($"mins", 2 * j + 2)))): _*)).as(Seq("band", "sig")))
+  }
+
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = minhashBands(minhashSigs(s, dir))
     val a = bands.toDF("da", "band_a", "sig_a")
     val b = bands.toDF("db", "band_b", "sig_b")
     a.join(b, $"band_a" === $"band_b" && $"sig_a" === $"sig_b" &&
@@ -444,6 +476,114 @@ object DedupOps {
         round($"n_true_caught".cast("double") / $"n_candidates", 4)
           .as("precision"))
       .orderBy($"min_bands")
+  }
+
+  /** MinHash ESTIMATOR calibration — the error curve completing the
+    * sketch-trust triad ([[minhashRecall]] calibrates the BANDING,
+    * [[simHistogram]] the threshold; this calibrates the ESTIMATE
+    * itself): for every LSH candidate pair, the sketch's Jaccard
+    * estimate is matches/16 over the two signatures; rolled up by match
+    * count against the exact kept-shingle Jaccard — pair volume, mean
+    * true similarity, mean absolute error. Production reads this to
+    * decide whether the estimate can REPLACE exact verification (skip
+    * the shingle-set comparison entirely) at the scale where
+    * verification dominates the dedup bill.
+    *
+    * Scale shape: one signature pass (checkpointed — bands and both
+    * sides of the match join read it), the band self-join, a
+    * signature-pair zip per candidate, and the unfiltered `inter` table
+    * the graded machinery already builds (df-capped, so candidate×inter
+    * joins are pair-list-sized). Candidates whose docs carry no kept
+    * shingles are excluded (both engines inner-join sizes). The rollup
+    * is ≤ 17 rows; means are DECIMAL sums of round-6 values (order-free).
+    */
+  def minhashEst(s: SparkSession, dir: String,
+                 maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(16, 6)
+    val sigs = minhashSigs(s, dir).localCheckpoint(false)
+    val bands = minhashBands(sigs)
+    val a = bands.toDF("da", "band_a", "sig_a")
+    val b = bands.toDF("db", "band_b", "sig_b")
+    val cand = a.join(b, $"band_a" === $"band_b" && $"sig_a" === $"sig_b" &&
+        $"da" < $"db")
+      .select($"da", $"db").distinct()
+    val matches = cand
+      .join(sigs.toDF("da", "ma"), "da")
+      .join(sigs.toDF("db", "mb"), "db")
+      .select($"da", $"db",
+        size(filter(zip_with($"ma", $"mb", (x, y) => x === y),
+          m => m)).cast("long").as("matches"))
+    val (inter, sizes) = ngramInterSizes(s, dir, maxDf)
+    matches
+      .join(inter, Seq("da", "db"), "left_outer")
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
+      .select($"matches",
+        round(coalesce($"i", lit(0L)).cast("double") /
+          ($"na" + $"nb" - coalesce($"i", lit(0L))), 6).as("jac"),
+        round($"matches" / 16.0, 4).as("est"))
+      .groupBy($"matches")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"jac".cast(dec)).cast("double") / count(lit(1)), 6)
+          .as("mean_true_jac"),
+        round(sum(round(abs($"est" - $"jac"), 6).cast(dec)).cast("double") /
+          count(lit(1)), 6).as("mean_abs_err"))
+      .select($"matches", round($"matches" / 16.0, 4).as("est_jac"),
+        $"n_pairs", $"mean_true_jac", $"mean_abs_err")
+      .orderBy($"matches")
+  }
+
+  /** Oracle for [[minhashEst]]: the signature/band CTEs (generated in
+    * lockstep with [[minhashOracle]]), the 16-term match sum, and the
+    * unfiltered inter/sizes joins.
+    * (lazy: declared above shingleCte in source order)
+    */
+  lazy val minhashEstOracle: String = {
+    val mins = (0 until 16)
+      .map(i => "min(substring(md5(s) || md5('x:' || s) || md5('y:' || s)" +
+        s" || md5('z:' || s), ${8 * i + 1}, 8)) AS h$i")
+      .mkString(", ")
+    val bands = (0 until 8).map(j =>
+      s"SELECT doc_id, $j AS band, md5(h${2 * j} || h${2 * j + 1}) AS sig FROM mh")
+      .mkString(" UNION ALL ")
+    val matchSum = (0 until 16)
+      .map(i => s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    shingleCte +
+      s""",
+         |hot AS (SELECT s FROM sh GROUP BY s
+         |  HAVING COUNT(*) > $DefaultMaxShingleDf),
+         |kept AS (SELECT doc_id, s FROM sh
+         |  WHERE s NOT IN (SELECT s FROM hot)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+         |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |m AS (SELECT c.da, c.db,
+         |    CAST($matchSum AS BIGINT) AS matches
+         |  FROM cand c JOIN mh x ON c.da = x.doc_id
+         |  JOIN mh y ON c.db = y.doc_id),
+         |scored AS (SELECT m.matches,
+         |    ROUND(CAST(COALESCE(inter.i, 0) AS DOUBLE)
+         |      / (sa.n + sb.n - COALESCE(inter.i, 0)), 6) AS jac,
+         |    ROUND(m.matches / 16.0, 4) AS est
+         |  FROM m
+         |  LEFT JOIN inter ON m.da = inter.da AND m.db = inter.db
+         |  JOIN sizes sa ON m.da = sa.doc_id
+         |  JOIN sizes sb ON m.db = sb.doc_id)
+         |SELECT matches, ROUND(matches / 16.0, 4) AS est_jac,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ROUND(CAST(SUM(CAST(jac AS DECIMAL(16,6))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_true_jac,
+         |  ROUND(CAST(SUM(CAST(ROUND(ABS(est - jac), 6) AS DECIMAL(16,6)))
+         |    AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+         |FROM scored GROUP BY matches ORDER BY matches""".stripMargin
   }
 
   /** Per-source n-gram NOVELTY — the corpus-composition report behind

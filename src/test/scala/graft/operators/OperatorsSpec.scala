@@ -1949,6 +1949,63 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("minhash estimator calibration reconciles with the candidate " +
+    "list and the exact Jaccard") {
+    import spark.implicits._
+    val cand = DedupOps.minhashLsh(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = DedupOps.minhashEst(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    // local recompute: signatures + exact kept-shingle jaccard
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val shSets = docs.map { case (id, t) =>
+      id -> DedupOps.shingleSet(t).toSet }.toMap
+    val df = shSets.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val kept = shSets.view
+      .mapValues(_.filter(df(_) <= 50)).toMap
+    def sig(id: Long): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(x: String) = md.digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val mins = Array.fill(16)("￿")
+      shSets(id).foreach { sh =>
+        val d = hex(sh) + hex("x:" + sh) + hex("y:" + sh) + hex("z:" + sh)
+        for (k <- 0 until 16) {
+          val sub = d.substring(8 * k, 8 * k + 8)
+          if (sub < mins(k)) mins(k) = sub
+        }
+      }
+      mins.toSeq
+    }
+    val expected = cand.toSeq.map { case (da, db) =>
+      val m = sig(da).zip(sig(db)).count { case (x, y) => x == y }
+      val (ka, kb) = (kept(da), kept(db))
+      val i = (ka & kb).size
+      val jac = roundHalfUp(i.toDouble / (ka.size + kb.size - i), 6)
+      (m.toLong, jac)
+    }.filter { case _ => true }
+      .groupBy(_._1).toSeq.map { case (m, g) =>
+        def decMean(xs: Seq[Double]) = roundHalfUp(
+          xs.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble / g.size, 6)
+        val est = roundHalfUp(m / 16.0, 4)
+        (m, est, g.size.toLong, decMean(g.map(_._2)),
+          decMean(g.map(p => roundHalfUp(math.abs(est - p._2), 6))))
+      }.sortBy(_._1)
+    assert(out == expected, "calibration diverges from the recompute")
+    // pair volume reconciles with the candidate list (all fixture docs
+    // carry kept shingles, so nothing is excluded by the sizes join)
+    assert(out.map(_._3).sum == cand.size.toLong)
+    // more matching minhashes → more similar on average (monotone trend
+    // across the observed curve endpoints)
+    if (out.length >= 2)
+      assert(out.last._4 >= out.head._4,
+        "estimate and truth should rise together")
+  }
+
   test("eval leakage matches the local shingle-membership recompute") {
     import spark.implicits._
     val docs = Tables(spark, sfTest, "documents")
