@@ -44,6 +44,33 @@ object DedupOps {
     */
   val DefaultMaxShingleDf = 50
 
+  /** Shared oracle-SQL fragments for the minhash family — generated ONCE
+    * so the Scala signature pass and every oracle that replays it
+    * (minhash, recall, estimator) stay in lockstep structurally: the
+    * 16→32-bit slice widening had to touch three copy-pasted sites, which
+    * is exactly the drift this removes.
+    */
+  private val minhashMinsSql: String = (0 until 16)
+    .map(i => "min(substring(md5(s) || md5('x:' || s) || md5('y:' || s)" +
+      s" || md5('z:' || s), ${8 * i + 1}, 8)) AS h$i")
+    .mkString(", ")
+
+  private val minhashBandsSql: String = (0 until 8)
+    .map(j =>
+      s"SELECT doc_id, $j AS band, md5(h${2 * j} || h${2 * j + 1}) AS sig FROM mh")
+    .mkString(" UNION ALL ")
+
+  /** Shared hot/kept/sizes/inter CTE block (continues after `sh`). */
+  private val keptInterSql: String =
+    s"""hot AS (SELECT s FROM sh GROUP BY s
+       |  HAVING COUNT(*) > $DefaultMaxShingleDf),
+       |kept AS (SELECT doc_id, s FROM sh
+       |  WHERE s NOT IN (SELECT s FROM hot)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+       |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** doc_id + exploded distinct shingles — the single source of the shingle
     * rule for both ngramJaccard and minhashLsh.
     *
@@ -363,10 +390,6 @@ object DedupOps {
     minhashPairs(s, dir).orderBy($"da", $"db")
   }
 
-  /** [[minhashLsh]] minus the presentation ORDER BY (the [[ngramPairs]]
-    * convention) — the form consumers that immediately re-aggregate
-    * ([[minhashRecall]]) should take.
-    */
   /** One row per document: the 16-value minhash signature (the typed
     * pass described on [[minhashLsh]]); bands and the estimator both
     * derive from these rows.
@@ -411,6 +434,10 @@ object DedupOps {
         element_at($"mins", 2 * j + 2)))): _*)).as(Seq("band", "sig")))
   }
 
+  /** [[minhashLsh]] minus the presentation ORDER BY (the [[ngramPairs]]
+    * convention) — the form consumers that immediately re-aggregate
+    * ([[minhashRecall]]) should take.
+    */
   private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = minhashBands(minhashSigs(s, dir))
@@ -472,7 +499,11 @@ object DedupOps {
         sum($"n_hit_b").over(w).as("n_true_caught"))
       .crossJoin(broadcast(tot)) // 1-row anchor (allowed hint class)
       .select($"min_bands", $"n_candidates", $"n_true_caught", $"n_truth",
-        round($"n_true_caught".cast("double") / $"n_truth", 4).as("recall"),
+        // a clean corpus has no truth pairs: recall is NULL, not a
+        // division by zero (ANSI crash / cross-engine Inf-vs-NULL split)
+        when($"n_truth" > 0,
+          round($"n_true_caught".cast("double") / $"n_truth", 4))
+          .as("recall"),
         round($"n_true_caught".cast("double") / $"n_candidates", 4)
           .as("precision"))
       .orderBy($"min_bands")
@@ -540,28 +571,14 @@ object DedupOps {
     * (lazy: declared above shingleCte in source order)
     */
   lazy val minhashEstOracle: String = {
-    val mins = (0 until 16)
-      .map(i => "min(substring(md5(s) || md5('x:' || s) || md5('y:' || s)" +
-        s" || md5('z:' || s), ${8 * i + 1}, 8)) AS h$i")
-      .mkString(", ")
-    val bands = (0 until 8).map(j =>
-      s"SELECT doc_id, $j AS band, md5(h${2 * j} || h${2 * j + 1}) AS sig FROM mh")
-      .mkString(" UNION ALL ")
     val matchSum = (0 until 16)
       .map(i => s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     shingleCte +
       s""",
-         |hot AS (SELECT s FROM sh GROUP BY s
-         |  HAVING COUNT(*) > $DefaultMaxShingleDf),
-         |kept AS (SELECT doc_id, s FROM sh
-         |  WHERE s NOT IN (SELECT s FROM hot)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-         |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS ($bands),
+         |$keptInterSql,
+         |mh AS (SELECT doc_id, $minhashMinsSql FROM sh GROUP BY doc_id),
+         |bands AS ($minhashBandsSql),
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
@@ -1499,52 +1516,30 @@ object DedupOps {
         |    AS BIGINT) AS dropped_chars
         |FROM sel GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
-  val minhashOracle: String = {
-    val mins = (0 until 16)
-      .map(i => "min(substring(md5(s) || md5('x:' || s) || md5('y:' || s)" +
-        s" || md5('z:' || s), ${8 * i + 1}, 8)) AS h$i")
-      .mkString(", ")
-    val bands = (0 until 8).map(j =>
-      s"SELECT doc_id, $j AS band, md5(h${2 * j} || h${2 * j + 1}) AS sig FROM mh")
-      .mkString(" UNION ALL ")
+  val minhashOracle: String =
     shingleCte +
       s""",
-         |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS ($bands)
+         |mh AS (SELECT doc_id, $minhashMinsSql FROM sh GROUP BY doc_id),
+         |bands AS ($minhashBandsSql)
          |SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_bands
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY da, db""".stripMargin
-  }
 
   /** Oracle for [[minhashRecall]]: the minhash candidate CTEs (generated
     * in lockstep with [[minhashOracle]]) left-joined against the graded
     * exact-Jaccard truth CTEs, cumulated over the band cutoff.
     */
-  val minhashRecallOracle: String = {
-    val mins = (0 until 16)
-      .map(i => "min(substring(md5(s) || md5('x:' || s) || md5('y:' || s)" +
-        s" || md5('z:' || s), ${8 * i + 1}, 8)) AS h$i")
-      .mkString(", ")
-    val bands = (0 until 8).map(j =>
-      s"SELECT doc_id, $j AS band, md5(h${2 * j} || h${2 * j + 1}) AS sig FROM mh")
-      .mkString(" UNION ALL ")
+  val minhashRecallOracle: String =
     shingleCte +
       s""",
-         |hot AS (SELECT s FROM sh GROUP BY s
-         |  HAVING COUNT(*) > $DefaultMaxShingleDf),
-         |kept AS (SELECT doc_id, s FROM sh
-         |  WHERE s NOT IN (SELECT s FROM hot)),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-         |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
+         |$keptInterSql,
          |truth AS (SELECT da, db FROM inter
          |  JOIN sizes sa ON da = sa.doc_id
          |  JOIN sizes sb ON db = sb.doc_id
          |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
-         |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS ($bands),
+         |mh AS (SELECT doc_id, $minhashMinsSql FROM sh GROUP BY doc_id),
+         |bands AS ($minhashBandsSql),
          |cand AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_bands
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -1566,11 +1561,12 @@ object DedupOps {
          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
          |SELECT min_bands, CAST(n_candidates AS BIGINT) AS n_candidates,
          |  CAST(n_true_caught AS BIGINT) AS n_true_caught, n_truth,
-         |  ROUND(CAST(n_true_caught AS DOUBLE) / n_truth, 4) AS recall,
+         |  CASE WHEN n_truth > 0 THEN
+         |    ROUND(CAST(n_true_caught AS DOUBLE) / n_truth, 4)
+         |  END AS recall,
          |  ROUND(CAST(n_true_caught AS DOUBLE) / n_candidates, 4)
          |    AS precision
          |FROM cum CROSS JOIN tot ORDER BY min_bands""".stripMargin
-  }
 
   /** Oracle for [[ngramNovelty]]: distinct (shingle, source) pairs, the
     * single-source shingles attributed via min(source).

@@ -624,10 +624,18 @@ object Events {
     // group rows, so the corpus is scanned twice (min/max + counts), not
     // once per rollup (the naive form planned 12 scans — the
     // mixSources/tokenBudget checkpoint-the-group-rows discipline)
+    // bucket is clamped on BOTH sides, and a degenerate (constant-value)
+    // corpus collapses to bucket 0 instead of dividing by a zero width —
+    // identity transforms on this data, load-bearing for the streaming
+    // twin, where live values CAN fall outside the frozen baseline range
+    // (review finding: an unclamped negative bucket would inflate day_n
+    // while landing in no cell, under-reporting downward drift)
     val dayC = ev0.crossJoin(broadcast(mm)) // 1-row anchor (allowed class)
       .select($"event_type", $"day",
-        least(floor(($"value" - $"lo") / (($"hi" - $"lo") / buckets)),
-          lit(buckets - 1L)).cast("long").as("bucket"))
+        when($"hi" === $"lo", lit(0L)).otherwise(
+          greatest(least(floor(($"value" - $"lo") /
+            (($"hi" - $"lo") / buckets)), lit(buckets - 1L)), lit(0L)))
+          .cast("long").as("bucket"))
       .groupBy($"event_type", $"day", $"bucket")
       .agg(count(lit(1)).as("day_c"))
       .localCheckpoint(false)
@@ -662,7 +670,9 @@ object Events {
   val psiDriftOracle: String =
     """WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
       |ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
-      |    CAST(LEAST(FLOOR((value - mm.lo) / ((mm.hi - mm.lo) / 10)), 9)
+      |    CAST(CASE WHEN mm.hi = mm.lo THEN 0 ELSE
+      |      GREATEST(LEAST(FLOOR((value - mm.lo)
+      |        / ((mm.hi - mm.lo) / 10)), 9), 0) END
       |      AS BIGINT) AS bucket
       |  FROM events CROSS JOIN mm),
       |base_n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n

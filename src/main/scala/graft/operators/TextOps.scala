@@ -834,13 +834,18 @@ object TextOps {
     * normalizer folds via a broadcast cross join (PlanAudit-allowlisted
     * 1-row class). Nothing data-sized shuffles twice.
     */
-  def sourceTemperature(s: SparkSession, dir: String,
-                        alpha: Double = 0.7): DataFrame = {
+  /** Per-source doc/token mass plus the temperature weight w6 — the
+    * SHARED basis of [[sourceTemperature]] and [[epochPlan]], whose
+    * round-6 shares must be byte-identical (the epoch plan's contract);
+    * sharing the pipeline makes that structural instead of copy-paste.
+    * Checkpointed: the ≤ n_sources group rows feed the normalizer AND
+    * the report, so the corpus scan + agg run once (mixSources
+    * discipline).
+    */
+  private def sourceWeights(s: SparkSession, dir: String,
+                            alpha: Double): DataFrame = {
     import s.implicits._
-    // the per-source rollup feeds the normalizer AND the report — the
-    // mixSources discipline: checkpoint the ≤ n_sources group rows so
-    // the corpus scan + agg run once, not per consumer
-    val perSource = docs(s, dir)
+    docs(s, dir)
       .select($"doc_id", $"source", size(split($"text", " ")).cast("long")
         .as("n_tokens"))
       .groupBy($"source")
@@ -848,6 +853,12 @@ object TextOps {
       .withColumn("w6", round(pow($"n_tokens".cast("double"), lit(alpha)), 6)
         .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
       .localCheckpoint(false)
+  }
+
+  def sourceTemperature(s: SparkSession, dir: String,
+                        alpha: Double = 0.7): DataFrame = {
+    import s.implicits._
+    val perSource = sourceWeights(s, dir, alpha)
     val totals = perSource
       .agg(sum($"w6").as("sum_w"), sum($"n_tokens").as("tot_tokens"))
     perSource.crossJoin(broadcast(totals))
@@ -916,14 +927,7 @@ object TextOps {
   def epochPlan(s: SparkSession, dir: String, alpha: Double = 0.7,
                 maxEpochs: Int = 4): DataFrame = {
     import s.implicits._
-    val perSource = docs(s, dir)
-      .select($"doc_id", $"source", size(split($"text", " ")).cast("long")
-        .as("n_tokens"))
-      .groupBy($"source")
-      .agg(sum($"n_tokens").as("n_tokens"))
-      .withColumn("w6", round(pow($"n_tokens".cast("double"), lit(alpha)), 6)
-        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
-      .localCheckpoint(false)
+    val perSource = sourceWeights(s, dir, alpha)
     val totals = perSource
       .agg(sum($"w6").as("sum_w"), sum($"n_tokens").as("tot_tokens"))
     perSource.crossJoin(broadcast(totals))

@@ -422,10 +422,13 @@ object VectorOps {
       .agg(sum(round($"sd2", 9).cast(dec(38, 9))).cast("double").as("sumsq"),
         sum($"ssqdec").cast("double").as("selfsq"))
     val n = e.groupBy($"label").agg(count(lit(1)).as("n_vectors"))
+    // a singleton label has no pairs: cohesion is NULL, not a division
+    // by n(n−1)=0 (ANSI crash / cross-engine Inf-vs-NULL split)
     n.join(perLabel, "label")
       .select($"label", $"n_vectors",
-        round(($"sumsq" - $"selfsq") /
-          ($"n_vectors" * ($"n_vectors" - 1)), 6).as("cohesion"),
+        when($"n_vectors" > 1,
+          round(($"sumsq" - $"selfsq") /
+            ($"n_vectors" * ($"n_vectors" - 1)), 6)).as("cohesion"),
         round(sqrt($"sumsq") / $"n_vectors", 6).as("resultant_len"))
       .orderBy($"label")
   }
@@ -980,8 +983,9 @@ object VectorOps {
       |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
       |  FROM e GROUP BY label)
       |SELECT n.label, n.n_vectors,
-      |  ROUND((p.sumsq - p.selfsq) / (n.n_vectors * (n.n_vectors - 1)), 6)
-      |    AS cohesion,
+      |  CASE WHEN n.n_vectors > 1 THEN
+      |    ROUND((p.sumsq - p.selfsq) / (n.n_vectors * (n.n_vectors - 1)), 6)
+      |  END AS cohesion,
       |  ROUND(sqrt(p.sumsq) / n.n_vectors, 6) AS resultant_len
       |FROM n JOIN per_label p USING (label)
       |ORDER BY n.label""".stripMargin

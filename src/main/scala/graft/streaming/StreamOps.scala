@@ -164,9 +164,16 @@ object StreamOps {
                lo: Double, hi: Double, buckets: Int = 10,
                flagAt: Double = 0.2): DataFrame = {
     val width = (hi - lo) / buckets
+    // clamp BOTH sides: live values legitimately fall outside the FROZEN
+    // baseline's range (that IS drift) — an unclamped negative bucket
+    // would land in no histogram cell while still counting in day_n,
+    // under-reporting exactly the downward shift the monitor exists to
+    // catch; a degenerate baseline (hi == lo) collapses to bucket 0
     val counted = ensureWatermark(events, "ts", "2 hours")
       .withColumn("bucket",
-        least(floor((col("value") - lo) / width), lit(buckets - 1L))
+        (if (width == 0) lit(0L) else
+          greatest(least(floor((col("value") - lo) / width),
+            lit(buckets - 1L)), lit(0L)))
           .cast("long"))
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("day_n"),
@@ -196,7 +203,9 @@ object StreamOps {
     val width = (hi - lo) / buckets
     val b = static
       .withColumn("bucket",
-        least(floor((col("value") - lo) / width), lit(buckets - 1L))
+        (if (width == 0) lit(0L) else
+          greatest(least(floor((col("value") - lo) / width),
+            lit(buckets - 1L)), lit(0L)))
           .cast("long"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("base_n"),

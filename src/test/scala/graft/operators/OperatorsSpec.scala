@@ -1986,8 +1986,7 @@ class OperatorsSpec extends SparkSpec {
       val i = (ka & kb).size
       val jac = roundHalfUp(i.toDouble / (ka.size + kb.size - i), 6)
       (m.toLong, jac)
-    }.filter { case _ => true }
-      .groupBy(_._1).toSeq.map { case (m, g) =>
+    }.groupBy(_._1).toSeq.map { case (m, g) =>
         def decMean(xs: Seq[Double]) = roundHalfUp(
           xs.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
             .sum.toDouble / g.size, 6)
@@ -2004,6 +2003,40 @@ class OperatorsSpec extends SparkSpec {
     if (out.length >= 2)
       assert(out.last._4 >= out.head._4,
         "estimate and truth should rise together")
+  }
+
+  test("minhash recall survives a truth-free corpus: NULL recall, no " +
+    "division by zero") {
+    // threshold > 1 makes the exact-truth set provably empty while the
+    // LSH candidates still exist — the clean-corpus regression the
+    // review found (ANSI DIVIDE_BY_ZERO / Inf-vs-NULL engine split)
+    val rows = DedupOps.minhashRecall(spark, sfTest, threshold = 1.1)
+      .collect()
+    assert(rows.nonEmpty, "candidate curve should still be reported")
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L, "truth set must be empty at t=1.1")
+      assert(r.isNullAt(4), "recall must be NULL when no truth exists")
+      assert(!r.isNullAt(5), "precision is still defined (0.0)")
+    }
+  }
+
+  test("label cohesion emits NULL for a singleton label instead of " +
+    "dividing by zero") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cohesion").toString
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 1)) // label 1 is a singleton
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.labelCohesion(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(2), "singleton label must report NULL cohesion")
+    assert(!out(1L).isNullAt(3), "resultant length is still defined")
+    assert(!out(0L).isNullAt(2) && out(0L).getLong(1) == 3L)
   }
 
   test("eval leakage matches the local shingle-membership recompute") {

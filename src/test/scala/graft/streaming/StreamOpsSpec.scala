@@ -147,6 +147,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming PSI drift counts live values OUTSIDE the frozen " +
+    "baseline range (low-side clamp)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline profile: values uniform in [10, 20]
+    val static = (0 until 100)
+      .map(i => ("a", 10.0 + (i % 11))).toDF("event_type", "value")
+    val (baseline, lo, hi) = StreamOps.driftBaseline(static)
+    assert(lo == 10.0 && hi == 20.0)
+    // live window: every value BELOW the baseline minimum — the drifted
+    // producer the monitor exists for. Pre-fix, these landed in a
+    // negative bucket (no cell) while still inflating the window total,
+    // so the distribution silently lost its mass and PSI under-reported.
+    val ms = MemoryStream[Event]
+    val q = StreamOps.psiDrift(ms.toDF(), baseline, lo, hi)
+      .writeStream.format("memory").queryName("t_drift_low")
+      .outputMode("complete").start()
+    ms.addData((1 to 50).map(i =>
+      ev(i.toLong, "2024-01-01 12:00:00", i.toLong, "a", -5.0)))
+    q.processAllAvailable()
+    val rows = spark.sql("select psi, drift from t_drift_low").collect()
+    q.stop()
+    assert(rows.length == 1)
+    // all mass in bucket 0 vs a flat baseline: a large, FINITE psi that
+    // trips the alarm
+    assert(rows.head.getDouble(0) > 0.2 && !rows.head.getDouble(0).isNaN)
+    assert(rows.head.getBoolean(1))
+  }
+
   test("stream windowed approx-percentiles equal their batch twin " +
     "across micro-batch splits") {
     import spark.implicits._
