@@ -109,6 +109,28 @@ object StreamBench {
     // last vetted profile vs live windows)
     val (baseline, lo, hi) =
       StreamOps.driftBaseline(Tables(spark, sfDir, "events"))
+
+    // content novelty streams documents (like the reservoir) against the
+    // frozen corpus shingle set; rate is docs/second
+    def runNovelty(): (String, Double) = {
+      val corpus = StreamOps.noveltyCorpus(Tables(spark, sfDir, "documents"))
+      val docsRows = Tables(spark, sfDir, "documents")
+        .select($"doc_id", $"source", $"text")
+        .as[(Long, String, String)].collect()
+      val ms = MemoryStream[(Long, String, String)]
+      val q = StreamOps
+        .contentNovelty(ms.toDS().toDF("doc_id", "source", "text"), corpus)
+        .writeStream.format("memory").queryName("sb_novelty")
+        .outputMode("complete").start()
+      val t0 = System.nanoTime()
+      docsRows.grouped(500).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      "novelty" -> (docsRows.length / secs)
+    }
     val results = Seq(
       run("tumbling", StreamOps.tumbling, "update"),
       run("dedup", StreamOps.dedup, "append"),
@@ -116,7 +138,8 @@ object StreamBench {
       run("drift", df => StreamOps.psiDrift(df, baseline, lo, hi), "update"),
       runJoin("join_inner", StreamOps.conversionJoin),
       runJoin("join_outer", StreamOps.conversionJoinOuter),
-      runReservoir())
+      runReservoir(),
+      runNovelty())
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")

@@ -91,7 +91,7 @@ object DedupOps {
     * shared by ngramJaccard(+Prefix) via [[shingles]] and by minhashLsh's
     * signature pass. Empty iterator for documents shorter than N tokens.
     */
-  private[operators] def shingleSet(text: String)
+  private[graft] def shingleSet(text: String)
   : scala.collection.mutable.LinkedHashSet[String] = {
     val seen = new scala.collection.mutable.LinkedHashSet[String]
     val t = text.split(' ').filter(_.nonEmpty)

@@ -191,6 +191,53 @@ object StreamOps {
       .withColumn("drift", col("psi") > flagAt)
   }
 
+  /** Streaming content-NOVELTY monitor (s_novelty) — the content-drift
+    * twin of [[psiDrift]]'s value drift, and the live half of
+    * `q_ngram_novelty`'s acquisition report: for each arriving document,
+    * its 3-gram shingles (the corpus-wide shingle rule,
+    * `DedupOps.shingleSet`) are checked against a FROZEN corpus shingle
+    * set, and the running per-source totals answer "what fraction of
+    * this feed's content is actually new vs what we already have" —
+    * a feed that goes off-topic spikes, a feed re-crawling the corpus
+    * flatlines near zero.
+    *
+    * Shape: a typed flatMap shingles each arriving doc, a stream–static
+    * LEFT OUTER join resolves membership against the (corpus-resident)
+    * shingle set per micro-batch — the [[dedupAgainstCorpus]] class; the
+    * static side is corpus-sized and therefore a JOIN, never a broadcast
+    * state — and the running aggregate holds exactly two counters per
+    * source, forever. Exact (no sketch), replay-deterministic: the final
+    * row per source equals the batch recompute over everything streamed,
+    * under any micro-batch split.
+    */
+  def contentNovelty(docs: DataFrame, corpusShingles: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = docs.select(col("source"), col("text")).as[(String, String)]
+      .flatMap { case (src, t) =>
+        graft.operators.DedupOps.shingleSet(t).iterator.map(sg => (src, sg))
+      }
+      .toDF("source", "s")
+    sh.join(corpusShingles.withColumn("known", lit(1L)), Seq("s"),
+        "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_rate",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+  }
+
+  /** Frozen corpus shingle set for [[contentNovelty]] — distinct shingles
+    * of the historical documents table under the same shingle rule.
+    */
+  def noveltyCorpus(staticDocs: DataFrame): DataFrame = {
+    val s = staticDocs.sparkSession
+    import s.implicits._
+    staticDocs.select(col("text")).as[String]
+      .flatMap(t => graft.operators.DedupOps.shingleSet(t).iterator)
+      .toDF("s").distinct()
+  }
+
   /** Frozen baseline for [[psiDrift]]: per event_type the bucket-count
     * histogram of the historical corpus plus its total, and the bucket
     * edges (global min/max) the monitor must keep using. The 1-row

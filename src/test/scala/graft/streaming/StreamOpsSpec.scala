@@ -176,6 +176,56 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.head.getBoolean(1))
   }
 
+  test("streaming content novelty tracks per-source novel-shingle rates " +
+    "against the frozen corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = StreamOps.noveltyCorpus(
+      Tables(spark, sfTest, "documents"))
+    val corpusSet = corpus.as[String].collect().toSet
+    // arriving docs: src_old re-crawls corpus content (novelty 0),
+    // src_new mixes known and unseen trigrams
+    val oldDocs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(10)
+      .map { case (id, t) => (id, "src_old", t) }
+    val newDocs = (0 until 8).map { i =>
+      (1000L + i, "src_new",
+        s"zz$i yy$i xx$i ww$i " + oldDocs(i % oldDocs.length)._3)
+    }
+    val all = (oldDocs ++ newDocs).toSeq
+
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamOps.contentNovelty(
+      ms.toDS().toDF("doc_id", "source", "text"), corpus)
+      .writeStream.format("memory").queryName("t_novelty")
+      .outputMode("complete").start()
+    // uneven micro-batches: the per-source counters must accumulate
+    all.grouped(7).foreach { g =>
+      ms.addData(g.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.sql(
+      "select source, n_shingles, n_novel, novelty_rate from t_novelty")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    q.stop()
+    // local recompute over everything streamed
+    val expected = all
+      .flatMap { case (_, src, t) =>
+        graft.operators.DedupOps.shingleSet(t).iterator.map(s => (src, s)) }
+      .groupBy(_._1).view.mapValues { g =>
+        val novel = g.count(p => !corpusSet(p._2)).toLong
+        (g.size.toLong, novel,
+          BigDecimal(novel.toDouble / g.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+    assert(streamed == expected)
+    // the re-crawl is recognized as adding nothing; the new feed is not
+    assert(streamed("src_old")._2 == 0L)
+    assert(streamed("src_new")._3 > 0.0)
+  }
+
   test("stream windowed approx-percentiles equal their batch twin " +
     "across micro-batch splits") {
     import spark.implicits._
