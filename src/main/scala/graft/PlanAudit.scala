@@ -32,8 +32,11 @@ object PlanAudit {
     "q_epoch_plan", // per-source rows × 1-row normalizer (the
                     // q_source_temperature shape)
     "q_minhash_recall", // ≤ band-count curve rows × 1-row truth total
-    "q_psi_drift" // (type,day,bucket) group rows × 1-row min/max anchor
-                  // and × the 10-row bucket spine (both plan-constant)
+    "q_psi_drift", // (type,day,bucket) group rows × 1-row min/max anchor
+                   // and × the 10-row bucket spine (both plan-constant)
+    "q_source_kl", // vocab-grid rows × |sources|-row totals and × the
+                   // 1-row (N, V) corpus aggregate
+    "q_top_value_parts" // per-part group rows × 1-row (total, n_parts)
   )
 
   def main(args: Array[String]): Unit = {

@@ -200,15 +200,33 @@ object SparkEntry {
     // round 11, batch 10: the estimator leg of the sketch-trust triad
     "q_minhash_est" ->
       ((s: SparkSession, d: String) => DedupOps.minhashEst(s, d)),
+    // round 11, batch 11: distributional feed audits — frequency-level
+    // skew (KL vs corpus) and the Zipf curve-shape gate
+    "q_source_kl" -> (TextOps.sourceKl _),
+    "q_zipf_slope" -> (TextOps.zipfSlope _),
+    // round 11, batch 11: MOSS winnowing — bounded-density localized
+    // fingerprints between substring (exhaustive) and minhash (sketch)
+    "q_winnow_fingerprints" ->
+      ((s: SparkSession, d: String) => DedupOps.winnowFingerprints(s, d)),
+    // round 11, batch 11: the two classic decision-support shapes the
+    // relational surface lacked — Q8 market-share ratio, Q11
+    // global-fraction threshold
+    "q_market_share" ->
+      ((s: SparkSession, d: String) => Relational.marketShare(s, d)),
+    "q_top_value_parts" ->
+      ((s: SparkSession, d: String) => Relational.topValueParts(s, d)),
+    // round 11, batch 12: the media leg of the dedup family — aHash
+    // perceptual fingerprints (rows-only: JDK codec work, spec-verified)
+    "q_media_phash" -> (Multimodal.mediaPhash _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
     * q_approx_distinct and q_approx_percentiles (sketch impls differ
     * across engines by design), q_ann_ivf / q_ann_ivfpq /
     * q_semantic_dedup (k-means quantizers are not SQL-expressible at
-    * reasonable cost), q_multimodal (stubbed codec); each is covered by
-    * bounded-error / recall / determinism assertions in the test suite
-    * instead.
+    * reasonable cost), q_multimodal / q_media_phash (JDK codec +
+    * renderer work); each is covered by bounded-error / recall /
+    * determinism assertions in the test suite instead.
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->
@@ -1149,5 +1167,10 @@ object SparkEntry {
         |  LEAST(target_tokens, n_tokens * 4) AS effective_tokens,
         |  GREATEST(target_tokens - n_tokens * 4, 0) AS shortfall
         |FROM plan ORDER BY source""".stripMargin,
+    "q_source_kl" -> TextOps.sourceKlOracle,
+    "q_zipf_slope" -> TextOps.zipfSlopeOracle,
+    "q_winnow_fingerprints" -> DedupOps.winnowFingerprintsOracle,
+    "q_market_share" -> Relational.marketShareOracle,
+    "q_top_value_parts" -> Relational.topValuePartsOracle,
   )
 }

@@ -1745,4 +1745,95 @@ object DedupOps {
       |GROUP BY doc_id
       |HAVING CAST(SUM(CASE WHEN nd > 1 THEN n_pos ELSE 0 END) AS BIGINT) > 0
       |ORDER BY doc_id""".stripMargin
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm): per document, hash every k-token
+    * gram (k = 3), slide a window of w = 4 consecutive gram hashes, and
+    * select each window's minimum (rightmost-position tie-break). The
+    * selected set is a position-robust fingerprint with two guarantees
+    * the paper proves: (a) any verbatim shared run of ≥ w + k − 1 = 6
+    * tokens contributes at least one SHARED selected fingerprint to both
+    * documents, and (b) selection density is bounded (≈ 2/(w+1) of
+    * positions), so the fingerprint index is a constant fraction of the
+    * corpus regardless of duplication structure. This sits between
+    * `q_dedup_substring` (every span hashed — exhaustive but k-gram-
+    * volume index) and `q_dedup_minhash` (constant-size sketch — no
+    * localization): a bounded-density index that still localizes matches.
+    *
+    * Report: per doc the selected-fingerprint count, how many of those
+    * fingerprints also appear in ANOTHER document's selection, and the
+    * shared fraction — the span-level containment signal at winnowed
+    * cost.
+    *
+    * Scale shape: one scan, one positional explode (the `q_tfidf`
+    * budget), a doc-partitioned min window (the selection), a DISTINCT
+    * on (doc, fingerprint), and a fingerprint-partitioned count window —
+    * a counter per fingerprint, NO pair generation (the
+    * `q_dedup_substring` argument: a boilerplate fingerprint shared by a
+    * million docs is one window group, never 10¹² pairs). Determinism:
+    * the min key is an 18-char string — 8 hex chars of md5 ‖ the
+    * zero-padded inverted position — so lexicographic min IS
+    * (hash asc, position desc) exactly, in both engines; everything
+    * else is exact integer arithmetic.
+    */
+  def winnowFingerprints(s: SparkSession, dir: String,
+                         w: Int = 4): DataFrame = {
+    import s.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"i").rowsBetween(0, w - 1)
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    val grams = docsParallel(s, dir)
+      .select($"doc_id",
+        expr("filter(split(text, ' '), t -> t != '')").as("ts"))
+      .filter(size($"ts") >= N)
+      .select($"doc_id", (size($"ts") - (N - 1)).cast("long").as("n_grams"),
+        $"ts", explode(sequence(lit(1), size($"ts") - (N - 1))).as("i"))
+      .select($"doc_id", $"n_grams", $"i",
+        concat(substring(md5(array_join(slice($"ts", $"i", lit(N)), " ")),
+          1, 8),
+          lpad((lit(9999999999L) - $"i").cast("string"), 10, "0")).as("key"))
+    grams
+      .withColumn("sk", min($"key").over(win))
+      // full windows only: window j exists for j ≤ P − w + 1; a doc with
+      // fewer than w grams keeps its single all-grams window at j = 1
+      .filter($"i" <= greatest($"n_grams" - (w - 1), lit(1L)))
+      .select($"doc_id", $"n_grams", substring($"sk", 1, 8).as("fp"))
+      .distinct()
+      .withColumn("nd", count(lit(1)).over(byFp))
+      .groupBy($"doc_id", $"n_grams")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_shared_fp"))
+      .withColumn("shared_ratio",
+        round($"n_shared_fp".cast("double") / $"n_fp", 4))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle for [[winnowFingerprints]] (k = 3, w = 4 fixed; `2` is k−1,
+    * `3 FOLLOWING` is w−1; DuckDB list slices are 1-based inclusive).
+    */
+  val winnowFingerprintsOracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |g AS (SELECT doc_id, CAST(len(ts) - 2 AS BIGINT) AS n_grams, ts,
+      |  UNNEST(generate_series(1, len(ts) - 2)) AS i
+      |  FROM toks WHERE len(ts) >= 3),
+      |h AS (SELECT doc_id, n_grams, i,
+      |  substring(md5(array_to_string(ts[i:i+2], ' ')), 1, 8)
+      |    || lpad(CAST(9999999999 - i AS VARCHAR), 10, '0') AS key
+      |  FROM g),
+      |sel AS (SELECT doc_id, n_grams, i, MIN(key) OVER (
+      |  PARTITION BY doc_id ORDER BY i
+      |  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sk FROM h),
+      |fp AS (SELECT DISTINCT doc_id, n_grams, substring(sk, 1, 8) AS fp
+      |  FROM sel WHERE i <= GREATEST(n_grams - 3, 1)),
+      |nd AS (SELECT doc_id, n_grams,
+      |  COUNT(*) OVER (PARTITION BY fp) AS nd FROM fp)
+      |SELECT doc_id, n_grams, CAST(COUNT(*) AS BIGINT) AS n_fp,
+      |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared_fp,
+      |  ROUND(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 4) AS shared_ratio
+      |FROM nd GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin
 }

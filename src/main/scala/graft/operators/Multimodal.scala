@@ -357,4 +357,112 @@ object Multimodal {
         round(avg($"width"), 2).as("avg_width"))
       .orderBy($"origin", $"codec")
   }
+
+  /** 64-bit AVERAGE-HASH (aHash) perceptual fingerprint: REAL decode →
+    * 8×8 Graphics2D resample → integer luma per cell → bit i set iff
+    * cell i is brighter than the image mean (`lum·64 > Σlum`, exact
+    * integer arithmetic — no float threshold). Survives re-encoding and
+    * resizing because the 8×8 resample IS the normalization; two
+    * renderings of the same content land within a few bits while
+    * unrelated images differ in ~32. None for undecodable bytes.
+    */
+  private[operators] def aHash(bytes: Array[Byte]): Option[Long] = {
+    val src =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (src == null) None
+    else {
+      val dst = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try g.drawImage(src, 0, 0, 8, 8, null) finally g.dispose()
+      val px = dst.getRGB(0, 0, 8, 8, null, 0, 8)
+      val lum = new Array[Long](64)
+      var sum = 0L
+      var i = 0
+      while (i < 64) {
+        val rgb = px(i)
+        lum(i) = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+          (rgb & 0xff) * 114L) / 1000L
+        sum += lum(i)
+        i += 1
+      }
+      var h = 0L
+      i = 0
+      while (i < 64) {
+        if (lum(i) * 64 > sum) h |= (1L << i)
+        i += 1
+      }
+      Some(h)
+    }
+  }
+
+  /** Per-image perceptual-hash table + exact-hash dup grouping — the
+    * media leg of the dedup family (`q_dedup_docs` finds byte-identical
+    * text; this finds VISUALLY identical images across re-encodes):
+    * every decodable image row carries its aHash and the count of media
+    * sharing that exact hash. Near-dup pairs (hamming > 0) come from
+    * [[phashDupPairs]], spec-verified against brute force.
+    *
+    * Scale shape: hashing is partition-local codec work inside ONE
+    * `mapPartitions` (pixels never cross the wire — 8 bytes of hash per
+    * image do); the grouping is a count window over the hash key —
+    * a counter per hash, the `q_dedup_substring` no-pair-generation
+    * argument. No oracle (JDK codec + renderer semantics are not
+    * SQL-expressible); the driver records rows-only and the spec suite
+    * pins determinism, the resize/re-encode invariance, and the banded
+    * pair join against brute force.
+    */
+  def mediaPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy($"phash")
+    mediaTable(s, dir)
+      .select($"media_id", $"content", $"meta.origin".as("origin"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes, origin) =>
+          // images only: PNG signature (the codec sniff rule of decodeAny)
+          def u(i: Int) = if (i < bytes.length) bytes(i) & 0xff else -1
+          if (u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G')
+            aHash(bytes).map(h => (id, origin, h))
+          else None
+        }
+      }
+      .toDF("media_id", "origin", "phash_bits")
+      .select($"media_id", $"origin",
+        lpad(hex($"phash_bits"), 16, "0").as("phash"))
+      .withColumn("n_same_hash", count(lit(1)).over(byHash))
+      .orderBy($"media_id")
+  }
+
+  /** Near-dup image pairs with hamming ≤ `maxHamming` over the aHash —
+    * the 4×16-bit PIGEONHOLE band join (`q_dedup_simhash_pairs`'s
+    * idiom): two hashes within hamming ≤ 3 MUST agree exactly on at
+    * least one of 4 disjoint 16-bit slices, so candidates come from 4
+    * equi-joins on (band, slice) — never an all-pairs scan — and the
+    * exact `bit_count(xor)` filter keeps no false positives.
+    * Input: any (media_id, phash_bits: long) DataFrame.
+    */
+  def phashDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = hashes.sparkSession
+    import s.implicits._
+    val bands = hashes.select($"media_id", $"phash_bits",
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned($"phash_bits", 16 * b)
+            .bitwiseAND(lit(65535L)).as("key"))
+      }: _*)).as("bk"))
+      .select($"media_id", $"phash_bits",
+        $"bk.band".as("band"), $"bk.key".as("key"))
+    val a = bands.select($"media_id".as("ma"), $"phash_bits".as("ha"),
+      $"band", $"key")
+    val b = bands.select($"media_id".as("mb"), $"phash_bits".as("hb"),
+      $"band", $"key")
+    a.join(b, Seq("band", "key"))
+      .filter($"ma" < $"mb")
+      .select($"ma", $"mb",
+        bit_count($"ha".bitwiseXOR($"hb")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"ma", $"mb")
+  }
 }

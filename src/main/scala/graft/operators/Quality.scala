@@ -129,6 +129,22 @@ object Quality {
     * Streaming use: call inside `foreachBatch` and route each half to
     * its sink.
     */
+  /** (label, per-row violation predicate) for every row-level
+    * constraint — the seam [[split]] shares with the streaming quality
+    * monitor (`StreamOps.qualityMonitor`), so the two gates can never
+    * drift on what counts as a violation. Dataset-level constraints
+    * ([[Unique]]) are rejected loudly.
+    */
+  private[graft] def rowPredicates(constraints: Seq[Constraint])
+  : Seq[(String, Column)] =
+    constraints.map { c =>
+      c.rowViolation match {
+        case Some(p) => (s"${c.name}(${c.column})", p)
+        case None => throw new IllegalArgumentException(
+          s"${c.name} is a dataset-level constraint — use check()")
+      }
+    }
+
   def split(df: DataFrame, constraints: Seq[Constraint])
   : (DataFrame, DataFrame) = {
     require(constraints.nonEmpty, "no constraints given")
@@ -139,13 +155,7 @@ object Quality {
       !df.columns.contains("violations"),
       "input must not carry a violations/_violations column — " +
         "rename it before gating")
-    val rowPreds = constraints.map { c =>
-      c.rowViolation match {
-        case Some(p) => (s"${c.name}(${c.column})", p)
-        case None => throw new IllegalArgumentException(
-          s"${c.name} is a dataset-level constraint — use check()")
-      }
-    }
+    val rowPreds = rowPredicates(constraints)
     val tags = array(rowPreds.map { case (label, p) =>
       when(p, lit(label)) }: _*)
     val tagged = df.withColumn("_violations",

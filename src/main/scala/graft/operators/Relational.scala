@@ -737,4 +737,99 @@ object Relational {
         round(avg($"gap_days"), 4).as("avg_gap_days"))
       .orderBy($"c_mktsegment")
   }
+
+  /** National market share (the TPC-H Q8 shape): within one region's
+    * customer revenue, the share contributed by one nation, per order
+    * year — the conditional-sum-over-star-join ratio report. The region
+    * filter lands on the broadcast region dim and prunes through the
+    * joins BEFORE the fact side aggregates; the share is a single
+    * IEEE division of two exact DECIMAL sums (no float accumulation),
+    * so `round(share, 6)` is engine-stable. ~7 year rows out.
+    */
+  def marketShare(s: SparkSession, dir: String,
+                  region: String = "ASIA",
+                  nation: String = "NATION_2"): DataFrame = {
+    import s.implicits._
+    val rev = $"l_extendedprice".cast(Money) *
+      (lit(1) - $"l_discount").cast(Pct)
+    starJoin(s, dir)
+      .filter($"r_name" === region)
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        round(coalesce(sum(when($"n_name" === nation, rev)), lit(0))
+          .cast("double") / sum(rev).cast("double"), 6).as("share"),
+        round(coalesce(sum(when($"n_name" === nation, rev)), lit(0)))
+          .cast("long").as("nation_rev"),
+        round(sum(rev)).cast("long").as("total_rev"))
+      .select($"o_year", $"nation_rev", $"total_rev", $"share")
+      .orderBy($"o_year")
+  }
+
+  /** Oracle for [[marketShare]] — same star join, conditional DECIMAL
+    * sums, and single-division share.
+    */
+  val marketShareOracle: String =
+    """WITH j AS (SELECT year(o_orderdate) AS o_year, n_name,
+      |  CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(1 - l_discount AS DECIMAL(4,2)) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA')
+      |SELECT CAST(o_year AS BIGINT) AS o_year,
+      |  CAST(ROUND(COALESCE(SUM(CASE WHEN n_name = 'NATION_2'
+      |    THEN rev END), 0)) AS BIGINT) AS nation_rev,
+      |  CAST(ROUND(SUM(rev)) AS BIGINT) AS total_rev,
+      |  ROUND(CAST(COALESCE(SUM(CASE WHEN n_name = 'NATION_2'
+      |      THEN rev END), 0) AS DOUBLE)
+      |    / CAST(SUM(rev) AS DOUBLE), 6) AS share
+      |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** High-value parts by GLOBAL revenue-share threshold (the TPC-H Q11
+    * shape): parts whose total discounted revenue runs ≥ 10% above the
+    * MEAN part's — the global-scalar-threshold decorrelation next to
+    * `q_above_avg`'s per-group one, selective at every scale because the
+    * bar tracks the part population. The per-part rollup is computed
+    * once (localCheckpoint'd group rows) and feeds BOTH the 1-row
+    * (total, n_parts) scalar and the filter, so the fact table scans
+    * exactly once; the boundary `rev · 10 · n > total · 11` is exact
+    * DECIMAL/integer arithmetic — no float threshold to split engines.
+    */
+  def topValueParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perPart = Tables(s, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice".cast(Money) *
+        (lit(1) - $"l_discount").cast(Pct)).as("rev"))
+      .localCheckpoint(false)
+    val total = perPart.agg(sum($"rev").as("total"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter($"rev" * 10 * $"n_parts" > $"total" * 11)
+      .join(Tables(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .orderBy($"rev".desc, $"p_partkey")
+      .select($"p_partkey", $"p_name",
+        round($"rev").cast("long").as("value_rev"),
+        round($"rev".cast("double") / $"total".cast("double"), 6)
+          .as("share"))
+  }
+
+  /** Oracle for [[topValueParts]] — same exact-DECIMAL rollup and
+    * integer-scaled above-mean threshold.
+    */
+  val topValuePartsOracle: String =
+    """WITH pp AS (SELECT l_partkey,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+      |  FROM lineitem GROUP BY l_partkey),
+      |t AS (SELECT SUM(rev) AS total, COUNT(*) AS n_parts FROM pp)
+      |SELECT p_partkey, p_name,
+      |  CAST(ROUND(rev) AS BIGINT) AS value_rev,
+      |  ROUND(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+      |FROM pp CROSS JOIN t
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE rev * 10 * n_parts > total * 11
+      |ORDER BY rev DESC, p_partkey""".stripMargin
 }

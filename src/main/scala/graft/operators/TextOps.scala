@@ -1044,4 +1044,177 @@ object TextOps {
         round(-($"slp".cast("double")) / $"n_bigrams", 6).as("cross_entropy"))
       .orderBy($"doc_id")
   }
+
+  /** Per-source unigram KL divergence vs the corpus distribution —
+    * D_KL(P_source ‖ P_corpus) with add-one smoothing over the corpus
+    * vocabulary: the DISTRIBUTIONAL "how unlike the rest of the corpus
+    * is this feed" audit. `q_ngram_novelty` sees set-level novelty
+    * (distinct shingles nobody else has); this sees frequency-level skew
+    * — a feed using the shared vocabulary in very different proportions
+    * (topic farm, templated text) scores high here while novelty can
+    * read near zero.
+    *
+    * Scale shape: one corpus scan → (source, word) group rows
+    * (vocab × sources bounded), localCheckpoint'd because three
+    * aggregates read them (per-source totals, corpus totals, the grid
+    * join) — the corpus itself is scanned exactly once. The smoothing
+    * grid is corpus-vocab × sources rows (vocab-linear, source-constant
+    * — never corpus-sized); the source-totals side broadcasts (≤
+    * |sources| rows, the `q_dau_mau` day-dim class). Determinism:
+    * p and q are exact-integer rationals, each term
+    * `round(p·ln(p/q), 9)` enters a DECIMAL sum (order-free), final KL
+    * rounded to 6 — the `q_psi_drift` float discipline.
+    */
+  def sourceKl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(20, 9)
+    val counts = docs(s, dir)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val srcTot = counts.groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab_seen"))
+    val corp = counts.groupBy($"w").agg(sum($"c").as("cw"))
+    val nv = corp.agg(sum($"cw").as("n"), count(lit(1)).as("v"))
+    val p = ($"c".cast("double") + lit(1.0)) /
+      ($"n_tokens" + $"v").cast("double")
+    val q = ($"cw".cast("double") + lit(1.0)) / ($"n" + $"v").cast("double")
+    corp.crossJoin(broadcast(srcTot))
+      .join(counts, Seq("source", "w"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(nv))
+      .select($"source", $"n_tokens", $"vocab_seen",
+        round(p * log(p / q), 9).cast(dec).as("term"))
+      .groupBy($"source", $"n_tokens", $"vocab_seen")
+      .agg(round(sum($"term").cast("double"), 6).as("kl"))
+      .orderBy($"source")
+  }
+
+  /** Oracle for [[sourceKl]] — same grid, smoothing, and
+    * round-9-DECIMAL-sum fold.
+    */
+  val sourceKlOracle: String =
+    """WITH t AS (SELECT source,
+      |  UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM t GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab_seen FROM c GROUP BY 1),
+      |corp AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM c GROUP BY 1),
+      |nv AS (SELECT CAST(SUM(cw) AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS v FROM corp),
+      |grid AS (SELECT st.source, st.n_tokens, st.vocab_seen, corp.cw,
+      |  COALESCE(c.c, 0) AS c
+      |  FROM corp CROSS JOIN st
+      |  LEFT JOIN c ON c.source = st.source AND c.w = corp.w),
+      |terms AS (SELECT source, n_tokens, vocab_seen,
+      |  CAST(ROUND(
+      |    ((CAST(c AS DOUBLE) + 1.0) / CAST(n_tokens + v AS DOUBLE))
+      |    * ln(((CAST(c AS DOUBLE) + 1.0) / CAST(n_tokens + v AS DOUBLE))
+      |      / ((CAST(cw AS DOUBLE) + 1.0) / CAST(n + v AS DOUBLE))), 9)
+      |    AS DECIMAL(20,9)) AS term
+      |  FROM grid CROSS JOIN nv)
+      |SELECT source, n_tokens, vocab_seen,
+      |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS kl
+      |FROM terms GROUP BY 1, 2, 3 ORDER BY source""".stripMargin
+
+  /** Per-source Zipf fit — least-squares slope of ln(frequency) on
+    * ln(rank) over the source's word-frequency table, with R². Natural
+    * text sits near slope −1 (Zipf 1949); templated or keyword-stuffed
+    * feeds flatten (slope → 0, every word equally common) or cliff
+    * (a few tokens dominate) — a corpus-shape quality gate that reads
+    * the whole frequency CURVE where `q_text_entropy` reads one scalar
+    * per doc.
+    *
+    * Scale shape: (source, word, n) group rows (vocab-bounded), one
+    * rank window per source partition over those group rows, then a
+    * 6-sufficient-stat aggregate to |sources| rows — the
+    * `q_stats_moments` regression discipline: x = round(ln rank, 9),
+    * y = round(ln n, 9), each product rounded to 9 dp and DECIMAL-summed
+    * so accumulation order cannot split engines; the closed-form
+    * slope/R² are single IEEE expressions on identical inputs. R² is
+    * NULL when either variance term is non-positive (single-word vocab
+    * or a degenerate all-equal-frequency source).
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val counts = docs(s, dir)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("r",
+      row_number().over(Window.partitionBy($"source")
+        .orderBy(desc("c"), $"w")))
+    val x = round(log($"r".cast("double")), 9)
+    val y = round(log($"c".cast("double")), 9)
+    val stats = ranked
+      .select($"source", x.as("x"), y.as("y"))
+      .select($"source", $"x", $"y",
+        round($"x" * $"y", 9).cast(dec).as("xy"),
+        round($"x" * $"x", 9).cast(dec).as("x2"),
+        round($"y" * $"y", 9).cast(dec).as("y2"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum($"xy").as("sxy"), sum($"x2").as("sx2"), sum($"y2").as("sy2"))
+    val nD = $"n_terms".cast("double")
+    val num = nD * $"sxy".cast("double") -
+      $"sx".cast("double") * $"sy".cast("double")
+    val dx = nD * $"sx2".cast("double") -
+      $"sx".cast("double") * $"sx".cast("double")
+    val dy = nD * $"sy2".cast("double") -
+      $"sy".cast("double") * $"sy".cast("double")
+    stats.select($"source", $"n_terms",
+      when(dx > 0, round(num / dx, 6)).as("slope"),
+      when(dx > 0 && dy > 0, round(num * num / (dx * dy), 6)).as("r2"))
+      .orderBy($"source")
+  }
+
+  /** Oracle for [[zipfSlope]] — identical rank window, 9-dp term
+    * rounding, DECIMAL sufficient stats, and closed-form finalization.
+    */
+  val zipfSlopeOracle: String =
+    """WITH t AS (SELECT source,
+      |  UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM t GROUP BY 1, 2),
+      |r AS (SELECT source, c, ROW_NUMBER() OVER (
+      |  PARTITION BY source ORDER BY c DESC, w) AS rnk FROM c),
+      |xy AS (SELECT source,
+      |  ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+      |  ROUND(ln(CAST(c AS DOUBLE)), 9) AS y FROM r),
+      |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  SUM(CAST(x AS DECIMAL(28,9))) AS sx,
+      |  SUM(CAST(y AS DECIMAL(28,9))) AS sy,
+      |  SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS sxy,
+      |  SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS sx2,
+      |  SUM(CAST(ROUND(y * y, 9) AS DECIMAL(28,9))) AS sy2
+      |  FROM xy GROUP BY source)
+      |SELECT source, n_terms,
+      |  CASE WHEN CAST(n_terms AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |    THEN ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n_terms AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |    ELSE NULL END AS slope,
+      |  CASE WHEN CAST(n_terms AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |    AND CAST(n_terms AS DOUBLE) * CAST(sy2 AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |    THEN ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      * (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / ((CAST(n_terms AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n_terms AS DOUBLE) * CAST(sy2 AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    ELSE NULL END AS r2
+      |FROM st ORDER BY source""".stripMargin
 }

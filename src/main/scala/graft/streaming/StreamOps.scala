@@ -227,6 +227,44 @@ object StreamOps {
         round(col("n_novel").cast("double") / col("n_shingles"), 4))
   }
 
+  /** STREAMING QUALITY MONITOR (s_quality) — the live twin of
+    * `Quality.split`: every arriving row is judged against the SAME
+    * row-level constraint predicates the batch admission gate compiles
+    * (one shared `Quality.rowPredicates` seam — the two gates cannot
+    * drift), and the stream maintains exact running counters per
+    * (key, metric): `_rows` (everything seen), `_clean` (no violation),
+    * and one row per violated constraint label. The per-feed data-quality
+    * telemetry a long-running ingest deploy watches — a producer that
+    * starts shipping NULL user ids or out-of-range values moves its
+    * counter on the next micro-batch.
+    *
+    * Shape: the constraint predicates evaluate in the stateless
+    * projection (same codegen'd stage as the scan — the `Quality.split`
+    * cost argument), each row explodes to its ≤ constraints+2 metric
+    * tags, and the running aggregate holds exactly
+    * |keys| × (|constraints| + 2) counters forever — bounded state, no
+    * watermark needed (counters are totals, not windows). Update-mode
+    * emission; exact and replay-deterministic under any micro-batch
+    * split.
+    */
+  def qualityMonitor(events: DataFrame,
+                     constraints: Seq[graft.operators.Quality.Constraint],
+                     keyCol: String = "event_type"): DataFrame = {
+    val preds = graft.operators.Quality.rowPredicates(constraints)
+    val viol = filter(
+      array(preds.map { case (label, p) => when(p, lit(label)) }: _*),
+      _.isNotNull)
+    val tags = concat(
+      array(lit("_rows")),
+      when(size(viol) === 0, array(lit("_clean")))
+        .otherwise(array().cast("array<string>")),
+      viol)
+    events
+      .select(col(keyCol).as("key"), explode(tags).as("metric"))
+      .groupBy(col("key"), col("metric"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Frozen corpus shingle set for [[contentNovelty]] — distinct shingles
     * of the historical documents table under the same shingle rule.
     */

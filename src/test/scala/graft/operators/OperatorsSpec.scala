@@ -558,6 +558,58 @@ class OperatorsSpec extends SparkSpec {
     assert(!Multimodal.decodeAny(empty).ok)
   }
 
+  test("perceptual hash survives resize/re-encode, separates unrelated " +
+    "images, and the banded pair join is exact vs brute force") {
+    import spark.implicits._
+    // structured gradient: content that survives the 8×8 resample (the
+    // fixture's md5-noise images exercise determinism; invariance needs
+    // real structure)
+    def gradientPng(w: Int, h: Int, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v0 = (x * 255) / (w - 1)
+        val v = if (invert) 255 - v0 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = gradientPng(32, 24, invert = false)
+    val re = Multimodal.resizeImage(base, 80, 60) // upscale + re-encode
+    val inv = gradientPng(32, 24, invert = true)
+    val hb = Multimodal.aHash(base).get
+    val hr = Multimodal.aHash(re).get
+    val hi = Multimodal.aHash(inv).get
+    assert(ham(hb, hr) <= 4, s"resize moved the hash ${ham(hb, hr)} bits")
+    assert(ham(hb, hi) >= 16, s"inverse only ${ham(hb, hi)} bits away")
+    assert(Multimodal.aHash("not an image".getBytes).isEmpty)
+    // graded query: deterministic, every row in a ≥1-sized hash group
+    val out1 = Multimodal.mediaPhash(spark, sfTest).collect()
+    val out2 = Multimodal.mediaPhash(spark, sfTest).collect()
+    assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+    assert(out1.nonEmpty && out1.forall(_.getLong(3) >= 1))
+    // banded pigeonhole join ≡ brute force (hamming ≤ 3 must always hit
+    // one exact 16-bit band)
+    val vals = Seq(
+      1L -> 0x0123456789abcdefL,
+      2L -> 0x0123456789abcdeeL,
+      3L -> (0x0123456789abcdefL ^ 0x7L),
+      4L -> (0x0123456789abcdefL ^ 0x1111L),
+      5L -> 0x7edcba9876543210L)
+    val pairs = Multimodal
+      .phashDupPairs(vals.toDF("media_id", "phash_bits"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (ia, ha) <- vals; (ib, hb2) <- vals
+      if ia < ib && ham(ha, hb2) <= 3
+    } yield (ia, ib, ham(ha, hb2).toLong)).toSet
+    assert(pairs == brute, s"banded $pairs vs brute $brute")
+    assert(brute.nonEmpty)
+  }
+
   test("Misra-Gries heavy hitters: bounds hold when the sketch overflows") {
     import spark.implicits._
     // 3 heavy words + 400 singletons, m=16 ≪ 403 distinct — the eviction
@@ -2086,6 +2138,192 @@ class OperatorsSpec extends SparkSpec {
     // 0 ≤ H ≤ ln(vocab), with equality iff uniform
     out.foreach { case (_, _, v, h) =>
       assert(h >= 0.0 && h <= math.log(v.toDouble) + 1e-6)
+    }
+  }
+
+  test("source KL matches the local smoothed-grid recompute and is " +
+    "non-negative") {
+    import spark.implicits._
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long].withDefaultValue(0L)
+    docs.foreach { case (src, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).foreach(w => counts((src, w)) += 1)
+    }
+    val corpus = counts.groupBy(_._1._2).view
+      .mapValues(_.values.sum).toMap
+    val srcTot = counts.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val v = corpus.size.toLong
+    val n = corpus.values.sum
+    val expected = srcTot.toSeq.sortBy(_._1).map { case (src, (nt, vs)) =>
+      val kl = corpus.toSeq.map { case (w, cw) =>
+        val p = (counts((src, w)) + 1.0) / (nt + v).toDouble
+        val q = (cw + 1.0) / (n + v).toDouble
+        BigDecimal(roundHalfUp(p * math.log(p / q), 9))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      (src, nt, vs, roundHalfUp(kl, 6))
+    }
+    val out = TextOps.sourceKl(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == expected, "KL diverges from the recompute")
+    // Gibbs: KL ≥ 0 for proper distributions (both sides smoothed over
+    // the same support); rounding can dip a hair below zero
+    out.foreach { case (src, _, _, kl) =>
+      assert(kl >= -1e-6, s"$src has negative KL")
+    }
+  }
+
+  test("zipf slope matches the local least-squares recompute and is " +
+    "negative on the fixture") {
+    import spark.implicits._
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long].withDefaultValue(0L)
+    docs.foreach { case (src, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).foreach(w => counts((src, w)) += 1)
+    }
+    def d9(x: Double) = BigDecimal(roundHalfUp(x, 9))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = counts.groupBy(_._1._1).toSeq.sortBy(_._1)
+      .map { case (src, m) =>
+        val ranked = m.toSeq
+          .map { case ((_, w), c) => (w, c) }
+          .sortBy { case (w, c) => (-c, w) }.zipWithIndex
+        val xs = ranked.map { case ((_, c), i) =>
+          (roundHalfUp(math.log(i + 1.0), 9), roundHalfUp(math.log(c.toDouble), 9))
+        }
+        val nn = xs.size.toDouble
+        val sx = xs.map(t => d9(t._1)).sum.toDouble
+        val sy = xs.map(t => d9(t._2)).sum.toDouble
+        val sxy = xs.map(t => d9(t._1 * t._2)).sum.toDouble
+        val sx2 = xs.map(t => d9(t._1 * t._1)).sum.toDouble
+        val sy2 = xs.map(t => d9(t._2 * t._2)).sum.toDouble
+        val num = nn * sxy - sx * sy
+        val dx = nn * sx2 - sx * sx
+        val dy = nn * sy2 - sy * sy
+        val slope = if (dx > 0) Some(roundHalfUp(num / dx, 6)) else None
+        val r2 = if (dx > 0 && dy > 0)
+          Some(roundHalfUp(num * num / (dx * dy), 6)) else None
+        (src, xs.size.toLong, slope, r2)
+      }
+    val out = TextOps.zipfSlope(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(out == expected, "zipf fit diverges from the recompute")
+    // the fixture corpus draws words zipf-ish: every source must show a
+    // falling curve with a real fit
+    out.foreach { case (src, _, slope, r2) =>
+      assert(slope.exists(_ < 0), s"$src slope not negative")
+      assert(r2.exists(v => v > 0 && v <= 1 + 1e-9), s"$src r2 out of range")
+    }
+  }
+
+  test("winnowing matches the local recompute; a shared 6-token run " +
+    "forces a shared fingerprint") {
+    import spark.implicits._
+    // local winnow of one doc: (n_grams, selected fingerprint set)
+    def winnow(text: String): Option[(Long, Set[String])] = {
+      val ts = text.split(" ", -1).filter(_.nonEmpty)
+      if (ts.length < 3) None else {
+        val keys = (1 to ts.length - 2).map { i =>
+          md5Hex(ts.slice(i - 1, i + 2).mkString(" ")).substring(0, 8) +
+            "%010d".format(9999999999L - i)
+        }
+        val p = keys.length
+        val sel = (1 to math.max(p - 3, 1)).map { j =>
+          keys.slice(j - 1, math.min(j + 3, p)).min.substring(0, 8)
+        }.toSet
+        Some((p.toLong, sel))
+      }
+    }
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val fps = docs.flatMap { case (id, t) =>
+      winnow(t).map { case (ng, sel) => (id, ng, sel) }
+    }
+    val docCount = scala.collection.mutable.HashMap
+      .empty[String, Int].withDefaultValue(0)
+    fps.foreach { case (_, _, sel) => sel.foreach(docCount(_) += 1) }
+    val expected = fps.map { case (id, ng, sel) =>
+      val shared = sel.count(docCount(_) > 1).toLong
+      (id, ng, sel.size.toLong, shared,
+        roundHalfUp(shared.toDouble / sel.size, 4))
+    }.sortBy(_._1).toSeq
+    val out = DedupOps.winnowFingerprints(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out == expected, "winnow report diverges from the recompute")
+    // the SIGMOD'03 guarantee: any verbatim shared run of ≥ w+k−1 = 6
+    // tokens yields at least one shared selected fingerprint
+    val dir = Files.createTempDirectory("graft_winnow").toString
+    Seq(
+      (1L, "aa bb cc run1 run2 run3 run4 run5 run6 dd ee ff"),
+      (2L, "xx yy run1 run2 run3 run4 run5 run6 zz ww qq"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p0")) // disjoint vocabulary
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val syn = DedupOps.winnowFingerprints(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(syn(1L) >= 1 && syn(2L) >= 1,
+      "6-token shared run must share a fingerprint")
+    assert(syn(3L) == 0, "disjoint doc must share nothing")
+  }
+
+  test("market share reconciles against the 5-way star revenue") {
+    val out = Relational.marketShare(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, natRev, totRev, share) =>
+      assert(natRev >= 0 && natRev <= totRev)
+      assert(share >= 0.0 && share <= 1.0)
+      // the reported share must agree with the independently rounded
+      // integer revenues up to their own rounding slack
+      assert(math.abs(share - natRev.toDouble / totRev) < 1e-4)
+    }
+    val asia = Relational.join5Way(spark, sfTest).collect()
+      .filter(_.getString(0) == "ASIA")
+    val asiaTotal = asia.map(_.getLong(2)).sum
+    val nation2 = asia.filter(_.getString(1) == "NATION_2")
+      .map(_.getLong(2)).sum
+    // both sides round independently (per year vs per nation)
+    val slack = (out.length + asia.length).toLong
+    assert(math.abs(out.map(_._3).sum - asiaTotal) <= slack)
+    assert(math.abs(out.map(_._2).sum - nation2) <= slack)
+  }
+
+  test("top-value parts selects exactly the above-1.1×-mean set, ordered " +
+    "by exact revenue") {
+    import spark.implicits._
+    val li = Tables(spark, sfTest, "lineitem")
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+      .as[(Long, Double, Double)].collect()
+    val rev = scala.collection.mutable.HashMap
+      .empty[Long, BigDecimal].withDefaultValue(BigDecimal(0))
+    li.foreach { case (pk, price, disc) =>
+      rev(pk) += BigDecimal(price).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        (BigDecimal(1) -
+          BigDecimal(disc).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val total = rev.values.sum
+    val n = rev.size
+    val expectedSel = rev.filter { case (_, r) => r * 10 * n > total * 11 }
+    val expectedOrder = expectedSel.toSeq
+      .sortBy { case (pk, r) => (-r, pk) }.map(_._1)
+    val out = Relational.topValueParts(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == expectedOrder,
+      "selection or order diverges from the recompute")
+    out.foreach { case (pk, vRev, share) =>
+      assert(vRev == expectedSel(pk).setScale(0,
+        BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(math.abs(share - (expectedSel(pk) / total).toDouble) < 1e-6)
     }
   }
 

@@ -635,6 +635,69 @@ class PlanSpec extends SparkSpec {
       "nothing here may shuffle-join")
   }
 
+  test("source KL: the corpus scans once into checkpointed group rows; " +
+    "the grid join stays unhinted") {
+    val p = physical("q_source_kl")
+    // all three aggregates (source totals, corpus totals, grid join) read
+    // the checkpointed (source, word) group rows — documents itself is
+    // never re-scanned
+    assert(!p.contains("FileScan"),
+      s"documents re-scanned past the checkpoint:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3,
+      s"counts no longer checkpoint-shared:\n$p")
+    // only the two bounded sides carry hints (|sources|-row totals, 1-row
+    // (N,V)); the vocab-scaling counts join is UNHINTED — stats broadcast
+    // it at graded scale, shuffle fallback must be row-identical
+    val hints = "ResolvedHint".r.findAllIn(analyzed("q_source_kl")).size
+    assert(hints == 2, s"expected the two bounded hints, found $hints")
+    assert(p.contains("BroadcastHashJoin"),
+      "stats no longer broadcast the counts join at graded scale")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fallback = SparkEntry.queries("q_source_kl")(s2, sfTest)
+    val pf = fallback.queryExecution.executedPlan.toString
+    assert(pf.contains("SortMergeJoin") || pf.contains("ShuffledHashJoin"),
+      s"no shuffle-join fallback with broadcasting off:\n$pf")
+    val a = SparkEntry.queries("q_source_kl")(spark, sfTest)
+      .collect().map(_.toString).toSeq
+    assert(a == fallback.collect().map(_.toString).toSeq,
+      "fallback plan changed the result")
+  }
+
+  test("winnowing is windows over one positional explode: no join " +
+    "anywhere, no single-partition exchange") {
+    val p = physical("q_winnow_fingerprints")
+    // selection is a doc-partitioned min window, sharing a fp-partitioned
+    // count window — a counter per fingerprint, never pair generation
+    // (match operator names, not the array_join expression)
+    assert(!"(SortMerge|BroadcastHash|ShuffledHash|BroadcastNestedLoop)Join"
+      .r.findFirstIn(p).isDefined && !p.contains("CartesianProduct"),
+      s"winnowing must not join:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      s"documents scanned more than once:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"corpus rows entered a single-partition exchange:\n$p")
+  }
+
+  test("market share: the region filter pushes into the dim scan and " +
+    "prunes through broadcast joins") {
+    val p = physical("q_market_share")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"region predicate not pushed to the region scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dims no longer broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top value parts: one checkpointed fact rollup feeds both the " +
+    "scalar and the filter; only the part dim re-scans") {
+    val p = physical("q_top_value_parts")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"per-part rollup no longer checkpoint-shared:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      s"the fact table re-scanned past the checkpoint:\n$p")
+  }
+
   test("token budget selection keeps the two-level prefix sum and never " +
     "single-partitions the corpus") {
     val p = physical("q_token_budget")

@@ -226,6 +226,63 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed("src_new")._3 > 0.0)
   }
 
+  test("streaming quality monitor: running counters equal the batch gate " +
+    "under uneven micro-batches; a corrupting producer moves its counters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Quality
+    val rules = Seq(
+      Quality.NotNull("user_id"),
+      Quality.InRange("value", 0.0, 1000.0),
+      Quality.Accepted("event_type",
+        Seq("click", "view", "signup", "purchase", "error")))
+    // a healthy feed, then a producer that starts shipping nulls,
+    // out-of-range values, and an unknown type (one row violates TWO
+    // rules — the counters are per-violation, not per-row)
+    val rows: Seq[(String, Option[Long], Double)] =
+      (1 to 20).map(i => ("click", Some(i.toLong), i * 10.0)) ++
+        (1 to 5).map(i => ("view", Some(i.toLong), 5.0)) ++
+        Seq(
+          ("click", None, 50.0), // null user
+          ("click", Some(9L), -4.0), // range
+          ("garbage", Some(3L), 10.0), // unknown type
+          ("garbage", None, 2000.0)) // unknown type + range + null
+    val ms = MemoryStream[(String, Option[Long], Double)]
+    val q = StreamOps.qualityMonitor(
+      ms.toDS().toDF("event_type", "user_id", "value"), rules)
+      .writeStream.format("memory").queryName("t_quality")
+      .outputMode("complete").start()
+    rows.grouped(9).foreach { g =>
+      ms.addData(g.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.sql("select key, metric, n from t_quality")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    q.stop()
+    // batch recompute THROUGH THE SHARED GATE: Quality.split over
+    // everything streamed must yield identical counters
+    val batch = rows.toDF("event_type", "user_id", "value")
+    val (clean, rejects) = Quality.split(batch, rules)
+    val expected =
+      batch.groupBy($"event_type").count().collect()
+        .map(r => (r.getString(0), "_rows") -> r.getLong(1)).toMap ++
+      clean.groupBy($"event_type").count().collect()
+        .map(r => (r.getString(0), "_clean") -> r.getLong(1)).toMap ++
+      rejects.select($"event_type", explode($"violations").as("v"))
+        .groupBy($"event_type", $"v").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == expected,
+      s"stream $streamed\nvs batch gate $expected")
+    // the corrupting producer is visible per metric
+    assert(streamed(("click", "not_null(user_id)")) == 1L)
+    assert(streamed(("click", "in_range(value)")) == 1L)
+    assert(streamed(("garbage", "accepted_values(event_type)")) == 2L)
+    assert(streamed(("garbage", "in_range(value)")) == 1L)
+    assert(streamed(("click", "_clean")) == 20L)
+    assert(!streamed.contains(("garbage", "_clean")))
+  }
+
   test("stream windowed approx-percentiles equal their batch twin " +
     "across micro-batch splits") {
     import spark.implicits._
