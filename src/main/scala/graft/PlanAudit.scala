@@ -36,7 +36,10 @@ object PlanAudit {
                    // and × the 10-row bucket spine (both plan-constant)
     "q_source_kl", // vocab-grid rows × |sources|-row totals and × the
                    // 1-row (N, V) corpus aggregate
-    "q_top_value_parts" // per-part group rows × 1-row (total, n_parts)
+    "q_top_value_parts", // per-part group rows × 1-row (total, n_parts)
+    "q_semantic_clusters" // the q_dedup_embed brute-force pair baseline
+                          // feeding the CC loop (banded/IVF twins are
+                          // the scale path, VectorOps Scaladoc)
   )
 
   def main(args: Array[String]): Unit = {

@@ -218,6 +218,13 @@ object SparkEntry {
     // round 11, batch 12: the media leg of the dedup family — aHash
     // perceptual fingerprints (rows-only: JDK codec work, spec-verified)
     "q_media_phash" -> (Multimodal.mediaPhash _),
+    // round 11, batch 13: per-feed label quality + length profiles
+    "q_lang_mislabel" -> (TextOps.langMislabel _),
+    "q_length_profile" -> (TextOps.lengthProfile _),
+    // round 11, batch 14: semantic near-dup families — CC over the
+    // embedding pair graph (the SemDeDup action-list complement)
+    "q_semantic_clusters" ->
+      ((s: SparkSession, d: String) => VectorOps.semanticClusters(s, d)),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -1172,5 +1179,46 @@ object SparkEntry {
     "q_winnow_fingerprints" -> DedupOps.winnowFingerprintsOracle,
     "q_market_share" -> Relational.marketShareOracle,
     "q_top_value_parts" -> Relational.topValuePartsOracle,
+    // per-feed mislabel audit: same stopword CASE chain as the graded
+    // langid queries, rolled up by source
+    "q_lang_mislabel" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |  string_split(text, ' ') AS tok FROM documents),
+        |s AS (SELECT source, lang,
+        |  len(list_filter(tok, x -> x IN ('the','a','of','and','to'))) AS s_en,
+        |  len(list_filter(tok, x -> x IN ('el','la','de','y','que'))) AS s_es,
+        |  len(list_filter(tok, x -> x IN ('le','les','et','des','une'))) AS s_fr,
+        |  len(list_filter(tok, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        |  len(list_filter(tok, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
+        | FROM t),
+        |p AS (SELECT source, lang,
+        |  CASE
+        |   WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        |   WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+        |   WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |   WHEN s_de >= s_zh THEN 'de'
+        |   ELSE 'zh' END AS pred_lang
+        | FROM s)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_mislabeled,
+        | ROUND(CAST(SUM(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / COUNT(*), 6) AS mislabel_rate
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    // length profile: interpolated quantile_cont on exact integer token
+    // counts ≡ Spark percentile at round 4 (the q_percentiles precedent);
+    // mean = exact integer sum ÷ count in double
+    "q_length_profile" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS BIGINT) AS n_tokens FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | ROUND(quantile_cont(n_tokens, 0.1), 4) AS p10,
+        | ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90,
+        | ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS mean_tokens,
+        | CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q_semantic_clusters" -> VectorOps.semanticClustersOracle,
   )
 }

@@ -166,9 +166,22 @@ object TextOps {
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    langPredictions(s, dir)
+      .select($"doc_id", $"lang", $"pred_lang",
+        ($"pred_lang" === $"lang").as("is_match"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-doc language predictions WITH feed metadata — the single copy
+    * of the stopword-argmax rule shared by [[langId]] (graded per-doc
+    * surface), [[langIdConfusion]] (per-language evaluation) and
+    * [[langMislabel]] (per-feed audit).
+    */
+  private def langPredictions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val tok = split($"text", " ")
     val scored = stopwords.foldLeft(docs(s, dir).select($"doc_id", $"lang",
-      tok.as("tok"))) { case (df, (lang, words)) =>
+      $"source", tok.as("tok"))) { case (df, (lang, words)) =>
       df.withColumn(s"s_$lang",
         size(filter($"tok", t => t.isin(words: _*))).cast("long"))
     }
@@ -179,11 +192,29 @@ object TextOps {
     val predFirst = langs.foldRight(lit("und"): org.apache.spark.sql.Column) {
       case (l, acc) => when(col(s"s_$l") === best, lit(l)).otherwise(acc)
     }
-    scored
-      .withColumn("pred_lang", predFirst)
-      .select($"doc_id", $"lang", $"pred_lang",
-        ($"pred_lang" === $"lang").as("is_match"))
-      .orderBy($"doc_id")
+    scored.withColumn("pred_lang", predFirst)
+  }
+
+  /** Per-FEED language-mislabel audit — [[langIdConfusion]] pivoted to
+    * the lever a pipeline owner pulls: for each source, how many docs the
+    * classifier disagrees with the label on. A feed whose labels were
+    * scraped from unreliable metadata shows up here as a high mismatch
+    * rate even when the per-language confusion matrix looks healthy
+    * (the mislabels can hide inside one feed).
+    *
+    * Shape: per-doc predictions reduce to |sources| group rows — the
+    * matrix-never-corpus argument of the confusion query, keyed by feed.
+    */
+  def langMislabel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    langPredictions(s, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"pred_lang" =!= $"lang", 1L).otherwise(0L))
+          .as("n_mislabeled"))
+      .withColumn("mislabel_rate",
+        round($"n_mislabeled".cast("double") / $"n_docs", 6))
+      .orderBy($"source")
   }
 
   /** Language-ID confusion matrix — the EVALUATION of [[langId]] against
@@ -203,6 +234,39 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .withColumn("frac", round($"n" / sum($"n").over(byTrue), 6))
       .orderBy($"lang", $"pred_lang")
+  }
+
+  /** Per-source document-LENGTH profile — the truncation/packing risk
+    * report a pipeline reads before fixing a context length: exact
+    * interpolated p10/p50/p90 of tokens per doc, mean, and max, per
+    * feed. A feed whose p90 crosses the context length will truncate;
+    * one whose p50 is tiny wastes packing slots (`q_pack_sequences` is
+    * the downstream consumer of exactly this decision).
+    *
+    * Exact `percentile` buffers one feed's doc lengths in a task — the
+    * per-group-values cost documented at `q_percentiles`; the 100 TB
+    * form swaps in `approx_percentile` (mergeable sketch), same plan.
+    * Interpolation on exact integer token counts matches DuckDB's
+    * `quantile_cont` bit-for-bit at round 4 (the `q_percentiles`
+    * precedent).
+    */
+  def lengthProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"source",
+        size(filter(split($"text", " "), t => t =!= "")).cast("long")
+          .as("n_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_tokens, 0.1)"), 4).as("p10"),
+        round(expr("percentile(n_tokens, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_tokens, 0.9)"), 4).as("p90"),
+        // exact integer sum ÷ count in double — not avg(), whose
+        // accumulation order could differ across engines
+        round(sum($"n_tokens").cast("double") / count(lit(1)), 4)
+          .as("mean_tokens"),
+        max($"n_tokens").as("max_tokens"))
+      .orderBy($"source")
   }
 
   /** Quality-gate retention report — the composition a training-data

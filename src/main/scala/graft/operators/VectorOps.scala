@@ -144,16 +144,70 @@ object VectorOps {
     * corpus-scale near-dup regime.
     */
   def embedNearDup(s: SparkSession, dir: String,
-                   threshold: Double = 0.4): DataFrame = {
+                   threshold: Double = 0.4): DataFrame =
+    embedPairs(s, dir, threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("sim_raw"), 6).as("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Unsorted qualifying pair stream shared by [[embedNearDup]] (which
+    * adds the presentation sort) and [[semanticClusters]] (whose CC loop
+    * repartitions immediately — a sort here would be paid only to be
+    * destroyed, the `dedupClusters` argument).
+    */
+  private def embedPairs(s: SparkSession, dir: String,
+                         threshold: Double): DataFrame = {
     import s.implicits._
     val (a, b) = selfJoinSides(s, dir)
     a.join(broadcast(b), $"a_id" < $"b_id")
       .select($"a_id", $"b_id",
         call_function("cosine_sim", $"ea", $"eb").as("sim_raw"))
       .filter($"sim_raw" >= threshold)
-      .select($"a_id", $"b_id", round($"sim_raw", 6).as("sim"))
-      .orderBy($"a_id", $"b_id")
   }
+
+  /** SEMANTIC near-dup clusters — connected components over the
+    * [[embedNearDup]] pair graph: which vectors form one semantic
+    * duplicate family (cluster id = min member, `keep` on the canonical
+    * member). The embedding-space completion of the dedup action chain:
+    * `q_dedup_clusters` families share SURFACE text (n-gram overlap);
+    * these share MEANING the shingle tier cannot see (translations,
+    * paraphrases, re-renders) — SemDeDup's observation, here as the
+    * exact oracle-checkable baseline.
+    *
+    * Shape: the pair stream is the documented brute-force baseline (its
+    * 100 TB twins are the SRP-banded candidates or IVF-cell joins —
+    * `embedNearDupLsh`/`semanticDedup`); the clustering is the same
+    * edge-sized min-label CC (+ star fallback) as the text tier — the
+    * oracle engine pays a recursive-CTE transitive closure for it.
+    */
+  def semanticClusters(s: SparkSession, dir: String,
+                       threshold: Double = 0.4): DataFrame = {
+    DedupOps.clusterPairs(s,
+      embedPairs(s, dir, threshold).select(col("a_id"), col("b_id")))
+      .select(col("cluster_id"), col("doc_id").as("vec_id"), col("keep"))
+      .orderBy(col("cluster_id"), col("vec_id"))
+  }
+
+  /** Oracle for [[semanticClusters]] — the recursive-CTE transitive
+    * closure over the same exact-cosine pair graph.
+    */
+  val semanticClustersOracle: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS da, b.vec_id AS db
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])) >= 0.4),
+      |edges AS (SELECT da AS src, db AS dst FROM pairs
+      |  UNION ALL SELECT db, da FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+      |reach(vec_id, root) AS (
+      |  SELECT vec_id, vec_id FROM nodes
+      |  UNION
+      |  SELECT e.src, r.root FROM edges e JOIN reach r ON e.dst = r.vec_id)
+      |SELECT min(root) AS cluster_id, vec_id,
+      |  (vec_id = min(root)) AS keep
+      |FROM reach GROUP BY vec_id
+      |ORDER BY cluster_id, vec_id""".stripMargin
 
   /** Banded near-duplicate candidate generation for embeddings — the
     * 100 TB twin of [[embedNearDup]]'s all-pairs scan, completing the LSH

@@ -2327,6 +2327,90 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("lang mislabel audit reconciles with the confusion matrix's " +
+    "off-diagonal mass") {
+    import spark.implicits._
+    val bySource = TextOps.langMislabel(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val confusion = TextOps.langIdConfusion(spark, sfTest).collect()
+    val offDiag = confusion
+      .filter(r => r.getString(0) != r.getString(1)).map(_.getLong(2)).sum
+    assert(bySource.map(_._3).sum == offDiag,
+      "per-feed mislabels must sum to the confusion off-diagonal")
+    assert(bySource.map(_._2).sum ==
+      Tables(spark, sfTest, "documents").count())
+    bySource.foreach { case (src, n, m, rate) =>
+      assert(m <= n && math.abs(rate - m.toDouble / n) < 1e-6, src)
+    }
+  }
+
+  test("length profile matches the local type-7 quantile recompute") {
+    import spark.implicits._
+    val docs = Tables(spark, sfTest, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    def q7(sorted: Array[Long], q: Double): Double = {
+      val h = (sorted.length - 1) * q
+      val lo = math.floor(h).toInt
+      val hi = math.ceil(h).toInt
+      sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
+    }
+    val expected = docs
+      .map { case (s0, t) =>
+        (s0, t.split(" ", -1).count(_.nonEmpty).toLong) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (src, g) =>
+        val v = g.map(_._2).sorted
+        (src, v.length.toLong, roundHalfUp(q7(v, 0.1), 4),
+          roundHalfUp(q7(v, 0.5), 4), roundHalfUp(q7(v, 0.9), 4),
+          roundHalfUp(v.sum.toDouble / v.length, 4), v.max)
+      }
+    val out = TextOps.lengthProfile(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toSeq
+    assert(out == expected, "length profile diverges from the recompute")
+  }
+
+  test("semantic clusters equal a local union-find over the brute-force " +
+    "pair graph") {
+    import spark.implicits._
+    val vecs = Tables(spark, sfTest, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inGraph = scala.collection.mutable.HashSet.empty[Long]
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length) {
+      if (cos(vecs(i)._2, vecs(j)._2) >= 0.4) {
+        union(vecs(i)._1, vecs(j)._1)
+        inGraph += vecs(i)._1; inGraph += vecs(j)._1
+      }
+    }
+    val expected = inGraph.toSeq
+      .map(v => (find(v), v)).sortBy(identity)
+      .map { case (c, v) => (c, v, v == c) }
+    val out = VectorOps.semanticClusters(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == expected, "clusters diverge from local union-find")
+    assert(out.nonEmpty)
+  }
+
   test("order-defining surfaces are invariant to the session's shuffle " +
     "width") {
     // The reproducibility claim the md5-key discipline makes is ACROSS
