@@ -131,15 +131,50 @@ object StreamBench {
       q.stop()
       "novelty" -> (docsRows.length / secs)
     }
+    // the quality monitor judges events against the same rule set the
+    // replay spec uses (null/range/category gates on the event schema)
+    val qualityRules = Seq(
+      graft.operators.Quality.NotNull("user_id"),
+      graft.operators.Quality.InRange("value", 0.0, 1e6),
+      graft.operators.Quality.Accepted("event_type",
+        Seq("click", "view", "signup", "purchase", "error")))
+
+    // media dedup streams the synthesized image table against the frozen
+    // corpus hash set; rate is images/second (each pays a real PNG
+    // decode + 8×8 resample)
+    def runMediaDedup(): (String, Double) = {
+      val media = graft.operators.Multimodal.mediaTable(spark, sfDir)
+        .select($"media_id", $"content")
+        .as[(Long, Array[Byte])].collect()
+      val corpus = StreamOps.mediaCorpusHashes(
+        graft.operators.Multimodal.mediaTable(spark, sfDir)
+          .limit(200).select($"content"))
+      val ms = MemoryStream[(Long, Array[Byte])]
+      val q = StreamOps
+        .mediaDedup(ms.toDS().toDF("media_id", "content"), corpus)
+        .writeStream.format("memory").queryName("sb_media_dedup")
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      media.grouped(500).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      "media_dedup" -> (media.length / secs)
+    }
     val results = Seq(
       run("tumbling", StreamOps.tumbling, "update"),
       run("dedup", StreamOps.dedup, "append"),
       run("sessions", StreamOps.sessions, "append"),
       run("drift", df => StreamOps.psiDrift(df, baseline, lo, hi), "update"),
+      run("quality", df => StreamOps.qualityMonitor(df, qualityRules),
+        "update"),
       runJoin("join_inner", StreamOps.conversionJoin),
       runJoin("join_outer", StreamOps.conversionJoinOuter),
       runReservoir(),
-      runNovelty())
+      runNovelty(),
+      runMediaDedup())
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")

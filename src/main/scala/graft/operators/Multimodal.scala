@@ -57,7 +57,7 @@ object Multimodal {
     * PNG writer emits no timestamps/ancillary chunks, so the bytes are
     * stable across runs and JVMs.
     */
-  private[operators] def synthesizePng(seed: Array[Byte], w: Int, h: Int)
+  private[graft] def synthesizePng(seed: Array[Byte], w: Int, h: Int)
   : Array[Byte] = {
     val d = md5(seed)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -252,7 +252,7 @@ object Multimodal {
     * Contract: the output decodes to exactly (w, h) regardless of input
     * size.
     */
-  private[operators] def resizeImage(bytes: Array[Byte], w: Int, h: Int)
+  private[graft] def resizeImage(bytes: Array[Byte], w: Int, h: Int)
   : Array[Byte] = {
     val src = ImageIO.read(new ByteArrayInputStream(bytes))
     require(src != null, "resizeImage: input is not a decodable image")
@@ -366,7 +366,7 @@ object Multimodal {
     * renderings of the same content land within a few bits while
     * unrelated images differ in ~32. None for undecodable bytes.
     */
-  private[operators] def aHash(bytes: Array[Byte]): Option[Long] = {
+  private[graft] def aHash(bytes: Array[Byte]): Option[Long] = {
     val src =
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }

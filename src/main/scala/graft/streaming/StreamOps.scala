@@ -1009,6 +1009,57 @@ object StreamOps {
       .join(corpusFp.select(col("fp")), Seq("fp"), "left_anti")
       .dropDuplicates("fp")
 
+  /** STREAMING MEDIA DEDUP (s_media_dedup) — [[dedupAgainstCorpus]] for
+    * the binary tier, and the live half of `q_media_phash`: images
+    * arriving on a stream are perceptually hashed (the SAME
+    * `Multimodal.aHash` the batch query computes — one formula source,
+    * the gates cannot drift) and dropped when a visually identical image
+    * (same 64-bit aHash: any re-encode or pixel-identical re-render)
+    * already exists in the frozen corpus hash set, then deduped within
+    * the stream on the same key so a novel image re-sent twice is
+    * admitted once. Undecodable payloads are EXCLUDED from this gate's
+    * output (a NULL hash can neither match the corpus nor dedup within
+    * the stream — streaming dropDuplicates would wrongly collapse all
+    * NULLs to one row); route them through the dead-letter half of the
+    * ingest pipeline (`WebhookIngest`/`Quality.split`) where
+    * unparseable payloads already land.
+    *
+    * Shapes: decode runs in the stateless typed flatMap (pixels never
+    * enter state — 8 hash bytes do); corpus membership is a stream–static
+    * LEFT ANTI join re-resolved per micro-batch (a nightly index refresh
+    * is picked up without restart); in-stream dedup is streaming
+    * `dropDuplicates` on the hash — one state entry per distinct
+    * ADMITTED image, the ingest-gate contract (the
+    * [[dedupAgainstCorpus]] state note applies verbatim). Hamming-
+    * tolerant matching (≤ 3 bits) belongs to the batch
+    * `Multimodal.phashDupPairs` pass over the admitted set.
+    */
+  def mediaDedup(media: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        (id, graft.operators.Multimodal.aHash(bytes))
+      }
+      .toDF("media_id", "phash_bits")
+      .filter(col("phash_bits").isNotNull)
+      .join(corpusHashes.select(col("phash_bits")), Seq("phash_bits"),
+        "left_anti")
+      .dropDuplicates("phash_bits")
+  }
+
+  /** Frozen corpus hash set for [[mediaDedup]] — the aHash of every
+    * decodable corpus image, distinct.
+    */
+  def mediaCorpusHashes(staticMedia: DataFrame): DataFrame = {
+    val s = staticMedia.sparkSession
+    import s.implicits._
+    staticMedia.select(col("content")).as[Array[Byte]]
+      .flatMap(b => graft.operators.Multimodal.aHash(b))
+      .toDF("phash_bits").distinct()
+  }
+
   /** Stream–stream interval join: purchases attributed to the same user's
     * clicks within the following hour (click → purchase conversion).
     *

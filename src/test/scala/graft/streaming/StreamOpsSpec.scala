@@ -914,6 +914,50 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Seq(9003L), s"ingest gate admitted $got")
   }
 
+  test("streaming media dedup drops re-encoded corpus images and " +
+    "in-stream perceptual replays; undecodable bytes are excluded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // corpus: two known images; the gate must recognize a RE-ENCODE of
+    // one (identical pixels through a fresh Graphics2D + PNG pass)
+    val imgA = Multimodal.synthesizePng("media-A".getBytes, 24, 16)
+    val imgB = Multimodal.synthesizePng("media-B".getBytes, 20, 12)
+    val corpus = StreamOps.mediaCorpusHashes(
+      Seq(imgA, imgB).toDF("content"))
+    val novelC = Multimodal.synthesizePng("media-C".getBytes, 24, 16)
+    val novelD = Multimodal.synthesizePng("media-D".getBytes, 16, 16)
+    // same pixels through a fresh encode — bytes may differ, hash must not
+    val reEncodedA = Multimodal.resizeImage(imgA, 24, 16)
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.mediaDedup(
+      ms.toDS().toDF("media_id", "content"), corpus)
+      .writeStream.format("memory").queryName("t_media_dedup")
+      .outputMode("append").start()
+    ms.addData(Seq(
+      (1L, reEncodedA), // visually identical to corpus → dropped
+      (2L, novelC), // admitted
+      (3L, "junk bytes".getBytes))) // undecodable → excluded
+    q.processAllAvailable()
+    ms.addData(Seq(
+      (4L, novelC), // in-stream perceptual replay → dropped
+      (5L, novelD))) // admitted
+    q.processAllAvailable()
+    val got = spark.sql("select media_id from t_media_dedup").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(2L, 5L), s"media gate admitted $got")
+    // the admitted set matches the batch recompute over everything sent
+    val corpusSet = corpus.collect().map(_.getLong(0)).toSet
+    val sent = Seq((1L, reEncodedA), (2L, novelC), (3L, "junk bytes".getBytes),
+      (4L, novelC), (5L, novelD))
+    val expected = sent
+      .flatMap { case (id, b) => Multimodal.aHash(b).map(h => (id, h)) }
+      .filterNot { case (_, h) => corpusSet(h) }
+      .groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+    assert(got == expected)
+  }
+
   test("idle users' alarm state is evicted by the event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
