@@ -143,12 +143,13 @@ object StreamBench {
     // corpus hash set; rate is images/second (each pays a real PNG
     // decode + 8×8 resample)
     def runMediaDedup(): (String, Double) = {
+      // one synthesis pass, sorted so the first-200 corpus slice is
+      // pinned regardless of collect partition order
       val media = graft.operators.Multimodal.mediaTable(spark, sfDir)
         .select($"media_id", $"content")
-        .as[(Long, Array[Byte])].collect()
+        .as[(Long, Array[Byte])].collect().sortBy(_._1)
       val corpus = StreamOps.mediaCorpusHashes(
-        graft.operators.Multimodal.mediaTable(spark, sfDir)
-          .limit(200).select($"content"))
+        media.take(200).map(_._2).toSeq.toDF("content"))
       val ms = MemoryStream[(Long, Array[Byte])]
       val q = StreamOps
         .mediaDedup(ms.toDS().toDF("media_id", "content"), corpus)

@@ -420,11 +420,11 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes, origin) =>
-          // images only: PNG signature (the codec sniff rule of decodeAny)
-          def u(i: Int) = if (i < bytes.length) bytes(i) & 0xff else -1
-          if (u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G')
-            aHash(bytes).map(h => (id, origin, h))
-          else None
+          // the membership rule IS aHash's decodability (ImageIO parses
+          // PNG and JPEG; audio/video containers return None) — the
+          // SAME gate the streaming twin applies, so the batch audit
+          // covers exactly the images the stream admits
+          aHash(bytes).map(h => (id, origin, h))
         }
       }
       .toDF("media_id", "origin", "phash_bits")

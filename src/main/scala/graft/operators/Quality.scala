@@ -129,22 +129,6 @@ object Quality {
     * Streaming use: call inside `foreachBatch` and route each half to
     * its sink.
     */
-  /** (label, per-row violation predicate) for every row-level
-    * constraint — the seam [[split]] shares with the streaming quality
-    * monitor (`StreamOps.qualityMonitor`), so the two gates can never
-    * drift on what counts as a violation. Dataset-level constraints
-    * ([[Unique]]) are rejected loudly.
-    */
-  private[graft] def rowPredicates(constraints: Seq[Constraint])
-  : Seq[(String, Column)] =
-    constraints.map { c =>
-      c.rowViolation match {
-        case Some(p) => (s"${c.name}(${c.column})", p)
-        case None => throw new IllegalArgumentException(
-          s"${c.name} is a dataset-level constraint — use check()")
-      }
-    }
-
   def split(df: DataFrame, constraints: Seq[Constraint])
   : (DataFrame, DataFrame) = {
     require(constraints.nonEmpty, "no constraints given")
@@ -164,6 +148,22 @@ object Quality {
       tagged.filter(size(col("_violations")) > 0)
         .withColumnRenamed("_violations", "violations"))
   }
+
+  /** (label, per-row violation predicate) for every row-level
+    * constraint — the seam [[split]] shares with the streaming quality
+    * monitor (`StreamOps.qualityMonitor`), so the two gates can never
+    * drift on what counts as a violation. Dataset-level constraints
+    * ([[Unique]]) are rejected loudly.
+    */
+  private[graft] def rowPredicates(constraints: Seq[Constraint])
+  : Seq[(String, Column)] =
+    constraints.map { c =>
+      c.rowViolation match {
+        case Some(p) => (s"${c.name}(${c.column})", p)
+        case None => throw new IllegalArgumentException(
+          s"${c.name} is a dataset-level constraint — use check()")
+      }
+    }
 
   /** One-pass column profile — the "what is this data drop" look a lake
     * operator takes before writing constraints at all: per column, null
