@@ -225,6 +225,9 @@ object SparkEntry {
     // embedding pair graph (the SemDeDup action-list complement)
     "q_semantic_clusters" ->
       ((s: SparkSession, d: String) => VectorOps.semanticClusters(s, d)),
+    // round 11, batch 15: the winnowing match list
+    "q_winnow_pairs" ->
+      ((s: SparkSession, d: String) => DedupOps.winnowPairs(s, d)),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -1220,5 +1223,6 @@ object SparkEntry {
         | CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q_semantic_clusters" -> VectorOps.semanticClustersOracle,
+    "q_winnow_pairs" -> DedupOps.winnowPairsOracle,
   )
 }

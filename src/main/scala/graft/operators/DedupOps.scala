@@ -1780,10 +1780,27 @@ object DedupOps {
   def winnowFingerprints(s: SparkSession, dir: String,
                          w: Int = 4): DataFrame = {
     import s.implicits._
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    winnowFps(s, dir, w)
+      .withColumn("nd", count(lit(1)).over(byFp))
+      .groupBy($"doc_id", $"n_grams")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_shared_fp"))
+      .withColumn("shared_ratio",
+        round($"n_shared_fp".cast("double") / $"n_fp", 4))
+      .orderBy($"doc_id")
+  }
+
+  /** Distinct selected winnowing fingerprints per doc — the shared
+    * pipeline under [[winnowFingerprints]] (per-doc report) and
+    * [[winnowPairs]] (candidate pair list): one positional explode, the
+    * doc-partitioned min window, full-windows filter, DISTINCT.
+    */
+  private def winnowFps(s: SparkSession, dir: String, w: Int): DataFrame = {
+    import s.implicits._
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"i").rowsBetween(0, w - 1)
-    val byFp = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
-    val grams = docsParallel(s, dir)
+    docsParallel(s, dir)
       .select($"doc_id",
         expr("filter(split(text, ' '), t -> t != '')").as("ts"))
       .filter(size($"ts") >= N)
@@ -1793,21 +1810,74 @@ object DedupOps {
         concat(substring(md5(array_join(slice($"ts", $"i", lit(N)), " ")),
           1, 8),
           lpad((lit(9999999999L) - $"i").cast("string"), 10, "0")).as("key"))
-    grams
       .withColumn("sk", min($"key").over(win))
       // full windows only: window j exists for j ≤ P − w + 1; a doc with
       // fewer than w grams keeps its single all-grams window at j = 1
       .filter($"i" <= greatest($"n_grams" - (w - 1), lit(1L)))
       .select($"doc_id", $"n_grams", substring($"sk", 1, 8).as("fp"))
       .distinct()
-      .withColumn("nd", count(lit(1)).over(byFp))
-      .groupBy($"doc_id", $"n_grams")
-      .agg(count(lit(1)).as("n_fp"),
-        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_shared_fp"))
-      .withColumn("shared_ratio",
-        round($"n_shared_fp".cast("double") / $"n_fp", 4))
-      .orderBy($"doc_id")
   }
+
+  /** Winnowing CANDIDATE PAIRS — the match list the fingerprint index
+    * exists to produce: document pairs sharing ≥ `minShared` selected
+    * fingerprints, with the shared count. By the winnowing guarantee,
+    * any pair sharing TWO disjoint ≥ 6-token verbatim runs (or one long
+    * run — every additional w+k−1 window contributes another selection)
+    * lands here; `minShared = 2` suppresses single-collision noise.
+    *
+    * Scale shape: the bounded-posting-list class — fingerprints with
+    * df > `maxDf` are dropped BEFORE the self-join (a boilerplate
+    * fingerprint in a million docs would otherwise pay df² pairs; the
+    * winnowed density bound keeps the fingerprint table a constant
+    * fraction of the corpus, and the cap bounds any key's join cost at
+    * maxDf²), singletons (df = 1) can't form pairs and are dropped with
+    * the same window. Oracle applies the identical cap.
+    */
+  def winnowPairs(s: SparkSession, dir: String, w: Int = 4,
+                  minShared: Int = 2,
+                  maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import s.implicits._
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    val fps = winnowFps(s, dir, w)
+      .withColumn("nd", count(lit(1)).over(byFp))
+      .filter($"nd" >= 2 && $"nd" <= maxDf)
+      .select($"doc_id", $"fp")
+    val a = fps.toDF("da", "fp")
+    val b = fps.toDF("db", "fp")
+    a.join(b, Seq("fp"))
+      .filter($"da" < $"db")
+      .groupBy($"da", $"db").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .orderBy($"da", $"db")
+  }
+
+  /** Oracle for [[winnowPairs]] (same winnow CTEs as
+    * [[winnowFingerprintsOracle]]; df cap 50, min shared 2).
+    */
+  val winnowPairsOracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |g AS (SELECT doc_id, CAST(len(ts) - 2 AS BIGINT) AS n_grams, ts,
+      |  UNNEST(generate_series(1, len(ts) - 2)) AS i
+      |  FROM toks WHERE len(ts) >= 3),
+      |h AS (SELECT doc_id, n_grams, i,
+      |  substring(md5(array_to_string(ts[i:i+2], ' ')), 1, 8)
+      |    || lpad(CAST(9999999999 - i AS VARCHAR), 10, '0') AS key
+      |  FROM g),
+      |sel AS (SELECT doc_id, n_grams, i, MIN(key) OVER (
+      |  PARTITION BY doc_id ORDER BY i
+      |  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sk FROM h),
+      |fp AS (SELECT DISTINCT doc_id, substring(sk, 1, 8) AS fp
+      |  FROM sel WHERE i <= GREATEST(n_grams - 3, 1)),
+      |nd AS (SELECT doc_id, fp,
+      |  COUNT(*) OVER (PARTITION BY fp) AS nd FROM fp),
+      |k AS (SELECT doc_id, fp FROM nd WHERE nd BETWEEN 2 AND 50)
+      |SELECT a.doc_id AS da, b.doc_id AS db,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY da, db""".stripMargin
 
   /** Oracle for [[winnowFingerprints]] (k = 3, w = 4 fixed; `2` is k−1,
     * `3 FOLLOWING` is w−1; DuckDB list slices are 1-based inclusive).

@@ -179,6 +179,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee: any shared ≥ w+k−1 token run yields a " +
+    "shared fingerprint; disjoint vocabularies share nothing") {
+    // local reference implementation of the SIGMOD'03 selection (k=3,
+    // w=4) — the Spark pipeline is pinned equal to this in OperatorsSpec
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def winnow(tokens: Seq[String]): Set[String] = {
+      if (tokens.length < 3) Set.empty
+      else {
+        val keys = (1 to tokens.length - 2).map { i =>
+          md5Hex(tokens.slice(i - 1, i + 2).mkString(" ")).substring(0, 8) +
+            "%010d".format(9999999999L - i)
+        }
+        val p = keys.length
+        (1 to math.max(p - 3, 1))
+          .map(j => keys.slice(j - 1, math.min(j + 3, p)).min.substring(0, 8))
+          .toSet
+      }
+    }
+    val tok = Gen.choose(0, 29).map(i => s"t$i")
+    val alien = Gen.choose(0, 29).map(i => s"z$i")
+    val caseGen = for {
+      pre1 <- Gen.choose(0, 20).flatMap(Gen.listOfN(_, tok))
+      pre2 <- Gen.choose(0, 20).flatMap(Gen.listOfN(_, tok))
+      run <- Gen.choose(6, 14).flatMap(Gen.listOfN(_, tok)) // ≥ w+k−1 = 6
+      suf1 <- Gen.choose(0, 20).flatMap(Gen.listOfN(_, tok))
+      suf2 <- Gen.choose(0, 20).flatMap(Gen.listOfN(_, tok))
+      other <- Gen.choose(6, 40).flatMap(Gen.listOfN(_, alien))
+    } yield (pre1 ++ run ++ suf1, pre2 ++ run ++ suf2, other)
+    samples(caseGen, 120).foreach { case (d1, d2, d3) =>
+      val (f1, f2, f3) = (winnow(d1), winnow(d2), winnow(d3))
+      assert((f1 & f2).nonEmpty,
+        s"shared run produced no shared fingerprint: $d1 / $d2")
+      assert((f1 & f3).isEmpty && (f2 & f3).isEmpty,
+        "disjoint-vocabulary doc shares a fingerprint")
+      // density: selections never exceed the full-window count
+      assert(f1.size <= math.max(d1.length - 2 - 3, 1))
+    }
+  }
+
   test("mergePartitions law: any changeset sequence matches the " +
     "(partition, key)-keyed reference model") {
     import spark.implicits._

@@ -2259,6 +2259,23 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4))).toSeq
     assert(out == expected, "winnow report diverges from the recompute")
+    // the pair list: same selections, df-capped posting recompute
+    val byFp = scala.collection.mutable.HashMap
+      .empty[String, List[Long]].withDefaultValue(Nil)
+    fps.foreach { case (id, _, sel) => sel.foreach(f => byFp(f) ::= id) }
+    val pairCount = scala.collection.mutable.HashMap
+      .empty[(Long, Long), Long].withDefaultValue(0L)
+    byFp.values.filter(ds => ds.size >= 2 && ds.size <= 50).foreach { ds =>
+      val sorted = ds.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        pairCount((sorted(i), sorted(j))) += 1
+    }
+    val expectedPairs = pairCount.toSeq.filter(_._2 >= 2)
+      .map { case ((a, b), n) => (a, b, n) }.sorted
+    val gotPairs = DedupOps.winnowPairs(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotPairs == expectedPairs,
+      "winnow pairs diverge from the posting recompute")
     // the SIGMOD'03 guarantee: any verbatim shared run of ≥ w+k−1 = 6
     // tokens yields at least one shared selected fingerprint
     val dir = Files.createTempDirectory("graft_winnow").toString
