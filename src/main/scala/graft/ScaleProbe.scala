@@ -72,7 +72,11 @@ object ScaleProbe {
     "q_eval_leakage", "q_text_entropy",
     // round-11 batch 10: the estimator runs the signature pass AND the
     // unfiltered inter machinery
-    "q_minhash_est")
+    "q_minhash_est",
+    // round-11 batch 11–15: the two new pair/CC machines (KL/Zipf/
+    // profiles are vocab- or source-bounded; market_share/top_value
+    // are single fact scans already represented)
+    "q_winnow_pairs", "q_semantic_clusters")
 
   def main(args: Array[String]): Unit = {
     val outRoot = if (args.nonEmpty) args(0) else "/tmp/sf1"
