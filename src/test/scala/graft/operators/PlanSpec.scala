@@ -679,6 +679,19 @@ class PlanSpec extends SparkSpec {
       s"corpus rows entered a single-partition exchange:\n$p")
   }
 
+  test("winnow pairs: the selection pipeline is computed once " +
+    "(ReusedExchange) and the fp join stays unhinted") {
+    val p = physical("q_winnow_pairs")
+    // both self-join sides derive from the same explode+min-window plan;
+    // the fp-partition exchange must be REUSED, not recomputed — the
+    // expensive positional-gram pass runs exactly once
+    assert(p.contains("ReusedExchange"),
+      s"winnow pipeline recomputed for the self-join side:\n$p")
+    assert("ResolvedHint".r.findAllIn(analyzed("q_winnow_pairs")).isEmpty,
+      "the fp join must stay unhinted (stats pick the strategy)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("market share: the region filter pushes into the dim scan and " +
     "prunes through broadcast joins") {
     val p = physical("q_market_share")
