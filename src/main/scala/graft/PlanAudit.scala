@@ -37,9 +37,10 @@ object PlanAudit {
     "q_source_kl", // vocab-grid rows × |sources|-row totals and × the
                    // 1-row (N, V) corpus aggregate
     "q_top_value_parts", // per-part group rows × 1-row (total, n_parts)
-    "q_semantic_clusters" // the q_dedup_embed brute-force pair baseline
-                          // feeding the CC loop (banded/IVF twins are
-                          // the scale path, VectorOps Scaladoc)
+    "q_semantic_clusters", // the q_dedup_embed brute-force pair baseline
+                           // feeding the CC loop (banded/IVF twins are
+                           // the scale path, VectorOps Scaladoc)
+    "q_top_supplier" // per-supplier group rows × 1-row exact max
   )
 
   def main(args: Array[String]): Unit = {

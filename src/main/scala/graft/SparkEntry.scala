@@ -228,6 +228,10 @@ object SparkEntry {
     // round 11, batch 15: the winnowing match list
     "q_winnow_pairs" ->
       ((s: SparkSession, d: String) => DedupOps.winnowPairs(s, d)),
+    // round 11, batch 16: the last two classic decision-support shapes —
+    // Q13 count-of-counts with the zero bucket, Q15 ties-preserving max
+    "q_cust_order_dist" -> (Relational.custOrderDist _),
+    "q_top_supplier" -> (Relational.topSupplier _),
   )
 
   /** DuckDB-dialect oracle per query. Omitted (→ driver rows-only check):
@@ -1224,5 +1228,7 @@ object SparkEntry {
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q_semantic_clusters" -> VectorOps.semanticClustersOracle,
     "q_winnow_pairs" -> DedupOps.winnowPairsOracle,
+    "q_cust_order_dist" -> Relational.custOrderDistOracle,
+    "q_top_supplier" -> Relational.topSupplierOracle,
   )
 }

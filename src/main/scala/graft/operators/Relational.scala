@@ -816,6 +816,86 @@ object Relational {
           .as("share"))
   }
 
+  /** Customer order-count distribution (the TPC-H Q13 shape): how many
+    * customers placed exactly n orders, INCLUDING the zero bucket — the
+    * LEFT OUTER + count-of-counts report (account-activity histograms,
+    * engagement tiers). `count(o_orderkey)` counts non-NULL rows, so an
+    * orderless customer lands in bucket 0 instead of vanishing — the
+    * semantics an inner join would silently lose.
+    *
+    * Scale shape: one keyed left join (customer side hash-partitioned
+    * with the orders side — no broadcast needed in either direction at
+    * scale), then two group-rows-only aggregates (per-customer counts →
+    * ≤ max-orders histogram rows).
+    */
+  def custOrderDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"))
+      .groupBy($"n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_customers".desc, $"n_orders".desc)
+  }
+
+  /** Oracle for [[custOrderDist]]. */
+  val custOrderDistOracle: String =
+    """WITH pc AS (SELECT c_custkey,
+      |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM pc GROUP BY n_orders
+      |ORDER BY n_customers DESC, n_orders DESC""".stripMargin
+
+  /** Top supplier(s) by revenue in a quarter (the TPC-H Q15 shape):
+    * EVERY supplier achieving the maximum — the ties-preserving
+    * global-max equality filter, a different decorrelation than top-k
+    * (`q_topk_parts` cuts at a count; this cuts at a VALUE, and two
+    * suppliers at the same exact revenue both surface). The revenue
+    * sums and the max are exact DECIMALs, so the equality cannot split
+    * on float noise in either engine.
+    *
+    * Scale shape: the per-supplier rollup is computed once
+    * (localCheckpoint'd group rows) feeding BOTH the 1-row max and the
+    * filter; the supplier dim join is unhinted.
+    */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSupp = Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice".cast(Money) *
+        (lit(1) - $"l_discount").cast(Pct)).as("rev"))
+      .localCheckpoint(false)
+    val mx = perSupp.agg(max($"rev").as("mx"))
+    perSupp.crossJoin(broadcast(mx))
+      .filter($"rev" === $"mx")
+      .join(Tables(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        round($"rev").cast("long").as("total_rev"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** Oracle for [[topSupplier]] — same exact-DECIMAL rollup and
+    * max-equality cut.
+    */
+  val topSupplierOracle: String =
+    """WITH ps AS (SELECT l_suppkey,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey),
+      |m AS (SELECT MAX(rev) AS mx FROM ps)
+      |SELECT s_suppkey, s_name, CAST(ROUND(rev) AS BIGINT) AS total_rev
+      |FROM ps CROSS JOIN m
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev = mx
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Oracle for [[topValueParts]] — same exact-DECIMAL rollup and
     * integer-scaled above-mean threshold.
     */

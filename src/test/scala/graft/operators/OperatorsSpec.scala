@@ -2428,6 +2428,66 @@ class OperatorsSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("customer order-count distribution reconciles and keeps the zero " +
+    "bucket") {
+    import spark.implicits._
+    val out = Relational.custOrderDist(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._2).sum == Tables(spark, sfTest, "customer").count(),
+      "every customer must land in exactly one bucket")
+    assert(out.map { case (n, c) => n * c }.sum ==
+      Tables(spark, sfTest, "orders").count(),
+      "bucket mass must equal the order count")
+    // the zero bucket: a customer with no orders must appear at n=0,
+    // not vanish (the LEFT OUTER semantics an inner join would lose)
+    val dir = Files.createTempDirectory("graft_custdist").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    val syn = Relational.custOrderDist(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(syn == Map(2L -> 1L, 1L -> 1L, 0L -> 1L))
+  }
+
+  test("top supplier is the exact-max equality cut and preserves ties") {
+    import spark.implicits._
+    val li = Tables(spark, sfTest, "lineitem")
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+      .select($"l_suppkey", $"l_extendedprice", $"l_discount")
+      .as[(Long, Double, Double)].collect()
+    val rev = scala.collection.mutable.HashMap
+      .empty[Long, BigDecimal].withDefaultValue(BigDecimal(0))
+    li.foreach { case (sk, p, d) =>
+      rev(sk) += BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        (BigDecimal(1) - BigDecimal(d).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP))
+    }
+    val mx = rev.values.max
+    val expected = rev.filter(_._2 == mx).keys.toSeq.sorted
+    val out = Relational.topSupplier(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.map(_._1).toSeq == expected)
+    out.foreach { case (_, v) =>
+      assert(v == mx.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    // ties: two suppliers with byte-identical revenue BOTH surface
+    val dir = Files.createTempDirectory("graft_topsupp").toString
+    Seq((1L, "s1"), (2L, "s2"), (3L, "s3"))
+      .toDF("s_suppkey", "s_name").write.parquet(s"$dir/supplier.parquet")
+    Seq(
+      (1L, 100.0, 0.1, "1996-02-01"),
+      (2L, 100.0, 0.1, "1996-02-02"), // identical revenue as #1
+      (3L, 50.0, 0.0, "1996-02-03"))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "d")
+      .select($"l_suppkey", $"l_extendedprice", $"l_discount",
+        $"d".cast("timestamp").as("l_shipdate"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val tied = Relational.topSupplier(spark, dir).collect()
+      .map(_.getLong(0)).toSeq
+    assert(tied == Seq(1L, 2L), "exact-revenue tie must keep both")
+  }
+
   test("order-defining surfaces are invariant to the session's shuffle " +
     "width") {
     // The reproducibility claim the md5-key discipline makes is ACROSS
