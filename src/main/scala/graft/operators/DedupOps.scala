@@ -1820,10 +1820,17 @@ object DedupOps {
 
   /** Winnowing CANDIDATE PAIRS — the match list the fingerprint index
     * exists to produce: document pairs sharing ≥ `minShared` selected
-    * fingerprints, with the shared count. By the winnowing guarantee,
-    * any pair sharing TWO disjoint ≥ 6-token verbatim runs (or one long
-    * run — every additional w+k−1 window contributes another selection)
-    * lands here; `minShared = 2` suppresses single-collision noise.
+    * fingerprints, with the shared count. The winnowing guarantee gives
+    * ≥ 1 shared selection per shared ≥ 6-token run, so a pair lands
+    * here when its shared content yields ≥ 2 DISTINCT selected
+    * fingerprints that each survive the df cap — two different shared
+    * runs, or one run long enough to select twice. Two caveats the
+    * guarantee sentence must carry: a run REPEATED verbatim contributes
+    * the same fingerprint value once (distinct semantics), and a
+    * fingerprint in more than `maxDf` docs is dropped as boilerplate —
+    * a pair whose only shared content is corpus-wide boilerplate is
+    * deliberately NOT a candidate. `minShared = 2` suppresses
+    * single-collision noise.
     *
     * Scale shape: the bounded-posting-list class — fingerprints with
     * df > `maxDf` are dropped BEFORE the self-join (a boilerplate
@@ -1834,7 +1841,7 @@ object DedupOps {
     * the same window. Oracle applies the identical cap.
     */
   def winnowPairs(s: SparkSession, dir: String, w: Int = 4,
-                  minShared: Int = 2,
+                  minShared: Int = DefaultWinnowMinShared,
                   maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
@@ -1851,11 +1858,18 @@ object DedupOps {
       .orderBy($"da", $"db")
   }
 
+  /** Graded minimum shared-fingerprint count for [[winnowPairs]] — one
+    * definition feeding the Spark default, the oracle SQL, and the spec
+    * recompute, so a retune cannot desynchronize them.
+    */
+  val DefaultWinnowMinShared = 2
+
   /** Oracle for [[winnowPairs]] (same winnow CTEs as
-    * [[winnowFingerprintsOracle]]; df cap 50, min shared 2).
+    * [[winnowFingerprintsOracle]]; df cap and min-shared interpolated
+    * from the same constants the Spark side defaults to).
     */
   val winnowPairsOracle: String =
-    """WITH toks AS (SELECT doc_id,
+    s"""WITH toks AS (SELECT doc_id,
       |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
       |  FROM documents),
       |g AS (SELECT doc_id, CAST(len(ts) - 2 AS BIGINT) AS n_grams, ts,
@@ -1872,11 +1886,12 @@ object DedupOps {
       |  FROM sel WHERE i <= GREATEST(n_grams - 3, 1)),
       |nd AS (SELECT doc_id, fp,
       |  COUNT(*) OVER (PARTITION BY fp) AS nd FROM fp),
-      |k AS (SELECT doc_id, fp FROM nd WHERE nd BETWEEN 2 AND 50)
+      |k AS (SELECT doc_id, fp FROM nd
+      |  WHERE nd BETWEEN 2 AND $DefaultMaxShingleDf)
       |SELECT a.doc_id AS da, b.doc_id AS db,
       |  CAST(COUNT(*) AS BIGINT) AS n_shared
       |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |GROUP BY 1, 2 HAVING COUNT(*) >= $DefaultWinnowMinShared
       |ORDER BY da, db""".stripMargin
 
   /** Oracle for [[winnowFingerprints]] (k = 3, w = 4 fixed; `2` is k−1,

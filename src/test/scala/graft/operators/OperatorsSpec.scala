@@ -2265,12 +2265,15 @@ class OperatorsSpec extends SparkSpec {
     fps.foreach { case (id, _, sel) => sel.foreach(f => byFp(f) ::= id) }
     val pairCount = scala.collection.mutable.HashMap
       .empty[(Long, Long), Long].withDefaultValue(0L)
-    byFp.values.filter(ds => ds.size >= 2 && ds.size <= 50).foreach { ds =>
-      val sorted = ds.sorted
-      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
-        pairCount((sorted(i), sorted(j))) += 1
-    }
-    val expectedPairs = pairCount.toSeq.filter(_._2 >= 2)
+    byFp.values
+      .filter(ds => ds.size >= 2 && ds.size <= DedupOps.DefaultMaxShingleDf)
+      .foreach { ds =>
+        val sorted = ds.sorted
+        for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+          pairCount((sorted(i), sorted(j))) += 1
+      }
+    val expectedPairs = pairCount.toSeq
+      .filter(_._2 >= DedupOps.DefaultWinnowMinShared)
       .map { case ((a, b), n) => (a, b, n) }.sorted
     val gotPairs = DedupOps.winnowPairs(spark, sfTest).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
