@@ -47,7 +47,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.builder(GraftSession.envCpus)
+    // benchCpus, not envCpus: a bare shell must measure the CONTRACT
+    // config (local[32]), never a silent local[4] (the r11 close-record
+    // confound). The env stamp below records whether the width was
+    // explicit so bench_diff can refuse provenance-unclean installs.
+    val spark = GraftSession.builder(GraftSession.benchCpus)
       .config("spark.graft.cacheTables", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -104,6 +108,7 @@ object Bench {
     val env = s""""env":{"cores":${rt.availableProcessors},""" +
       s""""max_heap_mb":${rt.maxMemory / (1024 * 1024)},""" +
       s""""master":"${spark.sparkContext.master}",""" +
+      s""""cpus_env_set":${GraftSession.envCpusSet},""" +
       s""""cache_tables":${spark.conf.get("spark.graft.cacheTables")},""" +
       s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")}}"""
     val line =

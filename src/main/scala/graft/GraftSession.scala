@@ -53,4 +53,28 @@ object GraftSession {
 
   /** Width from the driver contract's env var (driver exports 32). */
   def envCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  /** Whether the width came from the environment or the silent default.
+    * Measurement mains MUST check this: round 11's close bench ran in a
+    * shell that never exported SPARK_GRAFT_CPUS, silently recorded
+    * local[4]/8 GB, and produced headline ratios confounded by the
+    * parallelism change (VERDICT r11 "What's wrong #1").
+    */
+  def envCpusSet: Boolean = sys.env.contains("SPARK_GRAFT_CPUS")
+
+  /** Width for MEASUREMENT entry points (Bench/TimeQ/ScaleProbe): the
+    * env var if exported, else the CONTRACT config (local[32]) with a
+    * loud warning — never the silent local[4] fallback that poisoned the
+    * round-11 close records. A bare-shell bench now measures the right
+    * config; the warning + the record's env stamp make the provenance
+    * auditable either way.
+    */
+  def benchCpus: String =
+    sys.env.get("SPARK_GRAFT_CPUS").getOrElse {
+      System.err.println(
+        "[graft] WARNING: SPARK_GRAFT_CPUS is unset - defaulting to the " +
+          "contract config local[32]. Export SPARK_GRAFT_CPUS explicitly " +
+          "for a provenance-clean record.")
+      "32"
+    }
 }

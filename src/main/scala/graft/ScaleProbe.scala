@@ -82,7 +82,9 @@ object ScaleProbe {
     val outRoot = if (args.nonEmpty) args(0) else "/tmp/sf1"
     val queries = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
     val src = "/root/testdata/sf0.1"
-    val spark = GraftSession.builder(GraftSession.envCpus)
+    // benchCpus: probes are measurement — a silent local[4] session would
+    // confound exponents the same way it confounded the r11 bench record
+    val spark = GraftSession.builder(GraftSession.benchCpus)
       .config("spark.graft.cacheTables", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -124,8 +126,14 @@ object ScaleProbe {
       s""""$q":{"sf01":$t01,"sf1":$t1,"factor":$factor,""" +
         s""""exponent":${num(exp, 3)}}"""
     }
+    // env stamp: same confound class as the bench record (VERDICT r11) —
+    // a probe row means nothing without the master/heap it ran under
+    val rt = Runtime.getRuntime
+    val envJson = s""""env":{"master":"${spark.sparkContext.master}",""" +
+      s""""max_heap_mb":${rt.maxMemory / (1024 * 1024)},""" +
+      s""""cpus_env_set":${GraftSession.envCpusSet}}"""
     val json = rows.mkString(
-      s"""{"probe":"sf0.1->sf1","queries":{""", ",", "}}")
+      s"""{"probe":"sf0.1->sf1",$envJson,"queries":{""", ",", "}}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/scaleprobe.json"), json + "\n")
     println("wrote /tmp/scaleprobe.json")

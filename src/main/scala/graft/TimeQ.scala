@@ -8,12 +8,18 @@ import org.apache.spark.sql.SparkSession
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // mirror Bench's session exactly (incl. hot-table cache)
-    val spark = GraftSession.builder(cpus)
+    val spark = GraftSession.builder(GraftSession.benchCpus)
       .config("spark.graft.cacheTables", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // env stamp first: the r11 q_dedup_embed cross-check was circular
+    // because neither build's TimeQ recorded spark.master — both silently
+    // ran local[4]. Every TimeQ transcript now states its config.
+    val rt = Runtime.getRuntime
+    println(s"ENV master=${spark.sparkContext.master} " +
+      s"max_heap_mb=${rt.maxMemory / (1024 * 1024)} " +
+      s"cpus_env_set=${GraftSession.envCpusSet}")
     val name = args(0)
     val n = if (args.length > 1) args(1).toInt else 5
     val fn = SparkEntry.queries(name)

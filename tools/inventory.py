@@ -77,13 +77,25 @@ def check_bench(c):
     # sort by the ROUND NUMBER, not lexicographically: "r100" < "r11" as
     # strings, and an unpadded r9 would sort after both
     recs = sorted(
-        glob.glob(os.path.join(ROOT, "BENCH_FULL_r*.json")),
+        (p for p in glob.glob(os.path.join(ROOT, "BENCH_FULL_r*.json"))
+         if re.search(r"r(\d+)\.json$", p)),  # skip _local4/_driver copies
         key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)))
     if not recs:
         print("bench record: none committed (BENCH_FULL_r*.json)")
         return True
     newest = recs[-1]
-    timings = json.load(open(newest)).get("queries", {})
+    rec = json.load(open(newest))
+    timings = rec.get("queries", {})
+    # env assertion (round 12, after the r11 local[4] incident): the
+    # OFFICIAL record must carry the contract config. A record measured at
+    # any other master is evidence of the exact confound VERDICT r11
+    # documents and must never sit at the BENCH_FULL_r<latest> name.
+    env = rec.get("env", {})
+    if env.get("master") != "local[32]":
+        print("bench record: %s env.master is %r, contract is local[32] - "
+              "WRONG-CONFIG record installed as official"
+              % (os.path.basename(newest), env.get("master")))
+        return False
     src = open(os.path.join(
         ROOT, "src/main/scala/graft/SparkEntry.scala")).read()
     qi, oi = src.index("def queries"), src.index("def oracleSql")
