@@ -44,6 +44,20 @@ object DedupOps {
     */
   val DefaultMaxShingleDf = 50
 
+  /** Graded near-dup Jaccard cut — ONE definition feeding every Spark
+    * default AND every oracle SQL literal (interpolated), so retuning
+    * the threshold cannot desynchronize a graded query from its oracle
+    * (ADVICE r11: the 0.5 previously lived in ~10 defaults and 4
+    * hardcoded SQL strings).
+    */
+  val DefaultJaccardThreshold = 0.5
+
+  /** Winnowing window width (MOSS w). Interpolated into the winnow
+    * oracle SQL (`w-1` appears as the window span and the full-windows
+    * guard) for the same single-definition reason.
+    */
+  val DefaultWinnowW = 4
+
   /** Shared oracle-SQL fragments for the minhash family — generated ONCE
     * so the Scala signature pass and every oracle that replays it
     * (minhash, recall, estimator) stay in lockstep structurally: the
@@ -135,7 +149,7 @@ object DedupOps {
     * corpus — and therefore per-shingle df — grows.
     */
   def ngramJaccardPrefix(s: SparkSession, dir: String,
-                         threshold: Double = 0.5,
+                         threshold: Double = DefaultJaccardThreshold,
                          maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
     val sh = shingles(s, dir)
@@ -249,7 +263,7 @@ object DedupOps {
     * way.
     */
   def ngramDedupAuto(s: SparkSession, dir: String,
-                     threshold: Double = 0.5,
+                     threshold: Double = DefaultJaccardThreshold,
                      maxDf: Int = DefaultMaxShingleDf): DataFrame =
     if (estimatedDocs(Tables(s, dir, "documents")) > PrefixCrossoverDocs)
       ngramJaccardPrefix(s, dir, threshold, maxDf)
@@ -281,7 +295,7 @@ object DedupOps {
     * twice — reverted).
     */
   def ngramJaccard(
-      s: SparkSession, dir: String, threshold: Double = 0.5,
+      s: SparkSession, dir: String, threshold: Double = DefaultJaccardThreshold,
       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
     ngramPairs(s, dir, threshold, maxDf).orderBy($"da", $"db")
@@ -471,7 +485,7 @@ object DedupOps {
     * verification bill would see in production.
     */
   def minhashRecall(s: SparkSession, dir: String,
-                    threshold: Double = 0.5,
+                    threshold: Double = DefaultJaccardThreshold,
                     maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
     // the truth list feeds BOTH the hit join and the 1-row total — the
@@ -765,7 +779,7 @@ object DedupOps {
     * drown the interesting rows at corpus scale).
     */
   def dedupClusters(s: SparkSession, dir: String,
-                    threshold: Double = 0.5,
+                    threshold: Double = DefaultJaccardThreshold,
                     maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     // same plan-time corpus-size choice as the graded pair query, but the
     // direct-join branch skips the presentation sort — the loop
@@ -791,7 +805,7 @@ object DedupOps {
     * rows. Nothing here ever touches text.
     */
   def clusterSizes(s: SparkSession, dir: String,
-                   threshold: Double = 0.5,
+                   threshold: Double = DefaultJaccardThreshold,
                    maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     dedupClusters(s, dir, threshold, maxDf)
       .groupBy(col("cluster_id"))
@@ -820,7 +834,7 @@ object DedupOps {
     * aggregate — no window, no second shuffle beyond the cluster key.
     */
   def dedupKeep(s: SparkSession, dir: String,
-                threshold: Double = 0.5,
+                threshold: Double = DefaultJaccardThreshold,
                 maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     val members = dedupClusters(s, dir, threshold, maxDf)
       .select(col("cluster_id"), col("doc_id"))
@@ -961,7 +975,7 @@ object DedupOps {
     * hash joins onto (doc_id, source) and a ≤ sources² rollup.
     */
   def crossSourceDups(s: SparkSession, dir: String,
-                      threshold: Double = 0.5,
+                      threshold: Double = DefaultJaccardThreshold,
                       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
     val srcs = Tables(s, dir, "documents").select($"doc_id", $"source")
@@ -982,7 +996,7 @@ object DedupOps {
     * crawl volume the corpus doesn't keep.
     */
   def dupRateBySource(s: SparkSession, dir: String,
-                      threshold: Double = 0.5,
+                      threshold: Double = DefaultJaccardThreshold,
                       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
     val srcs = Tables(s, dir, "documents").select($"doc_id", $"source")
@@ -1233,7 +1247,7 @@ object DedupOps {
     * because the increment is small).
     */
   def ngramIncremental(s: SparkSession, dir: String,
-                       threshold: Double = 0.5,
+                       threshold: Double = DefaultJaccardThreshold,
                        maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
     def isNew(id: org.apache.spark.sql.Column) =
@@ -1284,7 +1298,7 @@ object DedupOps {
         |  JOIN sizes so ON so.doc_id = old_id
         |  JOIN sizes sn ON sn.doc_id = new_id)
         |SELECT new_id, old_id, ROUND(jac_raw, 6) AS jac FROM j
-        |WHERE jac_raw >= 0.5
+        |WHERE jac_raw >= $DefaultJaccardThreshold
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY new_id
         |  ORDER BY jac_raw DESC, old_id) = 1
         |ORDER BY new_id""".stripMargin
@@ -1440,7 +1454,7 @@ object DedupOps {
         |FROM inter
         |JOIN sizes sa ON da = sa.doc_id
         |JOIN sizes sb ON db = sb.doc_id
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $DefaultJaccardThreshold
         |ORDER BY da, db""".stripMargin
 
   /** Connected components as a recursive CTE: `reach` is the transitive
@@ -1463,7 +1477,7 @@ object DedupOps {
         |pairs AS (SELECT da, db FROM inter
         |  JOIN sizes sa ON da = sa.doc_id
         |  JOIN sizes sb ON db = sb.doc_id
-        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $DefaultJaccardThreshold),
         |edges AS (SELECT da AS src, db AS dst FROM pairs
         |  UNION ALL SELECT db, da FROM pairs),
         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
@@ -1537,7 +1551,7 @@ object DedupOps {
          |truth AS (SELECT da, db FROM inter
          |  JOIN sizes sa ON da = sa.doc_id
          |  JOIN sizes sb ON db = sb.doc_id
-         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $DefaultJaccardThreshold),
          |mh AS (SELECT doc_id, $minhashMinsSql FROM sh GROUP BY doc_id),
          |bands AS ($minhashBandsSql),
          |cand AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_bands
@@ -1778,7 +1792,7 @@ object DedupOps {
     * else is exact integer arithmetic.
     */
   def winnowFingerprints(s: SparkSession, dir: String,
-                         w: Int = 4): DataFrame = {
+                         w: Int = DefaultWinnowW): DataFrame = {
     import s.implicits._
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
     winnowFps(s, dir, w)
@@ -1840,7 +1854,7 @@ object DedupOps {
     * maxDf²), singletons (df = 1) can't form pairs and are dropped with
     * the same window. Oracle applies the identical cap.
     */
-  def winnowPairs(s: SparkSession, dir: String, w: Int = 4,
+  def winnowPairs(s: SparkSession, dir: String, w: Int = DefaultWinnowW,
                   minShared: Int = DefaultWinnowMinShared,
                   maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
@@ -1881,9 +1895,9 @@ object DedupOps {
       |  FROM g),
       |sel AS (SELECT doc_id, n_grams, i, MIN(key) OVER (
       |  PARTITION BY doc_id ORDER BY i
-      |  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sk FROM h),
+      |  ROWS BETWEEN CURRENT ROW AND ${DefaultWinnowW - 1} FOLLOWING) AS sk FROM h),
       |fp AS (SELECT DISTINCT doc_id, substring(sk, 1, 8) AS fp
-      |  FROM sel WHERE i <= GREATEST(n_grams - 3, 1)),
+      |  FROM sel WHERE i <= GREATEST(n_grams - ${DefaultWinnowW - 1}, 1)),
       |nd AS (SELECT doc_id, fp,
       |  COUNT(*) OVER (PARTITION BY fp) AS nd FROM fp),
       |k AS (SELECT doc_id, fp FROM nd
@@ -1894,11 +1908,12 @@ object DedupOps {
       |GROUP BY 1, 2 HAVING COUNT(*) >= $DefaultWinnowMinShared
       |ORDER BY da, db""".stripMargin
 
-  /** Oracle for [[winnowFingerprints]] (k = 3, w = 4 fixed; `2` is k−1,
-    * `3 FOLLOWING` is w−1; DuckDB list slices are 1-based inclusive).
+  /** Oracle for [[winnowFingerprints]] (k = 3 fixed — the family-wide
+    * shingle width; `2` is k−1; w interpolated from [[DefaultWinnowW]];
+    * DuckDB list slices are 1-based inclusive).
     */
   val winnowFingerprintsOracle: String =
-    """WITH toks AS (SELECT doc_id,
+    s"""WITH toks AS (SELECT doc_id,
       |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
       |  FROM documents),
       |g AS (SELECT doc_id, CAST(len(ts) - 2 AS BIGINT) AS n_grams, ts,
@@ -1910,9 +1925,9 @@ object DedupOps {
       |  FROM g),
       |sel AS (SELECT doc_id, n_grams, i, MIN(key) OVER (
       |  PARTITION BY doc_id ORDER BY i
-      |  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sk FROM h),
+      |  ROWS BETWEEN CURRENT ROW AND ${DefaultWinnowW - 1} FOLLOWING) AS sk FROM h),
       |fp AS (SELECT DISTINCT doc_id, n_grams, substring(sk, 1, 8) AS fp
-      |  FROM sel WHERE i <= GREATEST(n_grams - 3, 1)),
+      |  FROM sel WHERE i <= GREATEST(n_grams - ${DefaultWinnowW - 1}, 1)),
       |nd AS (SELECT doc_id, n_grams,
       |  COUNT(*) OVER (PARTITION BY fp) AS nd FROM fp)
       |SELECT doc_id, n_grams, CAST(COUNT(*) AS BIGINT) AS n_fp,

@@ -443,6 +443,11 @@ object Multimodal {
     * Input: any (media_id, phash_bits: long) DataFrame.
     */
   def phashDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // the 4-band pigeonhole only guarantees candidate coverage for
+    // hamming ≤ 3 (4+ differing bits can touch all four bands); a larger
+    // tolerance must fail loudly, not silently drop true pairs
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"phashDupPairs: 4-band pigeonhole covers maxHamming<=3, got $maxHamming")
     val s = hashes.sparkSession
     import s.implicits._
     val bands = hashes.select($"media_id", $"phash_bits",
