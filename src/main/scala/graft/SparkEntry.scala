@@ -223,8 +223,12 @@ object SparkEntry {
     "q_length_profile" -> (TextOps.lengthProfile _),
     // round 11, batch 14: semantic near-dup families — CC over the
     // embedding pair graph (the SemDeDup action-list complement)
+    // graded on the CELL-candidate edge source (the scale path; measured
+    // recall-1 vs brute force at both fixtures, spec-pinned row-identity —
+    // VectorOps.cellPairs Scaladoc); semanticClusters stays the exact
+    // brute-force truth reference the spec compares against
     "q_semantic_clusters" ->
-      ((s: SparkSession, d: String) => VectorOps.semanticClusters(s, d)),
+      ((s: SparkSession, d: String) => VectorOps.semanticClustersCell(s, d)),
     // round 11, batch 15: the winnowing match list
     "q_winnow_pairs" ->
       ((s: SparkSession, d: String) => DedupOps.winnowPairs(s, d)),

@@ -2431,6 +2431,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("cell-candidate edge source equals the brute-force edge set and " +
+    "the graded cluster query is row-identical on it (scale-path pin)") {
+    import spark.implicits._
+    // the contract that lets q_semantic_clusters grade on the cell
+    // source while keeping the brute-force recursive-CTE oracle: at the
+    // graded threshold and default nassign, cellPairs must have BOTH
+    // precision 1 (⊆ brute — structural: exact cosine verifies every
+    // candidate) and recall 1 (measured; CellExp) on every fixture the
+    // gate touches. Drift in fixtures/quantizer turns into THIS failing,
+    // not a silent oracle mismatch.
+    for (dir <- Seq(sfTest, "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val brute = VectorOps.embedNearDup(spark, dir)
+        .select($"a_id", $"b_id")
+      val cell = VectorOps.cellPairs(spark, dir, 0.4)
+        .select($"a_id", $"b_id")
+      assert(cell.exceptAll(brute).count() == 0,
+        s"$dir: cell edges not a subset of brute-force edges")
+      assert(brute.exceptAll(cell).count() == 0,
+        s"$dir: cell source missed brute-force edges (recall < 1) - " +
+          "raise nassign or re-grade q_semantic_clusters on " +
+          "semanticClusters before shipping")
+      val exact = VectorOps.semanticClusters(spark, dir).collect().toSeq
+      val viaCells = VectorOps.semanticClustersCell(spark, dir).collect()
+        .toSeq
+      assert(viaCells == exact,
+        s"$dir: cell-source clusters diverge from brute-force clusters")
+    }
+  }
+
   test("customer order-count distribution reconciles and keeps the zero " +
     "bucket") {
     import spark.implicits._
