@@ -218,6 +218,7 @@ object SparkEntry {
     // round 11, batch 12: the media leg of the dedup family — aHash
     // perceptual fingerprints (rows-only: JDK codec work, spec-verified)
     "q_media_phash" -> (Multimodal.mediaPhash _),
+    "q_media_audio" -> (Multimodal.mediaAudioHash _),
     // round 11, batch 13: per-feed label quality + length profiles
     "q_lang_mislabel" -> (TextOps.langMislabel _),
     "q_length_profile" -> (TextOps.lengthProfile _),
@@ -242,9 +243,9 @@ object SparkEntry {
     * q_approx_distinct and q_approx_percentiles (sketch impls differ
     * across engines by design), q_ann_ivf / q_ann_ivfpq /
     * q_semantic_dedup (k-means quantizers are not SQL-expressible at
-    * reasonable cost), q_multimodal / q_media_phash (JDK codec +
-    * renderer work); each is covered by bounded-error / recall /
-    * determinism assertions in the test suite instead.
+    * reasonable cost), q_multimodal / q_media_phash / q_media_audio
+    * (JDK codec + renderer work); each is covered by bounded-error /
+    * recall / determinism assertions in the test suite instead.
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->

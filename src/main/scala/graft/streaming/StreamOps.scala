@@ -1010,19 +1010,23 @@ object StreamOps {
       .dropDuplicates("fp")
 
   /** STREAMING MEDIA DEDUP (s_media_dedup) — [[dedupAgainstCorpus]] for
-    * the binary tier, and the live half of `q_media_phash`: images
-    * arriving on a stream are perceptually hashed (the SAME
-    * `Multimodal.aHash` the batch query computes — one formula source,
-    * the gates cannot drift) and dropped when a visually identical image
-    * (same 64-bit aHash: any re-encode or pixel-identical re-render)
-    * already exists in the frozen corpus hash set, then deduped within
-    * the stream on the same key so a novel image re-sent twice is
-    * admitted once. Undecodable payloads are EXCLUDED from this gate's
-    * output (a NULL hash can neither match the corpus nor dedup within
-    * the stream — streaming dropDuplicates would wrongly collapse all
-    * NULLs to one row); route them through the dead-letter half of the
-    * ingest pipeline (`WebhookIngest`/`Quality.split`) where
-    * unparseable payloads already land.
+    * the binary tier, and the live half of `q_media_phash` +
+    * `q_media_audio`: media arriving on a stream is perceptually
+    * fingerprinted with the SAME codec-dispatched
+    * `Multimodal.mediaHash` the batch audits compute (aHash for
+    * images, the PCM energy-grid `audioHash` for WAV, first-frame
+    * aHash for video — one formula source per codec, the gates cannot
+    * drift) and dropped when a perceptually identical blob (same
+    * (codec, 64-bit hash): any re-encode or content-identical
+    * re-render) already exists in the frozen corpus hash set, then
+    * deduped within the stream on the same key so a novel blob re-sent
+    * twice is admitted once. Undecodable payloads are EXCLUDED from
+    * this gate's output (a NULL hash can neither match the corpus nor
+    * dedup within the stream — streaming dropDuplicates would wrongly
+    * collapse all NULLs to one row); route them through the
+    * dead-letter half of the ingest pipeline
+    * (`WebhookIngest`/`Quality.split`) where unparseable payloads
+    * already land.
     *
     * Shapes: decode runs in the stateless typed flatMap (pixels never
     * enter state — 8 hash bytes do); corpus membership is a stream–static
@@ -1037,27 +1041,32 @@ object StreamOps {
   def mediaDedup(media: DataFrame, corpusHashes: DataFrame): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
+    // codec-dispatched fingerprints since round 12 (audio and video
+    // carry hashes too — a re-encoded audio duplicate no longer passes
+    // the gate unexamined); the dedup key is (codec, bits) so modalities
+    // can never collapse into one another
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
-        (id, graft.operators.Multimodal.aHash(bytes))
+      .flatMap { case (id, bytes) =>
+        graft.operators.Multimodal.mediaHash(bytes)
+          .map { case (codec, h) => (id, codec, h) }
       }
-      .toDF("media_id", "phash_bits")
-      .filter(col("phash_bits").isNotNull)
-      .join(corpusHashes.select(col("phash_bits")), Seq("phash_bits"),
-        "left_anti")
-      .dropDuplicates("phash_bits")
+      .toDF("media_id", "codec", "phash_bits")
+      .join(corpusHashes.select(col("codec"), col("phash_bits")),
+        Seq("codec", "phash_bits"), "left_anti")
+      .dropDuplicates("codec", "phash_bits")
   }
 
-  /** Frozen corpus hash set for [[mediaDedup]] — the aHash of every
-    * decodable corpus image, distinct.
+  /** Frozen corpus hash set for [[mediaDedup]] — the codec-dispatched
+    * fingerprint of every decodable corpus media blob, distinct per
+    * (codec, bits).
     */
   def mediaCorpusHashes(staticMedia: DataFrame): DataFrame = {
     val s = staticMedia.sparkSession
     import s.implicits._
     staticMedia.select(col("content")).as[Array[Byte]]
-      .flatMap(b => graft.operators.Multimodal.aHash(b))
-      .toDF("phash_bits").distinct()
+      .flatMap(b => graft.operators.Multimodal.mediaHash(b))
+      .toDF("codec", "phash_bits").distinct()
   }
 
   /** Stream–stream interval join: purchases attributed to the same user's

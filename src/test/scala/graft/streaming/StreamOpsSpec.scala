@@ -914,21 +914,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Seq(9003L), s"ingest gate admitted $got")
   }
 
-  test("streaming media dedup drops re-encoded corpus images and " +
-    "in-stream perceptual replays; undecodable bytes are excluded") {
+  test("streaming media dedup drops re-encoded corpus images AND " +
+    "re-encoded corpus audio, dedups in-stream perceptual replays per " +
+    "codec; undecodable bytes are excluded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Multimodal
-    // corpus: two known images; the gate must recognize a RE-ENCODE of
-    // one (identical pixels through a fresh Graphics2D + PNG pass)
+    // corpus: two known images + one known audio track; the gate must
+    // recognize a RE-ENCODE of each (identical pixels through a fresh
+    // Graphics2D + PNG pass; identical PCM rewrapped stereo)
     val imgA = Multimodal.synthesizePng("media-A".getBytes, 24, 16)
     val imgB = Multimodal.synthesizePng("media-B".getBytes, 20, 12)
+    val wavA = Multimodal.synthesizeWav("audio-A".getBytes)
     val corpus = StreamOps.mediaCorpusHashes(
-      Seq(imgA, imgB).toDF("content"))
+      Seq(imgA, imgB, wavA).toDF("content"))
     val novelC = Multimodal.synthesizePng("media-C".getBytes, 24, 16)
     val novelD = Multimodal.synthesizePng("media-D".getBytes, 16, 16)
+    val novelWav = Multimodal.synthesizeWav("audio-B".getBytes)
+    val novelVid = Multimodal.synthesizeVideo("vid-A".getBytes)
     // same pixels through a fresh encode — bytes may differ, hash must not
     val reEncodedA = Multimodal.resizeImage(imgA, 24, 16)
+    // same PCM re-rendered as 2-channel (frames average back to the
+    // identical samples → identical energy grid → identical hash)
+    val reEncodedWavA = {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wavA))
+      val fmt = src.getFormat
+      val stereo = new javax.sound.sampled.AudioFormat(
+        fmt.getSampleRate, 16, 2, true, false)
+      val raw = src.readAllBytes()
+      val dup = new Array[Byte](raw.length * 2)
+      for (i <- 0 until raw.length / 2; c <- 0 to 1) {
+        dup((i * 2 + c) * 2) = raw(i * 2)
+        dup((i * 2 + c) * 2 + 1) = raw(i * 2 + 1)
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(dup), stereo, raw.length / 2L)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
     val ms = MemoryStream[(Long, Array[Byte])]
     val q = StreamOps.mediaDedup(
       ms.toDS().toDF("media_id", "content"), corpus)
@@ -937,22 +963,28 @@ class StreamOpsSpec extends SparkSpec {
     ms.addData(Seq(
       (1L, reEncodedA), // visually identical to corpus → dropped
       (2L, novelC), // admitted
-      (3L, "junk bytes".getBytes))) // undecodable → excluded
+      (3L, "junk bytes".getBytes), // undecodable → excluded
+      (6L, reEncodedWavA), // audibly identical to corpus → dropped
+      (7L, novelWav))) // admitted
     q.processAllAvailable()
     ms.addData(Seq(
       (4L, novelC), // in-stream perceptual replay → dropped
-      (5L, novelD))) // admitted
+      (5L, novelD), // admitted
+      (8L, novelWav), // in-stream audio replay → dropped
+      (9L, novelVid))) // admitted (video leg)
     q.processAllAvailable()
     val got = spark.sql("select media_id from t_media_dedup").collect()
       .map(_.getLong(0)).toSet
     q.stop()
-    assert(got == Set(2L, 5L), s"media gate admitted $got")
+    assert(got == Set(2L, 5L, 7L, 9L), s"media gate admitted $got")
     // the admitted set matches the batch recompute over everything sent
-    val corpusSet = corpus.collect().map(_.getLong(0)).toSet
+    val corpusSet = corpus.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
     val sent = Seq((1L, reEncodedA), (2L, novelC), (3L, "junk bytes".getBytes),
-      (4L, novelC), (5L, novelD))
+      (6L, reEncodedWavA), (7L, novelWav),
+      (4L, novelC), (5L, novelD), (8L, novelWav), (9L, novelVid))
     val expected = sent
-      .flatMap { case (id, b) => Multimodal.aHash(b).map(h => (id, h)) }
+      .flatMap { case (id, b) => Multimodal.mediaHash(b).map(h => (id, h)) }
       .filterNot { case (_, h) => corpusSet(h) }
       .groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
     assert(got == expected)
