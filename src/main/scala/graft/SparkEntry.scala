@@ -215,6 +215,23 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Relational.marketShare(s, d)),
     "q_top_value_parts" ->
       ((s: SparkSession, d: String) => Relational.topValueParts(s, d)),
+    // round 12: the remaining classic decision-support shapes — Q7
+    // two-role dimension chain, Q14 conditional-agg ratio, Q19
+    // disjunctive join residual, Q22 scalar-bar + anti join, Q4
+    // correlated-EXISTS semi join — plus the activity-concentration
+    // audit (exact Gini) on events
+    "q_nation_trade" ->
+      ((s: SparkSession, d: String) => Relational.nationTrade(s, d)),
+    "q_promo_share" ->
+      ((s: SparkSession, d: String) => Relational.promoShare(s, d)),
+    "q_disjunctive" ->
+      ((s: SparkSession, d: String) => Relational.disjunctiveRevenue(s, d)),
+    "q_cust_balance" ->
+      ((s: SparkSession, d: String) => Relational.custBalance(s, d)),
+    "q_late_orders" ->
+      ((s: SparkSession, d: String) => Relational.lateOrders(s, d)),
+    "q_activity_gini" ->
+      ((s: SparkSession, d: String) => Events.activityGini(s, d)),
     // round 11, batch 12: the media leg of the dedup family — aHash
     // perceptual fingerprints (rows-only: JDK codec work, spec-verified)
     "q_media_phash" -> (Multimodal.mediaPhash _),
@@ -1190,6 +1207,12 @@ object SparkEntry {
     "q_zipf_slope" -> TextOps.zipfSlopeOracle,
     "q_winnow_fingerprints" -> DedupOps.winnowFingerprintsOracle,
     "q_market_share" -> Relational.marketShareOracle,
+    "q_nation_trade" -> Relational.nationTradeOracle,
+    "q_promo_share" -> Relational.promoShareOracle,
+    "q_disjunctive" -> Relational.disjunctiveRevenueOracle,
+    "q_cust_balance" -> Relational.custBalanceOracle,
+    "q_late_orders" -> Relational.lateOrdersOracle,
+    "q_activity_gini" -> Events.activityGiniOracle,
     "q_top_value_parts" -> Relational.topValuePartsOracle,
     // per-feed mislabel audit: same stopword CASE chain as the graded
     // langid queries, rolled up by source

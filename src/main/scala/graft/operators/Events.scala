@@ -703,4 +703,55 @@ object Events {
       |  FROM terms GROUP BY 1, 2)
       |SELECT event_type, day, psi, (psi > 0.2) AS drift
       |FROM psi ORDER BY event_type, day""".stripMargin
+
+  /** Per-type user-activity concentration — the exact Gini coefficient
+    * over per-user event counts: the inequality audit a pipeline reads
+    * before trusting engagement aggregates (a Gini near 1 means a few
+    * accounts — bots, scrapers — produce the traffic; near 0 means
+    * uniform humans). G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over counts
+    * sorted ascending; ties don't disturb the sum (equal x swap
+    * positions freely), and the (count, user_id) rank order makes the
+    * rank assignment itself deterministic anyway.
+    *
+    * Scale shape: one partial+final count aggregate (users×types group
+    * rows), then a per-type rank window — the exact form needs the full
+    * sort of each type's user counts, the honest cost of an exact Gini
+    * (`q_order_quartiles`' argument). At corpus scale the swap-in is the
+    * binned approximation (quantile-bucket the counts, Gini over the
+    * bounded histogram — mergeable, no global sort); this exact form is
+    * the oracle-checkable baseline the approximation would be calibrated
+    * against. The Σ i·xᵢ term is exact integer arithmetic; the two
+    * divisions happen once per type at the reporting boundary.
+    */
+  def activityGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"n", $"user_id")
+    Tables(s, dir, "events")
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("i", row_number().over(byType))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"n").cast("long").as("n_events"),
+        round(lit(2.0) * sum($"i" * $"n").cast("double") /
+          (count(lit(1)) * sum($"n")).cast("double") -
+          (count(lit(1)) + lit(1)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("gini"))
+      .orderBy($"event_type")
+  }
+
+  /** Oracle for [[activityGini]] — same rank window and exact Σ i·xᵢ. */
+  val activityGiniOracle: String =
+    """WITH uc AS (SELECT event_type, user_id, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, n, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY n, user_id) AS i
+      |  FROM uc)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  ROUND(2.0 * CAST(SUM(i * n) AS DOUBLE)
+      |      / (COUNT(*) * CAST(SUM(n) AS DOUBLE))
+      |    - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 }

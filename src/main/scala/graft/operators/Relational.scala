@@ -912,4 +912,253 @@ object Relational {
       |JOIN part ON l_partkey = p_partkey
       |WHERE rev * 10 * n_parts > total * 11
       |ORDER BY rev DESC, p_partkey""".stripMargin
+
+  /** Bilateral trade volumes (the TPC-H Q7 shape): discounted revenue
+    * shipped between a fixed nation PAIR, in both directions, by ship
+    * year — the two-sided dimension chain (supplier's nation AND
+    * customer's nation on one fact row) that self-joins the nation dim
+    * under two roles.
+    *
+    * Scale shape: both nation roles are filtered to the pair BEFORE
+    * joining — the two-row nation slices broadcast into supplier and
+    * (through orders) customer, so the fact table shrinks to the pair's
+    * suppliers' lines FIRST and only that sliver meets the
+    * orders-customer chain; the only non-broadcast join is
+    * lineitem⋈orders on the order key (the bucketed-fact seam every
+    * star query here shares). The pair predicate — exclude same-nation
+    * flows — runs on two broadcast-joined dim columns, not on fact data.
+    */
+  def nationTrade(s: SparkSession, dir: String,
+                  nationA: String = "NATION_1",
+                  nationB: String = "NATION_2"): DataFrame = {
+    import s.implicits._
+    val pair = Tables(s, dir, "nation")
+      .filter($"n_name".isin(nationA, nationB))
+    val suppN = Tables(s, dir, "supplier")
+      .join(broadcast(pair.select($"n_nationkey".as("sk"),
+        $"n_name".as("supp_nation"))), $"s_nationkey" === $"sk")
+      .select($"s_suppkey", $"supp_nation")
+    val custN = Tables(s, dir, "customer")
+      .join(broadcast(pair.select($"n_nationkey".as("ck"),
+        $"n_name".as("cust_nation"))), $"c_nationkey" === $"ck")
+      .select($"c_custkey", $"cust_nation")
+    val rev = $"l_extendedprice".cast(Money) *
+      (lit(1) - $"l_discount").cast(Pct)
+    Tables(s, dir, "lineitem")
+      .join(broadcast(suppN), $"l_suppkey" === $"s_suppkey")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(custN), $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(moneySum(rev).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** Oracle for [[nationTrade]] — same two-role nation join and exact
+    * DECIMAL rollup (the pair filter spelled as the direction
+    * disjunction, which equals filtered-roles + inequality).
+    */
+  val nationTradeOracle: String =
+    """WITH j AS (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(1 - l_discount AS DECIMAL(4,2)) AS rev
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+      |  CAST(ROUND(SUM(rev)) AS BIGINT) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Promotion revenue share (the TPC-H Q14 shape) by ship year: the
+    * conditional-aggregate ratio — promo-typed parts' discounted revenue
+    * over all revenue, one pass, no second scan for the denominator.
+    *
+    * Scale shape: part is the broadcast dim; numerator and denominator
+    * are two conditional DECIMAL sums in ONE partial+final aggregate (the
+    * `q_market_share` discipline), so the fact table is read once and the
+    * shuffle carries |years| group rows. The share divides the two exact
+    * DECIMAL sums in double at the reporting boundary only.
+    */
+  def promoShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = $"l_extendedprice".cast(Money) *
+      (lit(1) - $"l_discount").cast(Pct)
+    Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "part")
+        .select($"p_partkey", $"p_type")), $"l_partkey" === $"p_partkey")
+      .groupBy(year($"l_shipdate").cast("long").as("l_year"))
+      .agg(
+        round(coalesce(sum(when($"p_type" === "PROMO", rev)), lit(0)))
+          .cast("long").as("promo_rev"),
+        moneySum(rev).as("total_rev"),
+        round(lit(100.0) *
+          coalesce(sum(when($"p_type" === "PROMO", rev)), lit(0))
+            .cast("double") / sum(rev).cast("double"), 6).as("promo_share"))
+      .orderBy($"l_year")
+  }
+
+  /** Oracle for [[promoShare]] — same conditional DECIMAL sums and
+    * single-division share.
+    */
+  val promoShareOracle: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(ROUND(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * CAST(1 - l_discount AS DECIMAL(4,2)) END), 0)) AS BIGINT)
+      |    AS promo_rev,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(1 - l_discount AS DECIMAL(4,2)))) AS BIGINT) AS total_rev,
+      |  ROUND(100.0 * CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN
+      |      CAST(l_extendedprice AS DECIMAL(12,2))
+      |        * CAST(1 - l_discount AS DECIMAL(4,2)) END), 0) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 6)
+      |    AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** OR-of-conjunctions revenue cut (the TPC-H Q19 shape): three
+    * (brand, size-range, quantity-range) branches unioned by OR — the
+    * disjunctive join residual that defeats naive pushdown.
+    *
+    * Scale shape: the full disjunction must run after the part join (it
+    * mixes columns of both tables), but Catalyst's OR-projection
+    * extraction derives each side's single-table component on its own —
+    * the plan shows the per-branch quantity OR pushed into the lineitem
+    * scan and the (brand, size) OR pushed into the part scan as
+    * PushedFilters (verified on this plan; no hand-stated prefilters
+    * needed). The join is a broadcast of the
+    * pruned part slice; output is one total row.
+    */
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = $"l_extendedprice".cast(Money) *
+      (lit(1) - $"l_discount").cast(Pct)
+    val li = Tables(s, dir, "lineitem")
+    val p = Tables(s, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_size")
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#9" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 20)) ||
+        ($"p_brand" === "Brand#13" && $"p_size".between(10, 30) &&
+          $"l_quantity".between(10, 35)) ||
+        ($"p_brand" === "Brand#20" && $"p_size".between(20, 50) &&
+          $"l_quantity".between(20, 50)))
+      .agg(moneySum(rev).as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** Oracle for [[disjunctiveRevenue]] — the bare disjunction (the
+    * implied prunes are plan-side optimizations, row-set-neutral).
+    */
+  val disjunctiveRevenueOracle: String =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(1 - l_discount AS DECIMAL(4,2)))) AS BIGINT) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+      |    AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+      |    AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  /** Dormant high-balance customers (the TPC-H Q22 shape): customers
+    * whose balance beats the positive-balance average yet placed no
+    * order above 300 000, rolled up per market segment — the
+    * scalar-subquery cut composed with an anti join (the fixture's
+    * every-customer-orders fact makes the classic bare no-orders form
+    * empty, the `q_anti_join` note; the big-order variant keeps the
+    * shape AND the rows).
+    *
+    * Scale shape: the positive-balance average is ONE scalar row
+    * cross-broadcast into the customer scan (no decorrelation needed —
+    * stated as the 1-row join the optimizer would rewrite to); the anti
+    * join's build side is pre-filtered to big orders only. Both engines
+    * compare against the identical double average; balances aggregate
+    * exact-DECIMAL.
+    */
+  def custBalance(s: SparkSession, dir: String,
+                  bigOrder: Int = 300000): DataFrame = {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+    val bar = cust.filter($"c_acctbal" > 0)
+      .agg(avg($"c_acctbal".cast("double")).as("bar"))
+    val big = Tables(s, dir, "orders")
+      .filter($"o_totalprice" > bigOrder).select($"o_custkey")
+    cust.crossJoin(broadcast(bar))
+      .filter($"c_acctbal".cast("double") > $"bar")
+      .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        moneySum($"c_acctbal".cast(Money)).as("total_bal"),
+        round(sum($"c_acctbal".cast(Money)).cast("double") /
+          count(lit(1)), 4).as("avg_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Oracle for [[custBalance]] — same scalar bar, NOT EXISTS spelled
+    * as the engine's native correlated form.
+    */
+  val custBalanceOracle: String =
+    """WITH pos AS (SELECT AVG(CAST(c_acctbal AS DOUBLE)) AS bar
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2)))) AS BIGINT)
+      |    AS total_bal,
+      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |    / COUNT(*), 4) AS avg_bal
+      |FROM customer CROSS JOIN pos
+      |WHERE CAST(c_acctbal AS DOUBLE) > bar
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Late-fulfillment order counts (the TPC-H Q4 shape): orders with at
+    * least one line shipped more than 60 days after the order date,
+    * counted per priority per year — the correlated-EXISTS
+    * decorrelation (the fixture carries no commit/receipt dates, so
+    * lateness is ship-vs-order lag; same plan class).
+    *
+    * Scale shape: EXISTS compiles to a LEFT SEMI join on the order key
+    * with the lag comparison as the join residual — the probe side
+    * deduplicates order keys inside the join (no DISTINCT pass), and
+    * the only shuffle is the fact-fact order-key join every star query
+    * shares. The date arithmetic is timestamp + literal interval,
+    * identical in both engines.
+    */
+  def lateOrders(s: SparkSession, dir: String, lagDays: Int = 60)
+  : DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+    Tables(s, dir, "orders")
+      .join(li, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $lagDays DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority",
+        year($"o_orderdate").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy($"o_orderpriority", $"o_year")
+  }
+
+  /** Oracle for [[lateOrders]] — the EXISTS form DuckDB decorrelates to
+    * the same semi join.
+    */
+  val lateOrdersOracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(COUNT(*) AS BIGINT) AS n_late_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -2600,4 +2600,195 @@ class OperatorsSpec extends SparkSpec {
       assert(a == b, s"$q changes under a different shuffle width")
     }
   }
+
+  // exact-DECIMAL discounted revenue, the oracle-side formula
+  private def rev2(price: Double, disc: Double): BigDecimal =
+    BigDecimal(price).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+      (BigDecimal(1) -
+        BigDecimal(disc).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+
+  test("nation trade matches the local two-role recompute and never " +
+    "reports a same-nation flow") {
+    import spark.implicits._
+    val nat = Tables(spark, sfTest, "nation")
+      .select($"n_nationkey", $"n_name").as[(Long, String)].collect().toMap
+    val supN = Tables(spark, sfTest, "supplier")
+      .select($"s_suppkey", $"s_nationkey").as[(Long, Long)].collect()
+      .map { case (k, n) => k -> nat(n) }.toMap
+    val custN = Tables(spark, sfTest, "customer")
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect()
+      .map { case (k, n) => k -> nat(n) }.toMap
+    val orderCust = Tables(spark, sfTest, "orders")
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect().toMap
+    val li = Tables(spark, sfTest, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount",
+        year($"l_shipdate").cast("long"))
+      .as[(Long, Long, Double, Double, Long)].collect()
+    // the graded default pair has no cross-flows at sf0.001 — the spec
+    // exercises the operator's pair parameters on a pair that does
+    val pair = Set("NATION_18", "NATION_19")
+    val expected = li.flatMap { case (ok, sk, p, d, y) =>
+      val sn = supN(sk); val cn = custN(orderCust(ok))
+      if (pair(sn) && pair(cn) && sn != cn)
+        Some(((sn, cn, y), (rev2(p, d), 1L)))
+      else None
+    }.groupBy(_._1).map { case (k, g) =>
+      (k, g.map(_._2._1).sum.setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong, g.map(_._2._2).sum)
+    }.toSeq.sortBy(_._1)
+    val out = Relational
+      .nationTrade(spark, sfTest, "NATION_18", "NATION_19").collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == expected, s"trade diverges from local recompute")
+    assert(out.nonEmpty && out.forall { case ((a, b, _), _, _) => a != b })
+  }
+
+  test("promo share reconciles numerator, denominator, and ratio") {
+    import spark.implicits._
+    val promoParts = Tables(spark, sfTest, "part")
+      .filter($"p_type" === "PROMO").select($"p_partkey")
+      .as[Long].collect().toSet
+    val li = Tables(spark, sfTest, "lineitem")
+      .select($"l_partkey", $"l_extendedprice", $"l_discount",
+        year($"l_shipdate").cast("long"))
+      .as[(Long, Double, Double, Long)].collect()
+    val byYear = li.groupBy(_._4).map { case (y, g) =>
+      val tot = g.map(r => rev2(r._2, r._3)).sum
+      val promo = g.filter(r => promoParts(r._1)).map(r => rev2(r._2, r._3)).sum
+      (y, promo.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+        tot.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+        BigDecimal(100.0 * promo.toDouble / tot.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val out = Relational.promoShare(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(out == byYear, "promo share diverges from local recompute")
+  }
+
+  test("disjunctive revenue equals the branch-by-branch local recompute " +
+    "and both sides of the join carry pushed OR filters") {
+    import spark.implicits._
+    val pspec = Tables(spark, sfTest, "part")
+      .select($"p_partkey", $"p_brand", $"p_size")
+      .as[(Long, String, Int)].collect()
+      .map(p => p._1 -> (p._2, p._3)).toMap
+    val li = Tables(spark, sfTest, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .as[(Long, Double, Double, Double)].collect()
+    def branch(b: String, s0: Int, s1: Int, q0: Double, q1: Double)(
+        r: (Long, Double, Double, Double)): Boolean = {
+      val (brand, size) = pspec(r._1)
+      brand == b && size >= s0 && size <= s1 && r._2 >= q0 && r._2 <= q1
+    }
+    val keep = li.filter(r => branch("Brand#9", 1, 15, 1, 20)(r) ||
+      branch("Brand#13", 10, 30, 10, 35)(r) ||
+      branch("Brand#20", 20, 50, 20, 50)(r))
+    val expRev = keep.map(r => rev2(r._3, r._4)).sum
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val out = Relational.disjunctiveRevenue(spark, sfTest).collect().head
+    assert((out.getLong(0), out.getLong(1)) == ((expRev, keep.length.toLong)))
+    // the single-table OR components must reach BOTH parquet scans
+    val plan = Relational.disjunctiveRevenue(spark, sfTest)
+      .queryExecution.executedPlan
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val pushed = scans.map(_.metadata("PushedFilters"))
+    assert(pushed.exists(p => p.contains("l_quantity") && p.contains("Or(")),
+      s"no quantity OR pushed: $pushed")
+    assert(pushed.exists(p => p.contains("p_brand") && p.contains("Or(")),
+      s"no brand/size OR pushed: $pushed")
+  }
+
+  test("dormant high-balance customers: bar, anti join, and rollup " +
+    "reconcile locally") {
+    import spark.implicits._
+    val cust = Tables(spark, sfTest, "customer")
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      .as[(Long, Double, String)].collect()
+    val bar = {
+      val pos = cust.filter(_._2 > 0)
+      pos.map(_._2).sum / pos.length
+    }
+    val bigCust = Tables(spark, sfTest, "orders")
+      .filter($"o_totalprice" > 300000).select($"o_custkey")
+      .as[Long].collect().toSet
+    val keep = cust.filter(c => c._2 > bar && !bigCust(c._1))
+    val expected = keep.groupBy(_._3).map { case (seg, g) =>
+      val tot = g.map(c => BigDecimal(c._2)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      (seg, g.length.toLong,
+        tot.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+        BigDecimal(tot.toDouble / g.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val out = Relational.custBalance(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(out == expected, "dormant-customer rollup diverges")
+    assert(out.nonEmpty)
+  }
+
+  test("late orders counts each qualifying order once regardless of how " +
+    "many lines are late") {
+    import spark.implicits._
+    val lag = 60L * 24 * 3600 // 60 days in seconds (NTZ-safe long cast)
+    val orders = Tables(spark, sfTest, "orders")
+      .select($"o_orderkey",
+        $"o_orderdate".cast("timestamp").cast("long"), $"o_orderpriority",
+        year($"o_orderdate").cast("long"))
+      .as[(Long, Long, String, Long)].collect()
+    val lateKeys = {
+      val od = orders.map(o => o._1 -> o._2).toMap
+      Tables(spark, sfTest, "lineitem")
+        .select($"l_orderkey", $"l_shipdate".cast("timestamp").cast("long"))
+        .as[(Long, Long)].collect()
+        .filter { case (ok, ship) => ship > od(ok) + lag }
+        .map(_._1).toSet
+    }
+    val expected = orders.filter(o => lateKeys(o._1))
+      .groupBy(o => (o._3, o._4)).map { case ((p, y), g) =>
+        (p, y, g.length.toLong) }.toSeq.sortBy(t => (t._1, t._2))
+    val out = Relational.lateOrders(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expected, "late-order counts diverge")
+    assert(out.nonEmpty)
+  }
+
+  test("activity gini matches the local formula, bounds hold, and the " +
+    "synthetic extremes order correctly") {
+    import spark.implicits._
+    val counts = Tables(spark, sfTest, "events")
+      .groupBy($"event_type", $"user_id").count()
+      .as[(String, Long, Long)].collect()
+    val expected = counts.groupBy(_._1).map { case (t, g) =>
+      val xs = g.map(r => (r._3, r._2)).sortBy(identity).map(_._1)
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val s = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (t, n, tot, BigDecimal(2.0 * s / (n.toDouble * tot) - (n + 1.0) / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val out = Events.activityGini(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(out == expected, "gini diverges from local recompute")
+    assert(out.forall { case (_, _, _, g) => g >= 0.0 && g < 1.0 })
+    // synthetic extremes: uniform traffic ≈ 0; one whale dominates → high
+    val dir = java.nio.file.Files.createTempDirectory("graft_gini").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val uniform = (1 to 40).map(u =>
+      (u.toLong * 10, ts, u.toLong, "flat", 1.0, "{}"))
+    val whale = (1 to 39).map(u =>
+      (1000L + u, ts, u.toLong, "whale", 1.0, "{}")) ++
+      (1 to 61).map(i => (2000L + i, ts, 40L, "whale", 1.0, "{}"))
+    (uniform ++ whale)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val syn = Events.activityGini(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(syn("flat") == 0.0, s"uniform gini ${syn("flat")}")
+    assert(syn("whale") > 0.5, s"whale gini ${syn("whale")}")
+  }
 }
