@@ -1069,6 +1069,94 @@ object StreamOps {
       .toDF("codec", "phash_bits").distinct()
   }
 
+  /** Per-key token bucket carried by [[rateLimit]]: milli-token balance
+    * + the key's latest seen event time. Integer milli-tokens keep every
+    * refill/spend exact (a double balance would drift with batch split).
+    */
+  case class BucketState(milliTokens: Long, lastMs: Long)
+
+  /** STREAMING RATE LIMIT (s_rate_limit) — per-user token-bucket
+    * admission control, the webhook-ingest gate in front of everything
+    * else here (a misbehaving producer re-posting its queue must not
+    * starve the pipeline; the reference category's pub-sub ingest is
+    * exactly where such storms arrive). Each key holds a bucket of
+    * `capacity` tokens refilling at `ratePerSec`, measured in EVENT
+    * time: an event is admitted iff a whole token is available at its
+    * timestamp, and refill is elapsed-event-time × rate — so as long as
+    * batches arrive in event-time order ACROSS batch boundaries (within
+    * a batch any disorder is fine — rows re-sort), the decision set is a
+    * pure function of the event-time sequence, not of arrival timing or
+    * where the batch cuts fall (the replay spec pins stream ≡ the batch
+    * fold at every batch split, including within-batch disorder). An
+    * event that crosses a batch boundary LATE is charged at the bucket's
+    * already-advanced clock — the one divergence from the batch fold,
+    * the same cross-batch caveat every watermarkless stateful op here
+    * carries.
+    *
+    * Arithmetic is exact: balances live as integer MILLI-tokens
+    * (refill = elapsedMs × ratePerSec is exact at any rate ≥ 1/1000 s),
+    * so no float accumulates across state round-trips. Within a batch,
+    * per-key rows sort by (ts, event_id) — the [[errorAlarms]]
+    * discipline; an event arriving with ts older than the key's
+    * last-seen time refills nothing (max(0, elapsed)) but still spends,
+    * keeping replays deterministic. State is ONE (long, long) pair per
+    * key, forever — the ingest-gate contract ([[dedupAgainstCorpus]]'s
+    * note: bounding it needs an idle-eviction horizon, which would also
+    * forget long-idle buckets back to full, an acceptable semantic for
+    * a rate gate — deployments pick via the alarm family's timeout
+    * idiom).
+    */
+  def rateLimit(events: Dataset[Event], ratePerSec: Long = 1,
+                capacity: Long = 5): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    require(ratePerSec >= 1 && capacity >= 1,
+      "rateLimit: ratePerSec and capacity must be >= 1")
+    val capM = capacity * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BucketState, Event](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[Event], state: GroupState[BucketState]) =>
+          var st = state.getOption.getOrElse(BucketState(capM, Long.MinValue))
+          val admitted = scala.collection.mutable.ArrayBuffer[Event]()
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val ms = e.ts.getTime
+            val refill =
+              if (st.lastMs == Long.MinValue) 0L
+              else math.max(0L, ms - st.lastMs) * ratePerSec
+            val bal = math.min(capM, st.milliTokens + refill)
+            if (bal >= 1000L) {
+              admitted += e
+              st = BucketState(bal - 1000L, math.max(st.lastMs, ms))
+            } else st = BucketState(bal, math.max(st.lastMs, ms))
+          }
+          state.update(st)
+          admitted.iterator
+      }
+  }
+
+  /** Batch twin of [[rateLimit]] — the same exact fold over the FULL
+    * event-time-ordered history per key; the replay spec pins the
+    * streaming gate to this at every micro-batch split.
+    */
+  def rateLimitBatch(events: Seq[Event], ratePerSec: Long = 1,
+                     capacity: Long = 5): Seq[Event] = {
+    val capM = capacity * 1000L
+    events.groupBy(_.user_id).toSeq.flatMap { case (_, g) =>
+      var bal = capM
+      var last = Long.MinValue
+      g.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+        val ms = e.ts.getTime
+        val refill =
+          if (last == Long.MinValue) 0L
+          else math.max(0L, ms - last) * ratePerSec
+        bal = math.min(capM, bal + refill)
+        last = math.max(last, ms)
+        if (bal >= 1000L) { bal -= 1000L; Some(e) } else None
+      }
+    }
+  }
+
   /** Stream–stream interval join: purchases attributed to the same user's
     * clicks within the following hour (click → purchase conversion).
     *

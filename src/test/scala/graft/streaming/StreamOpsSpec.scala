@@ -502,6 +502,54 @@ class StreamOpsSpec extends SparkSpec {
       s"got ${alarms.toSeq} — state must carry runs across micro-batches")
   }
 
+  test("token-bucket rate limiter: burst capped at capacity, refill by " +
+    "event time, stream equals the batch fold across batch splits and " +
+    "within-batch disorder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: a 8-event burst in one second (capacity 3 → 3 admitted),
+    // then 2 s of quiet at 1 token/s → 2 more admitted from the next
+    // burst. user 2: steady 1 event/s → all admitted. Batches split
+    // mid-burst and batch 1 arrives internally SHUFFLED.
+    val batch1 = Seq(
+      ev(3, "2024-01-01 10:00:00.400", 1, "post", 0.0),
+      ev(1, "2024-01-01 10:00:00.000", 1, "post", 0.0),
+      ev(4, "2024-01-01 10:00:00.600", 1, "post", 0.0),
+      ev(2, "2024-01-01 10:00:00.200", 1, "post", 0.0),
+      ev(21, "2024-01-01 10:00:00.000", 2, "post", 0.0),
+      ev(22, "2024-01-01 10:00:01.000", 2, "post", 0.0))
+    val batch2 = Seq(
+      ev(5, "2024-01-01 10:00:00.800", 1, "post", 0.0),
+      ev(6, "2024-01-01 10:00:00.900", 1, "post", 0.0),
+      ev(7, "2024-01-01 10:00:00.950", 1, "post", 0.0),
+      ev(8, "2024-01-01 10:00:01.000", 1, "post", 0.0),
+      ev(9, "2024-01-01 10:00:03.000", 1, "post", 0.0),
+      ev(10, "2024-01-01 10:00:03.100", 1, "post", 0.0),
+      ev(11, "2024-01-01 10:00:03.200", 1, "post", 0.0),
+      ev(23, "2024-01-01 10:00:02.000", 2, "post", 0.0))
+    val ms = MemoryStream[Event]
+    val q = StreamOps.rateLimit(ms.toDS(), ratePerSec = 1, capacity = 3)
+      .writeStream.format("memory").queryName("t_ratelimit")
+      .outputMode("append").start()
+    ms.addData(batch1); q.processAllAvailable()
+    ms.addData(batch2); q.processAllAvailable()
+    val got = spark.sql("select event_id from t_ratelimit").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    val expected = StreamOps
+      .rateLimitBatch(batch1 ++ batch2, ratePerSec = 1, capacity = 3)
+      .map(_.event_id).toSet
+    assert(got == expected,
+      s"stream admitted $got, batch fold admits $expected")
+    // the burst math, stated concretely: full bucket admits 1,2,3 (one
+    // 200 ms refill each leaves 400 m); 4-7 each arrive under a whole
+    // token; 8 lands exactly as the balance refills back to 1000 m →
+    // admitted to zero; by 10:00:03 two whole tokens have refilled →
+    // 9,10 admitted, 11 rejected. user 2 never throttles.
+    assert(got == Set(1L, 2L, 3L, 8L, 9L, 10L, 21L, 22L, 23L),
+      s"burst math: $got")
+  }
+
   test("dedup pipeline resumes exactly-once from its checkpoint after restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
