@@ -171,6 +171,11 @@ object StreamBench {
       run("drift", df => StreamOps.psiDrift(df, baseline, lo, hi), "update"),
       run("quality", df => StreamOps.qualityMonitor(df, qualityRules),
         "update"),
+      // rate gate at 100 tokens/s so replayed fixture traffic actually
+      // exercises both admit and reject paths per user
+      run("rate_limit",
+        df => StreamOps.rateLimit(df.as[Event], ratePerSec = 100,
+          capacity = 500).toDF(), "append"),
       runJoin("join_inner", StreamOps.conversionJoin),
       runJoin("join_outer", StreamOps.conversionJoinOuter),
       runReservoir(),
