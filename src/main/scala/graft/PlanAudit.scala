@@ -36,6 +36,8 @@ object PlanAudit {
                    // and × the 10-row bucket spine (both plan-constant)
     "q_source_kl", // vocab-grid rows × |sources|-row totals and × the
                    // 1-row (N, V) corpus aggregate
+    "q_cust_balance", // customer rows × the 1-row positive-balance
+                      // average (the Q22 scalar bar)
     "q_top_value_parts", // per-part group rows × 1-row (total, n_parts)
     "q_semantic_clusters", // the q_dedup_embed brute-force pair baseline
                            // feeding the CC loop (banded/IVF twins are

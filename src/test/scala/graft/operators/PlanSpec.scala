@@ -726,4 +726,35 @@ class PlanSpec extends SparkSpec {
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
       s"cell rollup no longer checkpoint-shared:\n$p")
   }
+
+  test("round-12 decision-support shapes: dims broadcast, the fact-fact " +
+    "order-key join is the only shuffle join, EXISTS stays a semi join") {
+    // Q7: nation-filtered supplier/customer slices broadcast; exactly one
+    // SortMergeJoin (lineitem⋈orders on the order key) may remain
+    val p7 = physical("q_nation_trade")
+    assert(p7.contains("BroadcastHashJoin"), s"Q7 lost its dim broadcasts")
+    assert("SortMergeJoin".r.findAllIn(p7).size <= 1,
+      s"Q7 shuffles more than the fact-fact join:\n$p7")
+    // Q14: part broadcasts; numerator+denominator live in ONE aggregate
+    // pair (partial+final), not two scans
+    val p14 = physical("q_promo_share")
+    assert(p14.contains("BroadcastHashJoin"), "Q14 lost the part broadcast")
+    assert(!p14.contains("SortMergeJoin"), s"Q14 shuffles the dim join")
+    val scans14 = SparkEntry.queries("q_promo_share")(spark, sfTest)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans14.count(
+      _.metadata("Location").contains("lineitem")) == 1,
+      "Q14 scans the fact table more than once")
+    // Q4: the correlated EXISTS must stay a LEFT SEMI (dedup inside the
+    // join), never an inner join + distinct
+    val p4 = physical("q_late_orders")
+    assert(p4.contains("LeftSemi"), s"Q4 lost the semi join:\n$p4")
+    // Q22: the scalar bar is a 1-row broadcast; the anti join survives
+    val p22 = physical("q_cust_balance")
+    assert(p22.contains("LeftAnti"), "Q22 lost the anti join")
+    assert(p22.contains("BroadcastNestedLoopJoin") ||
+      p22.contains("BroadcastHashJoin"), "Q22's scalar bar no longer " +
+      "broadcasts")
+  }
 }
