@@ -171,6 +171,11 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.sourceTemperature(s, d)),
     "q_token_budget" ->
       ((s: SparkSession, d: String) => TextOps.tokenBudget(s, d)),
+    // round 12: tokenizer TRAINING — exact BPE merge learning (vocab-
+    // table iterations, corpus scanned once; no SQL oracle, spec-pinned
+    // vs an independent local BPE)
+    "q_bpe_merges" ->
+      ((s: SparkSession, d: String) => TextOps.bpeMerges(s, d)),
     // round 11, batch 6: leak attribution, signal calibration, threshold
     // tuning
     "q_contamination_sources" ->
@@ -261,8 +266,10 @@ object SparkEntry {
     * across engines by design), q_ann_ivf / q_ann_ivfpq /
     * q_semantic_dedup (k-means quantizers are not SQL-expressible at
     * reasonable cost), q_multimodal / q_media_phash / q_media_audio
-    * (JDK codec + renderer work); each is covered by bounded-error /
-    * recall / determinism assertions in the test suite instead.
+    * (JDK codec + renderer work), q_bpe_merges (iterative
+    * argmax-and-rewrite, the k-means exemption); each is covered by
+    * bounded-error / recall / determinism assertions in the test suite
+    * instead.
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->

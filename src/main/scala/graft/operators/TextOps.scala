@@ -1281,4 +1281,79 @@ object TextOps {
       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
       |    ELSE NULL END AS r2
       |FROM st ORDER BY source""".stripMargin
+
+  /** BPE merge learning (Sennrich/Haddow/Birch, ACL'16 — the tokenizer-
+    * TRAINING operator next to `q_token_budget`'s counting): the top-`k`
+    * byte-pair merges over the corpus, learned exactly. Words become
+    * character-symbol sequences (last symbol carries the `</w>` marker,
+    * the paper's convention, so merges never cross word boundaries);
+    * each round counts adjacent symbol pairs weighted by WORD FREQUENCY,
+    * merges the most frequent pair everywhere (leftmost-first within a
+    * word), and repeats. Output: one row per learned merge (rank, left,
+    * right, merged symbol, weighted pair count at merge time).
+    *
+    * Scale shape — the reason BPE training is a VOCAB-table algorithm,
+    * not a corpus algorithm: the corpus is touched exactly ONCE (the
+    * word-count aggregate); every round after that runs over the
+    * word-frequency table, whose size is the VOCABULARY (Heaps-law
+    * sublinear in corpus size), with pair counting as a flatMap +
+    * partial/final aggregate over it and a 1-row argmax to the driver
+    * (the `q_kmeans` literal-centroid discipline: k driver rows total,
+    * never data). The evolving symbol table localCheckpoints each round
+    * to keep lineage flat across `k` iterations. Determinism: the
+    * argmax orders (count desc, left asc, right asc) — a total order,
+    * so engine/partitioning cannot flip a tie.
+    *
+    * No SQL oracle (iterative argmax-and-rewrite is not reasonably
+    * SQL-expressible — the `q_kmeans` family exemption); the spec pins
+    * the full merge sequence against an independent local BPE and a
+    * hand-computable synthetic corpus.
+    */
+  def bpeMerges(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    var vocab: org.apache.spark.sql.Dataset[(Seq[String], Long)] =
+      Tables(s, dir, "documents")
+        .select(explode(split($"text", "\\s+")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+        .as[(String, Long)]
+        .map { case (w, n) =>
+          val cs = w.map(_.toString).toArray
+          cs(cs.length - 1) += "</w>"
+          (cs.toSeq, n)
+        }
+        .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var done = false
+    for (rank <- 1L to k if !done) {
+      val top = vocab
+        .flatMap { case (syms, n) =>
+          syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, n))
+        }
+        .toDF("left", "right", "n")
+        .groupBy($"left", $"right").agg(sum($"n").as("pair_n"))
+        .orderBy($"pair_n".desc, $"left", $"right")
+        .as[(String, String, Long)]
+        .take(1)
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, n) = top.head
+        merges += ((rank, l, r, l + r, n))
+        vocab = vocab.map { case (syms, wn) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2 // leftmost-first greedy, the paper's rule
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toSeq, wn)
+        }.localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy($"rank")
+  }
 }

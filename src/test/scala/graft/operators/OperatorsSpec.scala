@@ -2756,6 +2756,65 @@ class OperatorsSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("BPE merges match an independent local reference and the " +
+    "hand-computable synthetic corpus") {
+    import spark.implicits._
+    // independent reference: textbook BPE (Sennrich ACL'16) over the
+    // collected word counts — map-based pair counting, no shared code
+    def localBpe(words: Map[String, Long], k: Int)
+    : Seq[(String, String, Long)] = {
+      var vocab: Map[Seq[String], Long] = words.map { case (w, n) =>
+        val cs = w.map(_.toString).toArray
+        cs(cs.length - 1) += "</w>"
+        (cs.toSeq, n)
+      }
+      (1 to k).flatMap { _ =>
+        val pairs = scala.collection.mutable.HashMap
+          .empty[(String, String), Long].withDefaultValue(0L)
+        vocab.foreach { case (syms, n) =>
+          syms.zip(syms.drop(1)).foreach(p => pairs(p) += n)
+        }
+        if (pairs.isEmpty) None
+        else {
+          val ((l, r), n) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+          vocab = vocab.map { case (syms, wn) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toSeq, wn)
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+          Some((l, r, n))
+        }
+      }
+    }
+    val words = Tables(spark, sfTest, "documents")
+      .select(explode(split($"text", "\\s+")).as("w")).filter($"w" =!= "")
+      .groupBy($"w").count().as[(String, Long)].collect().toMap
+    val expected = localBpe(words, 10)
+    val out = TextOps.bpeMerges(spark, sfTest).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(out == expected, s"merge sequence diverges:\n $out\n $expected")
+    assert(out.size == 10)
+    // hand-computable corpus: "low low low lower" — first merges must
+    // build 'low' before touching the rarer 'lower' suffix
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((1L, "low low low lower", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val syn = TextOps.bpeMerges(spark, dir, k = 3).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    // pair counts: (l,o)=4, (o,w</w>)=3, (o,w)=1, (w,e)=1 … →
+    // merge1 (l,o)=4; then (lo,w</w>)=3 → 'low</w>'; then the lower
+    // branch: (lo,w)=1 ties break lexicographically among count-1 pairs
+    assert(syn.take(2) == Seq(("l", "o", "lo", 4L),
+      ("lo", "w</w>", "low</w>", 3L)), s"synthetic merges: $syn")
+  }
+
   test("activity gini matches the local formula, bounds hold, and the " +
     "synthetic extremes order correctly") {
     import spark.implicits._
