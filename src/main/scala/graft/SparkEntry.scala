@@ -176,6 +176,8 @@ object SparkEntry {
     // vs an independent local BPE)
     "q_bpe_merges" ->
       ((s: SparkSession, d: String) => TextOps.bpeMerges(s, d)),
+    "q_bpe_encode" ->
+      ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
     // round 11, batch 6: leak attribution, signal calibration, threshold
     // tuning
     "q_contamination_sources" ->
@@ -266,8 +268,9 @@ object SparkEntry {
     * across engines by design), q_ann_ivf / q_ann_ivfpq /
     * q_semantic_dedup (k-means quantizers are not SQL-expressible at
     * reasonable cost), q_multimodal / q_media_phash / q_media_audio
-    * (JDK codec + renderer work), q_bpe_merges (iterative
-    * argmax-and-rewrite, the k-means exemption); each is covered by
+    * (JDK codec + renderer work), q_bpe_merges / q_bpe_encode (iterative
+    * argmax-and-rewrite + its learned-merge apply, the k-means
+    * exemption); each is covered by
     * bounded-error / recall / determinism assertions in the test suite
     * instead.
     */

@@ -1356,4 +1356,64 @@ object TextOps {
       .toDF("rank", "left", "right", "merged", "pair_count")
       .orderBy($"rank")
   }
+
+  /** BPE ENCODING with the merges [[bpeMerges]] learned — the apply side
+    * a training pipeline actually runs over the whole corpus: per
+    * source, how many whitespace words, how many character symbols
+    * before merging, how many BPE tokens after, and the compression the
+    * learned vocabulary buys. Encoding is the standard rule: apply the
+    * merge list to each word IN LEARNED ORDER, leftmost-first.
+    *
+    * Scale shape: learning is the [[bpeMerges]] vocab-table loop (k
+    * driver rows); encoding is then ONE corpus scan with the k-row merge
+    * list closure-broadcast — embarrassingly parallel, no shuffle until
+    * the |sources|-row rollup. That split (train on the vocab table,
+    * apply as a broadcast map) is exactly how a 100 TB tokenization run
+    * is shaped; the per-word fold costs k passes over ≤ word-length
+    * symbols. No SQL oracle (depends on the learned merges); spec pins a
+    * local recompute and the token-count sandwich
+    * n_words ≤ n_bpe_tokens ≤ n_symbols.
+    */
+  def bpeEncode(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val merges: Seq[(String, String)] = bpeMerges(s, dir, k).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Tables(s, dir, "documents")
+      .select($"source", $"text")
+      .as[(String, String)]
+      .map { case (source, text) =>
+        val words = text.split("\\s+").filter(_.nonEmpty)
+        var nSyms = 0L
+        var nToks = 0L
+        words.foreach { w =>
+          val cs = w.map(_.toString).toArray
+          cs(cs.length - 1) += "</w>"
+          nSyms += cs.length
+          var syms: Array[String] = cs
+          merges.foreach { case (l, r) =>
+            if (syms.length > 1) {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                  out += l + r; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              syms = out.toArray
+            }
+          }
+          nToks += syms.length
+        }
+        (source, 1L, words.length.toLong, nSyms, nToks)
+      }
+      .toDF("source", "d", "w", "sy", "tk")
+      .groupBy($"source")
+      .agg(sum($"d").cast("long").as("n_docs"),
+        sum($"w").cast("long").as("n_words"),
+        sum($"sy").cast("long").as("n_symbols"),
+        sum($"tk").cast("long").as("n_bpe_tokens"))
+      .withColumn("compression",
+        round($"n_symbols".cast("double") / $"n_bpe_tokens", 4))
+      .orderBy($"source")
+  }
 }

@@ -2813,6 +2813,22 @@ class OperatorsSpec extends SparkSpec {
     // branch: (lo,w)=1 ties break lexicographically among count-1 pairs
     assert(syn.take(2) == Seq(("l", "o", "lo", 4L),
       ("lo", "w</w>", "low</w>", 3L)), s"synthetic merges: $syn")
+    // encode side: the marker rides ON the last char, so 'low' is 3
+    // symbols ['l','o','w</w>'] and 'lower' is 5 — 3·3 + 5 = 14 symbols;
+    // with 2 merges 'low' tokenizes to ['low</w>'] (1 each) and 'lower'
+    // to ['lo','w','e','r</w>'] (4): 3·1 + 4 = 7 BPE tokens, 4 words
+    val enc = TextOps.bpeEncode(spark, dir, k = 2).collect().head
+    assert((enc.getLong(2), enc.getLong(3), enc.getLong(4)) ==
+      ((4L, 14L, 7L)), s"synthetic encode: $enc")
+    // fixture-wide sandwich: words ≤ BPE tokens ≤ raw symbols, and the
+    // merge list must actually compress
+    val full = TextOps.bpeEncode(spark, sfTest).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      val (w, sy, tk) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(w <= tk && tk < sy, s"token sandwich violated: $r")
+      assert(r.getDouble(5) > 1.0)
+    }
   }
 
   test("activity gini matches the local formula, bounds hold, and the " +
