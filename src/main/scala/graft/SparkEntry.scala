@@ -239,6 +239,12 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Relational.lateOrders(s, d)),
     "q_activity_gini" ->
       ((s: SparkSession, d: String) => Events.activityGini(s, d)),
+    "q_gini_binned" ->
+      ((s: SparkSession, d: String) => Events.activityGiniBinned(s, d)),
+    "q_audience_overlap" ->
+      ((s: SparkSession, d: String) => Events.audienceOverlap(s, d)),
+    "q_event_paths" ->
+      ((s: SparkSession, d: String) => Events.eventPaths(s, d)),
     // round 11, batch 12: the media leg of the dedup family — aHash
     // perceptual fingerprints (rows-only: JDK codec work, spec-verified)
     "q_media_phash" -> (Multimodal.mediaPhash _),
@@ -1223,6 +1229,9 @@ object SparkEntry {
     "q_cust_balance" -> Relational.custBalanceOracle,
     "q_late_orders" -> Relational.lateOrdersOracle,
     "q_activity_gini" -> Events.activityGiniOracle,
+    "q_gini_binned" -> Events.activityGiniBinnedOracle,
+    "q_audience_overlap" -> Events.audienceOverlapOracle,
+    "q_event_paths" -> Events.eventPathsOracle,
     "q_top_value_parts" -> Relational.topValuePartsOracle,
     // per-feed mislabel audit: same stopword CASE chain as the graded
     // langid queries, rolled up by source

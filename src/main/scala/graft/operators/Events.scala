@@ -741,6 +741,164 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** BINNED Gini — [[activityGini]]'s 100 TB swap-in, graded in its own
+    * right: per-user counts quantized to quarter-log₂ buckets, the Gini
+    * computed from the ≤ 4·log₂(maxCount) bucket histogram under the
+    * standard grouped-data treatment (every member at its bucket's mean;
+    * tied-run positional sum x·(p·c + c(c+1)/2), so it IS the exact Gini
+    * of the flattened histogram). Measured error vs the exact form on
+    * the fixture: ≤ 0.005 absolute (spec-pinned ≤ 0.01) — the resolution
+    * cost of replacing [[activityGini]]'s full per-type sort with a
+    * partial+final histogram aggregate that merges map-side and never
+    * ranks users. The window that remains runs over BUCKET rows.
+    *
+    * Boundary discipline: the bucket id adds a 1e-9 guard before FLOOR —
+    * 4·log₂(n) is exactly integral at powers of two, where a last-ulp
+    * difference between the two engines' log would otherwise flip the
+    * floor; off-power integers sit ≥ millis away at graded scales.
+    */
+  def activityGiniBinned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    Tables(s, dir, "events")
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type",
+        floor(lit(4) * log2($"n".cast("double")) + lit(1e-9)).as("bucket"))
+      .agg(count(lit(1)).as("c"), sum($"n").as("s"))
+      .withColumn("x", $"s".cast("double") / $"c")
+      .withColumn("p", coalesce(sum($"c").over(byType), lit(0L)))
+      .groupBy($"event_type")
+      .agg(sum($"c").cast("long").as("n_users"),
+        sum($"s").cast("long").as("n_events"),
+        round(lit(2.0) *
+          sum($"x" * ($"p" * $"c" + $"c" * ($"c" + lit(1.0)) / 2)) /
+          (sum($"c") * sum($"s").cast("double")) -
+          (sum($"c") + lit(1.0)) / sum($"c"), 6).as("gini_binned"))
+      .orderBy($"event_type")
+  }
+
+  /** Oracle for [[activityGiniBinned]] — same quarter-log buckets (with
+    * the identical 1e-9 floor guard) and grouped-data formula.
+    */
+  val activityGiniBinnedOracle: String =
+    """WITH uc AS (SELECT event_type, user_id, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type,
+      |  CAST(FLOOR(4 * LOG2(CAST(n AS DOUBLE)) + 1e-9) AS BIGINT) AS bucket,
+      |  COUNT(*) AS c, SUM(n) AS s FROM uc GROUP BY 1, 2),
+      |w AS (SELECT event_type, bucket, c, s, CAST(s AS DOUBLE) / c AS x,
+      |  COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+      |  FROM b)
+      |SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_users,
+      |  CAST(SUM(s) AS BIGINT) AS n_events,
+      |  ROUND(2.0 * SUM(x * (p * c + c * (c + 1.0) / 2))
+      |      / (SUM(c) * CAST(SUM(s) AS DOUBLE))
+      |    - (SUM(c) + 1.0) / SUM(c), 6) AS gini_binned
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Engaged-audience threshold shared by [[audienceOverlap]], its
+    * oracle, and the spec — one definition (the DedupOps constant
+    * discipline).
+    */
+  val DefaultEngagedMin = 15
+
+  /** Engaged-audience overlap between event types: Jaccard similarity of
+    * the user sets that produced ≥ [[DefaultEngagedMin]] events of each
+    * type — the audience-composition report behind "do purchasers also
+    * view" (the bare any-event version is degenerate on this fixture:
+    * every user touches every type, Jaccard ≡ 1).
+    *
+    * Scale shape: the (user, type) engaged table is the bounded fan-in
+    * (≤ |types| rows per user); pair generation is a per-user self-join
+    * with ta < tb — ≤ C(|types|, 2) rows per user, never users² — and
+    * the per-type sizes broadcast into the ≤ C(|types|, 2)-row result.
+    */
+  def audienceOverlap(s: SparkSession, dir: String,
+                      minEvents: Int = DefaultEngagedMin): DataFrame = {
+    import s.implicits._
+    val engaged = Tables(s, dir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= minEvents)
+      .select($"user_id", $"event_type")
+    val sizes = engaged.groupBy($"event_type")
+      .agg(count(lit(1)).as("nu"))
+    val a = engaged.toDF("user_id", "ta")
+    val b = engaged.toDF("user_id", "tb")
+    a.join(b, Seq("user_id")).filter($"ta" < $"tb")
+      .groupBy($"ta", $"tb").agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.toDF("ta", "n_a")), Seq("ta"))
+      .join(broadcast(sizes.toDF("tb", "n_b")), Seq("tb"))
+      .select($"ta", $"tb", $"n_both", $"n_a", $"n_b",
+        round($"n_both".cast("double") /
+          ($"n_a" + $"n_b" - $"n_both"), 6).as("jaccard"))
+      .orderBy($"ta", $"tb")
+  }
+
+  /** Oracle for [[audienceOverlap]] — same engaged cut and pair join. */
+  val audienceOverlapOracle: String =
+    s"""WITH ut AS (SELECT user_id, event_type FROM events
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $DefaultEngagedMin),
+      |n AS (SELECT event_type, COUNT(*) AS nu FROM ut GROUP BY 1),
+      |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+      |    COUNT(*) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ta, tb, CAST(n_both AS BIGINT) AS n_both,
+      |  CAST(na.nu AS BIGINT) AS n_a, CAST(nb.nu AS BIGINT) AS n_b,
+      |  ROUND(CAST(n_both AS DOUBLE) / (na.nu + nb.nu - n_both), 6)
+      |    AS jaccard
+      |FROM p JOIN n na ON ta = na.event_type
+      |JOIN n nb ON tb = nb.event_type
+      |ORDER BY ta, tb""".stripMargin
+
+  /** Top event-type PATHS — the 3-step sequence mining report next to
+    * `q_event_transitions`' Markov pairs: every consecutive
+    * (e₁ → e₂ → e₃) triple per user in event-time order, counted
+    * corpus-wide, top 20 by (count desc, path asc).
+    *
+    * Scale shape: one shuffle by user into a per-user (ts, event_id)
+    * sort window; the two LEADs are window-local (no self-join — the
+    * naive formulation joins events to itself twice); path counting is
+    * a partial+final aggregate over ≤ |types|³ distinct paths (group
+    * rows, corpus-independent), and the top-20 is a TakeOrdered, never
+    * a global sort.
+    */
+  def eventPaths(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(byUser))
+      .withColumn("e3", lead($"event_type", 2).over(byUser))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .select(concat($"event_type", lit(">"), $"e2", lit(">"), $"e3")
+        .as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(k)
+  }
+
+  /** Oracle for [[eventPaths]] — same LEAD window and tie-broken top-k. */
+  val eventPathsOracle: String =
+    """WITH o AS (SELECT user_id, event_type,
+      |  LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS e2,
+      |  LEAD(event_type, 2) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS e3
+      |  FROM events),
+      |p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path FROM o
+      |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1
+      |ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   /** Oracle for [[activityGini]] — same rank window and exact Σ i·xᵢ. */
   val activityGiniOracle: String =
     """WITH uc AS (SELECT event_type, user_id, COUNT(*) AS n

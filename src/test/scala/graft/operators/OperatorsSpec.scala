@@ -2865,5 +2865,66 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(syn("flat") == 0.0, s"uniform gini ${syn("flat")}")
     assert(syn("whale") > 0.5, s"whale gini ${syn("whale")}")
+    // the binned swap-in tracks the exact form within its quarter-log
+    // resolution on fixture AND synthetic data (the 100 TB accuracy
+    // contract), and agrees exactly on the user/event totals
+    val binned = Events.activityGiniBinned(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(binned.map(t => (t._1, t._2, t._3)).toSeq ==
+      out.map(t => (t._1, t._2, t._3)).toSeq)
+    binned.zip(out).foreach { case ((t, _, _, gb), (_, _, _, ge)) =>
+      assert(math.abs(gb - ge) <= 0.01,
+        s"$t: binned $gb vs exact $ge exceeds the resolution bound")
+    }
+    val synB = Events.activityGiniBinned(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(synB("flat") == 0.0)
+    assert(synB("whale") > 0.5)
+  }
+
+  test("audience overlap: engaged cut, symmetric-free pairs, jaccard " +
+    "reconciles with local set arithmetic") {
+    import spark.implicits._
+    val engaged = Tables(spark, sfTest, "events")
+      .groupBy($"user_id", $"event_type").count()
+      .filter($"count" >= Events.DefaultEngagedMin)
+      .select($"user_id", $"event_type")
+      .as[(Long, String)].collect()
+      .groupBy(_._2).map { case (t, g) => t -> g.map(_._1).toSet }
+    val expected = (for {
+      (ta, ua) <- engaged; (tb, ub) <- engaged if ta < tb
+      inter = (ua & ub).size if inter > 0
+    } yield (ta, tb, inter.toLong, ua.size.toLong, ub.size.toLong,
+      BigDecimal(inter.toDouble / (ua.size + ub.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val out = Events.audienceOverlap(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(out == expected, "overlap diverges from local set arithmetic")
+    assert(out.nonEmpty && out.forall(t => t._6 > 0.0 && t._6 <= 1.0))
+  }
+
+  test("event paths count exact 3-step sequences in per-user event-time " +
+    "order") {
+    import spark.implicits._
+    val byUser = Tables(spark, sfTest, "events")
+      .select($"user_id", $"ts".cast("timestamp").cast("long"), $"event_id",
+        $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      .withDefaultValue(0L)
+    byUser.values.foreach { g =>
+      val seq = g.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.sliding(3).filter(_.size == 3)
+        .foreach(t => counts(t.mkString(">")) += 1)
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val out = Events.eventPaths(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == expected, "paths diverge from local recompute")
+    assert(out.size == 20)
   }
 }
