@@ -734,8 +734,15 @@ object Events {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_users"),
         sum($"n").cast("long").as("n_events"),
-        round(lit(2.0) * sum($"i" * $"n").cast("double") /
-          (count(lit(1)) * sum($"n")).cast("double") -
+        // Σ i·xᵢ in DECIMAL(38,0): at the 1e9-user regime the per-row
+        // product i·n alone exceeds 2^63 — a Long here wraps silently
+        // while the oracle's HUGEINT stays exact (engine divergence).
+        // The denominator products divide into a double anyway, so they
+        // multiply as doubles (the binned twin's discipline).
+        round(lit(2.0) *
+          sum($"i".cast("decimal(19,0)") * $"n".cast("decimal(19,0)"))
+            .cast("double") /
+          (count(lit(1)).cast("double") * sum($"n").cast("double")) -
           (count(lit(1)) + lit(1)).cast("double") /
             count(lit(1)).cast("double"), 6).as("gini"))
       .orderBy($"event_type")
@@ -821,11 +828,15 @@ object Events {
   def audienceOverlap(s: SparkSession, dir: String,
                       minEvents: Int = DefaultEngagedMin): DataFrame = {
     import s.implicits._
+    // checkpointed: the engaged table feeds the sizes aggregate AND both
+    // self-join sides — without this the corpus scan + (user, type)
+    // shuffle re-runs up to three times (the clusterPairs discipline)
     val engaged = Tables(s, dir, "events")
       .groupBy($"user_id", $"event_type")
       .agg(count(lit(1)).as("n"))
       .filter($"n" >= minEvents)
       .select($"user_id", $"event_type")
+      .localCheckpoint(false)
     val sizes = engaged.groupBy($"event_type")
       .agg(count(lit(1)).as("nu"))
     val a = engaged.toDF("user_id", "ta")
@@ -908,7 +919,7 @@ object Events {
       |  FROM uc)
       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
       |  CAST(SUM(n) AS BIGINT) AS n_events,
-      |  ROUND(2.0 * CAST(SUM(i * n) AS DOUBLE)
+      |  ROUND(2.0 * CAST(SUM(CAST(i AS HUGEINT) * n) AS DOUBLE)
       |      / (COUNT(*) * CAST(SUM(n) AS DOUBLE))
       |    - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin

@@ -422,10 +422,17 @@ object Multimodal {
       val supported =
         fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian && ch >= 1 &&
           fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
-      val n = ais.getFrameLength.toInt
+      // clamp the frame count to the PAYLOAD: a truncated upload whose
+      // header declares more frames than the data chunk carries must
+      // dead-letter (None below via n<=0) or hash its real prefix —
+      // never index past the buffer (the header is untrusted input;
+      // getAudioInputStream only parses it, so declared-vs-actual
+      // mismatches surface exactly here)
+      val raw = ais.readAllBytes()
+      val n = math.min(ais.getFrameLength, raw.length.toLong / (2L * ch))
+        .toInt
       if (!supported || n <= 0) None
       else {
-        val raw = ais.readAllBytes()
         val energy = new Array[Double](64)
         val cnt = new Array[Long](64)
         var i = 0
@@ -455,6 +462,11 @@ object Multimodal {
         }
         Some(h)
       }
+    } catch {
+      // e.g. an IOException from a malformed data chunk mid-read: the
+      // None contract ("undecodable → dead-letter") must hold for every
+      // failure mode, not only header-parse failures
+      case scala.util.control.NonFatal(_) => None
     } finally ais.close()
   }
 
@@ -472,9 +484,16 @@ object Multimodal {
       if (in.readInt() != 0x47465631 || in.readInt() <= 0) None
       else {
         val len = in.readInt()
-        val buf = new Array[Byte](len)
-        in.readFully(buf)
-        aHash(buf)
+        // bound the allocation by the CONTAINER: a corrupt length field
+        // (e.g. 0x7FFFFFFF) would otherwise allocate gigabytes and die
+        // with an OutOfMemoryError that escapes the NonFatal handler —
+        // an untrusted stream blob must dead-letter, never kill the task
+        if (len <= 0 || len > bytes.length) None
+        else {
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          aHash(buf)
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -651,12 +651,24 @@ class OperatorsSpec extends SparkSpec {
     val ho = Multimodal.audioHash(other).get
     assert(ham(hb, ho) >= 12, s"different envelope only ${ham(hb, ho)} away")
     assert(Multimodal.audioHash("not audio".getBytes).isEmpty)
+    // truncated WAV: header declares more frames than the data chunk
+    // carries (a partial upload) — must hash the real prefix or
+    // dead-letter, NEVER index past the payload (review-pass finding:
+    // the junk-bytes case fails the magic sniff before reaching here)
+    val truncated = base.take(base.length - 100)
+    Multimodal.audioHash(truncated) // any Option is fine; throwing is not
+    assert(Multimodal.audioHash(base.take(45)).isEmpty) // data chunk empty
     // video: first-frame aHash, stable across a container REWRITE (same
     // frame bytes re-wrapped) and None for a truncated container
     val vid = Multimodal.synthesizeVideo("vid-A".getBytes, frames = 3)
     val hv = Multimodal.videoHash(vid).get
     assert(Multimodal.videoHash(vid).contains(hv))
     assert(Multimodal.videoHash(vid.take(6)).isEmpty)
+    // corrupt frame length (0x7FFFFFFF): must dead-letter, not allocate
+    // gigabytes and die fatal (review-pass finding)
+    val evil = java.nio.ByteBuffer.allocate(12)
+      .putInt(0x47465631).putInt(1).putInt(Int.MaxValue).array()
+    assert(Multimodal.videoHash(evil).isEmpty)
     // mediaHash dispatch: codec tags keep modalities apart even on
     // (impossible but structural) bit collisions
     assert(Multimodal.mediaHash(base).get._1 == "audio")
