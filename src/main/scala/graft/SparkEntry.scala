@@ -237,6 +237,17 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Relational.custBalance(s, d)),
     "q_late_orders" ->
       ((s: SparkSession, d: String) => Relational.lateOrders(s, d)),
+    // round 12, batch 2: the remaining canonical decision-support
+    // shapes — Q3 ranked unshipped revenue, Q5 local-supplier equality
+    // chain, Q6 pure pushdown aggregate, Q10 returned-revenue churn list
+    "q_unshipped_orders" ->
+      ((s: SparkSession, d: String) => Relational.unshippedOrders(s, d)),
+    "q_local_volume" ->
+      ((s: SparkSession, d: String) => Relational.localSupplierVolume(s, d)),
+    "q_revenue_forecast" ->
+      ((s: SparkSession, d: String) => Relational.revenueForecast(s, d)),
+    "q_returned_customers" ->
+      ((s: SparkSession, d: String) => Relational.returnedCustomers(s, d)),
     "q_activity_gini" ->
       ((s: SparkSession, d: String) => Events.activityGini(s, d)),
     "q_gini_binned" ->
@@ -1228,6 +1239,10 @@ object SparkEntry {
     "q_disjunctive" -> Relational.disjunctiveRevenueOracle,
     "q_cust_balance" -> Relational.custBalanceOracle,
     "q_late_orders" -> Relational.lateOrdersOracle,
+    "q_unshipped_orders" -> Relational.unshippedOrdersOracle,
+    "q_local_volume" -> Relational.localSupplierVolumeOracle,
+    "q_revenue_forecast" -> Relational.revenueForecastOracle,
+    "q_returned_customers" -> Relational.returnedCustomersOracle,
     "q_activity_gini" -> Events.activityGiniOracle,
     "q_gini_binned" -> Events.activityGiniBinnedOracle,
     "q_audience_overlap" -> Events.audienceOverlapOracle,

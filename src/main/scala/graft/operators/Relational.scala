@@ -1161,4 +1161,181 @@ object Relational {
       |  WHERE l_orderkey = o_orderkey
       |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Top unshipped-revenue orders (the TPC-H Q3 shape): BUILDING-segment
+    * orders placed before the cutoff whose lines ship after it, ranked
+    * by outstanding discounted revenue, top 10.
+    *
+    * Scale shape: both date predicates push into their scans; the
+    * segment filter prunes customer before its broadcast; per-order
+    * rollup is partial+final on the order key; the top-10 ORDERS ON THE
+    * EXACT DECIMAL (a rounded-long sort key would let two engines rank
+    * .5-boundary orders differently) as a TakeOrderedAndProject — heaps,
+    * no global sort.
+    */
+  def unshippedOrders(s: SparkSession, dir: String,
+                      cutoff: String = "1996-06-01",
+                      segment: String = "BUILDING"): DataFrame = {
+    import s.implicits._
+    val rev = $"l_extendedprice".cast(Money) *
+      (lit(1) - $"l_discount").cast(Pct)
+    val cust = Tables(s, dir, "customer")
+      .filter($"c_mktsegment" === segment).select($"c_custkey")
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" > lit(cutoff).cast("timestamp"))
+      .join(Tables(s, dir, "orders")
+        .filter($"o_orderdate" < lit(cutoff).cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate".cast("date").as("o_date"),
+        $"o_orderpriority")
+      .agg(sum(rev).as("rev_exact"))
+      .orderBy($"rev_exact".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey", round($"rev_exact").cast("long").as("revenue"),
+        $"o_date", $"o_orderpriority")
+  }
+
+  /** Oracle for [[unshippedOrders]] — same exact-DECIMAL rank order. */
+  val unshippedOrdersOracle: String =
+    """SELECT l_orderkey,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(1 - l_discount AS DECIMAL(4,2)))) AS BIGINT) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-06-01'
+      |  AND l_shipdate > TIMESTAMP '1996-06-01'
+      |GROUP BY 1, 3, 4
+      |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |  * CAST(1 - l_discount AS DECIMAL(4,2))) DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Local-supplier volume (the TPC-H Q5 shape): revenue within one
+    * region's year where the supplying and buying nation COINCIDE — the
+    * two-role dimension chain with an EQUALITY between the roles
+    * (`q_nation_trade` is the between-pair complement).
+    *
+    * Scale shape: region filter prunes nation before broadcast; the
+    * supplier join carries the `c_nationkey = s_nationkey` residual so
+    * non-local flows die inside the join, not in a post-filter; the
+    * only shuffle join is lineitem⋈orders.
+    */
+  def localSupplierVolume(s: SparkSession, dir: String,
+                          region: String = "ASIA",
+                          year: String = "1996"): DataFrame = {
+    import s.implicits._
+    val rev = $"l_extendedprice".cast(Money) *
+      (lit(1) - $"l_discount").cast(Pct)
+    val nat = Tables(s, dir, "nation")
+      .join(broadcast(Tables(s, dir, "region")
+        .filter($"r_name" === region)), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= lit(s"$year-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit(s"${year.toInt + 1}-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(moneySum(rev).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Oracle for [[localSupplierVolume]]. (The revenue rank order is on
+    * the ROUNDED long here — a whole-units tie across nations is broken
+    * by name identically in both engines.)
+    */
+  val localSupplierVolumeOracle: String =
+    """SELECT n_name,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(1 - l_discount AS DECIMAL(4,2)))) AS BIGINT) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Forecast-revenue-change (the TPC-H Q6 shape): what raising the
+    * 5–7 % discounts on small-quantity 1996 lines would have recovered —
+    * ONE scan, every predicate pushed, one global aggregate. The
+    * simplest shape in the inventory, kept because it is the canonical
+    * pushdown/row-group-skipping benchmark.
+    */
+  def revenueForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice".cast(Money) *
+          $"l_discount".cast(Pct))).cast("long").as("revenue_delta"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Oracle for [[revenueForecast]]. */
+  val revenueForecastOracle: String =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(l_discount AS DECIMAL(4,2)))) AS BIGINT) AS revenue_delta,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Returned-item reporting (the TPC-H Q10 shape): the 20 customers
+    * with the most revenue lost to returns in a half-year window —
+    * the churn-risk list. Rank on the EXACT DECIMAL with the customer
+    * key tie-break (the [[unshippedOrders]] discipline), emitted
+    * rounded.
+    */
+  def returnedCustomers(s: SparkSession, dir: String, k: Int = 20)
+  : DataFrame = {
+    import s.implicits._
+    val rev = $"l_extendedprice".cast(Money) *
+      (lit(1) - $"l_discount").cast(Pct)
+    Tables(s, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .join(Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-07-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(sum(rev).as("rev_exact"))
+      .orderBy($"rev_exact".desc, $"c_custkey")
+      .limit(k)
+      .select($"c_custkey", $"c_name", $"n_name",
+        round($"rev_exact").cast("long").as("lost_revenue"))
+  }
+
+  /** Oracle for [[returnedCustomers]] — same exact-DECIMAL rank. */
+  val returnedCustomersOracle: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(1 - l_discount AS DECIMAL(4,2)))) AS BIGINT)
+      |    AS lost_revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |  * CAST(1 - l_discount AS DECIMAL(4,2))) DESC, c_custkey
+      |LIMIT 20""".stripMargin
 }

@@ -2843,6 +2843,101 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Q3/Q5/Q6/Q10 shapes reconcile against local recomputes and keep " +
+    "their rank/pushdown contracts") {
+    import spark.implicits._
+    val cutoffMs = java.sql.Timestamp.valueOf("1996-06-01 00:00:00").getTime
+    val orders = Tables(spark, sfTest, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        $"o_orderdate".cast("timestamp").cast("long") * 1000,
+        $"o_orderpriority")
+      .as[(Long, Long, Long, String)].collect()
+    val custSeg = Tables(spark, sfTest, "customer")
+      .select($"c_custkey", $"c_mktsegment").as[(Long, String)]
+      .collect().toMap
+    val li = Tables(spark, sfTest, "lineitem")
+      .select($"l_orderkey", $"l_shipdate".cast("timestamp").cast("long")
+        * 1000, $"l_extendedprice", $"l_discount", $"l_returnflag")
+      .as[(Long, Long, Double, Double, String)].collect()
+    // Q3: outstanding revenue per qualifying order, exact-decimal rank
+    val om = orders.map(o => o._1 -> o).toMap
+    val q3 = li.filter { r =>
+      val o = om(r._1)
+      r._2 > cutoffMs && o._3 < cutoffMs &&
+        custSeg(o._2) == "BUILDING"
+    }.groupBy(_._1).map { case (ok, g) =>
+      (ok, g.map(r => rev2(r._3, r._4)).sum)
+    }.toSeq.sortBy { case (ok, r) => (-r, ok) }.take(10)
+      .map { case (ok, r) =>
+        (ok, r.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong) }
+    val gotQ3 = Relational.unshippedOrders(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotQ3 == q3, s"Q3 rank diverges: $gotQ3 vs $q3")
+    // Q3/Q10 must rank via TakeOrdered heaps, not a global sort+limit
+    for (q <- Seq("q_unshipped_orders", "q_returned_customers")) {
+      val p = graft.SparkEntry.queries(q)(spark, sfTest)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost TakeOrdered")
+    }
+    // Q6: pure pushdown aggregate — every predicate in PushedFilters,
+    // and the value reconciles
+    val q6 = li.filter(r => r._2 >= java.sql.Timestamp
+        .valueOf("1996-01-01 00:00:00").getTime &&
+        r._2 < java.sql.Timestamp.valueOf("1997-01-01 00:00:00").getTime)
+      .filter(r => r._4 >= 0.05 - 1e-9 && r._4 <= 0.07 + 1e-9)
+    // quantity needs its own pull (not collected above) — reconcile via
+    // the query's own count against an independent Spark filter count
+    val nQ6 = Tables(spark, sfTest, "lineitem")
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01"
+        && $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24).count()
+    val gotQ6 = Relational.revenueForecast(spark, sfTest).collect().head
+    assert(gotQ6.getLong(1) == nQ6)
+    assert(gotQ6.getLong(1) <= q6.length)
+    val scans6 = Relational.revenueForecast(spark, sfTest)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val pushed6 = scans6.head.metadata("PushedFilters")
+    Seq("l_shipdate", "l_discount", "LessThan(l_quantity,24")
+      .foreach(f => assert(pushed6.contains(f), s"Q6 predicate not pushed: $f"))
+    // Q5: every reported nation is in the region and revenue is the
+    // local-flow (cust nation == supp nation) rollup — cross-checked via
+    // an independent SQL formulation
+    Tables(spark, sfTest, "lineitem").createOrReplaceTempView("v_li")
+    Tables(spark, sfTest, "orders").createOrReplaceTempView("v_o")
+    Tables(spark, sfTest, "customer").createOrReplaceTempView("v_c")
+    Tables(spark, sfTest, "supplier").createOrReplaceTempView("v_s")
+    Tables(spark, sfTest, "nation").createOrReplaceTempView("v_n")
+    Tables(spark, sfTest, "region").createOrReplaceTempView("v_r")
+    val ind = spark.sql(
+      """SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |  * CAST(1 - l_discount AS DECIMAL(4,2)))) AS LONG) AS revenue
+        |FROM v_li JOIN v_o ON l_orderkey = o_orderkey
+        |JOIN v_c ON o_custkey = c_custkey
+        |JOIN v_s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN v_n ON c_nationkey = n_nationkey
+        |JOIN v_r ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01'
+        |  AND o_orderdate < '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val gotQ5 = Relational.localSupplierVolume(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotQ5 == ind, s"Q5 diverges from the SQL formulation")
+    // Q10: top-k rank reconciles on the returned-revenue rollup
+    val q10 = li.filter(r => r._5 == "R").filter { r =>
+      val o = om(r._1)
+      o._3 >= java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime &&
+        o._3 < java.sql.Timestamp.valueOf("1996-07-01 00:00:00").getTime
+    }.groupBy(r => om(r._1)._2).map { case (ck, g) =>
+      (ck, g.map(r => rev2(r._3, r._4)).sum)
+    }.toSeq.sortBy { case (ck, r) => (-r, ck) }.take(20)
+      .map { case (ck, r) =>
+        (ck, r.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong) }
+    val gotQ10 = Relational.returnedCustomers(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(gotQ10 == q10, s"Q10 rank diverges")
+  }
+
   test("activity gini matches the local formula, bounds hold, and the " +
     "synthetic extremes order correctly") {
     import spark.implicits._
