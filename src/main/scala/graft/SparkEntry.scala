@@ -178,6 +178,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.bpeMerges(s, d)),
     "q_bpe_encode" ->
       ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
+    "q_span_corruption" ->
+      ((s: SparkSession, d: String) => TextOps.spanCorruption(s, d)),
     // round 11, batch 6: leak attribution, signal calibration, threshold
     // tuning
     "q_contamination_sources" ->
@@ -1239,6 +1241,7 @@ object SparkEntry {
     "q_disjunctive" -> Relational.disjunctiveRevenueOracle,
     "q_cust_balance" -> Relational.custBalanceOracle,
     "q_late_orders" -> Relational.lateOrdersOracle,
+    "q_span_corruption" -> TextOps.spanCorruptionOracle,
     "q_unshipped_orders" -> Relational.unshippedOrdersOracle,
     "q_local_volume" -> Relational.localSupplierVolumeOracle,
     "q_revenue_forecast" -> Relational.revenueForecastOracle,

@@ -1357,6 +1357,70 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  /** Deterministic SPAN-CORRUPTION plan (the T5/UL2 denoising data-prep
+    * shape, Raffel et al. JMLR'20): for every full `window`-token window
+    * of every document, one masked span whose offset and length (2–4
+    * tokens, mean 3 = 15 % of the default 20-token window — the paper's
+    * corruption rate) derive from md5(doc, window). Windowed placement
+    * is what makes the plan NON-ITERATIVE: spans can never overlap by
+    * construction (one per disjoint window), so the whole schedule is
+    * one explode + arithmetic — no sequential mask-placement loop —
+    * while global coverage stays at the target rate (tail tokens past
+    * the last full window stay unmasked, the documented bias). Output:
+    * (doc_id, window_id, span_start, span_len), the mask schedule a
+    * denoising-objective data loader consumes.
+    *
+    * Scale shape: one scan, one bounded explode (n/window rows per
+    * doc), pure md5 arithmetic — embarrassingly parallel, no shuffle
+    * except the presentation sort. Deterministic across engines: the
+    * md5-hex-prefix integer is the same split/sample discipline every
+    * order-defining surface here uses.
+    */
+  def spanCorruption(s: SparkSession, dir: String, window: Int = 20)
+  : DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        size(filter(split($"text", " "), t => t =!= "")).cast("long")
+          .as("n"))
+      .filter($"n" >= window)
+      .select($"doc_id",
+        explode(sequence(lit(0L), expr(s"n div $window") - 1)).as("win"))
+      .select($"doc_id", $"win",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+          $"win".cast("string"))), 1, 8), 16, 10).cast("long").as("hv"))
+      .select($"doc_id", $"win".as("window_id"),
+        (lit(2) + $"hv" % 3).as("span_len"),
+        expr("hv div 7").as("hq"))
+      .select($"doc_id", $"window_id",
+        ($"window_id" * window +
+          $"hq" % (lit(window) - $"span_len")).cast("long")
+          .as("span_start"),
+        $"span_len".cast("long"))
+      .orderBy($"doc_id", $"window_id")
+  }
+
+  /** Oracle for [[spanCorruption]] — same windows, same md5 arithmetic. */
+  val spanCorruptionOracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM toks),
+      |w AS (SELECT doc_id, n,
+      |  UNNEST(range(0, n // 20)) AS win
+      |  FROM d WHERE n >= 20),
+      |h AS (SELECT doc_id, win,
+      |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+      |    || CAST(win AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      |  FROM w),
+      |s AS (SELECT doc_id, win, 2 + (hv % 3) AS span_len,
+      |  (hv // 7) % (20 - (2 + hv % 3)) AS off
+      |  FROM h)
+      |SELECT doc_id, win AS window_id,
+      |  CAST(win * 20 + off AS BIGINT) AS span_start,
+      |  CAST(span_len AS BIGINT) AS span_len
+      |FROM s ORDER BY doc_id, window_id""".stripMargin
+
   /** BPE ENCODING with the merges [[bpeMerges]] learned — the apply side
     * a training pipeline actually runs over the whole corpus: per
     * source, how many whitespace words, how many character symbols

@@ -2938,6 +2938,37 @@ class OperatorsSpec extends SparkSpec {
     assert(gotQ10 == q10, s"Q10 rank diverges")
   }
 
+  test("span-corruption plan: spans stay inside their windows, never " +
+    "overlap, hit the target rate, and are deterministic") {
+    import spark.implicits._
+    val out = TextOps.spanCorruption(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, w, start, len) =>
+      assert(len >= 2 && len <= 4, s"span length $len out of 2..4")
+      assert(start >= w * 20 && start + len <= (w + 1) * 20,
+        s"span [$start, ${start + len}) escapes window $w")
+    }
+    // windowed placement = structural non-overlap: one span per window
+    assert(out.groupBy(t => (t._1, t._2)).forall(_._2.size == 1))
+    // global coverage near the 15% target (mean span 3 of window 20);
+    // tail tokens past the last full window are unmasked by design
+    val masked = out.map(_._4).sum.toDouble
+    val windowTokens = out.groupBy(_._1).map(_._2.size).sum * 20.0
+    assert(math.abs(masked / windowTokens - 0.15) < 0.02,
+      s"coverage ${masked / windowTokens}")
+    // spans within a doc are sorted and non-overlapping globally too
+    out.groupBy(_._1).values.foreach { g =>
+      val spans = g.sortBy(_._2).map(t => (t._3, t._3 + t._4)).toSeq
+      spans.sliding(2).foreach { pair =>
+        if (pair.size == 2) assert(pair(0)._2 <= pair(1)._1)
+      }
+    }
+    val again = TextOps.spanCorruption(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("activity gini matches the local formula, bounds hold, and the " +
     "synthetic extremes order correctly") {
     import spark.implicits._
