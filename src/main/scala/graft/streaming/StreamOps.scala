@@ -352,6 +352,43 @@ object StreamOps {
     events.join(customer,
       events("user_id") === customer("c_custkey"), "left_outer")
 
+  /** SCD-2 TEMPORAL enrichment (s_scd_enrich) — [[enrich]] against a
+    * VERSIONED dimension: each event joins the attribute version that
+    * was valid AT ITS EVENT TIME (`valid_from ≤ ts < valid_to`, the
+    * half-open slowly-changing-dimension convention; a NULL `valid_to`
+    * is the open current version). The live half of `q_asof_lookup`:
+    * a late-arriving event is enriched with the attributes it SAW, not
+    * today's — the correctness property a plain current-version join
+    * silently violates for every record that arrives after a dimension
+    * update.
+    *
+    * Shapes: stream–static LEFT OUTER with the key equality plus the
+    * validity range as join residuals — no stream state at all. The
+    * static subplan re-EXECUTES per micro-batch, but a raw parquet-path
+    * dimension pins the file listing resolved at query start — an
+    * in-place overwrite republish fails the stream with
+    * FILE_NOT_EXIST (measured), so a dimension publisher either serves
+    * versions through a catalog-managed table or publishes each
+    * snapshot to a NEW path and bounces the query (the spec
+    * demonstrates the snapshot+restart pattern; checkpointed queries
+    * resume exactly where they stopped, so the bounce loses nothing).
+    * With
+    * non-overlapping version windows (the SCD-2 contract, which the
+    * spec's recompute assumes and asserts) each event matches ≤ 1
+    * version, so the join never fans rows out. At scale the static
+    * side is the usual broadcast dim; events with no valid version
+    * (before the first, or in a maintenance gap) keep NULL attributes
+    * rather than silently dropping — route them like any other
+    * dead-letter.
+    */
+  def scdEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(dim,
+      events("user_id") === dim("key") &&
+        events("ts") >= dim("valid_from") &&
+        (dim("valid_to").isNull || events("ts") < dim("valid_to")),
+      "left_outer")
+      .drop("key")
+
   /** Per-user alarm state for [[AlarmProcessor]]: the current consecutive-
     * error run, the user's latest event time (for idle-eviction staleness
     * checks when a timer fires), and the currently armed timer timestamp

@@ -473,6 +473,82 @@ class StreamOpsSpec extends SparkSpec {
       wins.last == "2024-01-01 10:15:00.0")
   }
 
+  test("SCD-2 temporal enrich joins the version valid at EVENT time, " +
+    "NULLs uncovered events, and picks up a snapshot republish on " +
+    "restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_scd").toString
+    def writeDim(path: String,
+                 rows: Seq[(Long, String, String, Option[String])]): Unit =
+      rows.map { case (k, seg, from, to) =>
+        (k, seg, java.sql.Timestamp.valueOf(from + " 00:00:00"),
+          to.map(t => java.sql.Timestamp.valueOf(t + " 00:00:00")).orNull)
+      }.toDF("key", "segment", "valid_from", "valid_to")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    // user 1: GOLD before 2024-02-01, SILVER after; user 2: one open
+    // version from 2024-03-01 (events before it are uncovered)
+    writeDim(s"$root/v1", Seq(
+      (1L, "GOLD", "2024-01-01", Some("2024-02-01")),
+      (1L, "SILVER", "2024-02-01", None),
+      (2L, "BASIC", "2024-03-01", None)))
+    val ms = MemoryStream[Event]
+    val q1 = StreamOps.scdEnrich(ms.toDS().toDF(),
+        spark.read.parquet(s"$root/v1"))
+      .select(col("event_id"), col("segment"))
+      .writeStream.format("memory").queryName("t_scd")
+      .outputMode("append").start()
+    ms.addData(Seq(
+      ev(1, "2024-01-15 10:00:00", 1, "post", 0.0), // GOLD era
+      ev(2, "2024-02-15 10:00:00", 1, "post", 0.0), // SILVER era
+      ev(3, "2024-01-15 10:00:00", 2, "post", 0.0))) // before any version
+    q1.processAllAvailable()
+    q1.stop()
+    // republish as a NEW snapshot (user 2 gains history) and bounce the
+    // query — the documented pattern for path-backed dims (an in-place
+    // overwrite would fail the running stream with FILE_NOT_EXIST: the
+    // listing pins at query start; see scdEnrich's Scaladoc)
+    writeDim(s"$root/v2", Seq(
+      (1L, "GOLD", "2024-01-01", Some("2024-02-01")),
+      (1L, "SILVER", "2024-02-01", None),
+      (2L, "BASIC", "2024-03-01", None),
+      (2L, "TRIAL", "2024-01-01", Some("2024-03-01"))))
+    // a real bounce resumes from the committed offset; a fresh stream
+    // carrying only the post-restart batch models that here (the memory
+    // sink has no recovery - replaying 1-3 through q2 would re-enrich
+    // event 3 under the NEW snapshot, which is genuine reprocessing
+    // semantics, not what a checkpointed resume does)
+    val ms2 = MemoryStream[Event]
+    val q2 = StreamOps.scdEnrich(ms2.toDS().toDF(),
+        spark.read.parquet(s"$root/v2"))
+      .select(col("event_id"), col("segment"))
+      .writeStream.format("memory").queryName("t_scd2")
+      .outputMode("append").start()
+    ms2.addData(Seq(
+      ev(4, "2024-01-20 10:00:00", 1, "post", 0.0), // LATE GOLD-era event
+      ev(5, "2024-02-10 10:00:00", 2, "post", 0.0))) // TRIAL after refresh
+    q2.processAllAvailable()
+    q2.stop()
+    val got = (spark.sql("select event_id, segment from t_scd").collect() ++
+      spark.sql("select event_id, segment from t_scd2").collect())
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // the late event still sees GOLD — the property a current-version
+    // join silently violates for every late arrival
+    assert(got == Map(1L -> Some("GOLD"), 2L -> Some("SILVER"),
+      3L -> None, 4L -> Some("GOLD"), 5L -> Some("TRIAL")),
+      s"temporal enrich wrong: $got")
+    // SCD-2 windows must not overlap (the ≤1-match contract)
+    val versions = spark.read.parquet(s"$root/v2")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime,
+        Option(r.getTimestamp(3)).map(_.getTime).getOrElse(Long.MaxValue)))
+    versions.groupBy(_._1).values.foreach { g =>
+      val s = g.sortBy(_._2)
+      s.sliding(2).foreach { p =>
+        if (p.size == 2) assert(p(0)._3 <= p(1)._2, s"overlap in $s")
+      }
+    }
+  }
+
   test("stateful detector alarms on 3 consecutive errors, resets on success") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
