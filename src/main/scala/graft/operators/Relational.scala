@@ -35,6 +35,16 @@ object Relational {
   private val Money = org.apache.spark.sql.types.DecimalType(12, 2)
   private val Pct = org.apache.spark.sql.types.DecimalType(4, 2)
 
+  /** Exact discounted-revenue term — l_extendedprice·(1−l_discount) in
+    * DECIMAL, the ONE definition of the formula every TPC-H-shaped
+    * query aggregates (nine call sites previously spelled it inline; a
+    * precision or formula change now has a single home, in lockstep
+    * with every oracle's CAST(...DECIMAL(12,2)) × CAST(...DECIMAL(4,2))).
+    */
+  private def discountedRev: org.apache.spark.sql.Column =
+    col("l_extendedprice").cast(Money) *
+      (lit(1) - col("l_discount")).cast(Pct)
+
   /** Exact money sum rounded to whole units as BIGINT. */
   private def moneySum(c: org.apache.spark.sql.Column)
   : org.apache.spark.sql.Column = round(sum(c)).cast("long")
@@ -104,8 +114,7 @@ object Relational {
     import s.implicits._
     starJoin(s, dir)
       .groupBy($"r_name", $"n_name")
-      .agg(moneySum($"l_extendedprice".cast(Money)
-        * (lit(1) - $"l_discount").cast(Pct)).as("revenue"),
+      .agg(moneySum(discountedRev).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy($"r_name", $"n_name")
   }
@@ -118,8 +127,7 @@ object Relational {
     import s.implicits._
     starJoin(s, dir)
       .rollup($"r_name", $"n_name")
-      .agg(moneySum($"l_extendedprice".cast(Money)
-        * (lit(1) - $"l_discount").cast(Pct)).as("revenue"),
+      .agg(moneySum(discountedRev).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
@@ -234,8 +242,7 @@ object Relational {
       .join(broadcast(Tables(s, dir, "nation")),
         $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(moneySum($"l_extendedprice".cast(Money)
-        * (lit(1) - $"l_discount").cast(Pct)).as("revenue"),
+      .agg(moneySum(discountedRev).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy($"n_name")
   }
@@ -750,8 +757,7 @@ object Relational {
                   region: String = "ASIA",
                   nation: String = "NATION_2"): DataFrame = {
     import s.implicits._
-    val rev = $"l_extendedprice".cast(Money) *
-      (lit(1) - $"l_discount").cast(Pct)
+    val rev = discountedRev
     starJoin(s, dir)
       .filter($"r_name" === region)
       .groupBy(year($"o_orderdate").cast("long").as("o_year"))
@@ -801,8 +807,7 @@ object Relational {
     import s.implicits._
     val perPart = Tables(s, dir, "lineitem")
       .groupBy($"l_partkey")
-      .agg(sum($"l_extendedprice".cast(Money) *
-        (lit(1) - $"l_discount").cast(Pct)).as("rev"))
+      .agg(sum(discountedRev).as("rev"))
       .localCheckpoint(false)
     val total = perPart.agg(sum($"rev").as("total"),
       count(lit(1)).as("n_parts"))
@@ -866,8 +871,7 @@ object Relational {
     val perSupp = Tables(s, dir, "lineitem")
       .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
       .groupBy($"l_suppkey")
-      .agg(sum($"l_extendedprice".cast(Money) *
-        (lit(1) - $"l_discount").cast(Pct)).as("rev"))
+      .agg(sum(discountedRev).as("rev"))
       .localCheckpoint(false)
     val mx = perSupp.agg(max($"rev").as("mx"))
     perSupp.crossJoin(broadcast(mx))
@@ -942,8 +946,7 @@ object Relational {
       .join(broadcast(pair.select($"n_nationkey".as("ck"),
         $"n_name".as("cust_nation"))), $"c_nationkey" === $"ck")
       .select($"c_custkey", $"cust_nation")
-    val rev = $"l_extendedprice".cast(Money) *
-      (lit(1) - $"l_discount").cast(Pct)
+    val rev = discountedRev
     Tables(s, dir, "lineitem")
       .join(broadcast(suppN), $"l_suppkey" === $"s_suppkey")
       .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
@@ -989,8 +992,7 @@ object Relational {
     */
   def promoShare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rev = $"l_extendedprice".cast(Money) *
-      (lit(1) - $"l_discount").cast(Pct)
+    val rev = discountedRev
     Tables(s, dir, "lineitem")
       .join(broadcast(Tables(s, dir, "part")
         .select($"p_partkey", $"p_type")), $"l_partkey" === $"p_partkey")
@@ -1040,8 +1042,7 @@ object Relational {
     */
   def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rev = $"l_extendedprice".cast(Money) *
-      (lit(1) - $"l_discount").cast(Pct)
+    val rev = discountedRev
     val li = Tables(s, dir, "lineitem")
     val p = Tables(s, dir, "part")
       .select($"p_partkey", $"p_brand", $"p_size")
@@ -1177,8 +1178,7 @@ object Relational {
                       cutoff: String = "1996-06-01",
                       segment: String = "BUILDING"): DataFrame = {
     import s.implicits._
-    val rev = $"l_extendedprice".cast(Money) *
-      (lit(1) - $"l_discount").cast(Pct)
+    val rev = discountedRev
     val cust = Tables(s, dir, "customer")
       .filter($"c_mktsegment" === segment).select($"c_custkey")
     Tables(s, dir, "lineitem")
@@ -1226,8 +1226,7 @@ object Relational {
                           region: String = "ASIA",
                           year: String = "1996"): DataFrame = {
     import s.implicits._
-    val rev = $"l_extendedprice".cast(Money) *
-      (lit(1) - $"l_discount").cast(Pct)
+    val rev = discountedRev
     val nat = Tables(s, dir, "nation")
       .join(broadcast(Tables(s, dir, "region")
         .filter($"r_name" === region)), $"n_regionkey" === $"r_regionkey")
@@ -1302,8 +1301,7 @@ object Relational {
   def returnedCustomers(s: SparkSession, dir: String, k: Int = 20)
   : DataFrame = {
     import s.implicits._
-    val rev = $"l_extendedprice".cast(Money) *
-      (lit(1) - $"l_discount").cast(Pct)
+    val rev = discountedRev
     Tables(s, dir, "lineitem")
       .filter($"l_returnflag" === "R")
       .join(Tables(s, dir, "orders")

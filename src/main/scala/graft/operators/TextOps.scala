@@ -1366,7 +1366,11 @@ object TextOps {
     * construction (one per disjoint window), so the whole schedule is
     * one explode + arithmetic — no sequential mask-placement loop —
     * while global coverage stays at the target rate (tail tokens past
-    * the last full window stay unmasked, the documented bias). Output:
+    * the last full window stay unmasked, the documented bias). Offset
+    * draws over window−len+1 placements, so the span can sit flush
+    * against EITHER window edge — every position maskable (the first
+    * draft's modulus excluded the last placement, leaving the final
+    * token of every window structurally unmaskable). Output:
     * (doc_id, window_id, span_start, span_len), the mask schedule a
     * denoising-objective data loader consumes.
     *
@@ -1379,7 +1383,7 @@ object TextOps {
   def spanCorruption(s: SparkSession, dir: String, window: Int = 20)
   : DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
+    docs(s, dir)
       .select($"doc_id",
         size(filter(split($"text", " "), t => t =!= "")).cast("long")
           .as("n"))
@@ -1394,7 +1398,7 @@ object TextOps {
         expr("hv div 7").as("hq"))
       .select($"doc_id", $"window_id",
         ($"window_id" * window +
-          $"hq" % (lit(window) - $"span_len")).cast("long")
+          $"hq" % (lit(window) - $"span_len" + 1)).cast("long")
           .as("span_start"),
         $"span_len".cast("long"))
       .orderBy($"doc_id", $"window_id")
@@ -1414,7 +1418,7 @@ object TextOps {
       |    || CAST(win AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
       |  FROM w),
       |s AS (SELECT doc_id, win, 2 + (hv % 3) AS span_len,
-      |  (hv // 7) % (20 - (2 + hv % 3)) AS off
+      |  (hv // 7) % (20 - (2 + hv % 3) + 1) AS off
       |  FROM h)
       |SELECT doc_id, win AS window_id,
       |  CAST(win * 20 + off AS BIGINT) AS span_start,

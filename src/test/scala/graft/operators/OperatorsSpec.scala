@@ -2846,7 +2846,12 @@ class OperatorsSpec extends SparkSpec {
   test("Q3/Q5/Q6/Q10 shapes reconcile against local recomputes and keep " +
     "their rank/pushdown contracts") {
     import spark.implicits._
-    val cutoffMs = java.sql.Timestamp.valueOf("1996-06-01 00:00:00").getTime
+    // UTC-pinned epoch millis: Timestamp.valueOf uses the JVM default
+    // zone, which would shift the date boundaries off-UTC hosts while
+    // the Spark side (session TZ = UTC) would not
+    def utcMs(d: String) = java.time.Instant.parse(d + "T00:00:00Z")
+      .toEpochMilli
+    val cutoffMs = utcMs("1996-06-01")
     val orders = Tables(spark, sfTest, "orders")
       .select($"o_orderkey", $"o_custkey",
         $"o_orderdate".cast("timestamp").cast("long") * 1000,
@@ -2881,9 +2886,8 @@ class OperatorsSpec extends SparkSpec {
     }
     // Q6: pure pushdown aggregate — every predicate in PushedFilters,
     // and the value reconciles
-    val q6 = li.filter(r => r._2 >= java.sql.Timestamp
-        .valueOf("1996-01-01 00:00:00").getTime &&
-        r._2 < java.sql.Timestamp.valueOf("1997-01-01 00:00:00").getTime)
+    val q6 = li.filter(r => r._2 >= utcMs("1996-01-01") &&
+        r._2 < utcMs("1997-01-01"))
       .filter(r => r._4 >= 0.05 - 1e-9 && r._4 <= 0.07 + 1e-9)
     // quantity needs its own pull (not collected above) — reconcile via
     // the query's own count against an independent Spark filter count
@@ -2926,8 +2930,7 @@ class OperatorsSpec extends SparkSpec {
     // Q10: top-k rank reconciles on the returned-revenue rollup
     val q10 = li.filter(r => r._5 == "R").filter { r =>
       val o = om(r._1)
-      o._3 >= java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime &&
-        o._3 < java.sql.Timestamp.valueOf("1996-07-01 00:00:00").getTime
+      o._3 >= utcMs("1996-01-01") && o._3 < utcMs("1996-07-01")
     }.groupBy(r => om(r._1)._2).map { case (ck, g) =>
       (ck, g.map(r => rev2(r._3, r._4)).sum)
     }.toSeq.sortBy { case (ck, r) => (-r, ck) }.take(20)
