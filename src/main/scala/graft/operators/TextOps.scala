@@ -587,13 +587,24 @@ object TextOps {
     * no checkpoint barrier needed (plan-pinned: one scan + a
     * ReusedExchange).
     */
+  /** Top-`vocabSize` corpus vocabulary under the ONE tokenization +
+    * ranking rule (lowercase whitespace tokens; frequency desc, word
+    * tie-break) shared by [[oovRate]] and the streaming OOV monitor's
+    * frozen-vocab builder — the two gates cannot drift.
+    */
+  def corpusVocab(docsDf: DataFrame, vocabSize: Int = 25): DataFrame =
+    docsDf
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("nw"))
+      .orderBy(desc("nw"), col("word")).limit(vocabSize)
+      .select(col("word"))
+
   def oovRate(s: SparkSession, dir: String, vocabSize: Int = 25): DataFrame = {
     import s.implicits._
     val langWord = docs(s, dir)
       .select($"lang", explode(split(lower($"text"), " ")).as("word"))
       .groupBy($"lang", $"word").agg(count(lit(1)).as("n"))
-    val vocab = langWord.groupBy($"word").agg(sum($"n").as("nw"))
-      .orderBy(desc("nw"), $"word").limit(vocabSize)
+    val vocab = corpusVocab(docs(s, dir), vocabSize)
       .select($"word", lit(1).as("in_vocab"))
     langWord.join(broadcast(vocab), Seq("word"), "left")
       .groupBy($"lang")

@@ -265,6 +265,37 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** STREAMING OOV MONITOR (s_oov) — the live twin of `q_oov_rate` and
+    * the token-level sibling of [[contentNovelty]]'s shingle monitor:
+    * arriving documents' tokens are checked against a FROZEN top-N
+    * vocabulary (built by the SAME `TextOps.corpusVocab` rule the batch
+    * query ranks with — one tokenization + tie-break source, the gates
+    * cannot drift), and the stream maintains exact running
+    * (n_tokens, n_oov) counters per language. The tokenizer-health
+    * telemetry a training-data deploy watches: a feed drifting into a
+    * vocabulary the tokenizer can't cover moves its OOV rate on the
+    * next micro-batch — BEFORE the tokens reach a training run as UNK
+    * storms.
+    *
+    * Shapes: tokenization in the stateless projection; the frozen vocab
+    * is vocabSize rows — it BROADCASTS (unlike the corpus-sized shingle
+    * set [[contentNovelty]] must join); state is two exact counters per
+    * language, forever bounded, no watermark (totals, not windows).
+    * Update-mode emission; replay-deterministic under any micro-batch
+    * split (spec pins final ≡ the batch recompute).
+    */
+  def oovMonitor(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), explode(split(lower(col("text")), " "))
+        .as("word"))
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("word"),
+        "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+
   /** Frozen corpus shingle set for [[contentNovelty]] — distinct shingles
     * of the historical documents table under the same shingle rule.
     */

@@ -226,6 +226,49 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed("src_new")._3 > 0.0)
   }
 
+  test("streaming OOV monitor tracks per-lang rates against the frozen " +
+    "vocab and equals the batch recompute under uneven splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = graft.operators.TextOps.corpusVocab(
+      Tables(spark, sfTest, "documents"))
+    val vocabSet = vocab.as[String].collect().toSet
+    assert(vocabSet.size == 25)
+    // lang "known" streams pure-vocab text (rate 0); lang "drift" mixes
+    // vocab words with unseen tokens the tokenizer would UNK
+    val known = (0 until 6).map { i =>
+      (i.toLong, "known", vocabSet.toSeq.sorted.take(8).mkString(" ")) }
+    val drift = (0 until 9).map { i =>
+      (100L + i, "drift",
+        s"qq$i rr$i " + vocabSet.toSeq.sorted.take(3).mkString(" ")) }
+    val all = (known ++ drift).toSeq
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamOps.oovMonitor(
+      ms.toDS().toDF("doc_id", "lang", "text"), vocab)
+      .writeStream.format("memory").queryName("t_oov")
+      .outputMode("complete").start()
+    all.grouped(4).foreach { g =>
+      ms.addData(g.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.sql(
+      "select lang, n_tokens, n_oov, oov_rate from t_oov").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    q.stop()
+    val expected = all.flatMap { case (_, lang, t) =>
+      t.toLowerCase.split(" ").map(w => (lang, w)) }
+      .groupBy(_._1).view.mapValues { g =>
+        val oov = g.count(p => !vocabSet(p._2)).toLong
+        (g.size.toLong, oov,
+          BigDecimal(oov.toDouble / g.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+    assert(streamed == expected)
+    assert(streamed("known")._2 == 0L, "pure-vocab feed must read 0 OOV")
+    assert(streamed("drift")._3 > 0.3, "unseen tokens must move the rate")
+  }
+
   test("streaming quality monitor: running counters equal the batch gate " +
     "under uneven micro-batches; a corrupting producer moves its counters") {
     import spark.implicits._
