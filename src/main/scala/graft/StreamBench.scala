@@ -164,6 +164,27 @@ object StreamBench {
       q.stop()
       "media_dedup" -> (media.length / secs)
     }
+    def runOov(): (String, Double) = {
+      val docs = Tables(spark, sfDir, "documents")
+        .select($"doc_id", $"lang", $"text")
+        .as[(Long, String, String)].collect()
+      val vocab = graft.operators.TextOps
+        .corpusVocab(Tables(spark, sfDir, "documents"))
+        .localCheckpoint(true) // freeze: the monitor must not rescan
+      val ms = MemoryStream[(Long, String, String)]
+      val q = StreamOps.oovMonitor(
+        ms.toDS().toDF("doc_id", "lang", "text"), vocab)
+        .writeStream.format("memory").queryName("sb_oov")
+        .outputMode("complete").start()
+      val t0 = System.nanoTime()
+      docs.grouped(500).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      "oov" -> (docs.length / secs)
+    }
     val results = Seq(
       run("tumbling", StreamOps.tumbling, "update"),
       run("dedup", StreamOps.dedup, "append"),
@@ -180,6 +201,7 @@ object StreamBench {
       runJoin("join_outer", StreamOps.conversionJoinOuter),
       runReservoir(),
       runNovelty(),
+      runOov(),
       runMediaDedup())
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
