@@ -587,24 +587,35 @@ object TextOps {
     * no checkpoint barrier needed (plan-pinned: one scan + a
     * ReusedExchange).
     */
-  /** Top-`vocabSize` corpus vocabulary under the ONE tokenization +
-    * ranking rule (lowercase whitespace tokens; frequency desc, word
+  /** The ONE word-tokenization expression (lowercase whitespace split)
+    * and the ONE vocabulary RANKING rule (frequency desc, word
     * tie-break) shared by [[oovRate]] and the streaming OOV monitor's
-    * frozen-vocab builder — the two gates cannot drift.
+    * frozen-vocab builder — the two gates cannot drift. [[oovRate]]
+    * ranks from its existing (lang, word) aggregate so its plan keeps
+    * the single corpus scan its PlanSpec pin requires; the stream-side
+    * [[corpusVocab]] tokenizes a static docs table directly.
     */
-  def corpusVocab(docsDf: DataFrame, vocabSize: Int = 25): DataFrame =
-    docsDf
-      .select(explode(split(lower(col("text")), " ")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("nw"))
-      .orderBy(desc("nw"), col("word")).limit(vocabSize)
+  private[graft] def wordTokens: org.apache.spark.sql.Column =
+    explode(split(lower(col("text")), " "))
+
+  def vocabFromCounts(wordCounts: DataFrame, vocabSize: Int = 25)
+  : DataFrame =
+    wordCounts.orderBy(desc("nw"), col("word")).limit(vocabSize)
       .select(col("word"))
+
+  def corpusVocab(docsDf: DataFrame, vocabSize: Int = 25): DataFrame =
+    vocabFromCounts(
+      docsDf.select(wordTokens.as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("nw")),
+      vocabSize)
 
   def oovRate(s: SparkSession, dir: String, vocabSize: Int = 25): DataFrame = {
     import s.implicits._
     val langWord = docs(s, dir)
-      .select($"lang", explode(split(lower($"text"), " ")).as("word"))
+      .select($"lang", wordTokens.as("word"))
       .groupBy($"lang", $"word").agg(count(lit(1)).as("n"))
-    val vocab = corpusVocab(docs(s, dir), vocabSize)
+    val vocab = vocabFromCounts(
+        langWord.groupBy($"word").agg(sum($"n").as("nw")), vocabSize)
       .select($"word", lit(1).as("in_vocab"))
     langWord.join(broadcast(vocab), Seq("word"), "left")
       .groupBy($"lang")

@@ -286,8 +286,7 @@ object StreamOps {
     */
   def oovMonitor(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs
-      .select(col("lang"), explode(split(lower(col("text")), " "))
-        .as("word"))
+      .select(col("lang"), graft.operators.TextOps.wordTokens.as("word"))
       .join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("word"),
         "left_outer")
       .groupBy(col("lang"))
