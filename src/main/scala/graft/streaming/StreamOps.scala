@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
@@ -1083,44 +1083,76 @@ object StreamOps {
     * `Multimodal.mediaHash` the batch audits compute (aHash for
     * images, the PCM energy-grid `audioHash` for WAV, first-frame
     * aHash for video — one formula source per codec, the gates cannot
-    * drift) and dropped when a perceptually identical blob (same
-    * (codec, 64-bit hash): any re-encode or content-identical
-    * re-render) already exists in the frozen corpus hash set, then
-    * deduped within the stream on the same key so a novel blob re-sent
-    * twice is admitted once. Undecodable payloads are EXCLUDED from
-    * this gate's output (a NULL hash can neither match the corpus nor
-    * dedup within the stream — streaming dropDuplicates would wrongly
-    * collapse all NULLs to one row); route them through the
-    * dead-letter half of the ingest pipeline
+    * drift) and dropped when a perceptually NEAR-identical blob
+    * already exists in the frozen corpus hash set — same codec, hash
+    * within hamming ≤ `maxHamming` (default 3: re-encodes and
+    * content-identical re-renders land at 0; a 2× RESAMPLE moves ≤ 3
+    * bits, the `Multimodal.audioHash`/`aHash` invariance contract, so
+    * resampled corpus dups are caught too — VERDICT r12 item 1). The
+    * stream then dedups within itself on the exact (codec, hash) key
+    * so a novel blob re-sent twice is admitted once. Undecodable
+    * payloads are EXCLUDED from this gate's output (a NULL hash can
+    * neither match the corpus nor dedup within the stream — streaming
+    * dropDuplicates would wrongly collapse all NULLs to one row);
+    * route them through the dead-letter half of the ingest pipeline
     * (`WebhookIngest`/`Quality.split`) where unparseable payloads
     * already land.
     *
     * Shapes: decode runs in the stateless typed flatMap (pixels never
-    * enter state — 8 hash bytes do); corpus membership is a stream–static
-    * LEFT ANTI join re-resolved per micro-batch (a nightly index refresh
-    * is picked up without restart); in-stream dedup is streaming
-    * `dropDuplicates` on the hash — one state entry per distinct
-    * ADMITTED image, the ingest-gate contract (the
-    * [[dedupAgainstCorpus]] state note applies verbatim). Hamming-
-    * tolerant matching (≤ 3 bits) belongs to the batch
-    * `Multimodal.phashDupPairs` pass over the admitted set.
+    * enter state — 8 hash bytes do). Corpus membership is hamming-
+    * tolerant WITHOUT a stream-side aggregation (append-mode-safe):
+    * the static corpus is bucketed per (codec, 16-bit band slice) into
+    * candidate-hash arrays — the `mediaDupPairs` 4-band pigeonhole, so
+    * any hash within hamming ≤ 3 of a corpus hash MUST hit one of its
+    * 4 bucket keys exactly — and the stream takes 4 stream–static
+    * left-outer equi-joins (one per band, re-resolved per micro-batch
+    * so a nightly index refresh is picked up without restart), keeping
+    * a row only when no candidate in any of its 4 buckets verifies
+    * within `maxHamming` under the exact `bit_count(xor)` check.
+    * Bucket arrays hold n_codec/2^16 hashes per band in expectation —
+    * the LSH-band bound the whole banded-dedup family rides; a corpus
+    * with a pathological hot slice (billions of near-constant hashes)
+    * should pre-thin those buckets at index-build time. In-stream
+    * dedup stays streaming `dropDuplicates` on the EXACT key — one
+    * state entry per distinct admitted blob, the ingest-gate contract
+    * (the [[dedupAgainstCorpus]] state note applies verbatim); near-dup
+    * CLUSTERING of admitted media remains the batch
+    * `Multimodal.mediaDupPairs` pass.
     */
-  def mediaDedup(media: DataFrame, corpusHashes: DataFrame): DataFrame = {
+  def mediaDedup(media: DataFrame, corpusHashes: DataFrame,
+                 maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"mediaDedup: 4-band pigeonhole covers maxHamming<=3, got $maxHamming")
     val s = media.sparkSession
     import s.implicits._
+    def slice(c: Column, b: Int): Column =
+      shiftrightunsigned(c, 16 * b).bitwiseAND(lit(65535L))
     // codec-dispatched fingerprints since round 12 (audio and video
     // carry hashes too — a re-encoded audio duplicate no longer passes
     // the gate unexamined); the dedup key is (codec, bits) so modalities
     // can never collapse into one another
-    media.select(col("media_id"), col("content"))
+    val hashed = media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         graft.operators.Multimodal.mediaHash(bytes)
           .map { case (codec, h) => (id, codec, h) }
       }
       .toDF("media_id", "codec", "phash_bits")
-      .join(corpusHashes.select(col("codec"), col("phash_bits")),
-        Seq("codec", "phash_bits"), "left_anti")
+    val joined = (0 until 4).foldLeft(hashed) { (df, b) =>
+      val bucket = corpusHashes
+        .select(col("codec"), slice(col("phash_bits"), b).as(s"k$b"),
+          col("phash_bits").as("c"))
+        .groupBy(col("codec"), col(s"k$b"))
+        .agg(collect_list(col("c")).as(s"cand$b"))
+      df.withColumn(s"k$b", slice(col("phash_bits"), b))
+        .join(bucket, Seq("codec", s"k$b"), "left_outer")
+    }
+    val noCorpusMatch = (0 until 4).map { b =>
+      col(s"cand$b").isNull || !exists(col(s"cand$b"),
+        c => bit_count(c.bitwiseXOR(col("phash_bits"))) <= lit(maxHamming))
+    }.reduce(_ && _)
+    joined.filter(noCorpusMatch)
+      .select(col("media_id"), col("codec"), col("phash_bits"))
       .dropDuplicates("codec", "phash_bits")
   }
 

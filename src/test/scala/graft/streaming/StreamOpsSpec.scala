@@ -1157,6 +1157,61 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming media gate drops a 2x RESAMPLED corpus audio dup " +
+    "(hamming-tolerant corpus match, not just exact re-encodes)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // amplitude-modulated tone rendered at two sample rates: same
+    // content, DIFFERENT bytes and (within <=3 bits) different hash —
+    // the case the r12 exact-hash gate provably let through
+    def amWav(rate: Float, f: Double, mod: Double): Array[Byte] = {
+      val n = (rate * 0.19).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val t = i / rate.toDouble
+        val a = (math.sin(2 * math.Pi * f * t) *
+          (0.5 + 0.5 * math.sin(2 * math.Pi * mod * t)) * 12000).toInt
+        pcm(2 * i) = (a & 0xff).toByte
+        pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // (470 Hz, 12.1 Hz envelope, 0.19 s) measured: the 2x re-render
+    // lands exactly 1 bit from the original — the NEAR case — while the
+    // 333 Hz tone below sits 24 bits away
+    val corpusWav = amWav(8000f, 470, 12.1)
+    val resampled = amWav(16000f, 470, 12.1) // 2x re-render, same content
+    val hc = Multimodal.audioHash(corpusWav).get
+    val hr = Multimodal.audioHash(resampled).get
+    assert(hc != hr, "fixture must exercise the NEAR path, not exact")
+    assert(java.lang.Long.bitCount(hc ^ hr) <= 3)
+    val freshWav = amWav(8000f, 333, 10) // different tone — >3 bits away
+    assert(java.lang.Long.bitCount(
+      hc ^ Multimodal.audioHash(freshWav).get) > 3,
+      "admitted fixture drifted within the gate's tolerance")
+    val corpus = StreamOps.mediaCorpusHashes(Seq(corpusWav).toDF("content"))
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.mediaDedup(
+      ms.toDS().toDF("media_id", "content"), corpus)
+      .writeStream.format("memory").queryName("t_media_near")
+      .outputMode("append").start()
+    ms.addData(Seq(
+      (1L, resampled), // near corpus dup (hamming 1..3) → dropped
+      (2L, freshWav))) // genuinely new → admitted
+    q.processAllAvailable()
+    val got = spark.sql("select media_id from t_media_near").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(2L), s"near gate admitted $got")
+  }
+
   test("idle users' alarm state is evicted by the event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
