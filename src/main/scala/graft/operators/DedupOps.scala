@@ -1786,10 +1786,14 @@ object DedupOps {
     * a counter per fingerprint, NO pair generation (the
     * `q_dedup_substring` argument: a boilerplate fingerprint shared by a
     * million docs is one window group, never 10¹² pairs). Determinism:
-    * the min key is an 18-char string — 8 hex chars of md5 ‖ the
-    * zero-padded inverted position — so lexicographic min IS
-    * (hash asc, position desc) exactly, in both engines; everything
-    * else is exact integer arithmetic.
+    * the min key packs (32-bit md5 prefix, inverted position < 2³¹)
+    * into ONE long — `hash·2³¹ + (2³¹−1−i)` — whose numeric order is
+    * exactly (hash asc, position desc), the same total order the
+    * oracle's 18-char string key (8 hex chars ‖ zero-padded inverted
+    * position) sorts by, so both engines select the identical gram; the
+    * long form keeps the min window, the df window, and the pair join
+    * on 8-byte keys instead of strings (VERDICT r12: the 8-hex-char
+    * join key was q_winnow_pairs' flagged constant factor).
     */
   def winnowFingerprints(s: SparkSession, dir: String,
                          w: Int = DefaultWinnowW): DataFrame = {
@@ -1807,29 +1811,46 @@ object DedupOps {
 
   /** Distinct selected winnowing fingerprints per doc — the shared
     * pipeline under [[winnowFingerprints]] (per-doc report) and
-    * [[winnowPairs]] (candidate pair list): one positional explode, the
-    * doc-partitioned min window, full-windows filter, DISTINCT.
+    * [[winnowPairs]] (candidate pair list).
+    *
+    * r13 shape: the ENTIRE selection runs in the array domain inside
+    * one projection per document — gram keys via `transform` (md5 per
+    * gram, same formula the oracle runs), the sliding min via
+    * `transform` + `array_min(slice(…))`, per-doc dedup via
+    * `array_distinct` — and only the selected fingerprints (winnowed
+    * density ≈ 2/(w+1) of positions) ever become rows. The previous
+    * form exploded EVERY gram to a row and paid two gram-volume
+    * exchanges (the doc-window sort and the DISTINCT) before shrinking;
+    * the WinnowExp decomposition showed that selection stage was ~⅔ of
+    * q_winnow_pairs' wall. Selection is per-doc local, so nothing
+    * gram-sized ever shuffles; the array transient is O(doc tokens) —
+    * the same bound the tokens array itself already set.
     */
-  private def winnowFps(s: SparkSession, dir: String, w: Int): DataFrame = {
+  private[graft] def winnowFps(s: SparkSession, dir: String,
+                               w: Int): DataFrame = {
     import s.implicits._
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"i").rowsBetween(0, w - 1)
     docsParallel(s, dir)
       .select($"doc_id",
         expr("filter(split(text, ' '), t -> t != '')").as("ts"))
       .filter(size($"ts") >= N)
       .select($"doc_id", (size($"ts") - (N - 1)).cast("long").as("n_grams"),
-        $"ts", explode(sequence(lit(1), size($"ts") - (N - 1))).as("i"))
-      .select($"doc_id", $"n_grams", $"i",
-        concat(substring(md5(array_join(slice($"ts", $"i", lit(N)), " ")),
-          1, 8),
-          lpad((lit(9999999999L) - $"i").cast("string"), 10, "0")).as("key"))
-      .withColumn("sk", min($"key").over(win))
+        $"ts")
+      // hash·2³¹ + (2³¹−1−i): numeric min ≡ (hash asc, position desc),
+      // the oracle's string-key order — see the Determinism note
+      .select($"doc_id", $"n_grams",
+        expr(s"""transform(sequence(1, cast(n_grams as int)), i ->
+          cast(conv(substring(md5(array_join(slice(ts, i, $N), ' ')),
+            1, 8), 16, 10) as bigint) * 2147483648
+          + (2147483647 - i))""").as("keys"))
       // full windows only: window j exists for j ≤ P − w + 1; a doc with
       // fewer than w grams keeps its single all-grams window at j = 1
-      .filter($"i" <= greatest($"n_grams" - (w - 1), lit(1L)))
-      .select($"doc_id", $"n_grams", substring($"sk", 1, 8).as("fp"))
-      .distinct()
+      .select($"doc_id", $"n_grams",
+        explode(expr(s"""array_distinct(transform(
+          sequence(1, cast(greatest(n_grams - ${w - 1}, 1) as int)),
+          j -> shiftrightunsigned(
+            array_min(slice(keys, j,
+              least($w, cast(n_grams as int) - j + 1))), 31)))"""))
+          .as("fp"))
   }
 
   /** Winnowing CANDIDATE PAIRS — the match list the fingerprint index
@@ -1847,27 +1868,41 @@ object DedupOps {
     * single-collision noise.
     *
     * Scale shape: the bounded-posting-list class — fingerprints with
-    * df > `maxDf` are dropped BEFORE the self-join (a boilerplate
-    * fingerprint in a million docs would otherwise pay df² pairs; the
-    * winnowed density bound keeps the fingerprint table a constant
-    * fraction of the corpus, and the cap bounds any key's join cost at
-    * maxDf²), singletons (df = 1) can't form pairs and are dropped with
-    * the same window. Oracle applies the identical cap.
+    * df > `maxDf` are dropped BEFORE any pair is generated (a
+    * boilerplate fingerprint in a million docs would otherwise pay df²
+    * pairs; the winnowed density bound keeps the fingerprint table a
+    * constant fraction of the corpus, and the cap bounds any key's
+    * pair cost at maxDf²), singletons (df = 1) can't form pairs and
+    * are dropped by the same df gate. Oracle applies the identical cap.
+    *
+    * r13 plan: ONE consumer chain — the df gate stays a count window
+    * over the fp key (a second df-aggregate consumer would broadcast
+    * and re-run the whole selection subtree: measured in WinnowExp),
+    * the capped survivors collect into sorted posting lists on the
+    * window's OWN fp partitioning (no new exchange), and pairs are
+    * generated inside the array domain (`transform` over the ≤ maxDf
+    * list) and aggregated on (da, db) — deleting the old a×b
+    * self-join's second probe. The collect_list runs AFTER the df
+    * cap, so no posting array ever exceeds maxDf; the pathological
+    * boilerplate fp is counted by the window (spillable sort), never
+    * buffered as a list.
     */
   def winnowPairs(s: SparkSession, dir: String, w: Int = DefaultWinnowW,
                   minShared: Int = DefaultWinnowMinShared,
                   maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     import s.implicits._
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
-    val fps = winnowFps(s, dir, w)
+    winnowFps(s, dir, w)
       .withColumn("nd", count(lit(1)).over(byFp))
       .filter($"nd" >= 2 && $"nd" <= maxDf)
-      .select($"doc_id", $"fp")
-    val a = fps.toDF("da", "fp")
-    val b = fps.toDF("db", "fp")
-    a.join(b, Seq("fp"))
-      .filter($"da" < $"db")
-      .groupBy($"da", $"db").agg(count(lit(1)).as("n_shared"))
+      .groupBy($"fp")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), b ->
+          |    struct(a AS da, b AS db))))""".stripMargin)).as("p"))
+      .groupBy($"p.da".as("da"), $"p.db".as("db"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= minShared)
       .orderBy($"da", $"db")
   }

