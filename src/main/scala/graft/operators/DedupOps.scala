@@ -119,13 +119,22 @@ object DedupOps {
     seen
   }
 
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docsParallel(s, dir)
-      .select($"doc_id", $"text").as[(Long, String)]
+  /** (doc_id, s) distinct-shingle rows of any (doc_id, text) frame —
+    * the one shingle formula, shared by the dir-based pipelines here
+    * and the streaming cluster maintainer (whose stream≡batch contract
+    * depends on byte-identical shingling).
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) => shingleSet(text).iterator.map((id, _)) }
       .toDF("doc_id", "s")
   }
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(docsParallel(s, dir))
 
   /** Corpus-scale variant of [[ngramJaccard]]: AllPairs/PPJoin-style
     * PREFIX FILTERING (Bayardo, Ma & Srikant, "Scaling Up All Pairs
@@ -1038,8 +1047,8 @@ object DedupOps {
     * ContextCleaner reclaims them. On a cluster, `checkpoint` against
     * the fault-tolerant checkpoint dir is the same seam.
     */
-  private[operators] def clusterPairs(s: SparkSession, pairs: DataFrame,
-                                      switchRounds: Int = 20): DataFrame = {
+  private[graft] def clusterPairs(s: SparkSession, pairs: DataFrame,
+                                  switchRounds: Int = 20): DataFrame = {
     import s.implicits._
     // LAZY localCheckpoint throughout: the per-round convergence-sum action
     // materializes the checkpoint in the SAME job (eager would pay a

@@ -1212,6 +1212,90 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set(2L), s"near gate admitted $got")
   }
 
+  test("streaming cluster maintenance: stream ≡ batch CC recompute on " +
+    "the union corpus at every micro-batch boundary, incl. a cluster " +
+    "merge; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val thr = 0.3
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_cmaint").toString
+    val resultPath = java.nio.file.Files
+      .createTempDirectory("graft_cmaint_res").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cmaint_ck").toString
+    // init corpus: two 2-doc near-dup clusters {1,2} and {5,6} + a
+    // singleton 9 (4 shingles per text; variants share 3 → jac 0.6)
+    val t1 = "a b c d e f"; val t2 = "a b c d e g"
+    val t5 = "p q r s t u"; val t6 = "p q r s t v"
+    val t9 = "x y z w h k"
+    val corpus = Seq((1L, t1), (2L, t2), (5L, t5), (6L, t6), (9L, t9))
+    ClusterMaint.init(corpus.toDF("doc_id", "text"), statePath,
+      threshold = thr)
+    // batch CC ≡ check against a from-scratch dedupClusters on the
+    // union corpus written as a documents table
+    def checkAgainstBatch(union: Seq[(Long, String)], tag: String): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_cmaint_$tag").toString
+      union.map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val batch = graft.operators.DedupOps
+        .dedupClusters(spark, dir, threshold = thr)
+        .select($"doc_id", $"cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val stream = ClusterMaint.assignments(spark, statePath).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stream == batch, s"[$tag] stream $stream vs batch $batch")
+    }
+    checkAgainstBatch(corpus, "init")
+    val ms = MemoryStream[(Long, String)]
+    val q = ClusterMaint.start(ms.toDF().toDF("doc_id", "text"),
+      statePath, resultPath, ckpt, threshold = thr)
+    // batch 0: 11 joins cluster 1; {12,13} form a NEW cluster; 15 is a
+    // singleton (reported, never persisted)
+    val t11 = "a b c d e h"
+    val t12 = "m n o p2 q3 r2"; val t13 = "m n o p2 q3 r3"
+    val t15 = "zz yy xx ww vv uu"
+    ms.addData(Seq((11L, t11), (12L, t12), (13L, t13), (15L, t15)))
+    q.processAllAvailable()
+    val b0 = spark.read.parquet(resultPath).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_new_cluster")))
+      .toMap
+    assert(b0(11L) == (1L, false), s"doc 11 got ${b0(11L)}")
+    assert(b0(12L) == (12L, true) && b0(13L) == (12L, true))
+    assert(b0(15L) == (15L, true))
+    val union0 = corpus ++ Seq((11L, t11), (12L, t12), (13L, t13),
+      (15L, t15))
+    checkAgainstBatch(union0, "b0")
+    // batch 1: doc 14 BRIDGES clusters {1,2,11} and {5,6} (4 shared
+    // shingles with each family, 10 of its own → jac 0.4 ≥ 0.3) — the
+    // merge event: the union CC collapses both into cluster 1
+    val t14 = t1 + " " + t5
+    ms.addData(Seq((14L, t14)))
+    q.processAllAvailable()
+    q.stop()
+    val b1 = spark.read.parquet(s"$resultPath/batch_id=1").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_new_cluster")))
+      .toMap
+    assert(b1(14L) == (1L, false), s"bridge doc got ${b1(14L)}")
+    val union1 = union0 :+ (14L, t14)
+    checkAgainstBatch(union1, "b1")
+    // absorbed cluster 5's members now resolve to 1 through the merge map
+    val a = ClusterMaint.assignments(spark, statePath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a(5L) == 1L && a(6L) == 1L && a(14L) == 1L)
+    assert(!a.contains(15L), "singletons must not persist in assign/")
+    // crash-replay idempotence: re-apply batch 1 against the advanced
+    // state — the dynamic overwrite + resolved merge map must converge
+    ClusterMaint.applyBatch(Seq((14L, t14)).toDF("doc_id", "text"), 1L,
+      statePath, threshold = thr)
+    checkAgainstBatch(union1, "replay")
+  }
+
   test("idle users' alarm state is evicted by the event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
