@@ -51,7 +51,10 @@ object CellExp {
     import spark.implicits._
     val src = "/root/testdata/sf0.1"
     for (k <- copies) {
-      val dir = s"/tmp/cellx_$k"
+      // recipe-version token in the path (ADVICE r12): existence-keyed
+      // reuse of /tmp/cellx_$k silently measured stale data whenever
+      // the replica recipe changed; bump v2→v3… with any recipe edit
+      val dir = s"/tmp/cellx_v2_$k"
       if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
         val base = spark.read.parquet(s"$src/embeddings.parquet")
         val n = base.count()

@@ -935,7 +935,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q_oov_rate" ->
       """WITH toks AS (SELECT lang,
-        |  UNNEST(string_split(lower(text), ' ')) AS word FROM documents),
+        |  UNNEST(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS word FROM documents),
         |vocab AS (SELECT word, 1 AS in_vocab FROM (
         |  SELECT word, COUNT(*) AS nw FROM toks GROUP BY 1
         |  ORDER BY nw DESC, word LIMIT 25))

@@ -587,16 +587,21 @@ object TextOps {
     * no checkpoint barrier needed (plan-pinned: one scan + a
     * ReusedExchange).
     */
-  /** The ONE word-tokenization expression (lowercase whitespace split)
-    * and the ONE vocabulary RANKING rule (frequency desc, word
+  /** The ONE word-tokenization expression (lowercase whitespace split,
+    * EMPTY TOKENS DROPPED — ADVICE r12: consecutive spaces previously
+    * yielded "" tokens that corpusVocab could seat in a top-25 vocab
+    * slot and oovMonitor tallied as tokens, while bpeMerges and
+    * spanCorruption filtered them — two tokenization rules in one
+    * file) and the ONE vocabulary RANKING rule (frequency desc, word
     * tie-break) shared by [[oovRate]] and the streaming OOV monitor's
     * frozen-vocab builder — the two gates cannot drift. [[oovRate]]
     * ranks from its existing (lang, word) aggregate so its plan keeps
     * the single corpus scan its PlanSpec pin requires; the stream-side
-    * [[corpusVocab]] tokenizes a static docs table directly.
+    * [[corpusVocab]] tokenizes a static docs table directly. The batch
+    * oracle SQL applies the identical empty filter.
     */
   private[graft] def wordTokens: org.apache.spark.sql.Column =
-    explode(split(lower(col("text")), " "))
+    explode(expr("filter(split(lower(text), ' '), t -> t != '')"))
 
   def vocabFromCounts(wordCounts: DataFrame, vocabSize: Int = 25)
   : DataFrame =

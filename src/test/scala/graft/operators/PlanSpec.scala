@@ -145,13 +145,12 @@ class PlanSpec extends SparkSpec {
   test("funnel stages materialize once — consumers read checkpointed rows") {
     // shared-subplan cut (lazy localCheckpoint): without it the events
     // scan re-executes per consumer branch — ~6× in the funnel chain,
-    // 3× in dau/mau and gapfill, 2× in cohort retention (measured; zero
-    // exchange reuse fires for any of them). The top-level plan must
-    // read only RDD scans — zero parquet scans means no recompute.
-    // (q_dau_mau left this set in r9: its single-pass interval form has
-    // exactly one consumer of the scan, pinned in its own test above.)
-    for (q <- Seq("q_funnel", "q_conversion_lag",
-        "q_cohort_retention", "q_gapfill")) {
+    // 3× in dau/mau and gapfill (measured; zero exchange reuse fires
+    // for any of them). The top-level plan must read only RDD scans —
+    // zero parquet scans means no recompute. (q_dau_mau left this set
+    // in r9 and q_cohort_retention in r13: their single-consumer
+    // window forms read the scan exactly once, pinned below.)
+    for (q <- Seq("q_funnel", "q_conversion_lag", "q_gapfill")) {
       val scans = SparkEntry.queries(q)(spark, sfTest)
         .queryExecution.executedPlan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => f
@@ -159,6 +158,18 @@ class PlanSpec extends SparkSpec {
       assert(scans.isEmpty,
         s"$q re-reads events ${scans.size}× — stage checkpoint cut lost")
     }
+    // cohort retention (r13): min(day) window over user — one lazy
+    // chain, no checkpoint, no join; exactly one events scan
+    val p = SparkEntry.queries("q_cohort_retention")(spark, sfTest)
+      .queryExecution.executedPlan
+    val scans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1,
+      s"q_cohort_retention must read events exactly once, got ${scans.length}")
+    assert(!"(SortMerge|BroadcastHash|ShuffledHash)Join"
+      .r.findFirstIn(p.toString).isDefined,
+      s"cohort retention regressed to the first-day self-join:\n$p")
   }
 
   test("substring dup is join-free: one scan, one explode, digests not " +
@@ -679,17 +690,20 @@ class PlanSpec extends SparkSpec {
       s"corpus rows entered a single-partition exchange:\n$p")
   }
 
-  test("winnow pairs: the selection pipeline is computed once " +
-    "(ReusedExchange) and the fp join stays unhinted") {
+  test("winnow pairs: join-free posting-list plan — one scan, one fp " +
+    "exchange, pairs generated in the array domain") {
     val p = physical("q_winnow_pairs")
-    // both self-join sides derive from the same explode+min-window plan;
-    // the fp-partition exchange must be REUSED, not recomputed — the
-    // expensive positional-gram pass runs exactly once
-    assert(p.contains("ReusedExchange"),
-      s"winnow pipeline recomputed for the self-join side:\n$p")
-    assert("ResolvedHint".r.findAllIn(analyzed("q_winnow_pairs")).isEmpty,
-      "the fp join must stay unhinted (stats pick the strategy)")
-    assert(!p.contains("CartesianProduct"))
+    // r13 shape: selection in the array domain (one documents scan),
+    // df window + capped collect_list on ONE fp-keyed exchange, pair
+    // generation via transform/explode — the a×b self-join (and its
+    // second probe of the selection pipeline) is gone entirely
+    assert(!"(SortMerge|BroadcastHash|ShuffledHash|BroadcastNestedLoop)Join"
+      .r.findFirstIn(p).isDefined && !p.contains("CartesianProduct"),
+      s"winnow pairs must not join:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      s"documents scanned more than once:\n$p")
+    assert("Exchange hashpartitioning\\(fp".r.findAllIn(p).size <= 1,
+      s"selection pipeline shuffled to the fp key more than once:\n$p")
   }
 
   test("market share: the region filter pushes into the dim scan and " +
