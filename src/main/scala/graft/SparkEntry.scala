@@ -178,6 +178,13 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.bpeMerges(s, d)),
     "q_bpe_encode" ->
       ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
+    // round 13: the second tokenizer family — unigram-LM (SentencePiece
+    // class) EM training + encode; same vocab-table discipline, no SQL
+    // oracle, spec-pinned vs an independent local recompute
+    "q_unigram_train" ->
+      ((s: SparkSession, d: String) => TextOps.unigramTrain(s, d)),
+    "q_unigram_encode" ->
+      ((s: SparkSession, d: String) => TextOps.unigramEncode(s, d)),
     "q_span_corruption" ->
       ((s: SparkSession, d: String) => TextOps.spanCorruption(s, d)),
     // round 11, batch 6: leak attribution, signal calibration, threshold
@@ -289,7 +296,8 @@ object SparkEntry {
     * reasonable cost), q_multimodal / q_media_phash / q_media_audio
     * (JDK codec + renderer work), q_bpe_merges / q_bpe_encode (iterative
     * argmax-and-rewrite + its learned-merge apply, the k-means
-    * exemption); each is covered by
+    * exemption), q_unigram_train / q_unigram_encode (iterative
+    * Viterbi-EM pruning, the same exemption); each is covered by
     * bounded-error / recall / determinism assertions in the test suite
     * instead.
     */

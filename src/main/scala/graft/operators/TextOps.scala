@@ -1511,4 +1511,178 @@ object TextOps {
         round($"n_symbols".cast("double") / $"n_bpe_tokens", 4))
       .orderBy($"source")
   }
+
+  /** Shared Viterbi segmentation for the unigram-LM pair: best-scoring
+    * split of `w` under `logp`, pieces at most `maxLen` chars. The
+    * deterministic tie rule BOTH implementations (here and the spec's
+    * independent local recompute) must follow: maximize total logprob;
+    * on an exact score tie keep the EARLIER split point (the longer
+    * final piece). A character absent from the table falls back to a
+    * single-char step at `unkLogp` (encode-time only — training words
+    * seeded every char), so segmentation is always feasible.
+    */
+  private[graft] def viterbiPieces(w: String, logp: Map[String, Double],
+                                   maxLen: Int, unkLogp: Double)
+  : Seq[String] = {
+    val L = w.length
+    val best = Array.fill(L + 1)(Double.NegativeInfinity)
+    val back = Array.fill(L + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= L) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        val piece = w.substring(j, i)
+        val lp = logp.get(piece) match {
+          case Some(v) => v
+          case None => if (i - j == 1) unkLogp else Double.NegativeInfinity
+        }
+        if (lp > Double.NegativeInfinity && best(j) + lp > best(i)) {
+          best(i) = best(j) + lp
+          back(i) = j
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var k = L
+    while (k > 0) { out += w.substring(back(k), k); k = back(k) }
+    out.reverse.toSeq
+  }
+
+  /** UNIGRAM-LM tokenizer TRAINING (Kudo, ACL'18 — the SentencePiece
+    * family's second standard next to [[bpeMerges]]' BPE): seed a large
+    * candidate piece inventory from frequent word substrings, then
+    * alternate Viterbi-EM estimation with pruning of the least-used
+    * pieces until `vocabSize` pieces remain. Simplifications vs the
+    * paper, each pinned by the spec's independent local recompute:
+    * Viterbi (hard-EM) counts instead of forward–backward expectations,
+    * least-count pruning instead of the likelihood-delta criterion, and
+    * Laplace probabilities p = (c+1)/(C+V) so a zero-count survivor
+    * keeps a finite logprob — all three standard approximations, all
+    * deterministic (every ranking is a (count desc/asc, piece) TOTAL
+    * order; the Viterbi tie rule is [[viterbiPieces]]' documented one).
+    * Single characters are never pruned, so training segmentation stays
+    * feasible. Output: one row per final piece —
+    * (rank, piece, count, logprob), ranked (count desc, piece asc).
+    *
+    * Scale shape — the [[bpeMerges]] class exactly: the corpus is
+    * scanned ONCE (the word-frequency aggregate, Heaps-sublinear vocab
+    * rows, localCheckpoint'd); every EM round is one flatMap + count
+    * aggregate over that WORD table with the piece table riding the
+    * closure (piece table ≤ seedFactor·vocabSize + |charset| rows — the
+    * k-means literal-centroid discipline: bounded driver rows, never
+    * data). Rounds ≈ log(seed/vocab)/−log(1−pruneFrac) — a constant.
+    *
+    * No SQL oracle (iterative EM-and-prune, the `q_kmeans` exemption);
+    * the spec pins the full output against an independent local
+    * implementation plus a hand-checkable synthetic corpus.
+    */
+  def unigramTrain(s: SparkSession, dir: String, vocabSize: Int = 40,
+                   maxPieceLen: Int = 4, seedFactor: Int = 4,
+                   pruneFrac: Double = 0.2): DataFrame = {
+    import s.implicits._
+    val words = Tables(s, dir, "documents")
+      .select(explode(split($"text", "\\s+")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .localCheckpoint(true)
+    // seed inventory: every single char (mandatory) + the top
+    // seedFactor*vocabSize multi-char substrings, occurrence-weighted
+    // bounded driver rows: chars are |charset|-many; multis pass
+    // through a cluster-side orderBy+limit (NEVER a collect of every
+    // distinct substring — Heaps-many of those at corpus scale)
+    val sub = words.flatMap { case (w, n) =>
+      for {
+        len <- 1 to math.min(maxPieceLen, w.length)
+        j <- 0 to w.length - len
+      } yield (w.substring(j, j + len), n)
+    }.toDF("piece", "n")
+      .groupBy($"piece").agg(sum($"n").as("c"))
+      .localCheckpoint(false)
+    val chars = sub.filter(length($"piece") === 1)
+      .as[(String, Long)].collect()
+    val multis = sub.filter(length($"piece") > 1)
+      .orderBy($"c".desc, $"piece").limit(seedFactor * vocabSize)
+      .as[(String, Long)].collect()
+    var pieces: Seq[(String, Long)] = (chars ++ multis).toSeq
+    def laplace(ps: Seq[(String, Long)]): Map[String, Double] = {
+      val total = ps.map(_._2).sum.toDouble
+      val v = ps.size
+      ps.map { case (p, c) => p -> math.log((c + 1.0) / (total + v)) }
+        .toMap
+    }
+    def estep(logp: Map[String, Double]): Map[String, Long] = {
+      val bc = s.sparkContext.broadcast(logp)
+      words.flatMap { case (w, n) =>
+        viterbiPieces(w, bc.value, maxPieceLen, Double.NegativeInfinity)
+          .map(p => (p, n))
+      }.toDF("piece", "n")
+        .groupBy($"piece").agg(sum($"n").as("c"))
+        .as[(String, Long)].collect().toMap
+    }
+    while (pieces.size > vocabSize) {
+      val counts = estep(laplace(pieces))
+      val scored = pieces.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
+      val (mandatory, removable) = scored.partition(_._1.length == 1)
+      val drop = math.min(
+        math.max(1, math.ceil(pruneFrac * removable.size).toInt),
+        pieces.size - vocabSize)
+      val kept = removable.sortBy { case (p, c) => (c, p) }(
+        Ordering.Tuple2(Ordering.Long, Ordering.String.reverse)).drop(drop)
+      pieces = mandatory ++ kept
+    }
+    val finalCounts = estep(laplace(pieces))
+    val finalScored = pieces
+      .map { case (p, _) => (p, finalCounts.getOrElse(p, 0L)) }
+    val logp = laplace(finalScored)
+    finalScored.sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex
+      .map { case ((p, c), i) =>
+        (i + 1L, p, c, math.rint(logp(p) * 1e6) / 1e6) }
+      .toDF("rank", "piece", "count", "logprob")
+      .orderBy($"rank")
+  }
+
+  /** UNIGRAM-LM corpus ENCODING with the trained piece table — the
+    * apply side, mirroring [[bpeEncode]]'s train/apply split: train on
+    * the vocab table (bounded driver rows), then ONE corpus scan with
+    * the piece table riding the closure, per-source rollup of words /
+    * chars / pieces / compression. Characters unseen in training
+    * segment as single-char UNK steps (counted as pieces — the
+    * [[viterbiPieces]] fallback), so eval-side alphabet drift degrades
+    * compression instead of failing the scan.
+    */
+  def unigramEncode(s: SparkSession, dir: String, vocabSize: Int = 40,
+                    maxPieceLen: Int = 4): DataFrame = {
+    import s.implicits._
+    val table: Map[String, Double] =
+      unigramTrain(s, dir, vocabSize, maxPieceLen).collect()
+        .map(r => r.getString(1) -> r.getDouble(3)).toMap
+    val unk = table.values.min - 1.0
+    Tables(s, dir, "documents")
+      .select($"source", $"text")
+      .as[(String, String)]
+      .map { case (source, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        var nChars = 0L
+        var nPieces = 0L
+        ws.foreach { w =>
+          nChars += w.length
+          nPieces += viterbiPieces(w, table, maxPieceLen, unk).length
+        }
+        (source, 1L, ws.length.toLong, nChars, nPieces)
+      }
+      .toDF("source", "d", "w", "ch", "pc")
+      .groupBy($"source")
+      .agg(sum($"d").cast("long").as("n_docs"),
+        sum($"w").cast("long").as("n_words"),
+        sum($"ch").cast("long").as("n_chars"),
+        sum($"pc").cast("long").as("n_pieces"))
+      .withColumn("compression",
+        round($"n_chars".cast("double") / $"n_pieces", 4))
+      .orderBy($"source")
+  }
 }

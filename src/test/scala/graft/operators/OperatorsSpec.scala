@@ -2931,6 +2931,109 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("unigram-LM training matches an independent local EM recompute; " +
+    "encode is hand-checkable on a synthetic corpus") {
+    import spark.implicits._
+    // INDEPENDENT reference: the documented algorithm re-implemented
+    // from its spec — Viterbi with the earlier-split tie rule, Laplace
+    // probs (c+1)/(C+V), least-count pruning (count asc, piece desc),
+    // chars mandatory — sharing no code with TextOps
+    def viterbi(w: String, lp: Map[String, Double], maxLen: Int)
+    : Seq[String] = {
+      val L = w.length
+      val best = Array.fill(L + 1)(Double.NegativeInfinity)
+      val back = Array.fill(L + 1)(-1)
+      best(0) = 0.0
+      for (i <- 1 to L; j <- math.max(0, i - maxLen) until i) {
+        lp.get(w.substring(j, i)).foreach { v =>
+          if (best(j) + v > best(i)) { best(i) = best(j) + v; back(i) = j }
+        }
+      }
+      Iterator.unfold(L)(k => if (k <= 0) None
+        else Some((w.substring(back(k), k), back(k)))).toSeq.reverse
+    }
+    def localTrain(words: Map[String, Long], vocabSize: Int, maxLen: Int,
+                   seedFactor: Int, pruneFrac: Double)
+    : Seq[(Long, String, Long)] = {
+      val subCounts = scala.collection.mutable.HashMap
+        .empty[String, Long].withDefaultValue(0L)
+      words.foreach { case (w, n) =>
+        for (len <- 1 to math.min(maxLen, w.length);
+             j <- 0 to w.length - len)
+          subCounts(w.substring(j, j + len)) += n
+      }
+      val chars = subCounts.filter(_._1.length == 1).toSeq
+      val multis = subCounts.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(seedFactor * vocabSize)
+      var pieces: Seq[(String, Long)] = chars ++ multis
+      def laplace(ps: Seq[(String, Long)]) = {
+        val tot = ps.map(_._2).sum.toDouble
+        ps.map { case (p, c) =>
+          p -> math.log((c + 1.0) / (tot + ps.size)) }.toMap
+      }
+      def estep(lp: Map[String, Double]): Map[String, Long] = {
+        val cnt = scala.collection.mutable.HashMap
+          .empty[String, Long].withDefaultValue(0L)
+        words.foreach { case (w, n) =>
+          viterbi(w, lp, maxLen).foreach(p => cnt(p) += n) }
+        cnt.toMap
+      }
+      while (pieces.size > vocabSize) {
+        val counts = estep(laplace(pieces))
+        val (mand, rem) = pieces.map { case (p, _) =>
+          (p, counts.getOrElse(p, 0L)) }.partition(_._1.length == 1)
+        val drop = math.min(
+          math.max(1, math.ceil(pruneFrac * rem.size).toInt),
+          pieces.size - vocabSize)
+        pieces = mand ++ rem.sortBy { case (p, c) => (c, p) }(
+          Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+          .drop(drop)
+      }
+      val fin = estep(laplace(pieces))
+      pieces.map { case (p, _) => (p, fin.getOrElse(p, 0L)) }
+        .sortBy { case (p, c) => (-c, p) }
+        .zipWithIndex.map { case ((p, c), i) => (i + 1L, p, c) }
+    }
+    val words = Tables(spark, sfTest, "documents")
+      .select(explode(split($"text", "\\s+")).as("w")).filter($"w" =!= "")
+      .groupBy($"w").count().as[(String, Long)].collect().toMap
+    val expected = localTrain(words, 40, 4, 4, 0.2)
+    val out = TextOps.unigramTrain(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == expected,
+      s"unigram table diverges:\n spark=${out.take(8)}…" +
+        s"\n local=${expected.take(8)}…")
+    assert(out.size == 40 + words.keys.flatMap(_.toCharArray).toSet.size
+      || out.size >= 40, s"final size ${out.size}")
+    // multi-char pieces must actually win corpus slots, chars survive
+    assert(out.exists(_._2.length > 1), "no multi-char piece learned")
+    // synthetic corpus: 'ababab' repeated — 'ab' (or longer ab-runs)
+    // must dominate; encode compresses chars ≥ 2× into pieces
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni").toString
+    Seq((1L, "ababab ababab ababab cd", "en", "s", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val syn = TextOps.unigramTrain(spark, dir, vocabSize = 6).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(syn.exists { case (p, c) => p.length > 1 && p.forall("ab".contains(_)) && c > 0 },
+      s"synthetic table learned no ab-piece: ${syn.toSeq}")
+    val enc = TextOps.unigramEncode(spark, dir, vocabSize = 6)
+      .collect().head
+    // 3 words of 6 ab-chars + 'cd' = 20 chars; ab-pieces of len ≥ 2
+    // keep pieces ≤ half the ab chars + ≤ 2 for 'cd'
+    assert(enc.getLong(2) == 4L && enc.getLong(3) == 20L,
+      s"synthetic encode counts: $enc")
+    assert(enc.getLong(4) <= 11L, s"no compression: $enc")
+    assert(enc.getDouble(5) >= 1.8, s"compression ratio: $enc")
+    // fixture-wide sanity: words ≤ pieces ≤ chars per source
+    val full = TextOps.unigramEncode(spark, sfTest).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(4) && r.getLong(4) <= r.getLong(3),
+        s"piece sandwich violated: $r")
+    }
+  }
+
   test("Q3/Q5/Q6/Q10 shapes reconcile against local recomputes and keep " +
     "their rank/pushdown contracts") {
     import spark.implicits._
