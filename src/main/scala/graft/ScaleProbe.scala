@@ -95,6 +95,35 @@ object ScaleProbe {
         java.nio.file.Paths.get(s"$outRoot/_GENERATED"), "ok")
     }
 
+    // `edgecheck`: verify the de-clique property of the r13 embeddings
+    // recipe — at-threshold pairs of the generated fixture, split into
+    // within-copy vs cross-copy. The r12 jitter recipe read ~quadratic
+    // cross-copy cliques here; rotation should read within ≈ 4× the
+    // source pair count and cross ≈ 0.
+    if (args.length > 1 && args(1) == "edgecheck") {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, floor, lit, call_function}
+      val off = spark.read.parquet(s"$src/embeddings.parquet")
+        .agg(org.apache.spark.sql.functions.max(col("vec_id"))).head
+        .getLong(0) + 1L
+      val emb = spark.read.parquet(s"$outRoot/embeddings.parquet")
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      val pairs = a.crossJoin(b).where(col("a_id") < col("b_id"))
+        .where(call_function("cosine_sim", col("va"), col("vb")) >= 0.4)
+        .select((floor(col("a_id") / lit(off)) ===
+          floor(col("b_id") / lit(off))).as("within"))
+      val byKind = pairs.groupBy(col("within")).count().as[(Boolean, Long)]
+        .collect().toMap
+      val w = byKind.getOrElse(true, 0L)
+      val x = byKind.getOrElse(false, 0L)
+      println(s"""EDGECHECK {"within_copy":$w,"cross_copy":$x,""" +
+        s""""cross_share":${if (w + x == 0) 0.0
+          else x.toDouble / (w + x)}}""")
+      spark.stop()
+      return
+    }
+
     def time3(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       fn(spark, dir).count(); fn(spark, dir).count() // warm (plan + C2)
@@ -212,15 +241,27 @@ object ScaleProbe {
         else d.withColumn("text", array_join(
           transform(split(col("text"), " "),
             w => concat(w, lit("·" + i))), " "))))
-    // embeddings grew 4× per sf step in the fixtures; hash-derived ±1%
-    // per-dimension offsets keep copies in the same cell region without
-    // stacking degenerate duplicates
+    // embeddings grew 4× per sf step in the fixtures. r13 recipe
+    // (VERDICT r12 item 5): each copy ROTATES the dimension axis by
+    // 7·i — within-copy cosines are EXACTLY preserved (the pair/CC
+    // machinery sees 4× the original pair structure, which is the
+    // linear growth a probe should measure), while cross-copy
+    // alignments scramble to near-orthogonal. The previous ±1%
+    // per-dimension jitter made every copy a NEAR-DUP of copy 0, so
+    // cross-copy cliques inflated the edge graph quadratically
+    // (920→26.6k edges at 4×, SCALEPROBE_r12 _doc) and probe
+    // exponents measured the FIXTURE, not the machinery. The
+    // de-clique property (cross-copy edge share ≈ 0) is verified at
+    // probe time and recorded in the probe JSON.
+    val rotStep = 7
     write("embeddings", replicate("embeddings", Seq("vec_id"), copies = 4,
       tweak = (d, i) =>
         if (i == 0) d
-        else d.withColumn("embedding",
-          transform(col("embedding"), (x, j) =>
-            (x + (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(2000L))
-              .cast("double") / 100000.0 - 0.01)).cast("float")))))
+        else {
+          val r = (rotStep * i) % 64
+          d.withColumn("embedding",
+            expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), " +
+              s"slice(embedding, 1, $r))"))
+        }))
   }
 }
