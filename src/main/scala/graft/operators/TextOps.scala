@@ -1469,6 +1469,33 @@ object TextOps {
     * local recompute and the token-count sandwich
     * n_words ≤ n_bpe_tokens ≤ n_symbols.
     */
+  /** The ONE BPE-application rule (chars + `</w>` marker, merges in
+    * learned order, leftmost-first within a word) shared by
+    * [[bpeEncode]] and the streaming token monitor — the batch report
+    * and the live gate cannot drift (the [[wordTokens]] discipline).
+    * Returns (raw symbol count, BPE token count) for one word.
+    */
+  private[graft] def bpeApply(w: String,
+                              merges: Seq[(String, String)]): (Int, Int) = {
+    val cs = w.map(_.toString).toArray
+    cs(cs.length - 1) += "</w>"
+    val nSyms = cs.length
+    var syms: Array[String] = cs
+    merges.foreach { case (l, r) =>
+      if (syms.length > 1) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    (nSyms, syms.length)
+  }
+
   def bpeEncode(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import s.implicits._
     val merges: Seq[(String, String)] = bpeMerges(s, dir, k).collect()
@@ -1481,23 +1508,9 @@ object TextOps {
         var nSyms = 0L
         var nToks = 0L
         words.foreach { w =>
-          val cs = w.map(_.toString).toArray
-          cs(cs.length - 1) += "</w>"
-          nSyms += cs.length
-          var syms: Array[String] = cs
-          merges.foreach { case (l, r) =>
-            if (syms.length > 1) {
-              val out = scala.collection.mutable.ArrayBuffer.empty[String]
-              var i = 0
-              while (i < syms.length) {
-                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-                  out += l + r; i += 2
-                } else { out += syms(i); i += 1 }
-              }
-              syms = out.toArray
-            }
-          }
-          nToks += syms.length
+          val (sy, tk) = bpeApply(w, merges)
+          nSyms += sy
+          nToks += tk
         }
         (source, 1L, words.length.toLong, nSyms, nToks)
       }

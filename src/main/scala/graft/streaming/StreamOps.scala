@@ -295,6 +295,48 @@ object StreamOps {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens"), 4))
 
+  /** STREAMING TOKENIZATION MONITOR (s_tokenize) — the live third leg
+    * of the BPE train/apply story (`q_bpe_merges` trains, `q_bpe_encode`
+    * reports corpus-wide, this watches the FEED): arriving documents
+    * are tokenized with a FROZEN learned merge list through the SAME
+    * `TextOps.bpeApply` rule as the batch encode (one application
+    * formula — the gates cannot drift), and the stream maintains exact
+    * running per-source counters: docs, words, raw symbols, BPE tokens,
+    * compression. The telemetry that catches a feed whose text stops
+    * compressing (markup storms, wrong-language drift, binary spill) —
+    * tokens-per-word rises on the next micro-batch, BEFORE a training
+    * run pays the bloated sequence lengths.
+    *
+    * Shapes: the merge list is k rows and rides the closure (the
+    * `q_bpe_encode` broadcast discipline); tokenization is the
+    * stateless typed map; state is five exact counters per source,
+    * forever bounded, no watermark. Update-mode emission;
+    * replay-deterministic under any micro-batch split (spec pins final
+    * ≡ the `q_bpe_encode`-shaped batch recompute).
+    */
+  def tokenMonitor(docs: DataFrame,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("source"), col("text")).as[(String, String)]
+      .map { case (source, text) =>
+        val words = text.split("\\s+").filter(_.nonEmpty)
+        var nSyms = 0L
+        var nToks = 0L
+        words.foreach { w =>
+          val (sy, tk) = graft.operators.TextOps.bpeApply(w, merges)
+          nSyms += sy; nToks += tk
+        }
+        (source, 1L, words.length.toLong, nSyms, nToks)
+      }
+      .toDF("source", "d", "w", "sy", "tk")
+      .groupBy(col("source"))
+      .agg(sum(col("d")).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("sy")).as("n_symbols"), sum(col("tk")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_symbols").cast("double") / col("n_bpe_tokens"), 4))
+  }
+
   /** Frozen corpus shingle set for [[contentNovelty]] — distinct shingles
     * of the historical documents table under the same shingle rule.
     */

@@ -220,6 +220,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("media near-dup band law: mediaDupPairs equals brute force on " +
+    "any codec-tagged hash set, and codecs never pair") {
+    import spark.implicits._
+    // clustered hashes: a base long plus 0-6 flipped bits, so pairs at
+    // every hamming distance around the <=3 boundary actually occur
+    val rowGen = for {
+      base <- Gen.oneOf(0x0123456789abcdefL, 0x7edcba9876543210L,
+        0x00ff00ff00ff00ffL)
+      nflip <- Gen.choose(0, 6)
+      bits <- Gen.listOfN(nflip, Gen.choose(0, 63))
+      codec <- Gen.oneOf("img", "audio", "video")
+    } yield (codec, bits.foldLeft(base)((h, b) => h ^ (1L << b)))
+    val setGen = Gen.listOfN(24, rowGen)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    samples(setGen, 8).foreach { rows =>
+      val ids = rows.zipWithIndex.map { case ((c, h), i) => (i.toLong, c, h) }
+      val got = graft.operators.Multimodal.mediaDupPairs(
+          ids.toDF("media_id", "codec", "phash_bits"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val brute = (for {
+        (ia, ca, haa) <- ids; (ib, cb, hbb) <- ids
+        if ia < ib && ca == cb && ham(haa, hbb) <= 3
+      } yield (ia, ib, ca, ham(haa, hbb).toLong)).toSet
+      assert(got == brute, s"banded $got\nbrute $brute\nrows $ids")
+      assert(!got.exists { case (a, b, c, _) =>
+        ids(a.toInt)._2 != ids(b.toInt)._2 },
+        "cross-codec pair emitted")
+    }
+  }
+
   test("mergePartitions law: any changeset sequence matches the " +
     "(partition, key)-keyed reference model") {
     import spark.implicits._

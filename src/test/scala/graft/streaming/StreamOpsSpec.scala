@@ -269,6 +269,61 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed("drift")._3 > 0.3, "unseen tokens must move the rate")
   }
 
+  test("streaming token monitor: running BPE compression counters equal " +
+    "the batch encode recompute under uneven splits; a non-compressing " +
+    "feed reads lower compression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    // frozen merges learned from a tiny corpus where 'low' compresses
+    val trainDir = java.nio.file.Files
+      .createTempDirectory("graft_tokmon").toString
+    Seq((1L, "low low low low lower slow glow", "en", "s", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$trainDir/documents.parquet")
+    val merges = TextOps.bpeMerges(spark, trainDir, k = 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    // src_good streams trained-distribution text; src_drift streams
+    // text the merges never saw (compression stays ~1)
+    val docs = (0 until 6).map(i => (i.toLong, "src_good",
+      "low low glow slow lower")) ++
+      (0 until 5).map(i => (50L + i, "src_drift", s"zzz$i qqq$i kkk$i"))
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamOps.tokenMonitor(
+      ms.toDS().toDF("doc_id", "source", "text"), merges)
+      .writeStream.format("memory").queryName("t_tokmon")
+      .outputMode("complete").start()
+    docs.grouped(4).foreach { g =>
+      ms.addData(g.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val streamed = spark.sql(
+      "select source, n_docs, n_words, n_symbols, n_bpe_tokens, " +
+        "compression from t_tokmon").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    q.stop()
+    // batch recompute through the SAME seam (bpeApply) — stream ≡ batch
+    val expected = docs.groupBy(_._2).view.mapValues { g =>
+      var (d, w, sy, tk) = (0L, 0L, 0L, 0L)
+      g.foreach { case (_, _, t) =>
+        val ws = t.split("\\s+").filter(_.nonEmpty)
+        d += 1; w += ws.length
+        ws.foreach { x =>
+          val (a, b) = TextOps.bpeApply(x, merges); sy += a; tk += b }
+      }
+      (d, w, sy, tk,
+        BigDecimal(sy.toDouble / tk)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(streamed == expected, s"stream $streamed vs batch $expected")
+    assert(streamed("src_good")._5 > streamed("src_drift")._5,
+      "drifting feed must read lower compression")
+    assert(streamed("src_drift")._5 >= 1.0)
+  }
+
   test("streaming quality monitor: running counters equal the batch gate " +
     "under uneven micro-batches; a corrupting producer moves its counters") {
     import spark.implicits._
