@@ -185,6 +185,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.unigramTrain(s, d)),
     "q_unigram_encode" ->
       ((s: SparkSession, d: String) => TextOps.unigramEncode(s, d)),
+    // round 13: distributed PCA spectrum over the embedding column
+    // (one-pass Gram + driver Jacobi; no SQL oracle - eigendecomposition)
+    "q_embedding_pca" ->
+      ((s: SparkSession, d: String) => VectorOps.embeddingPca(s, d)),
     "q_span_corruption" ->
       ((s: SparkSession, d: String) => TextOps.spanCorruption(s, d)),
     // round 11, batch 6: leak attribution, signal calibration, threshold
@@ -297,7 +301,8 @@ object SparkEntry {
     * (JDK codec + renderer work), q_bpe_merges / q_bpe_encode (iterative
     * argmax-and-rewrite + its learned-merge apply, the k-means
     * exemption), q_unigram_train / q_unigram_encode (iterative
-    * Viterbi-EM pruning, the same exemption); each is covered by
+    * Viterbi-EM pruning, the same exemption), q_embedding_pca
+    * (eigendecomposition); each is covered by
     * bounded-error / recall / determinism assertions in the test suite
     * instead.
     */

@@ -3034,6 +3034,59 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("embedding PCA spectrum matches an independent power-iteration " +
+    "recompute; trace and ordering invariants hold exactly") {
+    import spark.implicits._
+    val vecs = Tables(spark, sfTest, "embeddings")
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val n = vecs.length; val d = vecs.head.length
+    // independent covariance (same population definition)
+    val mean = Array.tabulate(d)(j => vecs.map(_(j)).sum / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j) }
+    // independent top-k eigenvalues: power iteration + deflation (a
+    // DIFFERENT algorithm from the implementation's Jacobi)
+    def powerTop(m: Array[Array[Double]], k: Int): Seq[Double] = {
+      val a = m.map(_.clone())
+      (0 until k).map { _ =>
+        var v = Array.tabulate(d)(i => 1.0 / math.sqrt(d.toDouble))
+        var ev = 0.0
+        for (_ <- 0 until 500) {
+          val w = Array.tabulate(d)(i =>
+            (0 until d).map(j => a(i)(j) * v(j)).sum)
+          val nrm = math.sqrt(w.map(x => x * x).sum)
+          v = w.map(_ / nrm); ev = nrm
+        }
+        // deflate: a -= ev v v^T
+        for (i <- 0 until d; j <- 0 until d) a(i)(j) -= ev * v(i) * v(j)
+        ev
+      }
+    }
+    val expected = powerTop(cov, 8)
+    val out = VectorOps.embeddingPca(spark, sfTest).collect()
+    assert(out.length == 8)
+    out.zip(expected).zipWithIndex.foreach { case ((r, e), i) =>
+      assert(math.abs(r.getDouble(1) - e) < 1e-6,
+        s"eigenvalue ${i + 1}: jacobi ${r.getDouble(1)} vs power $e")
+    }
+    // exact invariants: non-negative descending spectrum; cum explained
+    // monotone <= 1; trace identity vs the full jacobi spectrum
+    val evs = out.map(_.getDouble(1))
+    assert(evs.zip(evs.tail).forall { case (a, b) => a >= b })
+    assert(evs.forall(_ >= -1e-12))
+    val cums = out.map(_.getDouble(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(cums.last <= 1.0 + 1e-9)
+    val full = VectorOps.jacobiEigenvalues(cov)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    assert(math.abs(full.sum - trace) < 1e-9,
+      s"trace ${trace} vs eigensum ${full.sum}")
+    // determinism across runs
+    val again = VectorOps.embeddingPca(spark, sfTest).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("Q3/Q5/Q6/Q10 shapes reconcile against local recomputes and keep " +
     "their rank/pushdown contracts") {
     import spark.implicits._
