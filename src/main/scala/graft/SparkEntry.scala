@@ -108,6 +108,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => DedupOps.ngramIncremental(s, d)),
     "q_dedup_substring" ->
       ((s: SparkSession, d: String) => DedupOps.substringDup(s, d)),
+    // round 13: per-doc largest shared-span width (dedup-depth triage)
+    "q_max_dup_span" ->
+      ((s: SparkSession, d: String) => DedupOps.maxDupSpan(s, d)),
     // multimodal: real JDK codecs (ImageIO / AudioSystem) over synthesized
     // PNG/WAV/frame-container blobs
     "q_multimodal" -> (Multimodal.mediaFeatures _),
@@ -592,6 +595,7 @@ object SparkEntry {
     "q_decontaminate" -> DedupOps.decontaminateOracle,
     "q_dedup_incremental" -> DedupOps.ngramIncrementalOracle,
     "q_dedup_substring" -> DedupOps.substringDupSql,
+    "q_max_dup_span" -> DedupOps.maxDupSpanSql,
     "q_funnel" -> Events.funnelOracle,
     // the oracle states the SEMANTICS as the naive full-corpus window
     // cumsum; the Spark side computes the same prefix sum via the

@@ -1744,6 +1744,92 @@ object DedupOps {
     * DuckDB list slices are 1-based inclusive, generate_series
     * inclusive; md5 is hex-lowercase in both engines).
     */
+  /** Largest shared-span width per document (q_max_dup_span) — the
+    * dedup-DEPTH signal next to [[substringDup]]'s fixed-width count:
+    * for each doc, the widest level k ∈ `levels` at which some k-token
+    * span also appears verbatim in ANOTHER document, plus the dup-span
+    * count at that level. A doc flagged at 8 shares a phrase; one
+    * flagged at 64 shares a wall of text — the triage a span-level
+    * dedup action wants before deciding cut vs drop (the
+    * deduplicate-text-datasets question asked per level instead of via
+    * a suffix array).
+    *
+    * Scale shape: ONE corpus scan — all levels' span digests are built
+    * in the array domain per doc (`filter` the level list by doc
+    * length, nested `transform`, the winnowFps idiom) and explode to
+    * ≤ |levels| × token-count rows of (k, 16-byte digest); then
+    * exactly the [[substringDup]] machinery with k riding the key —
+    * groupBy (doc, k, digest), ONE count window over (k, digest)
+    * (a counter per span, never pair generation), and two group-row
+    * aggregates. Containment makes the level list cheap: a shared 2k
+    * span implies shared k spans, so higher levels only ever shrink
+    * the flagged set. Digests are the xxhash64 pair (128 bits,
+    * internal only — the oracle computes the same COUNTS via md5).
+    */
+  def maxDupSpan(s: SparkSession, dir: String,
+                 levels: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    import s.implicits._
+    val lvl = levels.sorted
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"k", $"g")
+    docsParallel(s, dir)
+      .select($"doc_id", split(lower($"text"), " ").as("ts"))
+      .filter(size($"ts") >= lvl.head)
+      .select($"doc_id", explode(expr(
+        s"""flatten(transform(
+           |  filter(array(${lvl.mkString(",")}), k -> size(ts) >= k),
+           |  k -> transform(sequence(1, size(ts) - k + 1), i ->
+           |    named_struct(
+           |      'k', k,
+           |      'h1', xxhash64(array_join(slice(ts, i, k), ' ')),
+           |      'h2', xxhash64(1, array_join(slice(ts, i, k), ' '))))))"""
+          .stripMargin)).as("s"))
+      .select($"doc_id", $"s.k".as("k"), struct($"s.h1", $"s.h2").as("g"))
+      .groupBy($"doc_id", $"k", $"g").agg(count(lit(1)).as("n_pos"))
+      .withColumn("nd", count(lit(1)).over(w))
+      .groupBy($"doc_id", $"k")
+      .agg(sum(when($"nd" > 1, $"n_pos").otherwise(0L)).as("n_dup"))
+      .filter($"n_dup" > 0)
+      .groupBy($"doc_id")
+      .agg(max(struct($"k", $"n_dup")).as("m"))
+      .select($"doc_id", $"m.k".cast("long").as("max_dup_span"),
+        $"m.n_dup".as("n_spans_at_max"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle for [[maxDupSpan]] — same level list, same token rule, md5
+    * digests (counts only, so any injective keying matches).
+    */
+  private[graft] def maxDupSpanSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+      |  FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 8),
+      |lv AS (SELECT UNNEST([8, 16, 32, 64]) AS k),
+      |pos AS (
+      |  SELECT doc_id, ts, k,
+      |    UNNEST(generate_series(1, len(ts) - k + 1)) AS i
+      |  FROM toks CROSS JOIN lv WHERE len(ts) >= k),
+      |grams AS (
+      |  SELECT doc_id, k, md5(array_to_string(ts[i:i+k-1], ' ')) AS g
+      |  FROM pos),
+      |pg AS (
+      |  SELECT doc_id, k, g, COUNT(*) AS n_pos FROM grams
+      |  GROUP BY doc_id, k, g),
+      |w AS (
+      |  SELECT doc_id, k, n_pos,
+      |    COUNT(*) OVER (PARTITION BY k, g) AS nd FROM pg),
+      |l AS (
+      |  SELECT doc_id, k,
+      |    CAST(SUM(CASE WHEN nd > 1 THEN n_pos ELSE 0 END) AS BIGINT)
+      |      AS n_dup
+      |  FROM w GROUP BY doc_id, k
+      |  HAVING SUM(CASE WHEN nd > 1 THEN n_pos ELSE 0 END) > 0)
+      |SELECT doc_id, CAST(k AS BIGINT) AS max_dup_span,
+      |  n_dup AS n_spans_at_max
+      |FROM l
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k DESC) = 1
+      |ORDER BY doc_id""".stripMargin
+
   private[graft] def substringDupSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS ts

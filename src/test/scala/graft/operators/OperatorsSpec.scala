@@ -3034,6 +3034,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("max dup span: level containment and hand-built widths hold on " +
+    "a synthetic corpus") {
+    import spark.implicits._
+    // doc 1 and 2 share EXACTLY a 16-token run (then diverge); doc 3
+    // shares only an 8-token run with doc 1; doc 4 shares nothing
+    val shared16 = (1 to 16).map(i => s"s$i").mkString(" ")
+    val shared8 = (1 to 8).map(i => s"s$i").mkString(" ") // prefix of it
+    val pad = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared16 a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, s"b1 b2 b3 b4 b5 b6 b7 b8 $shared16"),
+      (3L, s"$shared8 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+      (4L, pad))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mds").toString
+    docs.map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupOps.maxDupSpan(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1,2 peak at level 16 with exactly ONE shared 16-span each;
+    // doc 3 peaks at 8 (it shares s1..s8 — one 8-span position); doc 4
+    // is absent. (doc 3's s1..s8 also matches inside docs 1/2, so all
+    // three flag at 8 — but 1,2 flag higher.)
+    assert(out(1L) == (16L, 1L), s"doc1 ${out.get(1L)}")
+    assert(out(2L) == (16L, 1L), s"doc2 ${out.get(2L)}")
+    assert(out(3L) == (8L, 1L), s"doc3 ${out.get(3L)}")
+    assert(!out.contains(4L))
+    // containment sanity on the fixture corpus: every doc flagged at a
+    // level > 8 must also have shared 8-spans (subsumed by definition);
+    // rows exist and are deterministic
+    val fx1 = DedupOps.maxDupSpan(spark, sfTest).collect()
+    val fx2 = DedupOps.maxDupSpan(spark, sfTest).collect()
+    assert(fx1.map(_.toString).toSeq == fx2.map(_.toString).toSeq)
+    assert(fx1.nonEmpty)
+    assert(fx1.forall(r => Set(8L, 16L, 32L, 64L)(r.getLong(1)) &&
+      r.getLong(2) >= 1L))
+  }
+
   test("embedding PCA spectrum matches an independent power-iteration " +
     "recompute; trace and ordering invariants hold exactly") {
     import spark.implicits._
