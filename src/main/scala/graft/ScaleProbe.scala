@@ -177,7 +177,7 @@ object ScaleProbe {
     "q_semantic_dedup", "q_dedup_embed", "q_embed_neardup_lsh",
     "q_decontaminate_embed", "q_label_stats", "q_label_centroids",
     "q_kmeans", "q_hard_negatives", "q_embedding_outliers",
-    "q_label_cohesion", "q_semantic_clusters")
+    "q_label_cohesion", "q_semantic_clusters", "q_embedding_pca")
 
   /** Key-shifted K-fold replication of every sf0.1 table into outRoot. */
   def generate(spark: SparkSession, src: String, outRoot: String): Unit = {

@@ -121,12 +121,62 @@ object ClusterMaint {
             "old_id BIGINT, new_id BIGINT"))
     }
 
+  /** Compact a state dir family: the per-batch partitions accumulate
+    * one dir per micro-batch forever (the scaffolding that buys replay
+    * idempotence), so a long-running maintainer periodically folds them
+    * into the single bootstrap partition — the LakeSink seal discipline
+    * applied to maintainer state. Two-phase with crash recovery:
+    * publish the compacted copy to `<sub>.sealed` FIRST, delete the
+    * live dir, rename — and [[recover]] (called by [[applyBatch]] and
+    * [[assignments]] before any read) completes a rename a crash left
+    * half-done, so state is never silently read as empty. Run with the
+    * stream stopped (between micro-batches); the fold also re-resolves
+    * assign/ rows through the merge map and EMPTIES the map — after a
+    * compaction the merge history is baked into the stored ids.
+    */
+  def compact(s: SparkSession, path: String): Unit = {
+    import s.implicits._
+    recover(s, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def seal(sub: String, df: DataFrame): Unit = {
+      df.withColumn("batch_id", lit(-1L))
+        .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
+        .parquet(s"$path/$sub.sealed")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path/$sub.sealed"),
+        new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    }
+    seal("index", readState(s, path, "index", "doc_id BIGINT, s STRING"))
+    seal("sizes", readState(s, path, "sizes", "doc_id BIGINT, n BIGINT"))
+    // assignments resolve through the merge map on the way in, so the
+    // map can be emptied afterwards (ids are final as of this fold)
+    seal("assign", assignments(s, path))
+    Seq.empty[(Long, Long)].toDF("old_id", "new_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/merges")
+  }
+
+  /** Complete any compaction a crash interrupted: a missing live dir
+    * with a `<sub>.sealed` sibling means the delete happened but the
+    * rename didn't — finish it. Idempotent, cheap (three FS stats).
+    */
+  private def recover(s: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    for (sub <- Seq("index", "sizes", "assign")) {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val sealedP = new org.apache.hadoop.fs.Path(s"$path/$sub.sealed")
+      if (!fs.exists(live) && fs.exists(sealedP)) fs.rename(sealedP, live)
+    }
+  }
+
   /** Current resolved assignments: insert-time cluster ids routed
     * through the merge map (one non-corpus-sized join — the map holds
     * only ever-absorbed reps).
     */
   def assignments(s: SparkSession, path: String): DataFrame = {
     import s.implicits._
+    recover(s, path)
     val merges = readMerges(s, path)
     readState(s, path, "assign", "doc_id BIGINT, cluster_id BIGINT")
       .join(merges.withColumnRenamed("old_id", "cluster_id"),
@@ -146,6 +196,7 @@ object ClusterMaint {
                  maxDf: Int = DedupOps.DefaultMaxShingleDf): DataFrame = {
     val s = newDocs.sparkSession
     import s.implicits._
+    recover(s, path)
     val newIds = newDocs.select($"doc_id").localCheckpoint(false)
     val newSh = DedupOps.shinglesOf(newDocs).localCheckpoint(false)
     // postings of the batch's shingles, minus the batch's own docs (a

@@ -1349,6 +1349,21 @@ class StreamOpsSpec extends SparkSpec {
     ClusterMaint.applyBatch(Seq((14L, t14)).toDF("doc_id", "text"), 1L,
       statePath, threshold = thr)
     checkAgainstBatch(union1, "replay")
+    // compaction folds the per-batch partitions + bakes the merge map
+    // into the stored ids; assignments and future batches are unchanged
+    ClusterMaint.compact(spark, statePath)
+    checkAgainstBatch(union1, "compacted")
+    val mergesAfter =
+      try spark.read.parquet(s"$statePath/merges").count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    assert(mergesAfter == 0, "compaction must empty the resolved merge map")
+    val b2 = ClusterMaint.applyBatch(
+      Seq((20L, t2 + " tail20")).toDF("doc_id", "text"), 2L,
+      statePath, threshold = thr).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(b2(20L) == 1L, s"post-compaction batch got ${b2.get(20L)}")
+    checkAgainstBatch(union1 :+ (20L, t2 + " tail20"), "post_compact")
   }
 
   test("idle users' alarm state is evicted by the event-time timeout") {
