@@ -276,6 +276,9 @@ object SparkEntry {
     // perceptual fingerprints (rows-only: JDK codec work, spec-verified)
     "q_media_phash" -> (Multimodal.mediaPhash _),
     "q_media_audio" -> (Multimodal.mediaAudioHash _),
+    // round 13: media pairs -> clusters (the text tier's CC symmetry)
+    "q_media_clusters" ->
+      ((s: SparkSession, d: String) => Multimodal.mediaClusters(s, d)),
     // round 11, batch 13: per-feed label quality + length profiles
     "q_lang_mislabel" -> (TextOps.langMislabel _),
     "q_length_profile" -> (TextOps.lengthProfile _),
@@ -301,7 +304,8 @@ object SparkEntry {
     * across engines by design), q_ann_ivf / q_ann_ivfpq /
     * q_semantic_dedup (k-means quantizers are not SQL-expressible at
     * reasonable cost), q_multimodal / q_media_phash / q_media_audio
-    * (JDK codec + renderer work), q_bpe_merges / q_bpe_encode (iterative
+    * (JDK codec + renderer work), q_media_clusters (same codec exemption,
+    * CC over the banded media pairs), q_bpe_merges / q_bpe_encode (iterative
     * argmax-and-rewrite + its learned-merge apply, the k-means
     * exemption), q_unigram_train / q_unigram_encode (iterative
     * Viterbi-EM pruning, the same exemption), q_embedding_pca

@@ -627,6 +627,41 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** Media near-dup CLUSTERS (q_media_clusters) — the media tier's
+    * pairs→clusters step, completing its symmetry with the text tier
+    * (`q_dedup_simhash_pairs` → `q_dedup_clusters`): every decodable
+    * media blob of EVERY codec is fingerprinted once (the same
+    * codec-dispatched [[mediaHash]] pass both audits run), near-dup
+    * pairs come from the [[mediaDupPairs]] banded join (hamming ≤ 3,
+    * codec-tagged), and connected components assign each clustered
+    * blob its min-id cluster plus the canonical `keep` flag — the
+    * keep/drop worklist a visual/audio dedup action consumes.
+    * Singletons are excluded (the `q_dedup_clusters` contract).
+    *
+    * Scale shape: fingerprinting is partition-local codec work (pixels
+    * and PCM never shuffle — 8 hash bytes + a codec tag do); pairs are
+    * LSH-band bounded; the CC loop is edge-sized (`clusterPairs`).
+    * No oracle (JDK codec semantics); rows-only + spec coverage like
+    * the rest of the media family.
+    */
+  def mediaClusters(s: SparkSession, dir: String,
+                    maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val hashes = mediaTable(s, dir)
+      .select($"media_id", $"content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          mediaHash(bytes).map { case (codec, h) => (id, codec, h) }
+        }
+      }
+      .toDF("media_id", "codec", "phash_bits")
+    val pairs = mediaDupPairs(hashes, maxHamming).select($"ma", $"mb")
+    graft.operators.DedupOps.clusterPairs(s, pairs)
+      .select($"cluster_id", $"doc_id".as("media_id"), $"keep")
+      .orderBy($"cluster_id", $"media_id")
+  }
+
   /** Near-dup image pairs with hamming ≤ `maxHamming` over the aHash —
     * the image specialization of [[mediaDupPairs]] (kept as the stable
     * entry point the image specs and docs name).

