@@ -185,6 +185,48 @@ object StreamBench {
       q.stop()
       "oov" -> (docs.length / secs)
     }
+    // tokenization monitor: docs/second through the frozen-merge BPE
+    // apply (each doc pays full word-level merge application)
+    def runTokenize(): (String, Double) = {
+      val docs = Tables(spark, sfDir, "documents")
+        .select($"doc_id", $"source", $"text")
+        .as[(Long, String, String)].collect()
+      val merges = graft.operators.TextOps.bpeMerges(spark, sfDir)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val ms = MemoryStream[(Long, String, String)]
+      val q = StreamOps.tokenMonitor(
+        ms.toDS().toDF("doc_id", "source", "text"), merges)
+        .writeStream.format("memory").queryName("sb_tokmon")
+        .outputMode("complete").start()
+      val t0 = System.nanoTime()
+      docs.grouped(500).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      "tokenize" -> (docs.length / secs)
+    }
+    // cluster maintenance: docs/second through the incremental CC
+    // (init on the first half, stream the rest in micro-batch-sized
+    // applyBatch calls — the foreachBatch path without the sink)
+    def runClusterMaint(): (String, Double) = {
+      val docs = Tables(spark, sfDir, "documents")
+        .select($"doc_id", $"text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      val (corpus, arriving) = docs.splitAt(docs.length / 2)
+      val path = java.nio.file.Files
+        .createTempDirectory("sb_cmaint").toString
+      graft.streaming.ClusterMaint.init(
+        corpus.toSeq.toDF("doc_id", "text"), path)
+      val t0 = System.nanoTime()
+      arriving.grouped(1000).zipWithIndex.foreach { case (chunk, i) =>
+        graft.streaming.ClusterMaint.applyBatch(
+          chunk.toSeq.toDF("doc_id", "text"), i.toLong, path).count()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      "cluster_maint" -> (arriving.length / secs)
+    }
     val results = Seq(
       run("tumbling", StreamOps.tumbling, "update"),
       run("dedup", StreamOps.dedup, "append"),
@@ -202,7 +244,9 @@ object StreamBench {
       runReservoir(),
       runNovelty(),
       runOov(),
-      runMediaDedup())
+      runMediaDedup(),
+      runTokenize(),
+      runClusterMaint())
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
