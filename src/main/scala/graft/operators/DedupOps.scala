@@ -1767,11 +1767,19 @@ object DedupOps {
     * internal only — the oracle computes the same COUNTS via md5).
     */
   def maxDupSpan(s: SparkSession, dir: String,
-                 levels: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+                 levels: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame =
+    maxDupSpanFrom(docsParallel(s, dir), levels)
+
+  /** [[maxDupSpan]] over any (doc_id, text) DataFrame — the seam the
+    * property suite drives with generated corpora.
+    */
+  def maxDupSpanFrom(docs: DataFrame,
+                     levels: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val lvl = levels.sorted
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"k", $"g")
-    docsParallel(s, dir)
+    docs
       .select($"doc_id", split(lower($"text"), " ").as("ts"))
       .filter(size($"ts") >= lvl.head)
       .select($"doc_id", explode(expr(

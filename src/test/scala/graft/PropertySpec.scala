@@ -179,6 +179,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("max dup span law: equals the per-level brute force on any " +
+    "corpus — the widest shared level with its count") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d")
+    val levels = Seq(2, 4, 8)
+    val docGen = Gen.choose(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(3, 8).flatMap(nd => Gen.listOfN(nd, docGen))
+    samples(corpusGen, 15).foreach { texts =>
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = {
+        def dupAt(k: Int): Map[Long, Long] = {
+          val grams = corpus.map { case (id, text) =>
+            val ts = text.toLowerCase.split(" ", -1)
+            id -> (if (ts.length < k) Array.empty[String]
+                   else ts.sliding(k).map(_.mkString(" ")).toArray)
+          }
+          val docsOf = grams.flatMap { case (id, gs) =>
+            gs.distinct.map(_ -> id)
+          }.groupBy(_._1).map { case (g, xs) =>
+            g -> xs.map(_._2).distinct.size }
+          grams.flatMap { case (id, gs) =>
+            val dup = gs.count(g => docsOf(g) > 1)
+            if (dup == 0) None else Some(id -> dup.toLong)
+          }.toMap
+        }
+        val perLevel = levels.map(k => k -> dupAt(k))
+        corpus.flatMap { case (id, _) =>
+          perLevel.reverse.collectFirst {
+            case (k, m) if m.contains(id) => (id, k.toLong, m(id))
+          }
+        }.sortBy(_._1)
+      }
+      // docs shorter than the smallest level are filtered up front by
+      // the implementation (size >= min level), matching dupAt's
+      // empty-gram handling
+      val got = graft.operators.DedupOps
+        .maxDupSpanFrom(corpus.toDF("doc_id", "text"), levels)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected,
+        s"corpus=${texts.take(4)}…: got $got expected $expected")
+    }
+  }
+
   test("winnowing guarantee: any shared ≥ w+k−1 token run yields a " +
     "shared fingerprint; disjoint vocabularies share nothing") {
     // local reference implementation of the SIGMOD'03 selection (k=3,
