@@ -645,10 +645,32 @@ object Multimodal {
     * the rest of the media family.
     */
   def mediaClusters(s: SparkSession, dir: String,
-                    maxHamming: Int = 3): DataFrame = {
+                    maxHamming: Int = 3): DataFrame =
+    mediaClustersOf(mediaTable(s, dir), maxHamming)
+
+  /** [[mediaClusters]] over any (media_id, content) DataFrame — the
+    * seam the streaming media-cluster maintainer's equivalence spec
+    * recomputes through.
+    */
+  def mediaClustersOf(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = media.sparkSession
     import s.implicits._
-    val hashes = mediaTable(s, dir)
-      .select($"media_id", $"content")
+    val pairs = mediaDupPairs(hashesOf(media), maxHamming)
+      .select($"ma", $"mb")
+    graft.operators.DedupOps.clusterPairs(s, pairs)
+      .select($"cluster_id", $"doc_id".as("media_id"), $"keep")
+      .orderBy($"cluster_id", $"media_id")
+  }
+
+  /** Codec-dispatched fingerprints of any (media_id, content) frame —
+    * the ONE hashing pass all media dedup surfaces share (batch audits,
+    * streaming gate, cluster maintainer). Undecodable rows drop (the
+    * dead-letter route).
+    */
+  private[graft] def hashesOf(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select($"media_id", $"content")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -656,10 +678,6 @@ object Multimodal {
         }
       }
       .toDF("media_id", "codec", "phash_bits")
-    val pairs = mediaDupPairs(hashes, maxHamming).select($"ma", $"mb")
-    graft.operators.DedupOps.clusterPairs(s, pairs)
-      .select($"cluster_id", $"doc_id".as("media_id"), $"keep")
-      .orderBy($"cluster_id", $"media_id")
   }
 
   /** Near-dup image pairs with hamming ≤ `maxHamming` over the aHash —

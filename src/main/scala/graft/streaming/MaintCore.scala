@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+import graft.sinks.Sinks
+
+/** Shared machinery of the incremental cluster maintainers
+  * ([[ClusterMaint]] text/ngram, [[MediaMaint]] perceptual-hash): the
+  * batch_id-partitioned idempotent state writes, schema-safe reads, the
+  * two-phase compaction recovery, the resolved merge map, and the
+  * super-node CC advance — given this batch's edges (new node ↔ new
+  * node, or new node ↔ old cluster rep), run the small CC, derive
+  * per-node (cluster_id, is_new_cluster), fold merge events into the
+  * resolved map, and append the clustered assignments. The min-label
+  * invariant that makes the compression exact lives here once.
+  */
+private[streaming] object MaintCore {
+
+  def writeBatch(df: DataFrame, path: String, id: Long): Unit =
+    Sinks.overwritePartitions(df.withColumn("batch_id", lit(id)), path,
+      "batch_id")
+
+  /** Schema-safe state read: a state dir written only from empty frames
+    * has no parquet footers to infer from — fall back to the declared
+    * schema.
+    */
+  def readState(s: SparkSession, path: String, sub: String,
+                schema: String): DataFrame =
+    try s.read.parquet(s"$path/$sub").drop("batch_id")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.contains("infer schema") ||
+          e.getMessage.contains("PATH_NOT_FOUND") =>
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(schema))
+    }
+
+  def readMerges(s: SparkSession, path: String): DataFrame =
+    readState(s, path, "merges", "old_id BIGINT, new_id BIGINT")
+
+  def writeEmptyMerges(s: SparkSession, path: String): Unit = {
+    import s.implicits._
+    Seq.empty[(Long, Long)].toDF("old_id", "new_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/merges")
+  }
+
+  /** Complete any compaction a crash interrupted: a missing live dir
+    * with a `<sub>.sealed` sibling means the delete happened but the
+    * rename didn't — finish it. Idempotent, cheap (one FS stat per sub).
+    */
+  def recover(s: SparkSession, path: String, subs: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    for (sub <- subs) {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val sealedP = new org.apache.hadoop.fs.Path(s"$path/$sub.sealed")
+      if (!fs.exists(live) && fs.exists(sealedP)) fs.rename(sealedP, live)
+    }
+  }
+
+  /** Two-phase dir seal for [[recover]]-covered compactions: publish
+    * the compacted copy FIRST, delete the live dir, rename.
+    */
+  def seal(s: SparkSession, path: String, sub: String,
+           df: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    df.withColumn("batch_id", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
+      .parquet(s"$path/$sub.sealed")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/$sub.sealed"),
+      new org.apache.hadoop.fs.Path(s"$path/$sub"))
+  }
+
+  /** Current resolved assignments: insert-time cluster ids routed
+    * through the merge map (one non-corpus-sized join — the map holds
+    * only ever-absorbed reps). `idCol` names the node column in the
+    * returned frame.
+    */
+  def assignments(s: SparkSession, path: String, idCol: String)
+  : DataFrame = {
+    import s.implicits._
+    recover(s, path, Seq("assign"))
+    readState(s, path, "assign", s"$idCol BIGINT, cluster_id BIGINT")
+      .join(MaintCore.readMerges(s, path)
+        .withColumnRenamed("old_id", "cluster_id"),
+        Seq("cluster_id"), "left_outer")
+      .select(col(idCol),
+        coalesce($"new_id", $"cluster_id").as("cluster_id"))
+  }
+
+  /** The super-node CC advance shared by both maintainers: `edges`
+    * carries (a, b) where a is always a NEW node id and b is either a
+    * new node id or an OLD cluster rep (its min-label — the compression
+    * that makes incremental CC equal the union-corpus batch CC,
+    * including merges). Runs the small CC, derives every new node's
+    * (cluster_id, is_new_cluster), appends clustered assignments under
+    * `batchId`, folds merge events into the resolved map (rewritten
+    * LAST, eagerly checkpointed off its own files), and returns the
+    * per-node result. Replay-idempotent with the caller's own
+    * batch_id-partitioned appends.
+    */
+  def advance(s: SparkSession, path: String, batchId: Long,
+              newIds: DataFrame, edges: DataFrame, idCol: String)
+  : DataFrame = {
+    import s.implicits._
+    val comp = DedupOps.clusterPairs(s, edges)
+      .select($"doc_id".as("node"), $"cluster_id".as("cid"))
+      .localCheckpoint(false)
+    // a component is PRE-EXISTING iff it contains a non-batch node (an
+    // old cluster rep); every new node in it inherits that cluster
+    val ids = newIds.toDF(idCol)
+    val oldCids = comp.join(ids.toDF("node"), Seq("node"), "left_anti")
+      .select($"cid").distinct()
+    val res = ids
+      .join(comp.toDF(idCol, "cid"), Seq(idCol), "left_outer")
+      .join(oldCids.toDF("rescid").withColumn("pre", lit(true)),
+        $"cid" === $"rescid", "left_outer")
+      .select(col(idCol),
+        coalesce($"cid", col(idCol)).as("cluster_id"),
+        coalesce(!$"pre", lit(true)).as("is_new_cluster"))
+      .localCheckpoint(false)
+    val newMerges = comp
+      .join(ids.toDF("node"), Seq("node"), "left_anti")
+      .filter($"node" =!= $"cid")
+      .select($"node".as("old_id"), $"cid".as("new_id"))
+      .localCheckpoint(false)
+    val resolved = readMerges(s, path)
+      .join(newMerges.toDF("t_old", "t_new"), $"new_id" === $"t_old",
+        "left_outer")
+      .select($"old_id", coalesce($"t_new", $"new_id").as("new_id"))
+      .union(newMerges)
+      .distinct()
+      // EAGER: the map is rewritten in place, so its rows must be OFF
+      // the old files before SaveMode.Overwrite deletes them
+      .localCheckpoint()
+    // only CLUSTERED nodes persist (edge-bearing — the batch CC output
+    // likewise excludes singletons); the result reports every node
+    writeBatch(res
+      .join(comp.toDF(idCol, "c2"), Seq(idCol), "left_semi")
+      .select(col(idCol), $"cluster_id"),
+      s"$path/assign", batchId)
+    resolved.write.mode(SaveMode.Overwrite).parquet(s"$path/merges")
+    res
+  }
+}
