@@ -1577,7 +1577,11 @@ object TextOps {
     * deterministic (every ranking is a (count desc/asc, piece) TOTAL
     * order; the Viterbi tie rule is [[viterbiPieces]]' documented one).
     * Single characters are never pruned, so training segmentation stays
-    * feasible. Output: one row per final piece —
+    * feasible — which means a corpus whose charset alone exceeds
+    * `vocabSize` converges to the full char inventory (the prune loop
+    * stops once only mandatory single-char pieces remain; the result may
+    * then be LARGER than `vocabSize`, never an endless prune of an
+    * already-irreducible set). Output: one row per final piece —
     * (rank, piece, count, logprob), ranked (count desc, piece asc).
     *
     * Scale shape — the [[bpeMerges]] class exactly: the corpus is
@@ -1636,7 +1640,10 @@ object TextOps {
         .groupBy($"piece").agg(sum($"n").as("c"))
         .as[(String, Long)].collect().toMap
     }
-    while (pieces.size > vocabSize) {
+    // second conjunct: once only mandatory single-char pieces remain the
+    // inventory is irreducible (chars are never pruned) — without it a
+    // charset larger than vocabSize would spin estep forever dropping 0
+    while (pieces.size > vocabSize && pieces.exists(_._1.length > 1)) {
       val counts = estep(laplace(pieces))
       val scored = pieces.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
       val (mandatory, removable) = scored.partition(_._1.length == 1)

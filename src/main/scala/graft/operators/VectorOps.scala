@@ -1156,9 +1156,16 @@ object VectorOps {
     */
   def embeddingPca(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
-    // dimension from the data (1-row metadata job, the autoNlist class)
-    val d = Tables(s, dir, "embeddings")
-      .select(size($"embedding")).head.getInt(0)
+    // dimension from the data (1-row metadata job, the autoNlist class).
+    // take(1) doubles as the empty-corpus guard: an empty embeddings
+    // table returns an empty spectrum instead of head/reduce throwing
+    // (a nonempty table guarantees >=1 mapPartitions partial below, so
+    // the reduce is safe once this gate passes)
+    val dProbe = Tables(s, dir, "embeddings").select(size($"embedding")).take(1)
+    if (dProbe.isEmpty)
+      return s.emptyDataset[(Long, Double, Double, Double)]
+        .toDF("component", "eigenvalue", "explained_var", "cum_explained")
+    val d = dProbe(0).getInt(0)
     val (n, sum, gram) = vectorsParallel(s, dir)
       .mapPartitions { it =>
         var cnt = 0L

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -27,7 +27,10 @@ import graft.sinks.Sinks
   * cluster's batch-CC label, and the absorbed rep is recorded in a
   * resolved merge map that readers apply on the way out
   * ([[assignments]]). Stream ≡ batch at every micro-batch boundary is
-  * spec-pinned (StreamOpsSpec), merge event included.
+  * spec-pinned (StreamOpsSpec), merge event included. The CC advance,
+  * state reads/writes, and compaction recovery live in [[MaintCore]],
+  * shared with the embedding-tier [[SemanticMaint]]; this object owns
+  * only the ngram-Jaccard EDGE RULE.
   *
   * Edge rule: byte-identical to the batch query — `DedupOps.shingleSet`
   * 3-token shingles, df-capped postings, Jaccard ≥ threshold over
@@ -60,6 +63,8 @@ import graft.sinks.Sinks
   */
 object ClusterMaint {
 
+  private val StateSubs = Seq("index", "sizes", "assign")
+
   /** Bootstrap state from the historical corpus (doc_id, text): batch
     * CC over the same ngram-Jaccard edge rule, postings, kept sizes.
     * Batch id −1 marks the bootstrap partition.
@@ -84,106 +89,42 @@ object ClusterMaint {
       .select($"da", $"db")
     val assign = DedupOps.clusterPairs(s, pairs)
       .select($"doc_id", $"cluster_id")
-    writeBatch(sh, s"$path/index", -1L)
-    writeBatch(sizes, s"$path/sizes", -1L)
-    writeBatch(assign, s"$path/assign", -1L)
-    Seq.empty[(Long, Long)].toDF("old_id", "new_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/merges")
+    MaintCore.writeBatch(sh, s"$path/index", -1L)
+    MaintCore.writeBatch(sizes, s"$path/sizes", -1L)
+    MaintCore.writeBatch(assign, s"$path/assign", -1L)
+    MaintCore.writeEmptyMerges(s, path)
   }
-
-  private def writeBatch(df: DataFrame, path: String, id: Long): Unit =
-    Sinks.overwritePartitions(df.withColumn("batch_id", lit(id)), path,
-      "batch_id")
-
-  /** Schema-safe state read: a state dir written only from empty frames
-    * (e.g. an init corpus with no near-dup pairs → empty assign/) has no
-    * parquet footers to infer from — fall back to the declared schema.
-    */
-  private def readState(s: SparkSession, path: String, sub: String,
-                        schema: String): DataFrame =
-    try s.read.parquet(s"$path/$sub").drop("batch_id")
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-        if e.getMessage.contains("infer schema") ||
-          e.getMessage.contains("PATH_NOT_FOUND") =>
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(schema))
-    }
-
-  private def readMerges(s: SparkSession, path: String): DataFrame =
-    try s.read.parquet(s"$path/merges")
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-        if e.getMessage.contains("infer schema") ||
-          e.getMessage.contains("PATH_NOT_FOUND") =>
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "old_id BIGINT, new_id BIGINT"))
-    }
 
   /** Compact a state dir family: the per-batch partitions accumulate
     * one dir per micro-batch forever (the scaffolding that buys replay
     * idempotence), so a long-running maintainer periodically folds them
     * into the single bootstrap partition — the LakeSink seal discipline
-    * applied to maintainer state. Two-phase with crash recovery:
-    * publish the compacted copy to `<sub>.sealed` FIRST, delete the
-    * live dir, rename — and [[recover]] (called by [[applyBatch]] and
-    * [[assignments]] before any read) completes a rename a crash left
-    * half-done, so state is never silently read as empty. Run with the
-    * stream stopped (between micro-batches); the fold also re-resolves
-    * assign/ rows through the merge map and EMPTIES the map — after a
-    * compaction the merge history is baked into the stored ids.
+    * applied to maintainer state. Two-phase with crash recovery
+    * ([[MaintCore.seal]]/[[MaintCore.recover]], called by [[applyBatch]]
+    * and [[assignments]] before any read), so state is never silently
+    * read as empty. Run with the stream stopped (between micro-batches);
+    * the fold also re-resolves assign/ rows through the merge map and
+    * EMPTIES the map — after a compaction the merge history is baked
+    * into the stored ids.
     */
   def compact(s: SparkSession, path: String): Unit = {
-    import s.implicits._
-    recover(s, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    def seal(sub: String, df: DataFrame): Unit = {
-      df.withColumn("batch_id", lit(-1L))
-        .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
-        .parquet(s"$path/$sub.sealed")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$path/$sub.sealed"),
-        new org.apache.hadoop.fs.Path(s"$path/$sub"))
-    }
-    seal("index", readState(s, path, "index", "doc_id BIGINT, s STRING"))
-    seal("sizes", readState(s, path, "sizes", "doc_id BIGINT, n BIGINT"))
+    MaintCore.recover(s, path, StateSubs)
+    MaintCore.seal(s, path, "index",
+      MaintCore.readState(s, path, "index", "doc_id BIGINT, s STRING"))
+    MaintCore.seal(s, path, "sizes",
+      MaintCore.readState(s, path, "sizes", "doc_id BIGINT, n BIGINT"))
     // assignments resolve through the merge map on the way in, so the
     // map can be emptied afterwards (ids are final as of this fold)
-    seal("assign", assignments(s, path))
-    Seq.empty[(Long, Long)].toDF("old_id", "new_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/merges")
-  }
-
-  /** Complete any compaction a crash interrupted: a missing live dir
-    * with a `<sub>.sealed` sibling means the delete happened but the
-    * rename didn't — finish it. Idempotent, cheap (three FS stats).
-    */
-  private def recover(s: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    for (sub <- Seq("index", "sizes", "assign")) {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      val sealedP = new org.apache.hadoop.fs.Path(s"$path/$sub.sealed")
-      if (!fs.exists(live) && fs.exists(sealedP)) fs.rename(sealedP, live)
-    }
+    MaintCore.seal(s, path, "assign", assignments(s, path))
+    MaintCore.writeEmptyMerges(s, path)
   }
 
   /** Current resolved assignments: insert-time cluster ids routed
     * through the merge map (one non-corpus-sized join — the map holds
     * only ever-absorbed reps).
     */
-  def assignments(s: SparkSession, path: String): DataFrame = {
-    import s.implicits._
-    recover(s, path)
-    val merges = readMerges(s, path)
-    readState(s, path, "assign", "doc_id BIGINT, cluster_id BIGINT")
-      .join(merges.withColumnRenamed("old_id", "cluster_id"),
-        Seq("cluster_id"), "left_outer")
-      .select($"doc_id",
-        coalesce($"new_id", $"cluster_id").as("cluster_id"))
-  }
+  def assignments(s: SparkSession, path: String): DataFrame =
+    MaintCore.assignments(s, path, "doc_id", StateSubs)
 
   /** Apply one micro-batch of (doc_id, text) documents: returns every
     * batch doc's (doc_id, cluster_id, is_new_cluster) AND advances the
@@ -196,13 +137,14 @@ object ClusterMaint {
                  maxDf: Int = DedupOps.DefaultMaxShingleDf): DataFrame = {
     val s = newDocs.sparkSession
     import s.implicits._
-    recover(s, path)
+    MaintCore.recover(s, path, StateSubs)
     val newIds = newDocs.select($"doc_id").localCheckpoint(false)
     val newSh = DedupOps.shinglesOf(newDocs).localCheckpoint(false)
     // postings of the batch's shingles, minus the batch's own docs (a
     // crash replay sees its own appended partition in the index — the
     // exclusion makes the edge computation replay-stable)
-    val oldPost = readState(s, path, "index", "doc_id BIGINT, s STRING")
+    val oldPost = MaintCore
+      .readState(s, path, "index", "doc_id BIGINT, s STRING")
       .join(newSh.select($"s").distinct(), "s")
       .join(newIds, Seq("doc_id"), "left_anti")
       .select($"s", $"doc_id".as("old_id"))
@@ -217,7 +159,8 @@ object ClusterMaint {
       .select($"doc_id", $"s").localCheckpoint(false)
     val nn = newKept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       .localCheckpoint(false)
-    val oldSizes = readState(s, path, "sizes", "doc_id BIGINT, n BIGINT")
+    val oldSizes = MaintCore
+      .readState(s, path, "sizes", "doc_id BIGINT, n BIGINT")
     // new↔old edges, compressed to (new doc, old doc's cluster rep)
     val io = newKept.toDF("new_id", "s")
       .join(oldPost.join(keptS, "s"), "s")
@@ -238,54 +181,15 @@ object ClusterMaint {
       .join(nn.toDF("db", "nb"), "db")
       .filter($"i".cast("double") / ($"na" + $"nb" - $"i") >= threshold)
       .select($"da".as("a"), $"db".as("b"))
-    // CC over the compressed graph: new docs + touched reps only
-    val comp = DedupOps.clusterPairs(s, edgesNO.union(edgesNN))
-      .select($"doc_id".as("node"), $"cluster_id".as("cid"))
-      .localCheckpoint(false)
-    // a component is PRE-EXISTING iff it contains a non-batch node (an
-    // old cluster rep); every new doc in it inherits that cluster
-    val oldCids = comp.join(newIds.toDF("node"), Seq("node"), "left_anti")
-      .select($"cid").distinct()
-    val res = newIds
-      .join(comp.toDF("doc_id", "cid"), Seq("doc_id"), "left_outer")
-      .join(oldCids.toDF("rescid").withColumn("pre", lit(true)),
-        $"cid" === $"rescid", "left_outer")
-      .select($"doc_id",
-        coalesce($"cid", $"doc_id").as("cluster_id"),
-        coalesce(!$"pre", lit(true)).as("is_new_cluster"))
-      .localCheckpoint(false)
-    // merge events: an old rep whose component label dropped below it
-    // was absorbed — record rep → label, fold into the resolved map
-    val newMerges = comp
-      .join(newIds.toDF("node"), Seq("node"), "left_anti")
-      .filter($"node" =!= $"cid")
-      .select($"node".as("old_id"), $"cid".as("new_id"))
-      .localCheckpoint(false)
-    val oldMap = readMerges(s, path).localCheckpoint(false)
-    val resolved = oldMap
-      .join(newMerges.toDF("t_old", "t_new"), $"new_id" === $"t_old",
-        "left_outer")
-      .select($"old_id", coalesce($"t_new", $"new_id").as("new_id"))
-      .union(newMerges)
-      .distinct()
-      // EAGER: the map is rewritten in place, so its rows must be OFF
-      // the old files before SaveMode.Overwrite deletes them (a lazy
-      // checkpoint would read during the overwrite job and race it)
-      .localCheckpoint()
-    // state advance: appends replace their own batch partition on
-    // replay; the merge map rewrite lands last so a crash between the
-    // two leaves only re-derivable appends behind
-    writeBatch(newSh, s"$path/index", batchId)
-    writeBatch(nn, s"$path/sizes", batchId)
-    // only CLUSTERED docs persist (edge-bearing nodes — batch
-    // dedupClusters likewise excludes singletons); the emitted result
-    // still reports every batch doc
-    writeBatch(res
-      .join(comp.toDF("doc_id", "c2"), Seq("doc_id"), "left_semi")
-      .select($"doc_id", $"cluster_id"),
-      s"$path/assign", batchId)
-    resolved.write.mode(SaveMode.Overwrite).parquet(s"$path/merges")
-    res
+    // EAGER: the edge set reads index/sizes/assign state that the
+    // writes below replace in place on a replay — its rows must be OFF
+    // those files before the dynamic overwrite deletes them
+    val edges = edgesNO.union(edgesNN).localCheckpoint()
+    // index/sizes appends land first; the CC advance (assign + merge
+    // map, merges LAST) is MaintCore's — shared with the embedding tier
+    MaintCore.writeBatch(newSh, s"$path/index", batchId)
+    MaintCore.writeBatch(nn, s"$path/sizes", batchId)
+    MaintCore.advance(s, path, batchId, newIds, edges, "doc_id")
   }
 
   /** Streaming entry: foreachBatch-applied maintenance over a
@@ -297,6 +201,7 @@ object ClusterMaint {
             threshold: Double = DedupOps.DefaultJaccardThreshold,
             maxDf: Int = DedupOps.DefaultMaxShingleDf): StreamingQuery =
     Sinks.streamForeachBatch(docs, checkpoint, "append") { (b, id) =>
-      writeBatch(applyBatch(b, id, path, threshold, maxDf), resultPath, id)
+      MaintCore.writeBatch(applyBatch(b, id, path, threshold, maxDf),
+        resultPath, id)
     }
 }

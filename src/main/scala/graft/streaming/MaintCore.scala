@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,14 +8,16 @@ import graft.operators.DedupOps
 import graft.sinks.Sinks
 
 /** Shared machinery of the incremental cluster maintainers
-  * ([[ClusterMaint]] text/ngram, [[MediaMaint]] perceptual-hash): the
-  * batch_id-partitioned idempotent state writes, schema-safe reads, the
-  * two-phase compaction recovery, the resolved merge map, and the
-  * super-node CC advance — given this batch's edges (new node ↔ new
-  * node, or new node ↔ old cluster rep), run the small CC, derive
+  * ([[ClusterMaint]] text/ngram tier, [[SemanticMaint]] embedding
+  * tier): the batch_id-partitioned idempotent state writes, schema-safe
+  * reads, the two-phase compaction recovery, the resolved merge map,
+  * and the super-node CC advance — given this batch's edges (new node ↔
+  * new node, or new node ↔ old cluster rep), run the small CC, derive
   * per-node (cluster_id, is_new_cluster), fold merge events into the
   * resolved map, and append the clustered assignments. The min-label
-  * invariant that makes the compression exact lives here once.
+  * invariant that makes the compression exact lives here once; the
+  * tiers differ ONLY in how they derive candidate edges (shingle
+  * postings vs IVF cell probes), which stays in the tier objects.
   */
 private[streaming] object MaintCore {
 
@@ -22,20 +25,40 @@ private[streaming] object MaintCore {
     Sinks.overwritePartitions(df.withColumn("batch_id", lit(id)), path,
       "batch_id")
 
-  /** Schema-safe state read: a state dir written only from empty frames
-    * has no parquet footers to infer from — fall back to the declared
-    * schema.
+  /** True iff `dir` holds at least one parquet footer to infer from —
+    * the FileSystem-API probe for "legitimately empty state" (an
+    * AnalysisException-message match would silently break the moment a
+    * Spark release rewords UNABLE_TO_INFER_SCHEMA / PATH_NOT_FOUND).
+    * State dirs are per-batch-partitioned and periodically compacted,
+    * so the recursive listing is bounded.
+    */
+  private def hasParquet(s: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = name.endsWith(".parquet")
+      }
+      found
+    }
+  }
+
+  /** Schema-safe state read: a state dir that is absent, or was written
+    * only from empty frames (e.g. an init corpus with no near-dup pairs
+    * → empty assign/), has no parquet footers to infer from — probe
+    * with the FileSystem API and fall back to the declared schema.
     */
   def readState(s: SparkSession, path: String, sub: String,
                 schema: String): DataFrame =
-    try s.read.parquet(s"$path/$sub").drop("batch_id")
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-        if e.getMessage.contains("infer schema") ||
-          e.getMessage.contains("PATH_NOT_FOUND") =>
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(schema))
-    }
+    if (hasParquet(s, s"$path/$sub"))
+      s.read.parquet(s"$path/$sub").drop("batch_id")
+    else
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
 
   def readMerges(s: SparkSession, path: String): DataFrame =
     readState(s, path, "merges", "old_id BIGINT, new_id BIGINT")
@@ -51,11 +74,11 @@ private[streaming] object MaintCore {
     * rename didn't — finish it. Idempotent, cheap (one FS stat per sub).
     */
   def recover(s: SparkSession, path: String, subs: Seq[String]): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
+    val fs = new Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     for (sub <- subs) {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      val sealedP = new org.apache.hadoop.fs.Path(s"$path/$sub.sealed")
+      val live = new Path(s"$path/$sub")
+      val sealedP = new Path(s"$path/$sub.sealed")
       if (!fs.exists(live) && fs.exists(sealedP)) fs.rename(sealedP, live)
     }
   }
@@ -65,34 +88,35 @@ private[streaming] object MaintCore {
     */
   def seal(s: SparkSession, path: String, sub: String,
            df: DataFrame): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
+    val fs = new Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     df.withColumn("batch_id", lit(-1L))
       .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
       .parquet(s"$path/$sub.sealed")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/$sub.sealed"),
-      new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    fs.delete(new Path(s"$path/$sub"), true)
+    fs.rename(new Path(s"$path/$sub.sealed"), new Path(s"$path/$sub"))
   }
 
   /** Current resolved assignments: insert-time cluster ids routed
     * through the merge map (one non-corpus-sized join — the map holds
     * only ever-absorbed reps). `idCol` names the node column in the
-    * returned frame.
+    * returned frame; `recoverSubs` is the tier's FULL state-dir family,
+    * so a crash mid-compaction is healed before ANY read (not just
+    * assign/ — the drift the r13 advice flagged).
     */
-  def assignments(s: SparkSession, path: String, idCol: String)
-  : DataFrame = {
+  def assignments(s: SparkSession, path: String, idCol: String,
+                  recoverSubs: Seq[String]): DataFrame = {
     import s.implicits._
-    recover(s, path, Seq("assign"))
+    recover(s, path, recoverSubs)
     readState(s, path, "assign", s"$idCol BIGINT, cluster_id BIGINT")
-      .join(MaintCore.readMerges(s, path)
+      .join(readMerges(s, path)
         .withColumnRenamed("old_id", "cluster_id"),
         Seq("cluster_id"), "left_outer")
       .select(col(idCol),
         coalesce($"new_id", $"cluster_id").as("cluster_id"))
   }
 
-  /** The super-node CC advance shared by both maintainers: `edges`
+  /** The super-node CC advance shared by the maintainers: `edges`
     * carries (a, b) where a is always a NEW node id and b is either a
     * new node id or an OLD cluster rep (its min-label — the compression
     * that makes incremental CC equal the union-corpus batch CC,
@@ -123,6 +147,8 @@ private[streaming] object MaintCore {
         coalesce($"cid", col(idCol)).as("cluster_id"),
         coalesce(!$"pre", lit(true)).as("is_new_cluster"))
       .localCheckpoint(false)
+    // merge events: an old rep whose component label dropped below it
+    // was absorbed — record rep → label, fold into the resolved map
     val newMerges = comp
       .join(ids.toDF("node"), Seq("node"), "left_anti")
       .filter($"node" =!= $"cid")
@@ -135,10 +161,13 @@ private[streaming] object MaintCore {
       .union(newMerges)
       .distinct()
       // EAGER: the map is rewritten in place, so its rows must be OFF
-      // the old files before SaveMode.Overwrite deletes them
+      // the old files before SaveMode.Overwrite deletes them (a lazy
+      // checkpoint would read during the overwrite job and race it)
       .localCheckpoint()
     // only CLUSTERED nodes persist (edge-bearing — the batch CC output
-    // likewise excludes singletons); the result reports every node
+    // likewise excludes singletons); the result reports every node.
+    // assign lands before merges so a crash between the two leaves only
+    // re-derivable appends behind
     writeBatch(res
       .join(comp.toDF(idCol, "c2"), Seq(idCol), "left_semi")
       .select(col(idCol), $"cluster_id"),

@@ -3088,6 +3088,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("unigram-LM training terminates on a charset larger than " +
+    "vocabSize and returns the irreducible char inventory") {
+    import spark.implicits._
+    // 26 letters + digits + punctuation >> vocabSize=5; chars are never
+    // pruned, so the ONLY correct fixed point is the full char
+    // inventory — before the r14 guard this spun estep forever once the
+    // removable multi-piece set emptied
+    val text = "Mixed CASE text, with digits 0123456789 & punct!? " +
+      "abcdefghijklmnopqrstuvwxyz"
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni_cs").toString
+    Seq((1L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val charset = text.split("\\s+").filter(_.nonEmpty)
+      .flatMap(_.toCharArray).toSet
+    assert(charset.size > 5, s"fixture charset too small: ${charset.size}")
+    val out = TextOps.unigramTrain(spark, dir, vocabSize = 5).collect()
+      .map(_.getString(1))
+    assert(out.forall(_.length == 1),
+      s"non-char piece survived an irreducible prune: ${out.toSeq}")
+    assert(out.toSet == charset.map(_.toString),
+      s"char inventory mismatch: got ${out.toSeq.sorted}")
+  }
+
   test("max dup span: level containment and hand-built widths hold on " +
     "a synthetic corpus") {
     import spark.implicits._
@@ -3177,6 +3201,20 @@ class OperatorsSpec extends SparkSpec {
     // determinism across runs
     val again = VectorOps.embeddingPca(spark, sfTest).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("embedding PCA of an empty corpus is an empty spectrum, not a " +
+    "head/reduce crash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca0").toString
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.embeddingPca(spark, dir)
+    assert(out.columns.toSeq ==
+      Seq("component", "eigenvalue", "explained_var", "cum_explained"))
+    assert(out.count() == 0L)
   }
 
   test("Q3/Q5/Q6/Q10 shapes reconcile against local recomputes and keep " +
