@@ -192,6 +192,12 @@ object SparkEntry {
     // (one-pass Gram + driver Jacobi; no SQL oracle - eigendecomposition)
     "q_embedding_pca" ->
       ((s: SparkSession, d: String) => VectorOps.embeddingPca(s, d)),
+    // round 14: the runtime recall audit semanticClustersCell's contract
+    // tells off-fixture callers to run, as a first-class operator (no
+    // SQL oracle — the found side is the k-means cell-candidate source;
+    // the spec pins 1.0 at the graded config and <1 at nassign=1)
+    "q_recall_audit" ->
+      ((s: SparkSession, d: String) => VectorOps.semanticRecallAudit(s, d)),
     "q_span_corruption" ->
       ((s: SparkSession, d: String) => TextOps.spanCorruption(s, d)),
     // round 11, batch 6: leak attribution, signal calibration, threshold
@@ -309,7 +315,8 @@ object SparkEntry {
     * argmax-and-rewrite + its learned-merge apply, the k-means
     * exemption), q_unigram_train / q_unigram_encode (iterative
     * Viterbi-EM pruning, the same exemption), q_embedding_pca
-    * (eigendecomposition); each is covered by
+    * (eigendecomposition), q_recall_audit (its found side is the
+    * k-means cell-candidate source); each is covered by
     * bounded-error / recall / determinism assertions in the test suite
     * instead.
     */

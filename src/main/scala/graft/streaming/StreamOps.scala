@@ -1155,10 +1155,18 @@ object StreamOps {
     * the LSH-band bound the whole banded-dedup family rides; a corpus
     * with a pathological hot slice (billions of near-constant hashes)
     * should pre-thin those buckets at index-build time. In-stream
-    * dedup stays streaming `dropDuplicates` on the EXACT key — one
-    * state entry per distinct admitted blob, the ingest-gate contract
-    * (the [[dedupAgainstCorpus]] state note applies verbatim); near-dup
-    * CLUSTERING of admitted media remains the batch
+    * dedup is hamming-tolerant TOO (since r14 — closing the last
+    * exact-key blind spot the r13 verdict named: two near-identical
+    * re-encodes arriving in the same stream, both novel vs the corpus,
+    * previously were BOTH admitted): a [[MediaAdmitProcessor]] keyed by
+    * codec holds the SAME 4-band bucket structure over the stream's own
+    * prior ADMISSIONS in `MapState` (RocksDB provider required, the
+    * [[errorAlarmsTws]] note), so a blob within `maxHamming` of any
+    * earlier in-stream admission drops exactly like a corpus near-dup —
+    * hamming 0 subsumes the old exact `dropDuplicates`. State bound: 4
+    * band entries per DISTINCT admitted blob, forever — the ingest-gate
+    * contract (the [[dedupAgainstCorpus]] state note applies verbatim).
+    * Near-dup CLUSTERING of admitted media remains the batch
     * `Multimodal.mediaDupPairs` pass.
     */
   def mediaDedup(media: DataFrame, corpusHashes: DataFrame,
@@ -1195,7 +1203,76 @@ object StreamOps {
     }.reduce(_ && _)
     joined.filter(noCorpusMatch)
       .select(col("media_id"), col("codec"), col("phash_bits"))
-      .dropDuplicates("codec", "phash_bits")
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .transformWithState(new MediaAdmitProcessor(maxHamming),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** One (media_id, codec, phash_bits) admission emitted by
+    * [[MediaAdmitProcessor]] — schema-identical to the row the exact
+    * `dropDuplicates` gate used to emit.
+    */
+  case class MediaAdmit(media_id: Long, codec: String, phash_bits: Long)
+
+  /** Bucketed hash list carried per (band, 16-bit slice) MapState entry
+    * of [[MediaAdmitProcessor]] (a product wrapper so the value rides
+    * `Encoders.product` like every other state row here).
+    */
+  case class BandBucket(hs: Array[Long])
+
+  /** In-stream hamming-tolerant admission for [[mediaDedup]]: per codec
+    * key, `MapState[(band << 16) | slice → admitted hashes]` mirrors the
+    * corpus side's 4-band pigeonhole over the stream's OWN admissions —
+    * any hash within hamming ≤ 3 of a prior admission shares at least
+    * one exact 16-bit band slice with it, so 4 point lookups see every
+    * candidate; the exact `bit_count(xor)` check then verifies. Rows
+    * process in media_id order within a batch (the `errorAlarms` sort
+    * discipline), so a replayed micro-batch admits the same ids — and a
+    * batch carrying BOTH twins admits exactly the lower id, matching
+    * what two separate batches would do. An admission writes its hash
+    * to its 4 bucket entries: 4 MapState rows per distinct admitted
+    * blob, RocksDB-backed, never pixel data. Keys are per-codec, so gate
+    * parallelism is the codec count — acceptable because the per-row
+    * work is 4 point lookups over n/2^16-expected buckets; a deployment
+    * sharding one codec across tasks would add a slice-range key
+    * component (each band's buckets are disjoint by construction).
+    */
+  private class MediaAdmitProcessor(maxHamming: Int)
+    extends StatefulProcessor[String, (Long, String, Long), MediaAdmit] {
+    @transient private var buckets:
+      org.apache.spark.sql.streaming.MapState[Long, BandBucket] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buckets = getHandle.getMapState[Long, BandBucket]("admitted",
+        Encoders.scalaLong, Encoders.product[BandBucket], TTLConfig.NONE)
+
+    override def handleInputRows(codec: String,
+                                 rows: Iterator[(Long, String, Long)],
+                                 tv: TimerValues): Iterator[MediaAdmit] = {
+      def keysOf(h: Long): Seq[Long] = (0 until 4).map { b =>
+        (b.toLong << 16) | ((h >>> (16 * b)) & 0xffffL)
+      }
+      val out = List.newBuilder[MediaAdmit]
+      rows.toSeq.sortBy(_._1).foreach { case (id, _, h) =>
+        val ks = keysOf(h)
+        val near = ks.exists { k =>
+          buckets.containsKey(k) && buckets.getValue(k).hs
+            .exists(c => java.lang.Long.bitCount(c ^ h) <= maxHamming)
+        }
+        if (!near) {
+          out += MediaAdmit(id, codec, h)
+          ks.foreach { k =>
+            val prev =
+              if (buckets.containsKey(k)) buckets.getValue(k).hs
+              else Array.empty[Long]
+            buckets.updateValue(k, BandBucket(prev :+ h))
+          }
+        }
+      }
+      out.result().iterator
+    }
   }
 
   /** Frozen corpus hash set for [[mediaDedup]] — the codec-dispatched

@@ -3203,6 +3203,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("semantic recall audit: 1.0 at the graded nassign, measurably " +
+    "below 1 when the quantizer is degraded to nassign=1") {
+    val full = VectorOps.semanticRecallAudit(spark, sfTest).collect().head
+    assert(full.getLong(1) > 0L, "audit slice found no qualifying pairs " +
+      "- fixture cannot exercise the recall measurement")
+    assert(full.getLong(2) == full.getLong(1) && full.getDouble(3) == 1.0,
+      s"graded-config audit disagrees with the pinned edge equality: $full")
+    val degraded = VectorOps
+      .semanticRecallAudit(spark, sfTest, nassign = 1).collect().head
+    assert(degraded.getDouble(3) < 1.0,
+      s"nassign=1 audit failed to surface the recall loss: $degraded")
+    assert(degraded.getLong(2) <= degraded.getLong(1),
+      "found pairs must be a subset of truth")
+    // determinism: the slice is the lowest ids, not a sample — rerun
+    // byte-equal
+    val again = VectorOps.semanticRecallAudit(spark, sfTest).collect().head
+    assert(again.toString == full.toString)
+  }
+
   test("embedding PCA of an empty corpus is an empty spectrum, not a " +
     "head/reduce crash") {
     import spark.implicits._

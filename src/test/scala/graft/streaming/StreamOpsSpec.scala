@@ -1109,6 +1109,46 @@ class StreamOpsSpec extends SparkSpec {
       r: org.apache.spark.sql.Row): Unit =
     m((r.getInt(0), r.getString(1))) = r.getLong(2)
 
+  /** transformWithState requires the RocksDB state store provider;
+    * restore whatever the session had afterwards.
+    */
+  private def withRocksDb[A](body: => A): A = {
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  /** Amplitude-modulated mono WAV at `rate` Hz — the near-dup fixture
+    * family: (470 Hz, 12.1 Hz, 0.19 s) rendered at 8 kHz vs 16 kHz
+    * lands exactly 1 hash bit apart (measured), while the 333 Hz tone
+    * sits 24 bits away.
+    */
+  private def amWav(rate: Float, f: Double, mod: Double): Array[Byte] = {
+    val n = (rate * 0.19).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val t = i / rate.toDouble
+      val a = (math.sin(2 * math.Pi * f * t) *
+        (0.5 + 0.5 * math.sin(2 * math.Pi * mod * t)) * 12000).toInt
+      pcm(2 * i) = (a & 0xff).toByte
+      pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   test("streaming ingest dedup drops corpus dups, shuffled dups, and replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1138,7 +1178,7 @@ class StreamOpsSpec extends SparkSpec {
 
   test("streaming media dedup drops re-encoded corpus images AND " +
     "re-encoded corpus audio, dedups in-stream perceptual replays per " +
-    "codec; undecodable bytes are excluded") {
+    "codec; undecodable bytes are excluded") { withRocksDb {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Multimodal
@@ -1210,34 +1250,16 @@ class StreamOpsSpec extends SparkSpec {
       .filterNot { case (_, h) => corpusSet(h) }
       .groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
     assert(got == expected)
-  }
+  }}
 
   test("streaming media gate drops a 2x RESAMPLED corpus audio dup " +
-    "(hamming-tolerant corpus match, not just exact re-encodes)") {
+    "(hamming-tolerant corpus match, not just exact re-encodes)") { withRocksDb {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Multimodal
     // amplitude-modulated tone rendered at two sample rates: same
     // content, DIFFERENT bytes and (within <=3 bits) different hash —
     // the case the r12 exact-hash gate provably let through
-    def amWav(rate: Float, f: Double, mod: Double): Array[Byte] = {
-      val n = (rate * 0.19).toInt
-      val pcm = new Array[Byte](n * 2)
-      for (i <- 0 until n) {
-        val t = i / rate.toDouble
-        val a = (math.sin(2 * math.Pi * f * t) *
-          (0.5 + 0.5 * math.sin(2 * math.Pi * mod * t)) * 12000).toInt
-        pcm(2 * i) = (a & 0xff).toByte
-        pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
-      }
-      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-      val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-      out.toByteArray
-    }
     // (470 Hz, 12.1 Hz envelope, 0.19 s) measured: the 2x re-render
     // lands exactly 1 bit from the original — the NEAR case — while the
     // 333 Hz tone below sits 24 bits away
@@ -1265,7 +1287,56 @@ class StreamOpsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     q.stop()
     assert(got == Set(2L), s"near gate admitted $got")
-  }
+  }}
+
+  test("in-stream media near-dup admission: a 1-bit-drifted resample " +
+    "is admitted exactly once whether its twin came from the corpus " +
+    "or earlier in the SAME stream") { withRocksDb {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val twinA = amWav(8000f, 470, 12.1)
+    val twinB = amWav(16000f, 470, 12.1) // 2x re-render, 1 bit drifted
+    val ha = Multimodal.audioHash(twinA).get
+    val hb = Multimodal.audioHash(twinB).get
+    assert(ha != hb && java.lang.Long.bitCount(ha ^ hb) <= 3,
+      "fixture must exercise the NEAR path, not exact")
+    val fresh = amWav(8000f, 333, 10) // 24 bits away — genuinely new
+    // the corpus holds NOTHING near these: the r13 gate (hamming vs the
+    // frozen corpus only) provably admitted BOTH twins on this fixture —
+    // the in-stream MapState path is the one under test
+    val corpus = StreamOps.mediaCorpusHashes(
+      Seq(Multimodal.synthesizePng("unrelated".getBytes, 8, 8))
+        .toDF("content"))
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.mediaDedup(
+      ms.toDS().toDF("media_id", "content"), corpus)
+      .writeStream.format("memory").queryName("t_media_instream")
+      .outputMode("append").start()
+    ms.addData(Seq((1L, twinA))) // novel vs corpus AND stream → admitted
+    q.processAllAvailable()
+    // cross-batch: twinB is novel vs the corpus but within hamming 1 of
+    // the PRIOR in-stream admission → dropped; fresh is admitted
+    ms.addData(Seq((2L, twinB), (3L, fresh)))
+    q.processAllAvailable()
+    val got = spark.sql("select media_id from t_media_instream").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(got == Set(1L, 3L), s"in-stream near gate admitted $got")
+    // same-batch twins on fresh state: exactly the lower id is admitted
+    // (media_id-ordered processing — replay-deterministic)
+    val ms2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = StreamOps.mediaDedup(
+      ms2.toDS().toDF("media_id", "content"), corpus)
+      .writeStream.format("memory").queryName("t_media_instream2")
+      .outputMode("append").start()
+    ms2.addData(Seq((11L, twinB), (10L, twinA)))
+    q2.processAllAvailable()
+    val got2 = spark.sql("select media_id from t_media_instream2")
+      .collect().map(_.getLong(0)).toSet
+    q2.stop()
+    assert(got2 == Set(10L), s"same-batch twins admitted $got2")
+  }}
 
   test("streaming cluster maintenance: stream ≡ batch CC recompute on " +
     "the union corpus at every micro-batch boundary, incl. a cluster " +
@@ -1364,6 +1435,119 @@ class StreamOpsSpec extends SparkSpec {
       .toMap
     assert(b2(20L) == 1L, s"post-compaction batch got ${b2.get(20L)}")
     checkAgainstBatch(union1 :+ (20L, t2 + " tail20"), "post_compact")
+  }
+
+  test("streaming SEMANTIC cluster maintenance: stream ≡ batch CC over " +
+    "the frozen-quantizer edge set at every micro-batch boundary, incl. " +
+    "a cluster merge; replay + compaction idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val thr = 0.4
+    // dim-6 axis fixture: same-cluster vectors are SCALAR MULTIPLES
+    // (cosine exactly 1, and identical cell rankings under ANY frozen
+    // quantizer); cross-cluster axes are orthogonal (cosine 0 < 0.4);
+    // the bridge is a0+a1 (cosine 1/√2 ≈ 0.707 to both families).
+    // nassign is set to the cell count, so candidate recall is 1 BY
+    // CONSTRUCTION and the batch-equality pin is exact (the frozen-
+    // quantizer recall contract is the documented divergence).
+    def axis(i: Int, s: Float): Array[Float] = {
+      val v = new Array[Float](6); v(i) = s; v
+    }
+    def plus(i: Int, j: Int): Array[Float] = {
+      val v = new Array[Float](6); v(i) = 1f; v(j) = 1f; v
+    }
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_smaint").toString
+    val resultPath = java.nio.file.Files
+      .createTempDirectory("graft_smaint_res").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_smaint_ck").toString
+    // init corpus: two near-dup clusters {1,2} and {5,6} + singleton 9
+    val corpus = Seq((1L, axis(0, 1f)), (2L, axis(0, 2f)),
+      (5L, axis(1, 1f)), (6L, axis(1, 3f)), (9L, axis(2, 1f)))
+    SemanticMaint.init(corpus.toDF("vec_id", "embedding"), statePath,
+      threshold = thr, nassign = 16, nlist = 16)
+    // independent batch truth: local union-find over brute-force exact
+    // cosine edges on the union corpus (no shared code with the impl)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def checkAgainstBatch(union: Seq[(Long, Array[Float])],
+                          tag: String): Unit = {
+      val parent = scala.collection.mutable.Map(
+        union.map(u => u._1 -> u._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      val edged = scala.collection.mutable.Set.empty[Long]
+      for (i <- union.indices; j <- i + 1 until union.size
+           if cos(union(i)._2, union(j)._2) >= thr) {
+        edged += union(i)._1 += union(j)._1
+        val (ra, rb) = (find(union(i)._1), find(union(j)._1))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val batch = edged.map(id => (id, find(id))).toSet
+      val stream = SemanticMaint.assignments(spark, statePath).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stream == batch, s"[$tag] stream $stream vs batch $batch")
+    }
+    checkAgainstBatch(corpus, "init")
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = SemanticMaint.start(ms.toDF().toDF("vec_id", "embedding"),
+      statePath, resultPath, ckpt, threshold = thr, nassign = 16)
+    // batch 0: 11 joins cluster 1; {12,13} form a NEW cluster; 15 is a
+    // singleton (reported, never persisted)
+    ms.addData(Seq((11L, axis(0, 1.5f)), (12L, axis(3, 1f)),
+      (13L, axis(3, 2f)), (15L, axis(4, 1f))))
+    q.processAllAvailable()
+    val b0 = spark.read.parquet(resultPath).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_new_cluster")))
+      .toMap
+    assert(b0(11L) == (1L, false), s"vec 11 got ${b0(11L)}")
+    assert(b0(12L) == (12L, true) && b0(13L) == (12L, true))
+    assert(b0(15L) == (15L, true))
+    val union0 = corpus ++ Seq((11L, axis(0, 1.5f)), (12L, axis(3, 1f)),
+      (13L, axis(3, 2f)), (15L, axis(4, 1f)))
+    checkAgainstBatch(union0, "b0")
+    // batch 1: vec 14 = a0+a1 BRIDGES clusters {1,2,11} and {5,6} — the
+    // merge event: the union CC collapses both into cluster 1
+    ms.addData(Seq((14L, plus(0, 1))))
+    q.processAllAvailable()
+    q.stop()
+    val b1 = spark.read.parquet(s"$resultPath/batch_id=1").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_new_cluster")))
+      .toMap
+    assert(b1(14L) == (1L, false), s"bridge vec got ${b1(14L)}")
+    val union1 = union0 :+ (14L, plus(0, 1))
+    checkAgainstBatch(union1, "b1")
+    // absorbed cluster 5's members now resolve to 1 through the merge map
+    val a = SemanticMaint.assignments(spark, statePath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a(5L) == 1L && a(6L) == 1L && a(14L) == 1L)
+    assert(!a.contains(15L), "singletons must not persist in assign/")
+    // crash-replay idempotence: re-apply batch 1 against advanced state
+    SemanticMaint.applyBatch(
+      Seq((14L, plus(0, 1))).toDF("vec_id", "embedding"), 1L, statePath,
+      threshold = thr, nassign = 16)
+    checkAgainstBatch(union1, "replay")
+    // compaction folds partitions + bakes the merge map into stored ids
+    SemanticMaint.compact(spark, statePath)
+    checkAgainstBatch(union1, "compacted")
+    assert(spark.read.parquet(s"$statePath/merges").count() == 0,
+      "compaction must empty the resolved merge map")
+    val b2 = SemanticMaint.applyBatch(
+      Seq((20L, axis(1, 0.5f))).toDF("vec_id", "embedding"), 2L,
+      statePath, threshold = thr, nassign = 16).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(b2(20L) == 1L, s"post-compaction batch got ${b2.get(20L)}")
+    checkAgainstBatch(union1 :+ (20L, axis(1, 0.5f)), "post_compact")
   }
 
   test("idle users' alarm state is evicted by the event-time timeout") {
