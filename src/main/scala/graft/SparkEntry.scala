@@ -198,6 +198,16 @@ object SparkEntry {
     // the spec pins 1.0 at the graded config and <1 at nassign=1)
     "q_recall_audit" ->
       ((s: SparkSession, d: String) => VectorOps.semanticRecallAudit(s, d)),
+    // round 14: feed-direction containment, duplicated-opening gate,
+    // and the two remaining classic decision-support shapes (Q18
+    // HAVING-on-grouped-sum, Q2 decorrelated argmin)
+    "q_source_containment" -> (DedupOps.sourceContainment _),
+    "q_boilerplate_prefix" ->
+      ((s: SparkSession, d: String) => TextOps.boilerplatePrefix(s, d)),
+    "q_big_orders" ->
+      ((s: SparkSession, d: String) => Relational.bigOrders(s, d)),
+    "q_cheapest_supplier" ->
+      ((s: SparkSession, d: String) => Relational.cheapestSupplier(s, d)),
     "q_span_corruption" ->
       ((s: SparkSession, d: String) => TextOps.spanCorruption(s, d)),
     // round 11, batch 6: leak attribution, signal calibration, threshold
@@ -1217,6 +1227,10 @@ object SparkEntry {
     "q_dup_rate_by_source" -> DedupOps.dupRateBySourceOracle,
     "q_minhash_recall" -> DedupOps.minhashRecallOracle,
     "q_ngram_novelty" -> DedupOps.ngramNoveltyOracle,
+    "q_source_containment" -> DedupOps.sourceContainmentOracle,
+    "q_boilerplate_prefix" -> TextOps.boilerplatePrefixOracle,
+    "q_big_orders" -> Relational.bigOrdersOracle,
+    "q_cheapest_supplier" -> Relational.cheapestSupplierOracle,
     "q_eval_leakage" -> DedupOps.evalLeakageOracle,
     "q_minhash_est" -> DedupOps.minhashEstOracle,
     // entropy: every term is -(p)ln(p) on an exact-integer rational,

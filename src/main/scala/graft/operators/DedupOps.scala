@@ -664,6 +664,75 @@ object DedupOps {
       .orderBy($"source")
   }
 
+  /** Source-level shingle CONTAINMENT matrix (q_source_containment,
+    * round 14): for every ORDERED source pair (a, b ≠ a), the fraction
+    * of a's distinct shingles also present in b — the asymmetric
+    * "who carries whose content" audit that completes the feed-level
+    * dup family: `q_cross_source_dups` counts near-dup DOC pairs,
+    * `q_ngram_novelty` scores what a feed adds; this reads DIRECTION
+    * (a mirror that republishes feed b shows containment(a→b) ≈ 1 with
+    * containment(b→a) small — exactly what a crawl-dedup planner needs
+    * to pick which feed to drop).
+    *
+    * Scale shape: distinct (shingle, source) rows (the ngramNovelty
+    * subtree — vocabulary-bounded, not corpus-bounded), self-joined on
+    * the shingle key: a shingle present in k sources contributes k²
+    * rows, and k ≤ |sources| — a CONSTANT multiplier at any corpus
+    * size (feed counts are dozens, not data-sized), so the pair stage
+    * is linear in the distinct-shingle volume. The output spine is the
+    * |sources|² ordered grid (broadcast plan-constant cross of the
+    * source list, the gapfill-grid class) so zero-overlap pairs report
+    * 0 instead of vanishing.
+    */
+  def sourceContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcs = Tables(s, dir, "documents").select($"doc_id", $"source")
+    val ss = shingles(s, dir).join(srcs, "doc_id")
+      .select($"s", $"source").distinct()
+      .localCheckpoint(false)
+    val tot = ss.groupBy($"source").agg(count(lit(1)).as("n_a"))
+    val shared = ss.toDF("s", "src_a").join(ss.toDF("s", "src_b"), "s")
+      .filter($"src_a" =!= $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("shared"))
+    tot.select($"source".as("src_a"), $"n_a")
+      .join(broadcast(tot.select($"source".as("src_b"))),
+        $"src_a" =!= $"src_b")
+      .join(shared, Seq("src_a", "src_b"), "left_outer")
+      .select($"src_a", $"src_b",
+        coalesce($"shared", lit(0L)).as("shared_shingles"),
+        $"n_a".as("n_shingles_a"),
+        round(coalesce($"shared", lit(0L)).cast("double") / $"n_a", 4)
+          .as("containment"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  /** Oracle for [[sourceContainment]] — same distinct grid. (def, not
+    * val: `shingleCte` is declared further down the object and would
+    * still be null during a val's initializer — the object-init-order
+    * trap.)
+    */
+  def sourceContainmentOracle: String =
+    shingleCte +
+      """,
+        |ss AS (SELECT DISTINCT sh.s, d.source
+        |  FROM sh JOIN documents d USING (doc_id)),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_a
+        |  FROM ss GROUP BY 1),
+        |shared AS (SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM ss a JOIN ss b USING (s)
+        |  WHERE a.source <> b.source GROUP BY 1, 2)
+        |SELECT t1.source AS src_a, t2.source AS src_b,
+        |  COALESCE(sh2.shared, 0) AS shared_shingles,
+        |  t1.n_a AS n_shingles_a,
+        |  ROUND(CAST(COALESCE(sh2.shared, 0) AS DOUBLE) / t1.n_a, 4)
+        |    AS containment
+        |FROM tot t1 CROSS JOIN tot t2
+        |LEFT JOIN shared sh2
+        |  ON sh2.src_a = t1.source AND sh2.src_b = t2.source
+        |WHERE t1.source <> t2.source
+        |ORDER BY src_a, src_b""".stripMargin
+
   /** 16-bit SimHash per document: dimension i flips ±1 on the i-th hex
     * digit of each distinct token's md5 (≥'8' → +1), bit set where the
     * sum is positive. Computed in one typed pass per document (per-doc

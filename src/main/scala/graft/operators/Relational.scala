@@ -1336,4 +1336,113 @@ object Relational {
       |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2))
       |  * CAST(1 - l_discount AS DECIMAL(4,2))) DESC, c_custkey
       |LIMIT 20""".stripMargin
+
+  /** TPC-H Q18 shape (q_big_orders, round 14): large-volume orders —
+    * the HAVING-on-grouped-sum + enrichment-join classic this surface
+    * was still missing. Orders whose total lineitem quantity clears
+    * `bar` (exact DECIMAL sum of the DOUBLE quantities — both engines
+    * sum the same 2-dp rationals exactly, so the > comparison cannot
+    * split on accumulation order), joined to order+customer attributes,
+    * ranked (total desc, orderkey).
+    *
+    * Scale shape: ONE map-side-combined groupBy over the fact table →
+    * order-grain group rows; the HAVING bar prunes to a tiny survivor
+    * set BEFORE the dimension joins (orders join is order-grain keyed;
+    * customer side broadcasts). No window, no second fact scan.
+    */
+  def bigOrders(s: SparkSession, dir: String, bar: Long = 250)
+  : DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val totals = Tables(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast(dec)).as("tq"),
+        count(lit(1)).as("n_lines"))
+      .filter($"tq" > lit(bar).cast(dec))
+    totals
+      .join(Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_name")),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"tq".cast("double").as("total_qty"), $"n_lines")
+      .orderBy($"total_qty".desc, $"o_orderkey")
+  }
+
+  /** Oracle for [[bigOrders]] — same exact-DECIMAL bar and rank. */
+  val bigOrdersOracle: String =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS total_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2, 3, 4
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
+  /** TPC-H Q2 shape (q_cheapest_supplier, round 14): the
+    * correlated-minimum classic — for every part with any
+    * EUROPE-supplied lineitem, the supplier offering the LOWEST mean
+    * unit price there (ties → smallest suppkey). The min is taken per
+    * part over (part, supplier) group rows, never by re-scanning the
+    * fact table per part (Q2's correlated subquery, decorrelated the
+    * way every engine's optimizer rewrites it).
+    *
+    * Determinism: mean unit price = exact DECIMAL sum of per-line
+    * round(extendedprice/quantity, 6) divided in IEEE — and NOT
+    * re-rounded after the division: the quotient double is
+    * bit-identical across engines (same rational, same IEEE divide),
+    * while a post-division round(…, 6) splits engines on halfway
+    * cases (measured: a 2-line sum of …5675/2 rounded …567 in DuckDB,
+    * …568 in Spark — BigDecimal-of-shortest-repr vs binary-value
+    * rounding). Rank = (price, suppkey) via min over a struct (no
+    * window needed — argmin as a single aggregate over group rows).
+    */
+  def cheapestSupplier(s: SparkSession, dir: String,
+                       region: String = "EUROPE"): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(20, 6)
+    val sup = Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region")
+        .filter($"r_name" === region)),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name")
+    val perPs = Tables(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey",
+        round($"l_extendedprice" / $"l_quantity", 6).cast(dec).as("u"))
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey", $"s_suppkey", $"s_name")
+      .agg((sum($"u").cast("double") / count(lit(1))).as("price"))
+    perPs
+      .groupBy($"l_partkey")
+      .agg(min(struct($"price", $"s_suppkey", $"s_name")).as("w"))
+      .select($"l_partkey".as("p_partkey"), $"w.s_suppkey".as("s_suppkey"),
+        $"w.s_name".as("s_name"), $"w.price".as("unit_price"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Oracle for [[cheapestSupplier]] — same decorrelated argmin. */
+  val cheapestSupplierOracle: String =
+    """WITH sup AS (SELECT s_suppkey, s_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |ps AS (SELECT l_partkey, s_suppkey, s_name,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice / l_quantity, 6)
+      |      AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS price
+      |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2, 3),
+      |best AS (SELECT l_partkey, s_suppkey, s_name, price,
+      |  ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |    ORDER BY price, s_suppkey) AS rn FROM ps)
+      |SELECT l_partkey AS p_partkey, s_suppkey, s_name,
+      |  price AS unit_price
+      |FROM best WHERE rn = 1 ORDER BY p_partkey""".stripMargin
 }

@@ -480,6 +480,53 @@ object TextOps {
     * `rep_frac` is rounded for display only. Docs with < 3 tokens have no
     * shingles and are excluded (no 0/0).
     */
+  /** Boilerplate-prefix audit (q_boilerplate_prefix, round 14): per
+    * source, how many docs OPEN with a lead token run some other doc
+    * also opens with — the duplicated-opening gate of the Gopher/C4
+    * rule family (templated headers, scraped navigation, licence
+    * blocks), which pure near-dup scoring under-weights because an
+    * 8-token header is a tiny fraction of a long doc's shingles. The
+    * prefix key is the first `k` (default 8) whitespace tokens; prefix
+    * groups are GLOBAL (cross-source template reuse counts — that is
+    * the mirror-detection case), attribution is per source.
+    *
+    * Scale shape: one scan → one (prefix-hash) groupBy over doc-grain
+    * rows (the prefix is 8 tokens, never the text), one group-rows
+    * join back. Nothing here grows past doc-count.
+    */
+  def boilerplatePrefix(s: SparkSession, dir: String, k: Int = 8)
+  : DataFrame = {
+    import s.implicits._
+    val p = docs(s, dir)
+      .select($"doc_id", $"source",
+        array_join(slice(filter(split($"text", " "), t => t =!= ""),
+          1, k), " ").as("pre"))
+    val g = p.groupBy($"pre").agg(count(lit(1)).as("n_pre"))
+    p.join(g, "pre")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_pre" >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      .select($"source", $"n_docs", $"n_boiler",
+        round($"n_boiler".cast("double") / $"n_docs", 4)
+          .as("boiler_rate"))
+      .orderBy($"source")
+  }
+
+  /** Oracle for [[boilerplatePrefix]] — same global prefix groups. */
+  val boilerplatePrefixOracle: String =
+    """WITH p AS (SELECT doc_id, source,
+      |  array_to_string(list_filter(string_split(text, ' '),
+      |    x -> x <> '')[1:8], ' ') AS pre FROM documents),
+      |g AS (SELECT pre, CAST(COUNT(*) AS BIGINT) AS n_pre
+      |  FROM p GROUP BY 1)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_pre >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_boiler,
+      |  ROUND(CAST(SUM(CASE WHEN n_pre >= 2 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 4) AS boiler_rate
+      |FROM p JOIN g USING (pre)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
@@ -1598,7 +1645,14 @@ object TextOps {
     */
   def unigramTrain(s: SparkSession, dir: String, vocabSize: Int = 40,
                    maxPieceLen: Int = 4, seedFactor: Int = 4,
-                   pruneFrac: Double = 0.2): DataFrame = {
+                   pruneFrac: Double = 0.2,
+                   // instrumentation seam (default no-op): called once
+                   // per EM round with (round, pieces.size) — the spec
+                   // and UniProbe pin the constant-round-count and
+                   // bounded-piece-table claims through it without
+                   // touching the graded output
+                   emProbe: (Int, Int) => Unit = (_, _) => ())
+  : DataFrame = {
     import s.implicits._
     val words = Tables(s, dir, "documents")
       .select(explode(split($"text", "\\s+")).as("w"))
@@ -1643,7 +1697,10 @@ object TextOps {
     // second conjunct: once only mandatory single-char pieces remain the
     // inventory is irreducible (chars are never pruned) — without it a
     // charset larger than vocabSize would spin estep forever dropping 0
+    var emRound = 0
     while (pieces.size > vocabSize && pieces.exists(_._1.length > 1)) {
+      emRound += 1
+      emProbe(emRound, pieces.size)
       val counts = estep(laplace(pieces))
       val scored = pieces.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
       val (mandatory, removable) = scored.partition(_._1.length == 1)

@@ -3112,6 +3112,48 @@ class OperatorsSpec extends SparkSpec {
       s"char inventory mismatch: got ${out.toSeq.sorted}")
   }
 
+  test("unigram-LM training: EM-round count is corpus-size-invariant " +
+    "and the driver piece table stays within seedFactor*V + charset") {
+    import spark.implicits._
+    // same word-type distribution at 1x and 4x volume: the seed
+    // inventory (top substrings by weighted count) is identical, so the
+    // prune trajectory — and the EM round count — must not grow with
+    // corpus size; the piece table must never exceed its documented
+    // closure bound (the k-means literal-centroid discipline)
+    val docs1 = (1 to 6).map(i =>
+      (i.toLong, s"alpha$i beta gamma delta$i epsilon zeta", "en", "s",
+        40L))
+    val docs4 = (0 until 4).flatMap(k => docs1.map { case (id, t, l, s0, n)
+      => (k * 100L + id, t, l, s0, n) })
+    def train(docs: Seq[(Long, String, String, String, Long)])
+    : (Int, Int, Seq[(String, Long)]) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_uni_inv").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      var rounds = 0; var maxPieces = 0
+      val out = TextOps.unigramTrain(spark, dir, vocabSize = 8,
+        emProbe = (r, n) => {
+          rounds = math.max(rounds, r); maxPieces = math.max(maxPieces, n)
+        }).collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      (rounds, maxPieces, out)
+    }
+    val (r1, p1, out1) = train(docs1)
+    val (r4, p4, out4) = train(docs4)
+    assert(r1 > 0, "fixture must actually prune")
+    assert(r1 == r4, s"EM rounds grew with corpus size: $r1 -> $r4")
+    val charset = docs1.flatMap(_._2.split(" ")).flatMap(_.toCharArray)
+      .toSet.size
+    val bound = 4 * 8 + charset
+    assert(p1 <= bound && p4 <= bound,
+      s"piece table $p1/$p4 exceeded seedFactor*V+charset = $bound")
+    // 4x volume scales every count by 4 and changes nothing else
+    assert(out1.map(_._1) == out4.map(_._1),
+      "4x volume changed the learned piece inventory")
+    assert(out4.map(_._2) == out1.map(_._2).map(_ * 4))
+  }
+
   test("max dup span: level containment and hand-built widths hold on " +
     "a synthetic corpus") {
     import spark.implicits._
