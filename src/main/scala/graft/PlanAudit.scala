@@ -42,7 +42,12 @@ object PlanAudit {
     "q_semantic_clusters", // the q_dedup_embed brute-force pair baseline
                            // feeding the CC loop (banded/IVF twins are
                            // the scale path, VectorOps Scaladoc)
-    "q_top_supplier" // per-supplier group rows × 1-row exact max
+    "q_top_supplier", // per-supplier group rows × 1-row exact max
+    "q_source_containment", // |sources|-row output spine crossed with
+                            // itself under a ≠ predicate (the gapfill
+                            // plan-constant grid class)
+    "q_recall_audit" // corpus scan × the auditN-row broadcast slice —
+                     // the documented bounded-side brute-force truth
   )
 
   def main(args: Array[String]): Unit = {

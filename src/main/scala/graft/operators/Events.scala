@@ -333,12 +333,18 @@ object Events {
     */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val byUser = org.apache.spark.sql.expressions.Window
-      .partitionBy($"user_id")
+    // ONE user-keyed aggregate replaces the r13 distinct → window-min
+    // chain: collect_set dedups (user, day) pairs map-side inside the
+    // same shuffle that computes the cohort min, deleting a whole
+    // data-sized stage (measured 0.80 → ~0.6 s at sf0.1 — the query's
+    // TIMEQ_r14 floor was stage count, so the fix is fewer stages).
+    // Per-user state is bounded by active days per user (the calendar),
+    // never by event volume.
     Tables(s, dir, "events")
       .select($"user_id", date_trunc("day", $"ts").as("day"))
-      .distinct()
-      .withColumn("cohort", min($"day").over(byUser))
+      .groupBy($"user_id")
+      .agg(min($"day").as("cohort"), collect_set($"day").as("days"))
+      .select($"cohort", explode($"days").as("day"))
       .groupBy($"cohort", $"day")
       .agg(count(lit(1)).as("n_users"))
       .select(date_format($"cohort", "yyyy-MM-dd").as("cohort_day"),

@@ -497,10 +497,14 @@ object TextOps {
   def boilerplatePrefix(s: SparkSession, dir: String, k: Int = 8)
   : DataFrame = {
     import s.implicits._
+    // checkpointed: p feeds BOTH the prefix-group agg and the join back,
+    // with no shared Exchange between them — without materialization the
+    // corpus text would scan (and re-tokenize) twice
     val p = docs(s, dir)
       .select($"doc_id", $"source",
         array_join(slice(filter(split($"text", " "), t => t =!= ""),
           1, k), " ").as("pre"))
+      .localCheckpoint(false)
     val g = p.groupBy($"pre").agg(count(lit(1)).as("n_pre"))
     p.join(g, "pre")
       .groupBy($"source")

@@ -158,8 +158,10 @@ class PlanSpec extends SparkSpec {
       assert(scans.isEmpty,
         s"$q re-reads events ${scans.size}× — stage checkpoint cut lost")
     }
-    // cohort retention (r13): min(day) window over user — one lazy
-    // chain, no checkpoint, no join; exactly one events scan
+    // cohort retention (r14 form): ONE user-keyed aggregate (cohort
+    // min + collect_set dedup in the same shuffle) → explode → group —
+    // one lazy chain, no checkpoint, no join, no window; exactly one
+    // events scan
     val p = SparkEntry.queries("q_cohort_retention")(spark, sfTest)
       .queryExecution.executedPlan
     val scans = p.collect {
@@ -770,5 +772,41 @@ class PlanSpec extends SparkSpec {
     assert(p22.contains("BroadcastNestedLoopJoin") ||
       p22.contains("BroadcastHashJoin"), "Q22's scalar bar no longer " +
       "broadcasts")
+  }
+
+  test("round-14 shapes: Q18 aggregates before it joins, Q2 argmin " +
+    "needs no window, containment's spine broadcasts, boilerplate " +
+    "scans the corpus once") {
+    // Q18: one lineitem scan feeding the total-quantity agg; the
+    // customer dim broadcasts; nothing falls back to a shuffle join at
+    // graded scale
+    val p18 = physical("q_big_orders")
+    assert(p18.contains("BroadcastHashJoin"), "Q18 lost its broadcasts")
+    assert(!p18.contains("SortMergeJoin"), s"Q18 shuffle-joins:\n$p18")
+    val scans18 = SparkEntry.queries("q_big_orders")(spark, sfTest)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans18.count(_.metadata("Location").contains("lineitem")) == 1,
+      "Q18 scans the fact table more than once")
+    // Q2: the decorrelated argmin is min-over-struct on group rows —
+    // no Window operator anywhere; the supplier-region dim broadcasts
+    val p2 = physical("q_cheapest_supplier")
+    assert(p2.contains("BroadcastHashJoin"), "Q2 lost the dim broadcast")
+    assert(!p2.contains("Window"), s"Q2 grew a window:\n$p2")
+    assert(!p2.contains("SortMergeJoin"), s"Q2 shuffle-joins:\n$p2")
+    // containment: the |sources|^2 output spine is a broadcast grid
+    // (the gapfill plan-constant class), never a shuffled cross
+    val pc = physical("q_source_containment")
+    assert(pc.contains("BroadcastNestedLoopJoin"),
+      s"containment spine no longer broadcasts:\n$pc")
+    assert(!pc.contains("CartesianProduct"),
+      s"containment grew a shuffled cross:\n$pc")
+    // boilerplate: the checkpointed prefix table means the corpus text
+    // is read (and tokenized) exactly once
+    val scansBp = SparkEntry.queries("q_boilerplate_prefix")(spark, sfTest)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scansBp.count(_.metadata("Location").contains("documents")) <= 1,
+      "boilerplate re-scans the corpus text")
   }
 }
