@@ -674,25 +674,32 @@ object DedupOps {
     * containment(b→a) small — exactly what a crawl-dedup planner needs
     * to pick which feed to drop).
     *
-    * Scale shape: distinct (shingle, source) rows (the ngramNovelty
-    * subtree — vocabulary-bounded, not corpus-bounded), self-joined on
-    * the shingle key: a shingle present in k sources contributes k²
-    * rows, and k ≤ |sources| — a CONSTANT multiplier at any corpus
-    * size (feed counts are dozens, not data-sized), so the pair stage
-    * is linear in the distinct-shingle volume. The output spine is the
-    * |sources|² ordered grid (broadcast plan-constant cross of the
-    * source list, the gapfill-grid class) so zero-overlap pairs report
-    * 0 instead of vanishing.
+    * Scale shape: ONE corpus-sized shuffle — groupBy(shingle) with
+    * collect_set(source) dedups (shingle, source) pairs map-side INSIDE
+    * the same exchange (the q_cohort_retention collect_set trick; the
+    * r14 first cut paid distinct + a self-join = two shuffles of the
+    * corpus-derived rows and measured 2.1× its anchor — this form
+    * deletes the second). The grouped table is vocabulary-bounded with
+    * ≤ |sources|-element sets; both the per-source totals and the
+    * ordered-pair expansion (k² ≤ |sources|² per shingle — a CONSTANT
+    * multiplier, feed counts are dozens) read those group rows off a
+    * checkpoint. The output spine is the |sources|² ordered grid
+    * (broadcast plan-constant cross, the gapfill-grid class) so
+    * zero-overlap pairs report 0 instead of vanishing.
     */
   def sourceContainment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val srcs = Tables(s, dir, "documents").select($"doc_id", $"source")
-    val ss = shingles(s, dir).join(srcs, "doc_id")
-      .select($"s", $"source").distinct()
+    // vocab-sized group rows, cheap to materialize for the two readers
+    val g = shingles(s, dir).join(srcs, "doc_id")
+      .groupBy($"s").agg(collect_set($"source").as("ss"))
+      .select($"ss")
       .localCheckpoint(false)
-    val tot = ss.groupBy($"source").agg(count(lit(1)).as("n_a"))
-    val shared = ss.toDF("s", "src_a").join(ss.toDF("s", "src_b"), "s")
-      .filter($"src_a" =!= $"src_b")
+    val tot = g.select(explode($"ss").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("n_a"))
+    val shared = g.as[Seq[String]]
+      .flatMap(set => for (a <- set; b <- set if a != b) yield (a, b))
+      .toDF("src_a", "src_b")
       .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("shared"))
     tot.select($"source".as("src_a"), $"n_a")
       .join(broadcast(tot.select($"source".as("src_b"))),

@@ -204,4 +204,32 @@ object ClusterMaint {
       MaintCore.writeBatch(applyBatch(b, id, path, threshold, maxDf),
         resultPath, id)
     }
+
+  /** STREAMING NEAR-DUP INGEST GATE (s_ingest_neardup) — the text-tier
+    * analog of the round-14 media admission state, closing the blind
+    * spot the r13 verdict documented on `dedupAgainstCorpus` (exact
+    * bag-of-words fingerprints only: a paraphrased or lightly-edited
+    * re-post passed the exact gate): admit an arriving document iff it
+    * is the CANONICAL of its near-dup cluster — `cluster_id == doc_id`,
+    * the min-id keep policy `q_dedup_keep` applies in batch — which is
+    * true exactly when NO smaller-id near-dup exists in the corpus, in
+    * a prior batch, or earlier in the same batch. Composes the
+    * maintainer rather than new state: the gate IS [[applyBatch]] plus
+    * a filter, so admitted docs get their cluster id for free and the
+    * admission decision is replay-idempotent with the maintainer's own
+    * batch_id-partitioned state. Dropped docs still index (their
+    * shingles strengthen future edges — and stream ≡ batch maintenance
+    * stays exact). Emits the admitted docs' full rows.
+    */
+  def dedupStream(docs: DataFrame, path: String, resultPath: String,
+                  checkpoint: String,
+                  threshold: Double = DedupOps.DefaultJaccardThreshold,
+                  maxDf: Int = DedupOps.DefaultMaxShingleDf): StreamingQuery =
+    Sinks.streamForeachBatch(docs, checkpoint, "append") { (b, id) =>
+      val admitted = applyBatch(b, id, path, threshold, maxDf)
+        .filter(col("cluster_id") === col("doc_id"))
+        .select(col("doc_id"))
+      MaintCore.writeBatch(
+        b.join(admitted, Seq("doc_id"), "left_semi"), resultPath, id)
+    }
 }

@@ -193,4 +193,26 @@ object SemanticMaint {
       MaintCore.writeBatch(applyBatch(b, id, path, threshold, nassign),
         resultPath, id)
     }
+
+  /** STREAMING SEMANTIC DEDUP GATE (s_semantic_ingest) — live SemDeDup:
+    * admit an arriving vector iff it is the CANONICAL of its semantic
+    * cluster (`cluster_id == vec_id`, the min-id keep policy
+    * `q_semantic_dedup`'s drop set implies in batch) — i.e. no
+    * smaller-id vector within cosine `threshold` exists in the corpus,
+    * a prior batch, or earlier in the same batch, under the frozen-
+    * quantizer candidate contract. The [[ClusterMaint.dedupStream]]
+    * composition verbatim, one tier over: the gate IS [[applyBatch]]
+    * plus a filter, replay-idempotent with the maintainer state;
+    * dropped vectors still index.
+    */
+  def dedupStream(vectors: DataFrame, path: String, resultPath: String,
+                  checkpoint: String, threshold: Double = 0.4,
+                  nassign: Int = 5): StreamingQuery =
+    Sinks.streamForeachBatch(vectors, checkpoint, "append") { (b, id) =>
+      val admitted = applyBatch(b, id, path, threshold, nassign)
+        .filter(col("cluster_id") === col("vec_id"))
+        .select(col("vec_id"))
+      MaintCore.writeBatch(
+        b.join(admitted, Seq("vec_id"), "left_semi"), resultPath, id)
+    }
 }

@@ -1550,6 +1550,59 @@ class StreamOpsSpec extends SparkSpec {
     checkAgainstBatch(union1 :+ (20L, axis(1, 0.5f)), "post_compact")
   }
 
+  test("streaming NEAR-dup ingest gates (text + semantic): a near-dup " +
+    "is dropped whether its twin is in the corpus, a prior batch, or " +
+    "the same batch; the canonical is admitted exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val thr = 0.3
+    // ---- text tier: ClusterMaint.dedupStream
+    val sp = java.nio.file.Files.createTempDirectory("graft_ndg").toString
+    val rp = java.nio.file.Files.createTempDirectory("graft_ndg_r").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_ndg_c").toString
+    val t1 = "a b c d e f"
+    ClusterMaint.init(Seq((1L, t1), (9L, "x y z w h k"))
+      .toDF("doc_id", "text"), sp, threshold = thr)
+    val ms = MemoryStream[(Long, String)]
+    val q = ClusterMaint.dedupStream(ms.toDF().toDF("doc_id", "text"),
+      sp, rp, ck, threshold = thr)
+    // 11 = near-dup of CORPUS doc 1 → dropped; 12 = novel → admitted
+    ms.addData(Seq((11L, "a b c d e g"), (12L, "m n o p q r")))
+    q.processAllAvailable()
+    // 13 = near-dup of PRIOR-BATCH admission 12 → dropped; same-batch
+    // twins 15/16 (novel family) → only the min id admits
+    ms.addData(Seq((13L, "m n o p q r2"), (15L, "s t u v w x1"),
+      (16L, "s t u v w x2")))
+    q.processAllAvailable()
+    q.stop()
+    val gotT = spark.read.parquet(rp).select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotT == Set(12L, 15L), s"text near-dup gate admitted $gotT")
+    // ---- semantic tier: SemanticMaint.dedupStream (same composition)
+    def axis(i: Int, s0: Float): Array[Float] = {
+      val v = new Array[Float](6); v(i) = s0; v
+    }
+    val sp2 = java.nio.file.Files.createTempDirectory("graft_sdg").toString
+    val rp2 = java.nio.file.Files.createTempDirectory("graft_sdg_r").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_sdg_c").toString
+    SemanticMaint.init(Seq((1L, axis(0, 1f)), (9L, axis(2, 1f)))
+      .toDF("vec_id", "embedding"), sp2, threshold = 0.4,
+      nassign = 16, nlist = 16)
+    val ms2 = MemoryStream[(Long, Array[Float])]
+    val q2 = SemanticMaint.dedupStream(
+      ms2.toDF().toDF("vec_id", "embedding"), sp2, rp2, ck2,
+      threshold = 0.4, nassign = 16)
+    ms2.addData(Seq((11L, axis(0, 2f)), (12L, axis(3, 1f))))
+    q2.processAllAvailable()
+    ms2.addData(Seq((13L, axis(3, 4f)), (15L, axis(4, 1f)),
+      (16L, axis(4, 2f))))
+    q2.processAllAvailable()
+    q2.stop()
+    val gotS = spark.read.parquet(rp2).select($"vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotS == Set(12L, 15L), s"semantic near-dup gate admitted $gotS")
+  }
+
   test("idle users' alarm state is evicted by the event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
