@@ -687,11 +687,18 @@ object DedupOps {
     * (broadcast plan-constant cross, the gapfill-grid class) so
     * zero-overlap pairs report 0 instead of vanishing.
     */
-  def sourceContainment(s: SparkSession, dir: String): DataFrame = {
+  def sourceContainment(s: SparkSession, dir: String): DataFrame =
+    sourceContainmentFrom(docsParallel(s, dir))
+
+  /** [[sourceContainment]] over an arbitrary (doc_id, text, source)
+    * frame — the property-law seam (the `substringDupFrom` pattern).
+    */
+  private[graft] def sourceContainmentFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val srcs = Tables(s, dir, "documents").select($"doc_id", $"source")
+    val srcs = docs.select($"doc_id", $"source")
     // vocab-sized group rows, cheap to materialize for the two readers
-    val g = shingles(s, dir).join(srcs, "doc_id")
+    val g = shinglesOf(docs.select($"doc_id", $"text")).join(srcs, "doc_id")
       .groupBy($"s").agg(collect_set($"source").as("ss"))
       .select($"ss")
       .localCheckpoint(false)

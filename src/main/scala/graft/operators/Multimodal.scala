@@ -710,6 +710,26 @@ object Multimodal {
     * banded dedup here rides. Input: any
     * (media_id, codec: string, phash_bits: long) DataFrame.
     */
+  /** The 4×16-bit band expansion of a (media_id, codec, phash_bits)
+    * frame — the ONE definition of the pigeonhole key layout, shared by
+    * [[mediaDupPairs]], the streaming corpus gate's bucket build, and
+    * the media-tier cluster maintainer's banded index
+    * ([[graft.streaming.MediaMaint]]), so the candidate rule cannot
+    * drift between the batch and live paths.
+    */
+  private[graft] def bandsOf(hashes: DataFrame): DataFrame = {
+    val s = hashes.sparkSession
+    import s.implicits._
+    hashes.select($"media_id", $"codec", $"phash_bits",
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned($"phash_bits", 16 * b)
+            .bitwiseAND(lit(65535L)).as("key"))
+      }: _*)).as("bk"))
+      .select($"media_id", $"codec", $"phash_bits",
+        $"bk.band".as("band"), $"bk.key".as("key"))
+  }
+
   def mediaDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     // the 4-band pigeonhole only guarantees candidate coverage for
     // hamming ≤ 3 (4+ differing bits can touch all four bands); a larger
@@ -718,14 +738,7 @@ object Multimodal {
       s"mediaDupPairs: 4-band pigeonhole covers maxHamming<=3, got $maxHamming")
     val s = hashes.sparkSession
     import s.implicits._
-    val bands = hashes.select($"media_id", $"codec", $"phash_bits",
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned($"phash_bits", 16 * b)
-            .bitwiseAND(lit(65535L)).as("key"))
-      }: _*)).as("bk"))
-      .select($"media_id", $"codec", $"phash_bits",
-        $"bk.band".as("band"), $"bk.key".as("key"))
+    val bands = bandsOf(hashes)
     val a = bands.select($"media_id".as("ma"), $"phash_bits".as("ha"),
       $"codec", $"band", $"key")
     val b = bands.select($"media_id".as("mb"), $"phash_bits".as("hb"),

@@ -9,7 +9,8 @@ import graft.sinks.Sinks
 
 /** Shared machinery of the incremental cluster maintainers
   * ([[ClusterMaint]] text/ngram tier, [[SemanticMaint]] embedding
-  * tier): the batch_id-partitioned idempotent state writes, schema-safe
+  * tier, [[MediaMaint]] perceptual tier): the batch_id-partitioned
+  * idempotent state writes, schema-safe
   * reads, the two-phase compaction recovery, the resolved merge map,
   * and the super-node CC advance — given this batch's edges (new node ↔
   * new node, or new node ↔ old cluster rep), run the small CC, derive
@@ -17,7 +18,8 @@ import graft.sinks.Sinks
   * resolved map, and append the clustered assignments. The min-label
   * invariant that makes the compression exact lives here once; the
   * tiers differ ONLY in how they derive candidate edges (shingle
-  * postings vs IVF cell probes), which stays in the tier objects.
+  * postings vs IVF cell probes vs phash band buckets), which stays in
+  * the tier objects.
   */
 private[streaming] object MaintCore {
 

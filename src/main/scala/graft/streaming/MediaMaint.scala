@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{DedupOps, Multimodal}
+import graft.sinks.Sinks
+
+/** STREAMING MEDIA (perceptual-tier) CLUSTER MAINTENANCE
+  * (s_media_maint) — the third tier of the [[MaintCore]] family,
+  * completing the symmetry: [[ClusterMaint]] maintains the n-gram text
+  * clusters, [[SemanticMaint]] the embedding clusters, this the
+  * `q_media_clusters` families — arriving media gets its perceptual
+  * cluster id at ingest time, a re-encode storm that bridges two
+  * frozen families MERGES them exactly.
+  *
+  * Edge rule byte-shared with the batch query: the codec-dispatched
+  * `Multimodal.mediaHash` fingerprint and the 4×16-bit band pigeonhole
+  * (`Multimodal.bandsOf` — the same expansion `mediaDupPairs` joins
+  * on), exact `bit_count` verification at `maxHamming` ≤ 3. Unlike the
+  * text tier (arrival-time df caveat) and the embedding tier (frozen-
+  * quantizer recall contract), this tier's incremental equivalence is
+  * UNCONDITIONAL: the pigeonhole candidate rule is complete for
+  * hamming ≤ 3 by construction, so stream ≡ a from-scratch
+  * `mediaClustersOf` on the union corpus at EVERY micro-batch
+  * boundary, merges included — spec-pinned with no fixture caveat.
+  *
+  * Scale shape: the index is stored PRE-BANDED — (codec, band, key,
+  * media_id, phash_bits), 4 rows per decodable blob, so the per-batch
+  * probe is one equi-join of the batch's ≤4·|batch| band keys against
+  * the keyed index (n_codec/2¹⁶ expected rows per key — the LSH-band
+  * bound), never a re-band of the stored corpus. Pixels/PCM decode in
+  * the stateless hashing pass and never enter state; everything the
+  * maintainer stores is 8-byte hashes and ids. Undecodable payloads
+  * carry no hash, are excluded from clustering (exactly as the batch
+  * audit excludes them), and belong to the dead-letter path.
+  *
+  * State layout under `path`:
+  *   index/  batch_id=N/ (codec, band, key, media_id, phash_bits)
+  *   assign/ batch_id=N/ (media_id, cluster_id)
+  *   merges/ (old_id, new_id)
+  */
+object MediaMaint {
+
+  private val StateSubs = Seq("index", "assign")
+  private val IndexSchema =
+    "codec STRING, band INT, key BIGINT, media_id BIGINT, phash_bits BIGINT"
+
+  /** Bootstrap from the historical corpus (media_id, content): hash,
+    * band, batch CC over the exact banded pairs. Batch id −1 marks the
+    * bootstrap partition.
+    */
+  def init(media: DataFrame, path: String, maxHamming: Int = 3): Unit = {
+    val s = media.sparkSession
+    import s.implicits._
+    val hashes = Multimodal.hashesOf(media).localCheckpoint(false)
+    val assign = DedupOps.clusterPairs(s,
+        Multimodal.mediaDupPairs(hashes, maxHamming)
+          .select($"ma".as("a"), $"mb".as("b")))
+      .select($"doc_id".as("media_id"), $"cluster_id")
+    MaintCore.writeBatch(Multimodal.bandsOf(hashes)
+      .select($"codec", $"band", $"key", $"media_id", $"phash_bits"),
+      s"$path/index", -1L)
+    MaintCore.writeBatch(assign, s"$path/assign", -1L)
+    MaintCore.writeEmptyMerges(s, path)
+  }
+
+  /** Current resolved assignments: insert-time cluster ids routed
+    * through the merge map.
+    */
+  def assignments(s: SparkSession, path: String): DataFrame =
+    MaintCore.assignments(s, path, "media_id", StateSubs)
+
+  /** Fold per-batch state partitions into the bootstrap partition —
+    * the [[ClusterMaint.compact]] discipline (two-phase seal, crash-
+    * recovered; run between micro-batches).
+    */
+  def compact(s: SparkSession, path: String): Unit = {
+    MaintCore.recover(s, path, StateSubs)
+    MaintCore.seal(s, path, "index",
+      MaintCore.readState(s, path, "index", IndexSchema))
+    MaintCore.seal(s, path, "assign", assignments(s, path))
+    MaintCore.writeEmptyMerges(s, path)
+  }
+
+  /** Apply one micro-batch of (media_id, content) blobs: returns every
+    * DECODABLE batch blob's (media_id, cluster_id, is_new_cluster) AND
+    * advances the state — idempotent under foreachBatch replay (the
+    * [[ClusterMaint.applyBatch]] contract).
+    */
+  def applyBatch(newMedia: DataFrame, batchId: Long, path: String,
+                 maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"MediaMaint: 4-band pigeonhole covers maxHamming<=3, got $maxHamming")
+    val s = newMedia.sparkSession
+    import s.implicits._
+    MaintCore.recover(s, path, StateSubs)
+    val newH = Multimodal.hashesOf(newMedia).localCheckpoint(false)
+    val newIds = newH.select($"media_id").localCheckpoint(false)
+    val newBands = Multimodal.bandsOf(newH)
+    // stored banded index rows in the batch's touched (codec,band,key)
+    // buckets only, minus the batch's own ids (crash-replay exclusion);
+    // select BY NAME after the using-joins (the column-order trap)
+    val oldIdx = MaintCore.readState(s, path, "index", IndexSchema)
+      .join(newBands.select($"codec", $"band", $"key").distinct(),
+        Seq("codec", "band", "key"))
+      .join(newIds, Seq("media_id"), "left_anti")
+      .select($"codec", $"band", $"key",
+        $"media_id".as("b"), $"phash_bits".as("hb"))
+    val assignNow = assignments(s, path)
+    // new↔old edges: band-bucket candidates, exact hamming verify,
+    // compressed to (new blob, old blob's cluster rep)
+    val edgesNO = newBands
+      .select($"codec", $"band", $"key",
+        $"media_id".as("a"), $"phash_bits".as("ha"))
+      .join(oldIdx, Seq("codec", "band", "key"))
+      .filter(bit_count($"ha".bitwiseXOR($"hb")) <= lit(maxHamming))
+      .select($"a", $"b").distinct()
+      .join(assignNow.toDF("b", "rep"), Seq("b"), "left_outer")
+      .select($"a", coalesce($"rep", $"b").as("b"))
+    // new↔new edges inside the batch — the batch query's own machinery
+    val edgesNN = Multimodal.mediaDupPairs(newH, maxHamming)
+      .select($"ma".as("a"), $"mb".as("b"))
+    // EAGER: the edge set reads index/assign state the writes below
+    // replace in place on a replay
+    val edges = edgesNO.union(edgesNN).localCheckpoint()
+    MaintCore.writeBatch(newBands
+      .select($"codec", $"band", $"key", $"media_id", $"phash_bits"),
+      s"$path/index", batchId)
+    MaintCore.advance(s, path, batchId, newIds.toDF("media_id"), edges,
+      "media_id")
+  }
+
+  /** Streaming entry: foreachBatch-applied maintenance over a
+    * (media_id, content) stream; per-batch results land as parquet
+    * under `resultPath/batch_id=N` (same idempotent overwrite).
+    */
+  def start(media: DataFrame, path: String, resultPath: String,
+            checkpoint: String, maxHamming: Int = 3): StreamingQuery =
+    Sinks.streamForeachBatch(media, checkpoint, "append") { (b, id) =>
+      MaintCore.writeBatch(applyBatch(b, id, path, maxHamming),
+        resultPath, id)
+    }
+}

@@ -179,6 +179,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment matrix law: equals set arithmetic on any corpus; " +
+    "diagonal excluded, shared symmetric, containment in [0,1]") {
+    import spark.implicits._
+    // small vocab + short docs → heavy cross-source shingle sharing AND
+    // sources with empty shingle sets (docs under 3 tokens) both occur
+    val vocab = Vector("a", "b", "c")
+    val docGen = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(4, 10).flatMap(nd =>
+      Gen.listOfN(nd, Gen.zip(docGen, Gen.oneOf("s0", "s1", "s2"))))
+    samples(corpusGen, 15).foreach { texts =>
+      val corpus = texts.zipWithIndex.map { case ((t, src), i) =>
+        (i.toLong, t, src) }
+      // brute force: 3-gram shingle SETS per source, pairwise overlap
+      def sh(t: String): Set[String] = {
+        val ts = t.split(' ').filter(_.nonEmpty)
+        if (ts.length < 3) Set.empty
+        else ts.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val bySrc = corpus.groupBy(_._3).map { case (src, ds) =>
+        src -> ds.map(d => sh(d._2)).fold(Set.empty)(_ ++ _) }
+      // the spine is sources WITH >=1 shingle (n_a would be 0 otherwise
+      // and the query's totals table has no row to join)
+      val live = bySrc.filter(_._2.nonEmpty)
+      val expected = (for {
+        a <- live.keys; b <- live.keys if a != b
+      } yield {
+        val shared = (live(a) intersect live(b)).size.toLong
+        (a, b, shared, live(a).size.toLong,
+          BigDecimal(shared.toDouble / live(a).size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }).toSeq.sortBy(x => (x._1, x._2))
+      val got = graft.operators.DedupOps
+        .sourceContainmentFrom(corpus.toDF("doc_id", "text", "source"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      assert(got == expected, s"corpus=${corpus.take(4)}…:\n got " +
+        s"$got\n exp $expected")
+      // laws on the output itself
+      val sharedOf = got.map(x => (x._1, x._2) -> x._3).toMap
+      got.foreach { case (a, b, shr, na, c) =>
+        assert(a != b, "diagonal leaked")
+        assert(sharedOf((b, a)) == shr, "shared not symmetric")
+        assert(c >= 0.0 && c <= 1.0 && shr <= na)
+      }
+    }
+  }
+
   test("max dup span law: equals the per-level brute force on any " +
     "corpus — the widest shared level with its count") {
     import spark.implicits._

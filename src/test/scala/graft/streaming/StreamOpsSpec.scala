@@ -1550,6 +1550,130 @@ class StreamOpsSpec extends SparkSpec {
     checkAgainstBatch(union1 :+ (20L, axis(1, 0.5f)), "post_compact")
   }
 
+  test("streaming MEDIA cluster maintenance: stream ≡ batch " +
+    "mediaClustersOf on the union corpus at every boundary, incl. a " +
+    "same-codec merge; replay + compaction idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    def dist(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // fixture SEARCH over the deterministic AM-tone grid: two families
+    // each a (8k, 16k-resample) twin pair (hamming ≤ 3 inside), ALL
+    // cross distances ≥ 4 (so the families never pair directly), and a
+    // bridge tone within ≤ 3 of a member of EACH family — the
+    // same-codec merge case. The grid is deterministic, so the picked
+    // fixture is too; every relation is re-asserted so hash drift
+    // fails loudly here, not downstream.
+    case class Tone(f: Int, a8: Array[Byte], a16: Array[Byte],
+                    h8: Long, h16: Long)
+    val grid = (300 to 640 by 10).flatMap { f =>
+      val a8 = amWav(8000f, f, 12.1); val a16 = amWav(16000f, f, 12.1)
+      for (h8 <- Multimodal.audioHash(a8);
+           h16 <- Multimodal.audioHash(a16)
+           if dist(h8, h16) <= 3) yield Tone(f, a8, a16, h8, h16)
+    }
+    def far(t: Tone, u: Tone) = Seq(dist(t.h8, u.h8), dist(t.h8, u.h16),
+      dist(t.h16, u.h8), dist(t.h16, u.h16)).min >= 4
+    val triple = (for {
+      t1 <- grid; t2 <- grid if t1.f < t2.f && far(t1, t2)
+      br <- grid if br.f != t1.f && br.f != t2.f &&
+        dist(br.h8, t1.h8) <= 3 && dist(br.h8, t2.h8) <= 3
+    } yield (t1, t2, br)).headOption
+    assert(triple.isDefined, "tone grid yielded no merge fixture - " +
+      "audioHash geometry drifted; widen the grid")
+    val (t1, t2, br) = triple.get
+    // singletons come from a SEPARATE modulation family (the 12.1 Hz
+    // grid is dense enough at this spacing that every tone sits within
+    // 3 bits of the picked triple): any single-rate tone ≥ 4 bits from
+    // every triple member and from the other singleton
+    case class LoneTone(bytes: Array[Byte], h: Long)
+    val lonePool = for {
+      mod <- Seq(8.3, 15.7, 21.9); f <- 300 to 640 by 20
+      bytes = amWav(8000f, f, mod)
+      h <- Multimodal.audioHash(bytes)
+      if Seq(t1, t2, br).forall(u =>
+        dist(h, u.h8) >= 4 && dist(h, u.h16) >= 4)
+    } yield LoneTone(bytes, h)
+    val lone = lonePool.foldLeft(Vector.empty[LoneTone]) { (acc, t) =>
+      if (acc.size < 2 && acc.forall(u => dist(t.h, u.h) >= 4)) acc :+ t
+      else acc
+    }
+    assert(lone.size >= 2, "need two isolated tones for the singletons")
+    val (s9, s15) = (lone(0), lone(1))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_mmaint").toString
+    val resultPath = java.nio.file.Files
+      .createTempDirectory("graft_mmaint_res").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_mmaint_ck").toString
+    // corpus: twin family {1,2} + isolated 9; an image rides along to
+    // pin codec separation (its hash shares no (codec, band) bucket
+    // with any WAV whatever the bits)
+    val img = Multimodal.synthesizePng("mm-img".getBytes, 24, 16)
+    val corpus = Seq((1L, t1.a8), (2L, t1.a16), (9L, s9.bytes), (10L, img))
+    MediaMaint.init(corpus.toDF("media_id", "content"), statePath)
+    def checkAgainstBatch(union: Seq[(Long, Array[Byte])],
+                          tag: String): Unit = {
+      val batch = Multimodal
+        .mediaClustersOf(union.toDF("media_id", "content"))
+        .select($"media_id", $"cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val stream = MediaMaint.assignments(spark, statePath).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stream == batch, s"[$tag] stream $stream vs batch $batch")
+    }
+    checkAgainstBatch(corpus, "init")
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = MediaMaint.start(ms.toDF().toDF("media_id", "content"),
+      statePath, resultPath, ckpt)
+    // batch 0: 11 (byte-identical re-send of t1.a8) joins cluster 1;
+    // {12,13} open the second twin family; 15 is a singleton; 16 is
+    // undecodable → excluded from clustering entirely
+    ms.addData(Seq((11L, t1.a8), (12L, t2.a8), (13L, t2.a16),
+      (15L, s15.bytes), (16L, "junk bytes".getBytes)))
+    q.processAllAvailable()
+    val b0 = spark.read.parquet(resultPath).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_new_cluster")))
+      .toMap
+    assert(b0(11L) == (1L, false), s"blob 11 got ${b0(11L)}")
+    assert(b0(12L) == (12L, true) && b0(13L) == (12L, true))
+    assert(b0(15L) == (15L, true))
+    assert(!b0.contains(16L), "undecodable blob must not cluster")
+    val union0 = corpus ++ Seq((11L, t1.a8), (12L, t2.a8),
+      (13L, t2.a16), (15L, s15.bytes))
+    checkAgainstBatch(union0, "b0")
+    // batch 1: the bridge tone MERGES families {1,2,11} and {12,13}
+    ms.addData(Seq((14L, br.a8)))
+    q.processAllAvailable()
+    q.stop()
+    val b1 = spark.read.parquet(s"$resultPath/batch_id=1").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_new_cluster")))
+      .toMap
+    assert(b1(14L) == (1L, false), s"bridge blob got ${b1(14L)}")
+    val union1 = union0 :+ (14L, br.a8)
+    checkAgainstBatch(union1, "b1")
+    val a = MediaMaint.assignments(spark, statePath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a(12L) == 1L && a(13L) == 1L && a(14L) == 1L,
+      s"absorbed family must resolve through the merge map: $a")
+    // crash-replay idempotence + compaction + post-compaction batch
+    MediaMaint.applyBatch(Seq((14L, br.a8)).toDF("media_id", "content"),
+      1L, statePath)
+    checkAgainstBatch(union1, "replay")
+    MediaMaint.compact(spark, statePath)
+    checkAgainstBatch(union1, "compacted")
+    assert(spark.read.parquet(s"$statePath/merges").count() == 0)
+    val b2 = MediaMaint.applyBatch(
+      Seq((20L, t2.a8)).toDF("media_id", "content"), 2L, statePath)
+      .collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(b2(20L) == 1L, s"post-compaction batch got ${b2.get(20L)}")
+    checkAgainstBatch(union1 :+ (20L, t2.a8), "post_compact")
+  }
+
   test("streaming NEAR-dup ingest gates (text + semantic): a near-dup " +
     "is dropped whether its twin is in the corpus, a prior batch, or " +
     "the same batch; the canonical is admitted exactly once") {
