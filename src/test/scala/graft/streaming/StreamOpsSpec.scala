@@ -1674,6 +1674,57 @@ class StreamOpsSpec extends SparkSpec {
     checkAgainstBatch(union1 :+ (20L, t2.a8), "post_compact")
   }
 
+  test("maintainer tiers survive empty and undecodable-only batches " +
+    "without corrupting state") {
+    import spark.implicits._
+    // an idle webhook topic delivers empty micro-batches routinely, and
+    // a poisoned feed can deliver a batch where NOTHING decodes — both
+    // must advance cleanly and leave assignments untouched
+    val t1 = "a b c d e f"
+    val sp = java.nio.file.Files.createTempDirectory("graft_eb_t").toString
+    ClusterMaint.init(Seq((1L, t1), (2L, "a b c d e g"))
+      .toDF("doc_id", "text"), sp, threshold = 0.3)
+    val before = ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r0 = ClusterMaint.applyBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 0L, sp,
+      threshold = 0.3).collect()
+    assert(r0.isEmpty)
+    assert(ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    // semantic tier
+    def axis(i: Int, s0: Float): Array[Float] = {
+      val v = new Array[Float](6); v(i) = s0; v
+    }
+    val sp2 = java.nio.file.Files.createTempDirectory("graft_eb_s").toString
+    SemanticMaint.init(Seq((1L, axis(0, 1f)), (2L, axis(0, 2f)))
+      .toDF("vec_id", "embedding"), sp2, nassign = 16, nlist = 16)
+    val sBefore = SemanticMaint.assignments(spark, sp2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = SemanticMaint.applyBatch(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), 0L,
+      sp2, nassign = 16).collect()
+    assert(r1.isEmpty)
+    assert(SemanticMaint.assignments(spark, sp2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == sBefore)
+    // media tier: an undecodable-ONLY batch hashes to zero rows — the
+    // maintainer must treat it exactly like an empty batch
+    import graft.operators.Multimodal
+    val imgA = Multimodal.synthesizePng("eb-A".getBytes, 24, 16)
+    val sp3 = java.nio.file.Files.createTempDirectory("graft_eb_m").toString
+    MediaMaint.init(Seq((1L, imgA), (2L, Multimodal.resizeImage(imgA, 24, 16)))
+      .toDF("media_id", "content"), sp3)
+    val mBefore = MediaMaint.assignments(spark, sp3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mBefore.nonEmpty, "fixture must cluster at init")
+    val r2 = MediaMaint.applyBatch(
+      Seq((7L, "not media".getBytes), (8L, Array.empty[Byte]))
+        .toDF("media_id", "content"), 0L, sp3).collect()
+    assert(r2.isEmpty, "undecodable blobs must not cluster")
+    assert(MediaMaint.assignments(spark, sp3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == mBefore)
+  }
+
   test("streaming NEAR-dup ingest gates (text + semantic): a near-dup " +
     "is dropped whether its twin is in the corpus, a prior batch, or " +
     "the same batch; the canonical is admitted exactly once") {
