@@ -208,6 +208,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Relational.bigOrders(s, d)),
     "q_cheapest_supplier" ->
       ((s: SparkSession, d: String) => Relational.cheapestSupplier(s, d)),
+    "q_dup_inflation" ->
+      ((s: SparkSession, d: String) => DedupOps.dupInflation(s, d)),
     "q_span_corruption" ->
       ((s: SparkSession, d: String) => TextOps.spanCorruption(s, d)),
     // round 11, batch 6: leak attribution, signal calibration, threshold
@@ -1231,6 +1233,7 @@ object SparkEntry {
     "q_boilerplate_prefix" -> TextOps.boilerplatePrefixOracle,
     "q_big_orders" -> Relational.bigOrdersOracle,
     "q_cheapest_supplier" -> Relational.cheapestSupplierOracle,
+    "q_dup_inflation" -> DedupOps.dupInflationOracle,
     "q_eval_leakage" -> DedupOps.evalLeakageOracle,
     "q_minhash_est" -> DedupOps.minhashEstOracle,
     // entropy: every term is -(p)ln(p) on an exact-integer rational,

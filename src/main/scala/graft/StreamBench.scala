@@ -27,6 +27,11 @@ object StreamBench {
     val batchSize = 10000
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the media gate's in-stream MapState (round 14) runs on
+    // transformWithState — RocksDB provider required, and every other
+    // stateful pipeline here runs fine on it too
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // operational seam: every micro-batch of every pipeline lands one
@@ -227,6 +232,44 @@ object StreamBench {
       val secs = (System.nanoTime() - t0) / 1e9
       "cluster_maint" -> (arriving.length / secs)
     }
+    // semantic tier: vectors/second through the frozen-quantizer
+    // incremental CC (same split protocol as the text tier)
+    def runSemanticMaint(): (String, Double) = {
+      val vecs = Tables(spark, sfDir, "embeddings")
+        .select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val (corpus, arriving) = vecs.splitAt(vecs.length / 2)
+      val path = java.nio.file.Files
+        .createTempDirectory("sb_smaint").toString
+      graft.streaming.SemanticMaint.init(
+        corpus.toSeq.toDF("vec_id", "embedding"), path)
+      val t0 = System.nanoTime()
+      arriving.grouped(500).zipWithIndex.foreach { case (chunk, i) =>
+        graft.streaming.SemanticMaint.applyBatch(
+          chunk.toSeq.toDF("vec_id", "embedding"), i.toLong, path).count()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      "semantic_maint" -> (arriving.length / secs)
+    }
+    // media tier: blobs/second through the pre-banded phash CC (each
+    // arriving blob pays a real decode + hash in the stateless pass)
+    def runMediaMaint(): (String, Double) = {
+      val media = graft.operators.Multimodal.mediaTable(spark, sfDir)
+        .select($"media_id", $"content")
+        .as[(Long, Array[Byte])].collect().sortBy(_._1)
+      val (corpus, arriving) = media.splitAt(media.length / 2)
+      val path = java.nio.file.Files
+        .createTempDirectory("sb_mmaint").toString
+      graft.streaming.MediaMaint.init(
+        corpus.toSeq.toDF("media_id", "content"), path)
+      val t0 = System.nanoTime()
+      arriving.grouped(500).zipWithIndex.foreach { case (chunk, i) =>
+        graft.streaming.MediaMaint.applyBatch(
+          chunk.toSeq.toDF("media_id", "content"), i.toLong, path).count()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      "media_maint" -> (arriving.length / secs)
+    }
     val results = Seq(
       run("tumbling", StreamOps.tumbling, "update"),
       run("dedup", StreamOps.dedup, "append"),
@@ -246,7 +289,9 @@ object StreamBench {
       runOov(),
       runMediaDedup(),
       runTokenize(),
-      runClusterMaint())
+      runClusterMaint(),
+      runSemanticMaint(),
+      runMediaMaint())
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")

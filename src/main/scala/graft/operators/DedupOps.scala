@@ -1482,6 +1482,62 @@ object DedupOps {
     * (min-label components, min-id keep flag) source-joined and rolled
     * up against each source's population.
     */
+  /** Token-weighted duplication INFLATION per feed (q_dup_inflation,
+    * round 14): `q_dup_rate_by_source` counts removable DOCS; training
+    * cost is paid in TOKENS, so the budgeting question is "how many
+    * chars does near-dedup save, and how much is this feed's effective
+    * volume inflated by duplication" — chars_total / chars_kept, the
+    * multiplier a naive per-feed token count overstates the feed by.
+    * The denominator can never be zero: every cluster keeps its
+    * canonical, so a source never loses all its chars.
+    *
+    * Shape: rides the SAME `dedupClusters` CC output (edge-sized, the
+    * scale argument lives there) + two source-grain rollups of the
+    * documents table — nothing new shuffles at corpus size.
+    */
+  def dupInflation(s: SparkSession, dir: String,
+                   threshold: Double = DefaultJaccardThreshold,
+                   maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val rem = dedupClusters(s, dir, threshold, maxDf)
+      .filter(!$"keep").select($"doc_id")
+      .join(docs, "doc_id")
+      .groupBy($"source")
+      .agg(sum($"n_chars").as("chars_removable"))
+    docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_total"))
+      .join(rem, Seq("source"), "left_outer")
+      .select($"source", $"n_docs", $"chars_total",
+        coalesce($"chars_removable", lit(0L)).as("chars_removable"),
+        round($"chars_total".cast("double") /
+          ($"chars_total" - coalesce($"chars_removable", lit(0L))), 4)
+          .as("inflation"))
+      .orderBy($"source")
+  }
+
+  /** Oracle for [[dupInflation]] — the cluster CTE + two rollups. */
+  lazy val dupInflationOracle: String =
+    ccReachCte +
+      """,
+        |m AS (SELECT min(root) AS cluster_id, doc_id,
+        |  (doc_id = min(root)) AS keep FROM reach GROUP BY doc_id),
+        |rem AS (SELECT d.source,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_removable
+        |  FROM m JOIN documents d USING (doc_id)
+        |  WHERE NOT m.keep GROUP BY 1),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |  FROM documents GROUP BY 1)
+        |SELECT t.source, t.n_docs, t.chars_total,
+        |  COALESCE(r.chars_removable, 0) AS chars_removable,
+        |  ROUND(CAST(t.chars_total AS DOUBLE)
+        |    / (t.chars_total - COALESCE(r.chars_removable, 0)), 4)
+        |    AS inflation
+        |FROM tot t LEFT JOIN rem r USING (source)
+        |ORDER BY t.source""".stripMargin
+
   lazy val dupRateBySourceOracle: String =
     ccReachCte +
       """,
