@@ -296,8 +296,12 @@ object StreamBench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     val nMetrics = metrics.drainTo(spark, metricsPath)
+    // provider is part of the record since r14: the media gate forced a
+    // global switch to RocksDB, so r14+ rates are NOT like-for-like with
+    // pre-r14 HDFS-backed runs — the bench-env-confound rule applies
     println(s"""{"metric":"stream_events_per_sec","pipelines":$qs,""" +
       s""""n_events":${events.length},"batch_size":$batchSize,""" +
+      s""""state_store":"rocksdb",""" +
       s""""metrics_rows":$nMetrics,"metrics_path":"$metricsPath",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

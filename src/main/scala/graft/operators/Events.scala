@@ -339,7 +339,11 @@ object Events {
     // data-sized stage (measured 0.80 → ~0.6 s at sf0.1 — the query's
     // TIMEQ_r14 floor was stage count, so the fix is fewer stages).
     // Per-user state is bounded by active days per user (the calendar),
-    // never by event volume.
+    // never by event volume. NULL-day caveat (r14 review): collect_set
+    // drops nulls where the old distinct+window kept them — equivalent
+    // here because the events table's ts is NOT NULL by the fixture
+    // contract (and Tables normalizes it); a nullable deployment would
+    // need an explicit null-day policy in BOTH engines.
     Tables(s, dir, "events")
       .select($"user_id", date_trunc("day", $"ts").as("day"))
       .groupBy($"user_id")

@@ -63,7 +63,7 @@ import graft.sinks.Sinks
   */
 object ClusterMaint {
 
-  private val StateSubs = Seq("index", "sizes", "assign")
+  private val StateSubs = Seq("index", "sizes", "assign", "merges")
 
   /** Bootstrap state from the historical corpus (doc_id, text): batch
     * CC over the same ngram-Jaccard edge rule, postings, kept sizes.
@@ -209,11 +209,17 @@ object ClusterMaint {
     * analog of the round-14 media admission state, closing the blind
     * spot the r13 verdict documented on `dedupAgainstCorpus` (exact
     * bag-of-words fingerprints only: a paraphrased or lightly-edited
-    * re-post passed the exact gate): admit an arriving document iff it
-    * is the CANONICAL of its near-dup cluster — `cluster_id == doc_id`,
-    * the min-id keep policy `q_dedup_keep` applies in batch — which is
-    * true exactly when NO smaller-id near-dup exists in the corpus, in
-    * a prior batch, or earlier in the same batch. Composes the
+    * re-post passed the exact gate): admit an arriving document iff its
+    * component is NEW this batch (`is_new_cluster` — no edge to the
+    * corpus or any prior batch) AND it is that new component's
+    * canonical (`cluster_id == doc_id`, the `q_dedup_keep` min-id
+    * policy for same-batch twins). The conjunction matters for
+    * NON-MONOTONIC ids (r14 review finding): a bare canonical check
+    * would re-admit a SMALLER-id near-dup arriving after its larger-id
+    * twin was already admitted — the component min shifts to the
+    * newcomer while the twin is already in the output; `is_new_cluster`
+    * is false the moment any prior content is reachable, whatever the
+    * ids. Composes the
     * maintainer rather than new state: the gate IS [[applyBatch]] plus
     * a filter, so admitted docs get their cluster id for free and the
     * admission decision is replay-idempotent with the maintainer's own
@@ -227,7 +233,7 @@ object ClusterMaint {
                   maxDf: Int = DedupOps.DefaultMaxShingleDf): StreamingQuery =
     Sinks.streamForeachBatch(docs, checkpoint, "append") { (b, id) =>
       val admitted = applyBatch(b, id, path, threshold, maxDf)
-        .filter(col("cluster_id") === col("doc_id"))
+        .filter(col("is_new_cluster") && col("cluster_id") === col("doc_id"))
         .select(col("doc_id"))
       MaintCore.writeBatch(
         b.join(admitted, Seq("doc_id"), "left_semi"), resultPath, id)

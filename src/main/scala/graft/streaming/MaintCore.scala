@@ -65,10 +65,22 @@ private[streaming] object MaintCore {
   def readMerges(s: SparkSession, path: String): DataFrame =
     readState(s, path, "merges", "old_id BIGINT, new_id BIGINT")
 
+  /** ALL merge-map writes go through the two-phase [[seal]] (write the
+    * sibling `.sealed` dir first, delete live, rename): the map is the
+    * one state family that is NOT re-derivable from appends — a plain
+    * in-place Overwrite crashing between its delete and its commit
+    * would silently read back as a legitimately-empty map and every
+    * absorbed-rep routing would be lost (r14 review finding). With the
+    * seal, a crash leaves either the old live dir (pre-delete) or a
+    * complete `.sealed` copy that [[recover]] renames into place — so
+    * "merges" must be in every tier's recover list.
+    */
+  def writeMerges(s: SparkSession, path: String, df: DataFrame): Unit =
+    seal(s, path, "merges", df)
+
   def writeEmptyMerges(s: SparkSession, path: String): Unit = {
     import s.implicits._
-    Seq.empty[(Long, Long)].toDF("old_id", "new_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/merges")
+    writeMerges(s, path, Seq.empty[(Long, Long)].toDF("old_id", "new_id"))
   }
 
   /** Complete any compaction a crash interrupted: a missing live dir
@@ -169,12 +181,14 @@ private[streaming] object MaintCore {
     // only CLUSTERED nodes persist (edge-bearing — the batch CC output
     // likewise excludes singletons); the result reports every node.
     // assign lands before merges so a crash between the two leaves only
-    // re-derivable appends behind
+    // re-derivable appends behind; the merge map itself goes through
+    // the two-phase seal ([[writeMerges]]) because it is NOT
+    // re-derivable
     writeBatch(res
       .join(comp.toDF(idCol, "c2"), Seq(idCol), "left_semi")
       .select(col(idCol), $"cluster_id"),
       s"$path/assign", batchId)
-    resolved.write.mode(SaveMode.Overwrite).parquet(s"$path/merges")
+    writeMerges(s, path, resolved)
     res
   }
 }

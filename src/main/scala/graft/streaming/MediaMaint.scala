@@ -43,7 +43,7 @@ import graft.sinks.Sinks
   */
 object MediaMaint {
 
-  private val StateSubs = Seq("index", "assign")
+  private val StateSubs = Seq("index", "assign", "merges")
   private val IndexSchema =
     "codec STRING, band INT, key BIGINT, media_id BIGINT, phash_bits BIGINT"
 

@@ -58,7 +58,7 @@ import graft.sinks.Sinks
   */
 object SemanticMaint {
 
-  private val StateSubs = Seq("index", "assign")
+  private val StateSubs = Seq("index", "assign", "merges")
   private val IndexSchema = "cell INT, vec_id BIGINT, v ARRAY<FLOAT>"
 
   /** Bootstrap from the historical corpus (vec_id, embedding): train
@@ -195,22 +195,22 @@ object SemanticMaint {
     }
 
   /** STREAMING SEMANTIC DEDUP GATE (s_semantic_ingest) — live SemDeDup:
-    * admit an arriving vector iff it is the CANONICAL of its semantic
-    * cluster (`cluster_id == vec_id`, the min-id keep policy
-    * `q_semantic_dedup`'s drop set implies in batch) — i.e. no
-    * smaller-id vector within cosine `threshold` exists in the corpus,
-    * a prior batch, or earlier in the same batch, under the frozen-
-    * quantizer candidate contract. The [[ClusterMaint.dedupStream]]
-    * composition verbatim, one tier over: the gate IS [[applyBatch]]
-    * plus a filter, replay-idempotent with the maintainer state;
-    * dropped vectors still index.
+    * admit an arriving vector iff its component is NEW this batch
+    * (`is_new_cluster` — nothing within cosine `threshold` reachable in
+    * the corpus or any prior batch, under the frozen-quantizer
+    * candidate contract) AND it is that new component's canonical
+    * (`cluster_id == vec_id`, the min-id policy for same-batch twins —
+    * the conjunction handles non-monotonic ids, see
+    * [[ClusterMaint.dedupStream]]). The same composition one tier over:
+    * the gate IS [[applyBatch]] plus a filter, replay-idempotent with
+    * the maintainer state; dropped vectors still index.
     */
   def dedupStream(vectors: DataFrame, path: String, resultPath: String,
                   checkpoint: String, threshold: Double = 0.4,
                   nassign: Int = 5): StreamingQuery =
     Sinks.streamForeachBatch(vectors, checkpoint, "append") { (b, id) =>
       val admitted = applyBatch(b, id, path, threshold, nassign)
-        .filter(col("cluster_id") === col("vec_id"))
+        .filter(col("is_new_cluster") && col("cluster_id") === col("vec_id"))
         .select(col("vec_id"))
       MaintCore.writeBatch(
         b.join(admitted, Seq("vec_id"), "left_semi"), resultPath, id)

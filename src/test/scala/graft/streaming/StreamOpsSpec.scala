@@ -1424,10 +1424,8 @@ class StreamOpsSpec extends SparkSpec {
     // into the stored ids; assignments and future batches are unchanged
     ClusterMaint.compact(spark, statePath)
     checkAgainstBatch(union1, "compacted")
-    val mergesAfter =
-      try spark.read.parquet(s"$statePath/merges").count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-    assert(mergesAfter == 0, "compaction must empty the resolved merge map")
+    assert(MaintCore.readMerges(spark, statePath).count() == 0,
+      "compaction must empty the resolved merge map")
     val b2 = ClusterMaint.applyBatch(
       Seq((20L, t2 + " tail20")).toDF("doc_id", "text"), 2L,
       statePath, threshold = thr).collect()
@@ -1539,7 +1537,7 @@ class StreamOpsSpec extends SparkSpec {
     // compaction folds partitions + bakes the merge map into stored ids
     SemanticMaint.compact(spark, statePath)
     checkAgainstBatch(union1, "compacted")
-    assert(spark.read.parquet(s"$statePath/merges").count() == 0,
+    assert(MaintCore.readMerges(spark, statePath).count() == 0,
       "compaction must empty the resolved merge map")
     val b2 = SemanticMaint.applyBatch(
       Seq((20L, axis(1, 0.5f))).toDF("vec_id", "embedding"), 2L,
@@ -1664,7 +1662,7 @@ class StreamOpsSpec extends SparkSpec {
     checkAgainstBatch(union1, "replay")
     MediaMaint.compact(spark, statePath)
     checkAgainstBatch(union1, "compacted")
-    assert(spark.read.parquet(s"$statePath/merges").count() == 0)
+    assert(MaintCore.readMerges(spark, statePath).count() == 0)
     val b2 = MediaMaint.applyBatch(
       Seq((20L, t2.a8)).toDF("media_id", "content"), 2L, statePath)
       .collect()
@@ -1672,6 +1670,41 @@ class StreamOpsSpec extends SparkSpec {
       .toMap
     assert(b2(20L) == 1L, s"post-compaction batch got ${b2.get(20L)}")
     checkAgainstBatch(union1 :+ (20L, t2.a8), "post_compact")
+  }
+
+  test("merge-map writes are crash-consistent: a seal left half-done " +
+    "recovers on the next read instead of silently reading empty") {
+    import spark.implicits._
+    // the merge map is the ONE state family that is not re-derivable
+    // from appends (r14 review finding): a plain in-place overwrite
+    // crashing mid-write would lose every absorbed-rep routing. All
+    // merge writes now go through the two-phase seal; this simulates
+    // the worst crash window — live dir deleted, .sealed complete,
+    // rename not yet done — and asserts the next read heals it.
+    val thr = 0.3
+    val sp = java.nio.file.Files.createTempDirectory("graft_mseal").toString
+    val t1 = "a b c d e f"; val t5 = "p q r s t u"
+    ClusterMaint.init(Seq((1L, t1), (2L, "a b c d e g"),
+      (5L, t5), (6L, "p q r s t v")).toDF("doc_id", "text"), sp,
+      threshold = thr)
+    // bridge doc merges cluster 5 into cluster 1 → merge map nonempty
+    ClusterMaint.applyBatch(Seq((14L, t1 + " " + t5))
+      .toDF("doc_id", "text"), 0L, sp, threshold = thr)
+    val before = ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(before(5L) == 1L && before(6L) == 1L,
+      s"fixture must produce a merge: $before")
+    // crash simulation: live merges/ gone, .sealed complete
+    val fs = new org.apache.hadoop.fs.Path(sp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$sp/merges"),
+      new org.apache.hadoop.fs.Path(s"$sp/merges.sealed")))
+    val after = ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after == before,
+      s"recovery lost the merge routing: $after vs $before")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$sp/merges")),
+      "recover must have renamed the sealed copy back into place")
   }
 
   test("maintainer tiers survive empty and undecodable-only batches " +
@@ -1749,6 +1782,12 @@ class StreamOpsSpec extends SparkSpec {
     ms.addData(Seq((13L, "m n o p q r2"), (15L, "s t u v w x1"),
       (16L, "s t u v w x2")))
     q.processAllAvailable()
+    // NON-MONOTONIC ids (r14 review finding): doc 5 is a near-dup of
+    // admitted doc 12 with a SMALLER id — the component min shifts to
+    // 5, so a bare canonical check would re-admit it; is_new_cluster
+    // must veto (the twin is already in the output)
+    ms.addData(Seq((5L, "m n o p q r3")))
+    q.processAllAvailable()
     q.stop()
     val gotT = spark.read.parquet(rp).select($"doc_id").collect()
       .map(_.getLong(0)).toSet
@@ -1771,6 +1810,9 @@ class StreamOpsSpec extends SparkSpec {
     q2.processAllAvailable()
     ms2.addData(Seq((13L, axis(3, 4f)), (15L, axis(4, 1f)),
       (16L, axis(4, 2f))))
+    q2.processAllAvailable()
+    // the non-monotonic case, one tier over
+    ms2.addData(Seq((5L, axis(3, 3f))))
     q2.processAllAvailable()
     q2.stop()
     val gotS = spark.read.parquet(rp2).select($"vec_id").collect()
