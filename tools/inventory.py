@@ -61,6 +61,17 @@ def main():
         ok = line(c) in survey
         print("SURVEY.md %s the generated inventory line"
               % ("carries" if ok else "DISAGREES with"))
+        # behaviors: the SURVEY 2.9 table rows ARE the declared list;
+        # the free-text "N streaming behaviors" figure must equal the
+        # row count (the realistic drift is forgetting the number when
+        # a row is added - r14 hardening)
+        rows = len(re.findall(r"^\| s_\w+", survey, re.M))
+        m = re.search(r"(\d+) streaming behaviors", survey)
+        declared = int(m.group(1)) if m else -1
+        bok = declared == rows
+        print("behaviors:    %d table rows vs %d declared%s"
+              % (rows, declared, "" if bok else "  MISMATCH"))
+        ok = bok and ok
         ok = check_bench(c) and ok
         return 0 if ok else 1
     return 0
