@@ -228,6 +228,73 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dup inflation law: equals union-find brute force on any corpus; " +
+    "inflation >= 1, denominator never zero") {
+    import spark.implicits._
+    // tiny vocab + repeated docs → real near-dup clusters at the
+    // default 0.5 Jaccard; sources attribute the chars
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.choose(3, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(5, 10).flatMap(nd =>
+      Gen.listOfN(nd, Gen.zip(docGen, Gen.oneOf("s0", "s1"))))
+    samples(corpusGen, 8).foreach { texts =>
+      val corpus = texts.zipWithIndex.map { case ((t, src), i) =>
+        (i.toLong, t, src, t.length.toLong) }
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dinf").toString
+      corpus.map { case (id, t, src, nc) => (id, t, "en", src, nc) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      // brute force, mirroring the dedup rule exactly: 3-gram shingle
+      // sets, df-capped postings, Jaccard over KEPT sizes >= 0.5,
+      // union-find, min-id canonical keeps its chars
+      def sh(t: String): Set[String] = {
+        val ts = t.split(' ').filter(_.nonEmpty)
+        if (ts.length < 3) Set.empty
+        else ts.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val all = corpus.map(d => d._1 -> sh(d._2)).toMap
+      val df = all.values.flatten.groupBy(identity)
+        .map { case (g, xs) => g -> xs.size }
+      val kept = all.map { case (id, gs) =>
+        id -> gs.filter(g => df(g) <= 50) }
+      val parent = scala.collection.mutable.Map(
+        corpus.map(d => d._1 -> d._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for (a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b) {
+        val (ka, kb) = (kept(a), kept(b))
+        val i = (ka intersect kb).size
+        if (ka.nonEmpty && kb.nonEmpty &&
+            i.toDouble / (ka.size + kb.size - i) >= 0.5) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      val removableIds = corpus.map(_._1)
+        .filter(id => find(id) != id).toSet
+      val expected = corpus.groupBy(_._3).map { case (src, ds) =>
+        val total = ds.map(_._4).sum
+        val rem = ds.filter(d => removableIds(d._1)).map(_._4).sum
+        (src, ds.size.toLong, total, rem,
+          BigDecimal(total.toDouble / (total - rem))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.sortBy(_._1)
+      val got = graft.operators.DedupOps.dupInflation(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      assert(got == expected,
+        s"corpus=${corpus.take(3)}…:\n got $got\n exp $expected")
+      got.foreach { case (_, _, total, rem, infl) =>
+        assert(rem < total, "a source lost all its chars")
+        assert(infl >= 1.0)
+      }
+    }
+  }
+
   test("max dup span law: equals the per-level brute force on any " +
     "corpus — the widest shared level with its count") {
     import spark.implicits._
