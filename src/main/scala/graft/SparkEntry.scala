@@ -1231,7 +1231,7 @@ object SparkEntry {
     "q_ngram_novelty" -> DedupOps.ngramNoveltyOracle,
     "q_source_containment" -> DedupOps.sourceContainmentOracle,
     "q_boilerplate_prefix" -> TextOps.boilerplatePrefixOracle,
-    "q_big_orders" -> Relational.bigOrdersOracle,
+    "q_big_orders" -> Relational.bigOrdersOracle(),
     "q_cheapest_supplier" -> Relational.cheapestSupplierOracle,
     "q_dup_inflation" -> DedupOps.dupInflationOracle,
     "q_eval_leakage" -> DedupOps.evalLeakageOracle,

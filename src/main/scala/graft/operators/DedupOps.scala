@@ -1488,8 +1488,11 @@ object DedupOps {
     * chars does near-dedup save, and how much is this feed's effective
     * volume inflated by duplication" — chars_total / chars_kept, the
     * multiplier a naive per-feed token count overstates the feed by.
-    * The denominator can never be zero: every cluster keeps its
-    * canonical, so a source never loses all its chars.
+    * The denominator CAN be zero: the cluster canonical is the min
+    * doc_id CLUSTER-wide and may live in another source, so a mirror
+    * feed whose docs all have higher ids than the originals loses its
+    * entire char volume — inflation is NULL for such a source (both
+    * engines guard the division identically), never Infinity.
     *
     * Shape: rides the SAME `dedupClusters` CC output (edge-sized, the
     * scale argument lives there) + two source-grain rollups of the
@@ -1511,9 +1514,12 @@ object DedupOps {
       .join(rem, Seq("source"), "left_outer")
       .select($"source", $"n_docs", $"chars_total",
         coalesce($"chars_removable", lit(0L)).as("chars_removable"),
-        round($"chars_total".cast("double") /
-          ($"chars_total" - coalesce($"chars_removable", lit(0L))), 4)
-          .as("inflation"))
+        {
+          val kept = $"chars_total" - coalesce($"chars_removable", lit(0L))
+          when(kept === 0, lit(null).cast("double"))
+            .otherwise(round($"chars_total".cast("double") / kept, 4))
+            .as("inflation")
+        })
       .orderBy($"source")
   }
 
@@ -1533,8 +1539,8 @@ object DedupOps {
         |SELECT t.source, t.n_docs, t.chars_total,
         |  COALESCE(r.chars_removable, 0) AS chars_removable,
         |  ROUND(CAST(t.chars_total AS DOUBLE)
-        |    / (t.chars_total - COALESCE(r.chars_removable, 0)), 4)
-        |    AS inflation
+        |    / NULLIF(t.chars_total - COALESCE(r.chars_removable, 0), 0),
+        |    4) AS inflation
         |FROM tot t LEFT JOIN rem r USING (source)
         |ORDER BY t.source""".stripMargin
 

@@ -1372,9 +1372,12 @@ object Relational {
       .orderBy($"total_qty".desc, $"o_orderkey")
   }
 
-  /** Oracle for [[bigOrders]] — same exact-DECIMAL bar and rank. */
-  val bigOrdersOracle: String =
-    """SELECT c_custkey, c_name, o_orderkey,
+  /** Oracle for [[bigOrders]] — same exact-DECIMAL bar and rank. A def
+    * interpolating `bar` so a non-default call can never silently
+    * differ-compare against the default-bar oracle (round-15 advice).
+    */
+  def bigOrdersOracle(bar: Long = 250): String =
+    s"""SELECT c_custkey, c_name, o_orderkey,
       |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
       |    AS total_qty,
@@ -1382,7 +1385,7 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1, 2, 3, 4
-      |HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > $bar
       |ORDER BY total_qty DESC, o_orderkey""".stripMargin
 
   /** TPC-H Q2 shape (q_cheapest_supplier, round 14): the
@@ -1393,20 +1396,26 @@ object Relational {
     * fact table per part (Q2's correlated subquery, decorrelated the
     * way every engine's optimizer rewrites it).
     *
-    * Determinism: mean unit price = exact DECIMAL sum of per-line
-    * round(extendedprice/quantity, 6) divided in IEEE — and NOT
-    * re-rounded after the division: the quotient double is
-    * bit-identical across engines (same rational, same IEEE divide),
-    * while a post-division round(…, 6) splits engines on halfway
-    * cases (measured: a 2-line sum of …5675/2 rounded …567 in DuckDB,
-    * …568 in Spark — BigDecimal-of-shortest-repr vs binary-value
-    * rounding). Rank = (price, suppkey) via min over a struct (no
-    * window needed — argmin as a single aggregate over group rows).
+    * Determinism: unit price = total extendedprice / total quantity
+    * per (part, supplier) — BOTH sums accumulated as exact
+    * DECIMAL(12,2) (the 2-dp source rationals sum exactly in any
+    * order), each cast to double, then ONE IEEE divide. No per-line
+    * arithmetic at all: the round-14 first cut rounded
+    * extendedprice/quantity to 6 dp per LINE, which is the same
+    * engine-splitting halfway-rounding class this file documents for
+    * the post-division case (Spark rounds the shortest-decimal repr,
+    * DuckDB the binary double) — fixture-green couldn't prove no
+    * corpus lands a per-line quotient on a halfway case, so round 15
+    * removed the lossy step entirely (the round-15 advice). The two
+    * sum-doubles are bit-identical across engines (same rational →
+    * same nearest double), so the quotient is too. Rank =
+    * (price, suppkey) via min over a struct (no window needed —
+    * argmin as a single aggregate over group rows).
     */
   def cheapestSupplier(s: SparkSession, dir: String,
                        region: String = "EUROPE"): DataFrame = {
     import s.implicits._
-    val dec = org.apache.spark.sql.types.DecimalType(20, 6)
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
     val sup = Tables(s, dir, "supplier")
       .join(broadcast(Tables(s, dir, "nation")),
         $"s_nationkey" === $"n_nationkey")
@@ -1416,10 +1425,12 @@ object Relational {
       .select($"s_suppkey", $"s_name")
     val perPs = Tables(s, dir, "lineitem")
       .select($"l_partkey", $"l_suppkey",
-        round($"l_extendedprice" / $"l_quantity", 6).cast(dec).as("u"))
+        $"l_extendedprice".cast(dec).as("ep"),
+        $"l_quantity".cast(dec).as("qty"))
       .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
       .groupBy($"l_partkey", $"s_suppkey", $"s_name")
-      .agg((sum($"u").cast("double") / count(lit(1))).as("price"))
+      .agg((sum($"ep").cast("double") / sum($"qty").cast("double"))
+        .as("price"))
     perPs
       .groupBy($"l_partkey")
       .agg(min(struct($"price", $"s_suppkey", $"s_name")).as("w"))
@@ -1435,8 +1446,9 @@ object Relational {
       |  JOIN region ON n_regionkey = r_regionkey
       |  WHERE r_name = 'EUROPE'),
       |ps AS (SELECT l_partkey, s_suppkey, s_name,
-      |  CAST(SUM(CAST(ROUND(l_extendedprice / l_quantity, 6)
-      |      AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS price
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS price
       |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
       |  GROUP BY 1, 2, 3),
       |best AS (SELECT l_partkey, s_suppkey, s_name, price,

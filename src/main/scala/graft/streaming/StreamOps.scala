@@ -1201,11 +1201,24 @@ object StreamOps {
       col(s"cand$b").isNull || !exists(col(s"cand$b"),
         c => bit_count(c.bitwiseXOR(col("phash_bits"))) <= lit(maxHamming))
     }.reduce(_ && _)
-    joined.filter(noCorpusMatch)
+    mediaAdmitGate(joined.filter(noCorpusMatch)
       .select(col("media_id"), col("codec"), col("phash_bits"))
-      .as[(Long, String, Long)]
-      .groupByKey(_._2)
-      .transformWithState(new MediaAdmitProcessor(maxHamming),
+      .as[(Long, String, Long)], maxHamming)
+  }
+
+  /** The in-stream admission leg of [[mediaDedup]] at (id, codec, hash)
+    * grain. `chunkCap` is a TEST seam only (the chunk-layout spec runs
+    * it at 2 to force multi-chunk buckets on a small fixture);
+    * production always rides the [[MediaBucketChunkCap]] default.
+    */
+  private[graft] def mediaAdmitGate(hashed: Dataset[(Long, String, Long)],
+                                    maxHamming: Int,
+                                    chunkCap: Int = MediaBucketChunkCap)
+  : DataFrame = {
+    val s = hashed.sparkSession
+    import s.implicits._
+    hashed.groupByKey(_._2)
+      .transformWithState(new MediaAdmitProcessor(maxHamming, chunkCap),
         TimeMode.None(), OutputMode.Append())
       .toDF()
   }
@@ -1216,11 +1229,23 @@ object StreamOps {
     */
   case class MediaAdmit(media_id: Long, codec: String, phash_bits: Long)
 
-  /** Bucketed hash list carried per (band, 16-bit slice) MapState entry
-    * of [[MediaAdmitProcessor]] (a product wrapper so the value rides
-    * `Encoders.product` like every other state row here).
+  /** One CHUNK of a (band, 16-bit slice) bucket's admitted hashes in
+    * [[MediaAdmitProcessor]] MapState (a product wrapper so the value
+    * rides `Encoders.product` like every other state row here). Buckets
+    * are chunked at [[StreamOps.MediaBucketChunkCap]] hashes per entry:
+    * an admission appends to the LAST chunk only (or opens a fresh
+    * one), so per-admission state churn is O(chunkCap) longs — the
+    * round-14 single-array layout rewrote the whole bucket on every
+    * admission, O(n²) cumulative churn per hot bucket over an unbounded
+    * stream lifetime (the round-15 advice).
     */
   case class BandBucket(hs: Array[Long])
+
+  /** Chunk capacity for [[BandBucket]] — bounds one admission's RocksDB
+    * value rewrite at 4 bands × (cap+1) longs regardless of bucket
+    * population.
+    */
+  private val MediaBucketChunkCap = 64
 
   /** In-stream hamming-tolerant admission for [[mediaDedup]]: per codec
     * key, `MapState[(band << 16) | slice → admitted hashes]` mirrors the
@@ -1232,14 +1257,18 @@ object StreamOps {
     * discipline), so a replayed micro-batch admits the same ids — and a
     * batch carrying BOTH twins admits exactly the lower id, matching
     * what two separate batches would do. An admission writes its hash
-    * to its 4 bucket entries: 4 MapState rows per distinct admitted
-    * blob, RocksDB-backed, never pixel data. Keys are per-codec, so gate
+    * into the last CHUNK of each of its 4 buckets (key =
+    * `(band << 16 | slice) << 20 | chunkIdx`, chunks capped at
+    * [[MediaBucketChunkCap]]): amortized 4 MapState rows per distinct
+    * admitted blob, RocksDB-backed, never pixel data, and — unlike a
+    * single growing array per bucket — a bounded O(chunkCap) value
+    * rewrite per admission. Keys are per-codec, so gate
     * parallelism is the codec count — acceptable because the per-row
     * work is 4 point lookups over n/2^16-expected buckets; a deployment
     * sharding one codec across tasks would add a slice-range key
     * component (each band's buckets are disjoint by construction).
     */
-  private class MediaAdmitProcessor(maxHamming: Int)
+  private class MediaAdmitProcessor(maxHamming: Int, chunkCap: Int)
     extends StatefulProcessor[String, (Long, String, Long), MediaAdmit] {
     @transient private var buckets:
       org.apache.spark.sql.streaming.MapState[Long, BandBucket] = _
@@ -1251,23 +1280,38 @@ object StreamOps {
     override def handleInputRows(codec: String,
                                  rows: Iterator[(Long, String, Long)],
                                  tv: TimerValues): Iterator[MediaAdmit] = {
-      def keysOf(h: Long): Seq[Long] = (0 until 4).map { b =>
+      def bucketOf(h: Long, b: Int): Long =
         (b.toLong << 16) | ((h >>> (16 * b)) & 0xffffL)
-      }
+      def chunkKey(bucket: Long, chunk: Int): Long =
+        (bucket << 20) | chunk.toLong
       val out = List.newBuilder[MediaAdmit]
       rows.toSeq.sortBy(_._1).foreach { case (id, _, h) =>
-        val ks = keysOf(h)
-        val near = ks.exists { k =>
-          buckets.containsKey(k) && buckets.getValue(k).hs
-            .exists(c => java.lang.Long.bitCount(c ^ h) <= maxHamming)
+        // ONE probe walk per band: hamming-check every chunk member AND
+        // remember the append cursor (last chunk index + contents) so
+        // an admission never re-reads, and never rewrites more than the
+        // tail chunk
+        val probes = (0 until 4).map { b =>
+          val bucket = bucketOf(h, b)
+          var near = false
+          var i = 0
+          var last = Array.empty[Long]
+          while (buckets.containsKey(chunkKey(bucket, i))) {
+            last = buckets.getValue(chunkKey(bucket, i)).hs
+            near = near || last
+              .exists(c => java.lang.Long.bitCount(c ^ h) <= maxHamming)
+            i += 1
+          }
+          (bucket, near, math.max(0, i - 1), last)
         }
-        if (!near) {
+        if (!probes.exists(_._2)) {
           out += MediaAdmit(id, codec, h)
-          ks.foreach { k =>
-            val prev =
-              if (buckets.containsKey(k)) buckets.getValue(k).hs
-              else Array.empty[Long]
-            buckets.updateValue(k, BandBucket(prev :+ h))
+          probes.foreach { case (bucket, _, lastIdx, last) =>
+            if (last.length >= chunkCap)
+              buckets.updateValue(chunkKey(bucket, lastIdx + 1),
+                BandBucket(Array(h)))
+            else
+              buckets.updateValue(chunkKey(bucket, lastIdx),
+                BandBucket(last :+ h))
           }
         }
       }

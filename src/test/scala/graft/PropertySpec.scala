@@ -229,7 +229,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("dup inflation law: equals union-find brute force on any corpus; " +
-    "inflation >= 1, denominator never zero") {
+    "inflation >= 1, NULL when a source's whole volume is removable") {
     import spark.implicits._
     // tiny vocab + repeated docs → real near-dup clusters at the
     // default 0.5 Jaccard; sources attribute the chars
@@ -238,7 +238,14 @@ class PropertySpec extends SparkSpec {
       Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
     val corpusGen = Gen.choose(5, 10).flatMap(nd =>
       Gen.listOfN(nd, Gen.zip(docGen, Gen.oneOf("s0", "s1"))))
-    samples(corpusGen, 8).foreach { texts =>
+    // the denominator-zero corpus: every "mirror" doc is an exact copy
+    // of a lower-id "orig" doc, so the min-id canonical always lives in
+    // orig and mirror loses ALL its chars → inflation must be NULL (the
+    // round-15 advice case; Infinity would differ-split the engines)
+    val mirrorCorpus: List[(String, String)] = List(
+      ("aa bb cc dd ee", "orig"), ("aa bb cc dd ee", "mirror"),
+      ("ff aa bb cc dd", "orig"), ("ff aa bb cc dd", "mirror"))
+    (samples(corpusGen, 8) :+ mirrorCorpus).foreach { texts =>
       val corpus = texts.zipWithIndex.map { case ((t, src), i) =>
         (i.toLong, t, src, t.length.toLong) }
       val dir = java.nio.file.Files
@@ -279,18 +286,24 @@ class PropertySpec extends SparkSpec {
         val total = ds.map(_._4).sum
         val rem = ds.filter(d => removableIds(d._1)).map(_._4).sum
         (src, ds.size.toLong, total, rem,
-          BigDecimal(total.toDouble / (total - rem))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          if (rem == total) None
+          else Some(BigDecimal(total.toDouble / (total - rem))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
       }.toSeq.sortBy(_._1)
       val got = graft.operators.DedupOps.dupInflation(spark, dir)
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getDouble(4))).toSeq
+          r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
       assert(got == expected,
         s"corpus=${corpus.take(3)}…:\n got $got\n exp $expected")
       got.foreach { case (_, _, total, rem, infl) =>
-        assert(rem < total, "a source lost all its chars")
-        assert(infl >= 1.0)
+        assert(rem <= total)
+        infl match {
+          case Some(x) => assert(rem < total && x >= 1.0)
+          case None    => assert(rem == total,
+            "NULL inflation only when the whole volume is removable")
+        }
       }
     }
   }

@@ -1338,6 +1338,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(got2 == Set(10L), s"same-batch twins admitted $got2")
   }}
 
+  test("media admit gate chunked state: a twin of a NON-tail-chunk " +
+    "admission still drops, and admissions are invariant to chunkCap " +
+    "(the round-15 O(n²)-churn fix changes layout, not semantics)") { withRocksDb {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // six pairwise-hamming-8 hashes sharing the band-3 (and band-0)
+    // slice: at chunkCap=2 the shared buckets hold THREE chunks, so
+    // hash #1's twin can only be caught if the probe walks past the
+    // tail chunk
+    val far = (0 until 6).map(i => 0xFL << (16 + 4 * i))
+    for (a <- far; b <- far if a != b)
+      assert(java.lang.Long.bitCount(a ^ b) > 3)
+    val twin = far.head ^ 1L // hamming 1 from the CHUNK-0 admission
+    val fresh = 0xFL << 40 // hamming 8 from everything
+    def run(cap: Int, name: String): Set[Long] = {
+      val ms = MemoryStream[(Long, String, Long)]
+      val q = StreamOps.mediaAdmitGate(ms.toDS(), maxHamming = 3, cap)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      ms.addData(far.zipWithIndex.map { case (h, i) =>
+        (i + 1L, "img", h) })
+      q.processAllAvailable()
+      ms.addData(Seq((7L, "img", twin), (8L, "img", fresh)))
+      q.processAllAvailable()
+      val got = spark.sql(s"select media_id from $name").collect()
+        .map(_.getLong(0)).toSet
+      q.stop()
+      got
+    }
+    val chunked = run(2, "t_admit_cap2")
+    assert(chunked == Set(1L, 2L, 3L, 4L, 5L, 6L, 8L),
+      s"cap=2 admitted $chunked")
+    assert(run(64, "t_admit_cap64") == chunked,
+      "admission set must not depend on the chunk layout")
+  }}
+
   test("streaming cluster maintenance: stream ≡ batch CC recompute on " +
     "the union corpus at every micro-batch boundary, incl. a cluster " +
     "merge; replay is idempotent") {
@@ -1546,6 +1582,141 @@ class StreamOpsSpec extends SparkSpec {
       .toMap
     assert(b2(20L) == 1L, s"post-compaction batch got ${b2.get(20L)}")
     checkAgainstBatch(union1 :+ (20L, axis(1, 0.5f)), "post_compact")
+  }
+
+  test("semantic requantize: a drifted corpus recovers candidate recall " +
+    "(recallAudit measures the decay and the repair), previously-" +
+    "assigned cluster ids survive, and the epoch-swap crash window " +
+    "recovers") {
+    import spark.implicits._
+    val thr = 0.4
+    def axis(i: Int, s: Float): Array[Float] = {
+      val v = new Array[Float](6); v(i) = s; v
+    }
+    // axis4-dominant with a small axis-i lean: under the BOOTSTRAP
+    // quantizer (cells = axes 0..3 — no axis-4 cell exists) the lean
+    // alone decides the single nearest cell, so two cosine-0.978
+    // drifted twins land in DIFFERENT cells at nassign=1 — the
+    // decayed-recall geometry the frozen-quantizer contract documents
+    def drift(i: Int, s: Float): Array[Float] = {
+      val v = new Array[Float](6); v(4) = s; v(i) = 0.15f * s; v
+    }
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_requant").toString
+    // bootstrap: scalar-multiple clusters on axes 0 and 1 + two
+    // singletons; 4 cells → centroids are exactly the four axes
+    // (deterministic farthest-point + Lloyd on orthogonal families)
+    val corpus = Seq((1L, axis(0, 1f)), (2L, axis(0, 2f)),
+      (3L, axis(1, 1f)), (4L, axis(1, 3f)),
+      (5L, axis(2, 1f)), (6L, axis(3, 1f)))
+    SemanticMaint.init(corpus.toDF("vec_id", "embedding"), sp,
+      threshold = thr, nassign = 1, nlist = 4)
+    val va = drift(0, 1f)
+    val vb = drift(1, 1f)
+    val r0 = SemanticMaint.applyBatch(
+      Seq((100L, va)).toDF("vec_id", "embedding"), 0L, sp, thr, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(r0.toSeq == Seq((100L, 100L, true)))
+    // the MISS: cos(va, vb) ≈ 0.978 >= thr, but the frozen cells split
+    // the pair — vb forms its own cluster instead of joining 100
+    val r1 = SemanticMaint.applyBatch(
+      Seq((101L, vb)).toDF("vec_id", "embedding"), 1L, sp, thr, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(r1.toSeq == Seq((101L, 101L, true)),
+      s"drifted twin should have been MISSED under the frozen cells: $r1")
+    // the audit sees the decay: truth = {1,2},{3,4},{100,101}; the
+    // stored cells find only the first two
+    val pre = SemanticMaint.recallAudit(spark, sp, thr).collect().head
+    assert(pre.getAs[Long]("truth_pairs") == 3L &&
+      pre.getAs[Long]("found_pairs") == 2L,
+      s"pre-requantize audit: $pre")
+    assert(pre.getAs[Double]("recall") < 1.0)
+    val idsBefore = SemanticMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(idsBefore == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    SemanticMaint.requantize(spark, sp, thr, nassign = 1, nlist = 5)
+    val after = SemanticMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // continuity: every previously-assigned id survives verbatim
+    idsBefore.foreach { case (id, c) =>
+      assert(after(id) == c, s"requantize moved $id: ${after(id)} != $c")
+    }
+    // repair: the missed pair is now one cluster under the min id
+    assert(after(100L) == 100L && after(101L) == 100L,
+      s"requantize should repair the missed pair: $after")
+    val post = SemanticMaint.recallAudit(spark, sp, thr).collect().head
+    assert(post.getAs[Double]("recall") == 1.0 &&
+      post.getAs[Long]("found_pairs") == 3L,
+      s"post-requantize audit: $post")
+    // future arrivals probe the NEW cells: a drifted twin now joins the
+    // repaired cluster instead of founding another
+    val r2 = SemanticMaint.applyBatch(
+      Seq((102L, drift(1, 2f))).toDF("vec_id", "embedding"), 2L, sp,
+      thr, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(r2.toSeq == Seq((102L, 100L, false)),
+      s"post-requantize arrival: $r2")
+    // crash window: simulate "live epoch deleted, rename never ran" —
+    // the next state read must heal it (MaintCore.recover) and see the
+    // identical world
+    val withNew = SemanticMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fs = new org.apache.hadoop.fs.Path(sp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$sp/quant"),
+      new org.apache.hadoop.fs.Path(s"$sp/quant.sealed")))
+    val healed = SemanticMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(healed == withNew, "crash recovery changed the assignments")
+    assert(SemanticMaint.recallAudit(spark, sp, thr).collect()
+      .head.getAs[Double]("recall") == 1.0)
+  }
+
+  test("semantic maintainer emits recallAudit rows at the configured " +
+    "cadence (auditEvery), each equal to the batch operator on the " +
+    "state at that boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val thr = 0.4
+    def axis(i: Int, s: Float): Array[Float] = {
+      val v = new Array[Float](6); v(i) = s; v
+    }
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_smaudit").toString
+    val res = java.nio.file.Files
+      .createTempDirectory("graft_smaudit_res").toString
+    val ap = java.nio.file.Files
+      .createTempDirectory("graft_smaudit_ap").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_smaudit_ck").toString
+    SemanticMaint.init(
+      Seq((1L, axis(0, 1f)), (2L, axis(0, 2f)), (9L, axis(2, 1f)))
+        .toDF("vec_id", "embedding"), sp, threshold = thr,
+      nassign = 16, nlist = 16)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = SemanticMaint.start(ms.toDF().toDF("vec_id", "embedding"),
+      sp, res, ckpt, threshold = thr, nassign = 16,
+      auditEvery = 2, auditPath = ap)
+    ms.addData(Seq((11L, axis(0, 1.5f)))) // batch 0 → audited
+    q.processAllAvailable()
+    ms.addData(Seq((12L, axis(3, 1f)))) // batch 1 → no audit row
+    q.processAllAvailable()
+    ms.addData(Seq((13L, axis(3, 2f)))) // batch 2 → audited
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(ap).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("truth_pairs"), r.getAs[Long]("found_pairs"),
+          r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet == Set(0L, 2L),
+      s"audit cadence emitted ${rows.keySet}")
+    // the boundary-2 row equals the by-hand batch operator on the
+    // final state (batch 2 was the last applied)
+    val hand = SemanticMaint.recallAudit(spark, sp, thr).collect().head
+    assert(rows(2L) == ((hand.getAs[Long]("truth_pairs"),
+      hand.getAs[Long]("found_pairs"), hand.getAs[Double]("recall"))))
+    // nassign = nlist → every pair shares a cell: recall is exactly 1
+    assert(rows.values.forall(_._3 == 1.0), s"audit rows: $rows")
   }
 
   test("streaming MEDIA cluster maintenance: stream ≡ batch " +
