@@ -53,12 +53,19 @@ private[streaming] object MaintCore {
     * only from empty frames (e.g. an init corpus with no near-dup pairs
     * → empty assign/), has no parquet footers to infer from — probe
     * with the FileSystem API and fall back to the declared schema.
+    * `excludeBatch` drops that batch's own partition BEFORE the
+    * batch_id column goes — the crash-replay exclusion [[advance]]
+    * needs to see the state as it was before the replayed batch first
+    * ran (the tiers' index reads do the same by id anti-join).
     */
   def readState(s: SparkSession, path: String, sub: String,
-                schema: String): DataFrame =
-    if (hasParquet(s, s"$path/$sub"))
-      s.read.parquet(s"$path/$sub").drop("batch_id")
-    else
+                schema: String,
+                excludeBatch: Option[Long] = None): DataFrame =
+    if (hasParquet(s, s"$path/$sub")) {
+      val raw = s.read.parquet(s"$path/$sub")
+      excludeBatch.fold(raw)(id => raw.filter(col("batch_id") =!= lit(id)))
+        .drop("batch_id")
+    } else
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
 
@@ -180,13 +187,30 @@ private[streaming] object MaintCore {
       .localCheckpoint()
     // only CLUSTERED nodes persist (edge-bearing — the batch CC output
     // likewise excludes singletons); the result reports every node.
+    // An OLD node can become edge-bearing here for the first time — it
+    // arrived as an unpersisted singleton and this batch brought its
+    // first twin (the r15 trimmed-video spec caught all three tiers
+    // missing it: only the twin got an assign row, so "members of
+    // cluster X" lost the canonical itself). Persist those too, under
+    // THIS batch's partition; the prior-state read excludes the
+    // replayed batch's own partition so a crash replay re-derives the
+    // same rows instead of seeing them as already-assigned (idempotent
+    // like every other append here).
     // assign lands before merges so a crash between the two leaves only
     // re-derivable appends behind; the merge map itself goes through
     // the two-phase seal ([[writeMerges]]) because it is NOT
     // re-derivable
+    val priorAssigned = readState(s, path, "assign",
+      s"$idCol BIGINT, cluster_id BIGINT", excludeBatch = Some(batchId))
+      .select(col(idCol).as("node"))
+    val oldNewlyClustered = comp
+      .join(ids.toDF("node"), Seq("node"), "left_anti")
+      .join(priorAssigned, Seq("node"), "left_anti")
+      .select($"node".as(idCol), $"cid".as("cluster_id"))
     writeBatch(res
       .join(comp.toDF(idCol, "c2"), Seq(idCol), "left_semi")
-      .select(col(idCol), $"cluster_id"),
+      .select(col(idCol), $"cluster_id")
+      .union(oldNewlyClustered),
       s"$path/assign", batchId)
     writeMerges(s, path, resolved)
     res

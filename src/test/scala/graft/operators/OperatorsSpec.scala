@@ -658,12 +658,69 @@ class OperatorsSpec extends SparkSpec {
     val truncated = base.take(base.length - 100)
     Multimodal.audioHash(truncated) // any Option is fine; throwing is not
     assert(Multimodal.audioHash(base.take(45)).isEmpty) // data chunk empty
-    // video: first-frame aHash, stable across a container REWRITE (same
-    // frame bytes re-wrapped) and None for a truncated container
+    // video: MIN-ANCHOR frame hash (round 15) — stable across a
+    // container REWRITE, invariant to trims/edits that keep the anchor
+    // frame, and None for a truncated container
     val vid = Multimodal.synthesizeVideo("vid-A".getBytes, frames = 3)
     val hv = Multimodal.videoHash(vid).get
     assert(Multimodal.videoHash(vid).contains(hv))
     assert(Multimodal.videoHash(vid.take(6)).isEmpty)
+    // container (re)builders for the edit cases
+    def gfv1Frames(v: Array[Byte]): Seq[Array[Byte]] = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(v))
+      in.readInt()
+      val nf = in.readInt()
+      (0 until nf).map { _ =>
+        val len = in.readInt()
+        val b = new Array[Byte](len); in.readFully(b); b
+      }
+    }
+    def gfv1(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.writeInt(0x47465631); dos.writeInt(frames.length)
+      frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+      dos.flush(); out.toByteArray
+    }
+    // deterministic fixture search: a video whose anchor frame is NOT
+    // frame 0 (so the r14 first-frame rule would fingerprint the trim
+    // differently), with frame 0 more than 3 bits from the anchor (so
+    // the old rule provably ESCAPED, not just drifted)
+    val anchored = (0 until 64).map(i =>
+        Multimodal.synthesizeVideo(s"anchor-$i".getBytes, frames = 4))
+      .find { v =>
+        val ph = gfv1Frames(v).map(f =>
+          Multimodal.videoHash(gfv1(Seq(f))).get)
+        val anchor = ph.minBy(h => h ^ Long.MinValue) // unsigned min
+        ph.head != anchor &&
+          java.lang.Long.bitCount(ph.head ^ anchor) > 3
+      }.get
+    val aFrames = gfv1Frames(anchored)
+    val hAnchored = Multimodal.videoHash(anchored).get
+    // lead TRIM: drop frame 0 → identical fingerprint (the anchor
+    // survives); the old rule re-anchored to frame 1 and escaped
+    assert(Multimodal.videoHash(gfv1(aFrames.drop(1)))
+      .contains(hAnchored))
+    // lead EDIT: replace frame 0 with novel content whose hash does not
+    // undercut the anchor → identical fingerprint
+    val editFrame = Multimodal.synthesizePng("lead-edit".getBytes, 16, 12)
+    val hEdit = Multimodal.videoHash(gfv1(Seq(editFrame))).get
+    assert(java.lang.Long.compareUnsigned(hEdit, hAnchored) > 0,
+      "edit-frame fixture must not undercut the anchor")
+    assert(Multimodal.videoHash(gfv1(editFrame +: aFrames.drop(1)))
+      .contains(hAnchored))
+    // a corrupt NON-first frame now dead-letters the whole blob (the
+    // full-walk discipline; the first-frame rule never saw it)
+    val badTail = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.writeInt(0x47465631); dos.writeInt(2)
+      dos.writeInt(aFrames.head.length); dos.write(aFrames.head)
+      dos.writeInt(Int.MaxValue) // corrupt frame-2 length
+      dos.flush(); out.toByteArray
+    }
+    assert(Multimodal.videoHash(badTail).isEmpty)
     // corrupt frame length (0x7FFFFFFF): must dead-letter, not allocate
     // gigabytes and die fatal (review-pass finding)
     val evil = java.nio.ByteBuffer.allocate(12)

@@ -1843,6 +1843,107 @@ class StreamOpsSpec extends SparkSpec {
     checkAgainstBatch(union1 :+ (20L, t2.a8), "post_compact")
   }
 
+  test("media maintainer clusters a TRIMMED video re-encode with its " +
+    "original (min-anchor fingerprint — the r14 first-frame rule " +
+    "provably escaped this case)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    def gfv1Frames(v: Array[Byte]): Seq[Array[Byte]] = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(v))
+      in.readInt()
+      val nf = in.readInt()
+      (0 until nf).map { _ =>
+        val len = in.readInt()
+        val b = new Array[Byte](len); in.readFully(b); b
+      }
+    }
+    def gfv1(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.writeInt(0x47465631); dos.writeInt(frames.length)
+      frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+      dos.flush(); out.toByteArray
+    }
+    // deterministic fixture search: anchor frame NOT frame 0, and frame
+    // 0 more than 3 bits from the anchor — under the first-frame rule
+    // the trimmed twin's fingerprint would land > maxHamming away and
+    // escape every media gate; re-asserted so hash drift fails loudly
+    val vid = (0 until 64).map(i =>
+        Multimodal.synthesizeVideo(s"trim-$i".getBytes, frames = 4))
+      .find { v =>
+        val ph = gfv1Frames(v).map(f =>
+          Multimodal.videoHash(gfv1(Seq(f))).get)
+        val anchor = ph.minBy(h => h ^ Long.MinValue)
+        ph.head != anchor &&
+          java.lang.Long.bitCount(ph.head ^ anchor) > 3
+      }.get
+    val trimmed = gfv1(gfv1Frames(vid).drop(1))
+    assert(Multimodal.videoHash(trimmed) == Multimodal.videoHash(vid))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_vtrim").toString
+    val resultPath = java.nio.file.Files
+      .createTempDirectory("graft_vtrim_res").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_vtrim_ck").toString
+    // corpus holds only unrelated media — the twins meet in-stream
+    MediaMaint.init(Seq(
+      (1L, Multimodal.synthesizePng("unrelated".getBytes, 16, 12)))
+      .toDF("media_id", "content"), statePath)
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = MediaMaint.start(ms.toDF().toDF("media_id", "content"),
+      statePath, resultPath, ckpt)
+    ms.addData(Seq((10L, vid)))
+    q.processAllAvailable()
+    ms.addData(Seq((11L, trimmed))) // cross-batch trimmed re-encode
+    q.processAllAvailable()
+    q.stop()
+    val res = spark.read.parquet(resultPath).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_new_cluster")))
+      .toMap
+    assert(res.get(10L).contains((10L, true)), s"results: $res")
+    assert(res.get(11L).contains((10L, false)),
+      s"trimmed twin must join the original's cluster: $res")
+    val a = MediaMaint.assignments(spark, statePath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a(10L) == 10L && a(11L) == 10L, s"assignments: $a")
+  }
+
+  test("an unpersisted singleton that gains its first twin in a LATER " +
+    "batch is persisted alongside the twin (MaintCore fix, all tiers); " +
+    "crash replay re-derives the same rows") {
+    import spark.implicits._
+    val thr = 0.3
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_latesing").toString
+    // the corpus holds only an unrelated doc — everything is a
+    // singleton until the twin arrives
+    ClusterMaint.init(Seq((1L, "x y z w q r"))
+      .toDF("doc_id", "text"), sp, threshold = thr)
+    val r0 = ClusterMaint.applyBatch(Seq((10L, "a b c d e f"))
+      .toDF("doc_id", "text"), 0L, sp, threshold = thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(r0.toSeq == Seq((10L, 10L, true)))
+    assert(ClusterMaint.assignments(spark, sp).count() == 0,
+      "pure singletons must not persist")
+    val r1 = ClusterMaint.applyBatch(Seq((11L, "a b c d e g"))
+      .toDF("doc_id", "text"), 1L, sp, threshold = thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(r1.toSeq == Seq((11L, 10L, false)))
+    // BOTH members persist — before the r15 MaintCore fix, only the
+    // twin did, so "members of cluster 10" lost the canonical itself
+    def amap = ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(amap == Map(10L -> 10L, 11L -> 10L), s"assignments: $amap")
+    // crash replay of batch 1: the prior-state read excludes the
+    // replayed batch's own partition, so the rows re-derive identically
+    ClusterMaint.applyBatch(Seq((11L, "a b c d e g"))
+      .toDF("doc_id", "text"), 1L, sp, threshold = thr)
+    assert(amap == Map(10L -> 10L, 11L -> 10L), s"post-replay: $amap")
+  }
+
   test("merge-map writes are crash-consistent: a seal left half-done " +
     "recovers on the next read instead of silently reading empty") {
     import spark.implicits._
