@@ -697,11 +697,16 @@ object DedupOps {
     val s = docs.sparkSession
     import s.implicits._
     val srcs = docs.select($"doc_id", $"source")
-    // vocab-sized group rows, cheap to materialize for the two readers
+    // both readers consume the SAME grouped subtree, so ReuseExchange
+    // computes the corpus explode + collect_set exchange once — the
+    // [[ngramNovelty]] lesson. An r15 same-session A/B read the
+    // localCheckpoint NEUTRAL at fixture scale (warm medians ~1.05 s
+    // both forms); the reused-exchange form is kept because the
+    // exchange already IS the materialization and the checkpoint's
+    // extra copy only grows with the corpus
     val g = shinglesOf(docs.select($"doc_id", $"text")).join(srcs, "doc_id")
       .groupBy($"s").agg(collect_set($"source").as("ss"))
       .select($"ss")
-      .localCheckpoint(false)
     val tot = g.select(explode($"ss").as("source"))
       .groupBy($"source").agg(count(lit(1)).as("n_a"))
     val shared = g.as[Seq[String]]

@@ -1166,6 +1166,14 @@ object TextOps {
         slice($"t", lit(2), greatest(size($"t") - 1, lit(0))).as("w2"))).as("bg"))
       .select($"doc_id", $"lang", $"is_train",
         $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    // NO checkpoint seam on c2, by measurement (r15): c2 feeds both c1
+    // and the score join, so a localCheckpoint would "pay the bigram
+    // model once" — but distinct OBSERVED bigrams are corpus-scale
+    // (≈ token count; vocab² is a vacuous bound), and materializing
+    // them measured strictly worse in-session: q_doc_perplexity
+    // 0.47 → 0.65 s, q_quality_perplexity 0.89 → 1.26 s warm. The
+    // recompute is a map-side explode + partial agg — cheaper than a
+    // corpus-scale write+read. TIMEQ_r15 records the A/B.
     val c2 = bg.where($"is_train")
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
