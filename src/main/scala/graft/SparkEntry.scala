@@ -210,6 +210,16 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Relational.cheapestSupplier(s, d)),
     "q_dup_inflation" ->
       ((s: SparkSession, d: String) => DedupOps.dupInflation(s, d)),
+    // round 15: Q21 decorrelation, df-cap calibration, window-fill
+    // audit, oracle-backed vector norms
+    "q_blocking_suppliers" ->
+      ((s: SparkSession, d: String) => Relational.blockingSuppliers(s, d)),
+    "q_shingle_df" ->
+      ((s: SparkSession, d: String) => DedupOps.shingleDfProfile(s, d)),
+    "q_context_fill" ->
+      ((s: SparkSession, d: String) => TextOps.contextFill(s, d)),
+    "q_embedding_norms" ->
+      ((s: SparkSession, d: String) => VectorOps.embeddingNorms(s, d)),
     "q_span_corruption" ->
       ((s: SparkSession, d: String) => TextOps.spanCorruption(s, d)),
     // round 11, batch 6: leak attribution, signal calibration, threshold
@@ -1234,6 +1244,10 @@ object SparkEntry {
     "q_big_orders" -> Relational.bigOrdersOracle(),
     "q_cheapest_supplier" -> Relational.cheapestSupplierOracle,
     "q_dup_inflation" -> DedupOps.dupInflationOracle,
+    "q_blocking_suppliers" -> Relational.blockingSuppliersOracle(),
+    "q_shingle_df" -> DedupOps.shingleDfProfileOracle(),
+    "q_context_fill" -> TextOps.contextFillOracle,
+    "q_embedding_norms" -> VectorOps.embeddingNormsOracle,
     "q_eval_leakage" -> DedupOps.evalLeakageOracle,
     "q_minhash_est" -> DedupOps.minhashEstOracle,
     // entropy: every term is -(p)ln(p) on an exact-integer rational,

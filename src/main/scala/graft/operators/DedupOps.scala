@@ -664,6 +664,54 @@ object DedupOps {
       .orderBy($"source")
   }
 
+  /** Shingle DOCUMENT-FREQUENCY profile (q_shingle_df, round 15): the
+    * df-cap calibration audit. The whole near-dup family's 100 TB
+    * argument rests on [[DefaultMaxShingleDf]] (pair generation is
+    * Σ df·(df−1)/2 — one boilerplate shingle would dominate the bill),
+    * and this query MEASURES what that cap costs and saves: shingle
+    * counts, posting rows, and implied pair-generation cost per df
+    * band, with the `>maxDf` band being exactly the work the capped
+    * pipelines refuse. A deployment reads it to size the cap for its
+    * own corpus instead of trusting the default.
+    *
+    * Scale shape: the one shingle-width shuffle the dedup family
+    * already pays (groupBy(shingle) → df group rows), then a ≤5-row
+    * band rollup of those group rows. pair_cost sums in BIGINT over
+    * df ≤ doc-count values — exact integer arithmetic, no float
+    * anywhere.
+    */
+  def shingleDfProfile(s: SparkSession, dir: String,
+                       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    import s.implicits._
+    shingles(s, dir)
+      .groupBy($"s").agg(count(lit(1)).as("df"))
+      .select($"df",
+        when($"df" === 1, 1L).when($"df" <= 5, 2L).when($"df" <= 20, 3L)
+          .when($"df" <= maxDf, 4L).otherwise(5L).as("band"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum($"df").as("posting_rows"),
+        // `div`, not `/`: Spark's `/` on longs is DOUBLE division; the
+        // sum of df·(df−1) terms is always even, so the integral halve
+        // is exact
+        expr("sum(df * (df - 1)) div 2").as("pair_cost"))
+      .orderBy($"band")
+  }
+
+  /** Oracle for [[shingleDfProfile]] — same integer band arithmetic. */
+  def shingleDfProfileOracle(maxDf: Int = DefaultMaxShingleDf): String =
+    shingleCte +
+      s""",
+        |df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM sh GROUP BY 1)
+        |SELECT CAST(CASE WHEN df = 1 THEN 1 WHEN df <= 5 THEN 2
+        |    WHEN df <= 20 THEN 3 WHEN df <= $maxDf THEN 4
+        |    ELSE 5 END AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(df) AS BIGINT) AS posting_rows,
+        |  CAST(SUM(df * (df - 1)) // 2 AS BIGINT) AS pair_cost
+        |FROM df GROUP BY 1 ORDER BY band""".stripMargin
+
   /** Source-level shingle CONTAINMENT matrix (q_source_containment,
     * round 14): for every ORDERED source pair (a, b ≠ a), the fraction
     * of a's distinct shingles also present in b — the asymmetric

@@ -1457,4 +1457,62 @@ object Relational {
       |SELECT l_partkey AS p_partkey, s_suppkey, s_name,
       |  price AS unit_price
       |FROM best WHERE rn = 1 ORDER BY p_partkey""".stripMargin
+
+  /** TPC-H Q21 shape (q_blocking_suppliers, round 15): suppliers who
+    * were the SOLE late shipper on a multi-supplier order — the
+    * double-correlation classic (EXISTS another supplier on the order,
+    * NOT EXISTS another LATE supplier) this surface was still missing.
+    * This fixture carries no commit/receipt dates, so "late" is
+    * `l_shipdate > o_orderdate + graceDays`; the predicate differs
+    * from stock Q21, the SHAPE — two correlated sub-queries
+    * decorrelated into group-row aggregates — is exactly Q21's, the
+    * way every engine's optimizer rewrites it.
+    *
+    * Scale shape: ONE fact-table pass → (order, supplier) group rows
+    * with a max(late) flag (map-side combined); the per-order
+    * supplier/late counts are a second aggregation of those GROUP rows
+    * (never the fact table); both correlations become one group-rows
+    * join; the supplier dim broadcasts. Exact date arithmetic only —
+    * no float anywhere, so no engine-split surface.
+    */
+  def blockingSuppliers(s: SparkSession, dir: String,
+                        graceDays: Int = 90): DataFrame = {
+    import s.implicits._
+    val ls = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(($"l_shipdate" > date_add($"o_orderdate", graceDays))
+        .cast("long")).as("late"))
+    val perOrder = ls.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum($"late").as("n_late"))
+      .filter($"n_supp" >= 2 && $"n_late" === 1)
+      .select($"l_orderkey")
+    ls.filter($"late" === 1L)
+      .join(perOrder, "l_orderkey")
+      .join(broadcast(Tables(s, dir, "supplier")
+        .select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(count(lit(1)).as("n_blocked_orders"))
+      .orderBy($"n_blocked_orders".desc, $"s_suppkey")
+  }
+
+  /** Oracle for [[blockingSuppliers]] — the same decorrelated form. */
+  def blockingSuppliersOracle(graceDays: Int = 90): String =
+    s"""WITH ls AS (SELECT l_orderkey, l_suppkey,
+      |  MAX(CASE WHEN l_shipdate > o_orderdate
+      |    + INTERVAL $graceDays DAY THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |po AS (SELECT l_orderkey FROM ls GROUP BY 1
+      |  HAVING COUNT(*) >= 2 AND SUM(late) = 1)
+      |SELECT s_suppkey, s_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_blocked_orders
+      |FROM ls JOIN po USING (l_orderkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE ls.late = 1
+      |GROUP BY 1, 2
+      |ORDER BY n_blocked_orders DESC, s_suppkey""".stripMargin
 }

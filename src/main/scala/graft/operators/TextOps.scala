@@ -439,6 +439,49 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Context-window FILL histogram (q_context_fill, round 15): how many
+    * documents START inside each packed context window, rolled up into
+    * a (docs_in_pack → n_packs) histogram — the attention-fragmentation
+    * audit a training pipeline reads next to [[packSequences]]: a
+    * corpus of tiny docs crams dozens of unrelated documents (and thus
+    * cross-document attention boundaries) into every window, while a
+    * long-doc corpus shows mostly 0/1-start windows. Windows a long doc
+    * merely PASSES THROUGH (no start inside) don't appear — the
+    * histogram is of start counts, the quantity the boundary-masking
+    * cost scales with.
+    *
+    * Scale shape: [[packSequences]]' two-level prefix-sum rows →
+    * groupBy(pack_id) → groupBy(docs_in_pack): two map-side-combined
+    * aggregations over doc-grain group rows; output ≤ max-docs-per-
+    * window rows. Nothing grows past doc count.
+    */
+  def contextFill(s: SparkSession, dir: String,
+                  context: Long = 2048L): DataFrame = {
+    import s.implicits._
+    packSequences(s, dir, context)
+      .groupBy($"pack_id").agg(count(lit(1)).as("docs_in_pack"))
+      .groupBy($"docs_in_pack").agg(count(lit(1)).as("n_packs"))
+      .orderBy($"docs_in_pack")
+  }
+
+  /** Oracle for [[contextFill]] — the `q_pack_sequences` cumsum CTE
+    * (stated as the naive full-corpus window; the Spark side computes
+    * the identical prefix sum two-level) rolled up twice.
+    */
+  val contextFillOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT doc_id, n_tokens,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS start_off
+      |  FROM t WHERE n_tokens > 0),
+      |g AS (SELECT start_off // 2048 AS pack_id,
+      |  CAST(COUNT(*) AS BIGINT) AS docs_in_pack FROM o GROUP BY 1)
+      |SELECT docs_in_pack, CAST(COUNT(*) AS BIGINT) AS n_packs
+      |FROM g GROUP BY 1 ORDER BY docs_in_pack""".stripMargin
+
   /** Deterministic stratified (per-language quota) sampling — the curation
     * step that balances a skewed corpus: within each language, rank docs by
     * md5(doc_id) (a uniform, engine-independent draw; doc_id tie-break for

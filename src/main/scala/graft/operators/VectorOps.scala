@@ -338,6 +338,56 @@ object VectorOps {
       .orderBy($"label")
   }
 
+  /** Per-label embedding NORM profile (q_embedding_norms, round 15):
+    * count, min/max/mean L2 norm per label — the first-line "did a
+    * producer ship unnormalized / zero / exploded vectors" audit an
+    * embedding pipeline runs before any cosine machinery (cosine hides
+    * scale; this surfaces it). One of the few ORACLE-backed vector
+    * queries: norms are scalar per row, so DuckDB can state the same
+    * arithmetic over UNNEST.
+    *
+    * Scale shape: the per-vector Σx² folds INSIDE the row via
+    * `functions.aggregate` (codegen'd lambda — no posexplode, nothing
+    * but (label, norm) scalars reach the one map-side-combined
+    * groupBy). Determinism: each x² term is an exact float→double
+    * square, 9-dp-rounded into a DECIMAL sum (order-free — the
+    * `docPerplexity` discipline), sqrt of the exact-decimal total cast
+    * to double, 6-dp display round; the mean is a DECIMAL sum of the
+    * 6-dp norms ÷ count.
+    */
+  def embeddingNorms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val dec6 = org.apache.spark.sql.types.DecimalType(20, 6)
+    val t = Tables(s, dir, "embeddings")
+      .select($"label".cast("long").as("label"),
+        round(sqrt(aggregate($"embedding", lit(0).cast(dec),
+          (acc, x) => (acc + round(x.cast("double") * x.cast("double"), 9)
+            .cast(dec)).cast(dec))
+          .cast("double")), 6).as("nrm"))
+    t.groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min($"nrm").as("min_norm"), max($"nrm").as("max_norm"),
+        round(sum($"nrm".cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_norm"))
+      .orderBy($"label")
+  }
+
+  /** Oracle for [[embeddingNorms]] — the same arithmetic over UNNEST. */
+  val embeddingNormsOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |  UNNEST(embedding) AS x FROM embeddings),
+      |s AS (SELECT vec_id, label,
+      |  ROUND(sqrt(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE)
+      |      * CAST(x AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)), 6)
+      |    AS nrm
+      |  FROM e GROUP BY 1, 2)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+      |  ROUND(CAST(SUM(CAST(nrm AS DECIMAL(20,6))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_norm
+      |FROM s GROUP BY 1 ORDER BY label""".stripMargin
+
   /** Per-label embedding centroids in long form (label, dim, mean) — the
     * class-prototype computation a classifier-on-embeddings pipeline
     * runs, and the higher-order-array exercise: `posexplode` unnests

@@ -3560,4 +3560,56 @@ class OperatorsSpec extends SparkSpec {
     assert(out == expected, "paths diverge from local recompute")
     assert(out.size == 20)
   }
+
+  test("round-15 batch: blocking suppliers match the local double-" +
+    "correlation recompute; shingle-df bands reconcile; context-fill " +
+    "and norm rollups conserve their totals") {
+    import spark.implicits._
+    // q_blocking_suppliers ≡ a SQL-free local recompute of the Q21 rule
+    val li = Tables(spark, sfTest, "lineitem")
+      .join(Tables(spark, sfTest, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > date_add($"o_orderdate", 90)).as("late"))
+      .as[(Long, Long, Boolean)].collect()
+    val perOs = li.groupBy(t => (t._1, t._2))
+      .map { case ((o, sp), xs) => (o, sp, xs.exists(_._3)) }.toSeq
+    val soleLate = perOs.groupBy(_._1).collect {
+      case (_, sups) if sups.size >= 2 && sups.count(_._3) == 1 =>
+        sups.find(_._3).get._2
+    }
+    val expected = soleLate.groupBy(identity)
+      .map { case (sp, xs) => sp -> xs.size.toLong }
+    val got = Relational.blockingSuppliers(spark, sfTest).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected, s"got $got exp $expected")
+    // q_shingle_df: bands partition the df table — totals reconcile
+    // against the shared shingle rule recomputed locally
+    val dfs = Tables(spark, sfTest, "documents")
+      .select($"text").as[String].collect()
+      .flatMap(t => DedupOps.shingleSet(t))
+      .groupBy(identity).map(_._2.size.toLong).toSeq
+    val bands = DedupOps.shingleDfProfile(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bands.map(_._2).sum == dfs.size.toLong)
+    assert(bands.map(_._3).sum == dfs.sum)
+    assert(bands.map(_._4).sum == dfs.map(d => d * (d - 1) / 2).sum)
+    assert(bands.map(_._1).toSeq == bands.map(_._1).sorted.toSeq)
+    // q_context_fill conserves the doc count
+    val nDocs = Tables(spark, sfTest, "documents")
+      .filter(size(split($"text", " ")) > 0).count()
+    val cf = TextOps.contextFill(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cf.map { case (d, n) => d * n }.sum == nDocs)
+    assert(cf.forall(_._1 >= 1))
+    // q_embedding_norms conserves the vector count; norms are sane
+    val en = VectorOps.embeddingNorms(spark, sfTest).collect()
+    assert(en.map(_.getLong(1)).sum ==
+      Tables(spark, sfTest, "embeddings").count())
+    en.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= r.getDouble(3))
+      assert(r.getDouble(4) >= r.getDouble(2) - 1e-9 &&
+        r.getDouble(4) <= r.getDouble(3) + 1e-9)
+    }
+  }
 }
