@@ -1246,7 +1246,7 @@ object SparkEntry {
     "q_dup_inflation" -> DedupOps.dupInflationOracle,
     "q_blocking_suppliers" -> Relational.blockingSuppliersOracle(),
     "q_shingle_df" -> DedupOps.shingleDfProfileOracle(),
-    "q_context_fill" -> TextOps.contextFillOracle,
+    "q_context_fill" -> TextOps.contextFillOracle(),
     "q_embedding_norms" -> VectorOps.embeddingNormsOracle,
     "q_eval_leakage" -> DedupOps.evalLeakageOracle,
     "q_minhash_est" -> DedupOps.minhashEstOracle,

@@ -466,10 +466,13 @@ object TextOps {
 
   /** Oracle for [[contextFill]] — the `q_pack_sequences` cumsum CTE
     * (stated as the naive full-corpus window; the Spark side computes
-    * the identical prefix sum two-level) rolled up twice.
+    * the identical prefix sum two-level) rolled up twice. A def
+    * interpolating `context` so a non-default call can never silently
+    * differ-compare against the default-window oracle (the
+    * `bigOrdersOracle` rule).
     */
-  val contextFillOracle: String =
-    """WITH t AS (SELECT doc_id,
+  def contextFillOracle(context: Long = 2048L): String =
+    s"""WITH t AS (SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |o AS (SELECT doc_id, n_tokens,
@@ -477,7 +480,7 @@ object TextOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |    AS BIGINT) AS start_off
       |  FROM t WHERE n_tokens > 0),
-      |g AS (SELECT start_off // 2048 AS pack_id,
+      |g AS (SELECT start_off // $context AS pack_id,
       |  CAST(COUNT(*) AS BIGINT) AS docs_in_pack FROM o GROUP BY 1)
       |SELECT docs_in_pack, CAST(COUNT(*) AS BIGINT) AS n_packs
       |FROM g GROUP BY 1 ORDER BY docs_in_pack""".stripMargin

@@ -339,53 +339,82 @@ object VectorOps {
   }
 
   /** Per-label embedding NORM profile (q_embedding_norms, round 15):
-    * count, min/max/mean L2 norm per label — the first-line "did a
-    * producer ship unnormalized / zero / exploded vectors" audit an
-    * embedding pipeline runs before any cosine machinery (cosine hides
-    * scale; this surfaces it). One of the few ORACLE-backed vector
-    * queries: norms are scalar per row, so DuckDB can state the same
-    * arithmetic over UNNEST.
+    * count, anomaly count, min/max/mean L2 norm per label — the
+    * first-line "did a producer ship unnormalized / zero / exploded
+    * vectors" audit an embedding pipeline runs before any cosine
+    * machinery (cosine hides scale; this surfaces it). One of the few
+    * ORACLE-backed vector queries.
     *
     * Scale shape: the per-vector Σx² folds INSIDE the row via
     * `functions.aggregate` (codegen'd lambda — no posexplode, nothing
-    * but (label, norm) scalars reach the one map-side-combined
-    * groupBy). Determinism: each x² term is an exact float→double
-    * square, 9-dp-rounded into a DECIMAL sum (order-free — the
-    * `docPerplexity` discipline), sqrt of the exact-decimal total cast
-    * to double, 6-dp display round; the mean is a DECIMAL sum of the
-    * 6-dp norms ÷ count.
+    * but (label, norm) scalars reaches the one map-side-combined
+    * groupBy).
+    *
+    * Determinism (the round-15 review round-trip): the first cut
+    * 9-dp-rounded each x² term into a DECIMAL sum — but float squares
+    * have FINITE decimal expansions, so per-element halfway cases are
+    * the measured engine-splitting class (the `cheapestSupplier`
+    * lesson), and DECIMAL(28,9) overflows on exactly the exploded
+    * vectors the audit hunts (Spark nulls the cast, DuckDB errors —
+    * an engine split ON the target anomaly). Instead: each x² is an
+    * EXACT float→double square (24-bit mantissa² ≤ 53 bits), summed as
+    * an ORDERED LEFT FOLD over the array in both engines (Spark
+    * `aggregate`, DuckDB `list_reduce` — IEEE addition is
+    * deterministic given order, so the sums are bit-identical); a
+    * vector is ANOMALOUS — NULL norm, counted in `n_bad` — iff its Σx²
+    * is NaN, exceeds 1e18 (norm > 1e9; covers +Inf overflow), or the
+    * array is empty. The only decimal round is the 6-dp display round
+    * on sqrt (the ubiquitous ratio-display class) and the order-free
+    * DECIMAL mean of those 6-dp norms over the NON-anomalous rows.
     */
-  def embeddingNorms(s: SparkSession, dir: String): DataFrame = {
+  def embeddingNorms(s: SparkSession, dir: String): DataFrame =
+    embeddingNormsFrom(Tables(s, dir, "embeddings"))
+
+  /** [[embeddingNorms]] over an arbitrary (label, embedding) frame —
+    * the spec seam for the anomaly-guard cases (NaN / Inf / exploded /
+    * empty vectors) the fixture corpus legitimately never carries.
+    */
+  private[graft] def embeddingNormsFrom(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
     val dec6 = org.apache.spark.sql.types.DecimalType(20, 6)
-    val t = Tables(s, dir, "embeddings")
+    val sumSq = aggregate($"embedding", lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val t = emb
       .select($"label".cast("long").as("label"),
-        round(sqrt(aggregate($"embedding", lit(0).cast(dec),
-          (acc, x) => (acc + round(x.cast("double") * x.cast("double"), 9)
-            .cast(dec)).cast(dec))
-          .cast("double")), 6).as("nrm"))
+        size($"embedding").as("d"), sumSq.as("ss"))
+      .select($"label",
+        when($"d" === 0 || isnan($"ss") || $"ss" > lit(1e18),
+          lit(null).cast("double"))
+          .otherwise(round(sqrt($"ss"), 6)).as("nrm"))
     t.groupBy($"label")
       .agg(count(lit(1)).as("n_vecs"),
+        count(when($"nrm".isNull, 1)).as("n_bad"),
         min($"nrm").as("min_norm"), max($"nrm").as("max_norm"),
-        round(sum($"nrm".cast(dec6)).cast("double") / count(lit(1)), 6)
+        round(sum($"nrm".cast(dec6)).cast("double") / count($"nrm"), 6)
           .as("mean_norm"))
       .orderBy($"label")
   }
 
-  /** Oracle for [[embeddingNorms]] — the same arithmetic over UNNEST. */
+  /** Oracle for [[embeddingNorms]] — the same ordered left fold via
+    * `list_reduce` (bit-identical IEEE sums) and the same anomaly
+    * guard.
+    */
   val embeddingNormsOracle: String =
-    """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-      |  UNNEST(embedding) AS x FROM embeddings),
+    """WITH s0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |  CASE WHEN len(embedding) = 0 THEN NULL
+      |    ELSE list_reduce(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)
+      |  END AS ss FROM embeddings),
       |s AS (SELECT vec_id, label,
-      |  ROUND(sqrt(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE)
-      |      * CAST(x AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)), 6)
-      |    AS nrm
-      |  FROM e GROUP BY 1, 2)
+      |  CASE WHEN ss IS NULL OR isnan(ss) OR ss > 1e18 THEN NULL
+      |    ELSE ROUND(sqrt(ss), 6) END AS nrm FROM s0)
       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(COUNT(CASE WHEN nrm IS NULL THEN 1 END) AS BIGINT)
+      |    AS n_bad,
       |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
       |  ROUND(CAST(SUM(CAST(nrm AS DECIMAL(20,6))) AS DOUBLE)
-      |    / COUNT(*), 6) AS mean_norm
+      |    / COUNT(nrm), 6) AS mean_norm
       |FROM s GROUP BY 1 ORDER BY label""".stripMargin
 
   /** Per-label embedding centroids in long form (label, dim, mean) — the

@@ -165,7 +165,11 @@ object ClusterMaint {
     val io = newKept.toDF("new_id", "s")
       .join(oldPost.join(keptS, "s"), "s")
       .groupBy($"new_id", $"old_id").agg(count(lit(1)).as("i"))
-    val assignNow = assignments(s, path)
+    // rep compression reads the PRE-batch assign state: excluding the
+    // replayed batch's own partition keeps a crash replay identical to
+    // the first run (MaintCore.assignments excludeBatch note)
+    val assignNow = MaintCore.assignments(s, path, "doc_id", StateSubs,
+      excludeBatch = Some(batchId))
     val edgesNO = io
       .join(nn.toDF("new_id", "na"), "new_id")
       .join(oldSizes.toDF("old_id", "nb"), "old_id")

@@ -124,12 +124,23 @@ private[streaming] object MaintCore {
     * returned frame; `recoverSubs` is the tier's FULL state-dir family,
     * so a crash mid-compaction is healed before ANY read (not just
     * assign/ — the drift the r13 advice flagged).
+    *
+    * `excludeBatch` is the REPLAY seam (r15 review finding): the
+    * rep-compression read inside a tier's applyBatch must see the
+    * assign state as it was BEFORE the replayed batch first ran —
+    * otherwise a crashed batch that persisted a previously-singleton
+    * old node routes that node to the crashed run's label, the replay
+    * edge degenerates to a self-edge, and the dynamic overwrite drops
+    * the node's row (stream ≠ batch on exactly the late-twin case,
+    * with is_new_cluster flipping too). Tier-facing reads pass None.
     */
   def assignments(s: SparkSession, path: String, idCol: String,
-                  recoverSubs: Seq[String]): DataFrame = {
+                  recoverSubs: Seq[String],
+                  excludeBatch: Option[Long] = None): DataFrame = {
     import s.implicits._
     recover(s, path, recoverSubs)
-    readState(s, path, "assign", s"$idCol BIGINT, cluster_id BIGINT")
+    readState(s, path, "assign", s"$idCol BIGINT, cluster_id BIGINT",
+      excludeBatch)
       .join(readMerges(s, path)
         .withColumnRenamed("old_id", "cluster_id"),
         Seq("cluster_id"), "left_outer")

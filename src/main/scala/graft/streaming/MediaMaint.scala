@@ -108,7 +108,9 @@ object MediaMaint {
       .join(newIds, Seq("media_id"), "left_anti")
       .select($"codec", $"band", $"key",
         $"media_id".as("b"), $"phash_bits".as("hb"))
-    val assignNow = assignments(s, path)
+    // pre-batch assign state (replay exclusion — the MaintCore note)
+    val assignNow = MaintCore.assignments(s, path, "media_id", StateSubs,
+      excludeBatch = Some(batchId))
     // new↔old edges: band-bucket candidates, exact hamming verify,
     // compressed to (new blob, old blob's cluster rep)
     val edgesNO = newBands

@@ -125,6 +125,29 @@ object SemanticMaint {
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
   }
 
+  /** Refuse a pre-r15 state layout LOUDLY (r15 review finding): the
+    * quant/ epoch move left an old `centroids/` + `index/` root layout
+    * unreadable — without this check the schema-safe reads would see
+    * legitimately-empty state, and [[compact]] would seal an EMPTY
+    * index over real data. There is no in-place migration (the two
+    * layouts carry identical data — a deploy moves the two dirs under
+    * quant/ by hand or re-inits); the contract is a refusal, not a
+    * silent empty read.
+    */
+  private def checkLayout(s: SparkSession, path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$path/quant")) &&
+        !fs.exists(new Path(s"$path/quant.sealed")) &&
+        (fs.exists(new Path(s"$path/centroids")) ||
+          fs.exists(new Path(s"$path/index"))))
+      throw new IllegalStateException(
+        s"SemanticMaint state at $path uses the pre-r15 root layout " +
+          "(centroids/ + index/); the r15 quant/ epoch layout is not " +
+          "checkpoint-compatible. Move both dirs under quant/ or " +
+          "re-init.")
+  }
+
   /** Current resolved assignments: insert-time cluster ids routed
     * through the merge map.
     */
@@ -137,6 +160,7 @@ object SemanticMaint {
     * is untouched — quantizer migration is [[requantize]].
     */
   def compact(s: SparkSession, path: String): Unit = {
+    checkLayout(s, path)
     MaintCore.recover(s, path, StateSubs)
     MaintCore.seal(s, path, "quant/index",
       MaintCore.readState(s, path, "quant/index", IndexSchema))
@@ -162,13 +186,17 @@ object SemanticMaint {
     *  3. recomputes the within-cell exact-cosine edge set under the
     *     NEW quantizer and UNIONs it with the existing assignment
     *     relation before the min-label CC — so components only gain
-    *     edges, never split: every established membership survives,
-    *     previously-missed pairs (the decayed recall) repair, and a
-    *     repair that connects two existing clusters resolves like any
-    *     merge (min-id label; since every label is its component's
-    *     min member id, the surviving label is one of the old ids);
-    *  4. reseals `assign` with the repaired components and empties
-    *     the merge map — [[compact]]'s bake-in discipline.
+    *     edges, never split: every established membership survives
+    *     and previously-missed pairs (the decayed recall) repair;
+    *  4. reseals `assign` with the repaired components and RESEALS
+    *     the merge map with every relabel routed: a repair can hand a
+    *     component a label that was never a cluster id (a
+    *     previously-unclustered vector with a smaller id than the
+    *     established label — the r15 review case), so each old
+    *     cluster id whose component label changed gets a
+    *     (old → new) map entry and existing entries re-route through
+    *     it — an external consumer holding any historical id still
+    *     resolves, exactly as after an ordinary merge.
     *
     * Crash safety: centroids+index swap as ONE two-phase epoch seal
     * (the complete new `quant.sealed/{centroids,index}` tree is built
@@ -183,21 +211,36 @@ object SemanticMaint {
                  nassign: Int = 5, nlist: Int = 0,
                  sampleN: Int = 512): Unit = {
     import s.implicits._
+    checkLayout(s, path)
     MaintCore.recover(s, path, StateSubs)
     val stored = MaintCore.readState(s, path, "quant/index", IndexSchema)
       .select($"vec_id", $"v").dropDuplicates("vec_id")
       .as[(Long, Array[Float])]
     val (_, centroids) = VectorOps.resolveQuantizerOf(stored, nlist,
       sampleN, VectorOps.autoCells(_))
-    // EAGER: everything below reads quant/index and assign/ files the
-    // swaps delete
+    // EAGER: everything below reads quant/index, assign/ and merges/
+    // files the swaps delete
     val newIdx = VectorOps.cellIndexOf(stored, centroids, nassign)
       .toDF("cell", "vec_id", "v").localCheckpoint()
+    val before = assignments(s, path).localCheckpoint()
     val repaired = DedupOps.clusterPairs(s,
       cellEdges(newIdx.toDF("cell", "a", "va"),
           newIdx.toDF("cell", "b", "vb"), threshold)
-        .union(assignments(s, path).toDF("a", "b")))
+        .union(before.toDF("a", "b")))
       .select($"doc_id".as("vec_id"), $"cluster_id")
+      .localCheckpoint()
+    // relabels: every old (resolved) cluster id is a member node of its
+    // own component, so its new label is its row in `repaired`
+    val relabels = before.select($"cluster_id".as("old_id")).distinct()
+      .join(repaired.toDF("old_id", "t_new"), Seq("old_id"))
+      .filter($"old_id" =!= $"t_new")
+      .select($"old_id", $"t_new".as("new_id"))
+    val routedMap = MaintCore.readMerges(s, path)
+      .join(relabels.toDF("r_old", "r_new"), $"new_id" === $"r_old",
+        "left_outer")
+      .select($"old_id", coalesce($"r_new", $"new_id").as("new_id"))
+      .union(relabels)
+      .distinct()
       .localCheckpoint()
     val fs = new Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -212,7 +255,7 @@ object SemanticMaint {
     fs.delete(new Path(s"$path/quant"), true)
     fs.rename(new Path(s"$path/quant.sealed"), new Path(s"$path/quant"))
     MaintCore.seal(s, path, "assign", repaired)
-    MaintCore.writeEmptyMerges(s, path)
+    MaintCore.writeMerges(s, path, routedMap)
   }
 
   /** State-level candidate-recall audit — `q_recall_audit`
@@ -233,6 +276,7 @@ object SemanticMaint {
   def recallAudit(s: SparkSession, path: String, threshold: Double = 0.4,
                   auditN: Int = 64): DataFrame = {
     import s.implicits._
+    checkLayout(s, path)
     MaintCore.recover(s, path, StateSubs)
     val idx = MaintCore.readState(s, path, "quant/index", IndexSchema)
       .localCheckpoint(false)
@@ -273,6 +317,7 @@ object SemanticMaint {
                  threshold: Double = 0.4, nassign: Int = 5): DataFrame = {
     val s = newVecs.sparkSession
     import s.implicits._
+    checkLayout(s, path)
     MaintCore.recover(s, path, StateSubs)
     val vecs = newVecs.selectExpr("vec_id",
       "cast(embedding as array<float>) as embedding")
@@ -291,7 +336,9 @@ object SemanticMaint {
       .join(newIdx.select($"cell").distinct(), "cell")
       .join(newIds, Seq("vec_id"), "left_anti")
       .select($"cell", $"vec_id".as("b"), $"v".as("vb"))
-    val assignNow = assignments(s, path)
+    // pre-batch assign state (replay exclusion — the MaintCore note)
+    val assignNow = MaintCore.assignments(s, path, "vec_id", StateSubs,
+      excludeBatch = Some(batchId))
     // new↔old edges, compressed to (new vec, old vec's cluster rep);
     // a < b does not apply across sides — order by role, not id
     val edgesNO = newIdx.toDF("cell", "a", "va")

@@ -1258,11 +1258,14 @@ object StreamOps {
     * batch carrying BOTH twins admits exactly the lower id, matching
     * what two separate batches would do. An admission writes its hash
     * into the last CHUNK of each of its 4 buckets (key =
-    * `(band << 16 | slice) << 20 | chunkIdx`, chunks capped at
+    * `(band << 16 | slice) << 40 | chunkIdx`, chunks capped at
     * [[MediaBucketChunkCap]]): amortized 4 MapState rows per distinct
     * admitted blob, RocksDB-backed, never pixel data, and — unlike a
     * single growing array per bucket — a bounded O(chunkCap) value
-    * rewrite per admission. Keys are per-codec, so gate
+    * rewrite per admission. The chunked layout is NOT checkpoint-
+    * compatible with the r14 single-array keys (a restored pre-r15
+    * checkpoint would re-admit prior blobs); fresh checkpoints only.
+    * Keys are per-codec, so gate
     * parallelism is the codec count — acceptable because the per-row
     * work is 4 point lookups over n/2^16-expected buckets; a deployment
     * sharding one codec across tasks would add a slice-range key
@@ -1282,8 +1285,14 @@ object StreamOps {
                                  tv: TimerValues): Iterator[MediaAdmit] = {
       def bucketOf(h: Long, b: Int): Long =
         (b.toLong << 16) | ((h >>> (16 * b)) & 0xffffL)
+      // bucket < 2^18 (2 band bits + 16 slice bits), so 40 chunk bits
+      // fit a Long with room: overflow would need chunkCap·2^40 hashes
+      // in ONE bucket — petabytes of state — where 20 bits was reachable
+      // on the unbounded-lifetime contract this chunking exists for
+      // (r15 review finding: a 20-bit chunk index could collide into the
+      // next bucket's chunk 0)
       def chunkKey(bucket: Long, chunk: Int): Long =
-        (bucket << 20) | chunk.toLong
+        (bucket << 40) | chunk.toLong
       val out = List.newBuilder[MediaAdmit]
       rows.toSeq.sortBy(_._1).foreach { case (id, _, h) =>
         // ONE probe walk per band: hamming-check every chunk member AND

@@ -3606,10 +3606,28 @@ class OperatorsSpec extends SparkSpec {
     val en = VectorOps.embeddingNorms(spark, sfTest).collect()
     assert(en.map(_.getLong(1)).sum ==
       Tables(spark, sfTest, "embeddings").count())
+    assert(en.forall(_.getLong(2) == 0L), "fixture corpus has no anomalies")
     en.foreach { r =>
-      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= r.getDouble(3))
-      assert(r.getDouble(4) >= r.getDouble(2) - 1e-9 &&
-        r.getDouble(4) <= r.getDouble(3) + 1e-9)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= r.getDouble(4))
+      assert(r.getDouble(5) >= r.getDouble(3) - 1e-9 &&
+        r.getDouble(5) <= r.getDouble(4) + 1e-9)
     }
+    // the anomaly guard catches exactly the audit's target inputs —
+    // NaN / Inf / exploded (norm > 1e9) / empty vectors go NULL and
+    // count in n_bad in BOTH engines (DECIMAL accumulation would have
+    // overflowed engine-divergently on these — the r15 review finding)
+    val bad = Seq(
+      (0L, Array(1.0f, 2.0f)), // healthy
+      (0L, Array(Float.NaN, 1.0f)),
+      (0L, Array(Float.PositiveInfinity)),
+      (0L, Array(1e10f, 1.0f)), // exploded: sumsq > 1e18
+      (0L, Array.empty[Float]))
+      .toDF("label", "embedding")
+    val br = VectorOps.embeddingNormsFrom(bad).collect().head
+    assert(br.getLong(1) == 5L && br.getLong(2) == 4L,
+      s"anomaly guard: $br")
+    assert(math.abs(br.getDouble(3) - math.sqrt(5.0)) < 1e-6 &&
+      br.getDouble(3) == br.getDouble(4),
+      "the one healthy norm survives as min=max")
   }
 }

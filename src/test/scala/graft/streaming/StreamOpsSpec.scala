@@ -1944,6 +1944,88 @@ class StreamOpsSpec extends SparkSpec {
     assert(amap == Map(10L -> 10L, 11L -> 10L), s"post-replay: $amap")
   }
 
+  test("crash replay of the batch that first persisted an old singleton " +
+    "re-derives identically — SMALLER-id twin (the r15 review case: " +
+    "without the pre-batch assign read the replay self-edges and drops " +
+    "the singleton's row)") {
+    import spark.implicits._
+    val thr = 0.3
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_smalltwin").toString
+    ClusterMaint.init(Seq((1L, "x y z w q r"))
+      .toDF("doc_id", "text"), sp, threshold = thr)
+    ClusterMaint.applyBatch(Seq((10L, "a b c d e f"))
+      .toDF("doc_id", "text"), 0L, sp, threshold = thr)
+    def run(): Seq[(Long, Long, Boolean)] =
+      ClusterMaint.applyBatch(Seq((5L, "a b c d e g"))
+        .toDF("doc_id", "text"), 1L, sp, threshold = thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    def amap = ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // first run: the twin's id is SMALLER than the singleton's, so the
+    // component label is the twin itself — but the content is not new
+    val r1 = run()
+    assert(r1 == Seq((5L, 5L, false)), s"first run: $r1")
+    assert(amap == Map(5L -> 5L, 10L -> 5L), s"first run assign: $amap")
+    // crash replay: must re-derive the SAME rows and the SAME result —
+    // pre-fix, the replay read its own crashed partition, routed the
+    // singleton to the new label, degenerated the edge to a self-edge,
+    // dropped (10 -> 5) and flipped is_new_cluster to true
+    val r2 = run()
+    assert(r2 == Seq((5L, 5L, false)), s"replay run: $r2")
+    assert(amap == Map(5L -> 5L, 10L -> 5L), s"replay assign: $amap")
+  }
+
+  test("requantize relabel continuity: a repair that hands an " +
+    "established cluster a smaller NEVER-clustered id routes the old " +
+    "id through the merge map (r15 review case)") {
+    import spark.implicits._
+    val thr = 0.4
+    def axis(i: Int, s: Float): Array[Float] = {
+      val v = new Array[Float](6); v(i) = s; v
+    }
+    def drift(i: Int, s: Float): Array[Float] = {
+      val v = new Array[Float](6); v(4) = s; v(i) = 0.15f * s; v
+    }
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_relabel").toString
+    // bootstrap: two orthogonal singleton axes → frozen cells {a2, a3}
+    SemanticMaint.init(Seq((20L, axis(2, 1f)), (21L, axis(3, 1f)))
+      .toDF("vec_id", "embedding"), sp, threshold = thr,
+      nassign = 1, nlist = 2)
+    // {5,7} form an established cluster labeled 5 (same drift lean →
+    // same frozen cell); vec 1's pair with them (cos ≈ 0.978) is
+    // MISSED — its lean parks it in the other cell
+    SemanticMaint.applyBatch(Seq((5L, drift(2, 1f)))
+      .toDF("vec_id", "embedding"), 0L, sp, thr, 1)
+    SemanticMaint.applyBatch(Seq((7L, drift(2, 2f)))
+      .toDF("vec_id", "embedding"), 1L, sp, thr, 1)
+    SemanticMaint.applyBatch(Seq((1L, drift(3, 1f)))
+      .toDF("vec_id", "embedding"), 2L, sp, thr, 1)
+    def amap = SemanticMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(amap == Map(5L -> 5L, 7L -> 5L), s"pre-requantize: $amap")
+    val pre = SemanticMaint.recallAudit(spark, sp, thr).collect().head
+    assert(pre.getAs[Long]("truth_pairs") == 3L &&
+      pre.getAs[Long]("found_pairs") == 1L, s"pre audit: $pre")
+    SemanticMaint.requantize(spark, sp, thr, nassign = 1, nlist = 3)
+    // the repaired component's min id is 1 — a vector that was never a
+    // cluster id — so cluster 5 RELABELS, and the old id must route
+    assert(amap == Map(1L -> 1L, 5L -> 1L, 7L -> 1L),
+      s"post-requantize: $amap")
+    val merges = MaintCore.readMerges(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merges.contains((5L, 1L)),
+      s"old cluster id 5 must route through the merge map: $merges")
+    assert(SemanticMaint.recallAudit(spark, sp, thr).collect()
+      .head.getAs[Double]("recall") == 1.0)
+    // future arrival joins the relabeled cluster through the new cells
+    val r3 = SemanticMaint.applyBatch(Seq((2L, drift(3, 2f)))
+      .toDF("vec_id", "embedding"), 3L, sp, thr, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(r3 == Seq((2L, 1L, false)), s"post-requantize arrival: $r3")
+  }
+
   test("merge-map writes are crash-consistent: a seal left half-done " +
     "recovers on the next read instead of silently reading empty") {
     import spark.implicits._
