@@ -220,6 +220,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.contextFill(s, d)),
     "q_embedding_norms" ->
       ((s: SparkSession, d: String) => VectorOps.embeddingNorms(s, d)),
+    "q_cluster_purity" ->
+      ((s: SparkSession, d: String) => VectorOps.clusterPurity(s, d)),
     "q_span_corruption" ->
       ((s: SparkSession, d: String) => TextOps.spanCorruption(s, d)),
     // round 11, batch 6: leak attribution, signal calibration, threshold
@@ -1248,6 +1250,7 @@ object SparkEntry {
     "q_shingle_df" -> DedupOps.shingleDfProfileOracle(),
     "q_context_fill" -> TextOps.contextFillOracle(),
     "q_embedding_norms" -> VectorOps.embeddingNormsOracle,
+    "q_cluster_purity" -> VectorOps.clusterPurityOracle,
     "q_eval_leakage" -> DedupOps.evalLeakageOracle,
     "q_minhash_est" -> DedupOps.minhashEstOracle,
     // entropy: every term is -(p)ln(p) on an exact-integer rational,

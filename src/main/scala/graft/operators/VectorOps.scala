@@ -1045,6 +1045,70 @@ object VectorOps {
       .select(col("cluster_id"), col("doc_id").as("vec_id"), col("keep"))
       .orderBy(col("cluster_id"), col("vec_id"))
 
+  /** Semantic-cluster LABEL PURITY (q_cluster_purity, round 15): per
+    * near-dup cluster, the majority label's share — the "is my
+    * similarity threshold semantically sane" audit run after SemDeDup:
+    * clusters that mix labels at a tight cosine threshold mean either
+    * the labels or the embeddings are broken, and a curation pipeline
+    * checks THIS before trusting cluster-level dedup decisions to
+    * transfer across a labeled eval set. Ties break to the smallest
+    * label (deterministic both engines).
+    *
+    * Shape: rides the graded [[semanticClustersCell]] output (the
+    * edge-sized CC — the scale argument lives there) + one broadcast
+    * label join + two group-row aggregations; nothing new shuffles at
+    * corpus size. The majority pick is max-over-struct on (count,
+    * −label) group rows — argmax as a single aggregate, no window.
+    */
+  def clusterPurity(s: SparkSession, dir: String,
+                    threshold: Double = 0.4, nassign: Int = 5)
+  : DataFrame = {
+    import s.implicits._
+    val cl = semanticClustersCell(s, dir, threshold, nassign)
+      .select($"cluster_id", $"vec_id")
+    val lab = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"))
+    cl.join(lab, "vec_id")
+      .groupBy($"cluster_id", $"label").agg(count(lit(1)).as("n"))
+      .groupBy($"cluster_id")
+      .agg(sum($"n").as("n_vecs"),
+        max(struct($"n".as("cnt"), (-$"label").as("neg"))).as("w"))
+      .select($"cluster_id", $"n_vecs",
+        (-$"w.neg").as("top_label"), $"w.cnt".as("n_top"),
+        round($"w.cnt".cast("double") / $"n_vecs", 4).as("purity"))
+      .orderBy($"cluster_id")
+  }
+
+  /** Oracle for [[clusterPurity]] — the same recursive-CC closure as
+    * [[semanticClustersOracle]] with the majority-label rollup.
+    */
+  val clusterPurityOracle: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS da, b.vec_id AS db
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])) >= 0.4),
+      |edges AS (SELECT da AS src, db AS dst FROM pairs
+      |  UNION ALL SELECT db, da FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+      |reach(vec_id, root) AS (
+      |  SELECT vec_id, vec_id FROM nodes
+      |  UNION
+      |  SELECT e.src, r.root FROM edges e JOIN reach r ON e.dst = r.vec_id),
+      |m AS (SELECT min(root) AS cluster_id, vec_id
+      |  FROM reach GROUP BY vec_id),
+      |c AS (SELECT m.cluster_id, CAST(e.label AS BIGINT) AS label,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM m JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+      |t AS (SELECT cluster_id, label, n,
+      |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |    ORDER BY n DESC, label) AS rk,
+      |  CAST(SUM(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_vecs
+      |  FROM c)
+      |SELECT cluster_id, n_vecs, label AS top_label, n AS n_top,
+      |  ROUND(CAST(n AS DOUBLE) / n_vecs, 4) AS purity
+      |FROM t WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
   /** Runtime RECALL AUDIT for the cell-candidate edge source (ADVICE
     * r13 / VERDICT r13 item 5): [[semanticClustersCell]]'s Scaladoc
     * tells off-fixture callers to sample-audit edges against brute

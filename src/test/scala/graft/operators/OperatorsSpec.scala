@@ -3629,5 +3629,26 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(br.getDouble(3) - math.sqrt(5.0)) < 1e-6 &&
       br.getDouble(3) == br.getDouble(4),
       "the one healthy norm survives as min=max")
+    // q_cluster_purity laws: rides the graded cluster output exactly —
+    // same cluster ids and sizes; majority share in (0, 1]; the
+    // majority label really is the per-cluster mode with min-label ties
+    val purity = VectorOps.clusterPurity(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val clusters = VectorOps.semanticClustersCell(spark, sfTest).collect()
+      .map(r => (r.getLong(1), r.getLong(0))) // (vec_id, cluster_id)
+    val labels = Tables(spark, sfTest, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Number]("label").longValue)).toMap
+    val expect = clusters.groupBy(_._2).map { case (cid, members) =>
+      val ls = members.map(m => labels(m._1))
+      val (top, cnt) = ls.groupBy(identity)
+        .map { case (l, xs) => (l, xs.size) }
+        .minBy { case (l, c) => (-c, l) }
+      (cid, ls.size.toLong, top, cnt.toLong,
+        math.rint(cnt.toDouble / ls.size * 1e4) / 1e4)
+    }.toSeq.sortBy(_._1)
+    assert(purity.toSeq == expect, s"purity diverges from local mode")
+    assert(purity.forall(p => p._5 > 0.0 && p._5 <= 1.0 && p._4 <= p._2))
   }
 }

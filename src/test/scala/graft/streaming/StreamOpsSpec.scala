@@ -2026,6 +2026,61 @@ class StreamOpsSpec extends SparkSpec {
     assert(r3 == Seq((2L, 1L, false)), s"post-requantize arrival: $r3")
   }
 
+  test("unified cross-tier ingest: a text twin, a semantic twin, a media " +
+    "re-encode, and an undecodable payload each alone sink the row; " +
+    "modality-free rows pass vacuously; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    def axis(i: Int, s: Float): Array[Float] = {
+      val v = new Array[Float](6); v(i) = s; v
+    }
+    def png(seed: String): Array[Byte] =
+      Multimodal.synthesizePng(seed.getBytes, 16, 12)
+    val tp = java.nio.file.Files.createTempDirectory("graft_uni_t").toString
+    val sp = java.nio.file.Files.createTempDirectory("graft_uni_s").toString
+    val mp = java.nio.file.Files.createTempDirectory("graft_uni_m").toString
+    val rp = java.nio.file.Files.createTempDirectory("graft_uni_r").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_uni_c").toString
+    // per-tier bootstrap, each over its own historical corpus
+    ClusterMaint.init(Seq((900L, "x y z w q r"))
+      .toDF("doc_id", "text"), tp)
+    SemanticMaint.init(Seq((901L, axis(5, 1f)))
+      .toDF("vec_id", "embedding"), sp, nassign = 16, nlist = 16)
+    MediaMaint.init(Seq((902L, png("corpus-img")))
+      .toDF("media_id", "content"), mp)
+    val ms = MemoryStream[(Long, String, Array[Float], Array[Byte])]
+    val q = UnifiedIngest.start(
+      ms.toDF().toDF("id", "text", "embedding", "content"),
+      tp, sp, mp, rp, ck, nassign = 16)
+    // batch 0: novel in every modality → admitted
+    ms.addData(Seq((10L, "a b c d e f", axis(0, 1f), png("mediaA"))))
+    q.processAllAvailable()
+    // batch 1: one row per kill-path + two admits
+    val batch1 = Seq(
+      (20L, "a b c d e g", axis(1, 1f), png("mediaB")), // text twin of 10
+      (21L, "p q r s t u", axis(0, 2f), png("mediaC")), // semantic twin
+      (22L, "h i j k l m", axis(2, 1f), png("mediaA")), // media re-encode
+      (23L, "n o p2 q2 r2 s2", axis(3, 1f), png("mediaE")), // clean
+      (24L, "t1 u1 v1 w1 x1 y1", null, null), // text-only → vacuous tiers
+      (25L, "z1 z2 z3 z4 z5 z6", axis(4, 1f),
+        "junk bytes".getBytes)) // undecodable media → dead-letter
+    ms.addData(batch1)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(rp).collect()
+      .map(r => r.getAs[Number]("batch_id").longValue ->
+        r.getAs[Long]("id"))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(got(0L) == Set(10L), s"batch 0 admitted ${got(0L)}")
+    assert(got(1L) == Set(23L, 24L), s"batch 1 admitted ${got(1L)}")
+    // crash replay of batch 1 re-derives the same admissions
+    val replay = UnifiedIngest.applyBatch(
+      batch1.toDF("id", "text", "embedding", "content"), 1L,
+      tp, sp, mp, nassign = 16).collect().map(_.getAs[Long]("id")).toSet
+    assert(replay == Set(23L, 24L), s"replay admitted $replay")
+  }
+
   test("merge-map writes are crash-consistent: a seal left half-done " +
     "recovers on the next read instead of silently reading empty") {
     import spark.implicits._
