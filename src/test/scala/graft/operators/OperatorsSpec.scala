@@ -3632,6 +3632,41 @@ class OperatorsSpec extends SparkSpec {
     // q_cluster_purity laws: rides the graded cluster output exactly —
     // same cluster ids and sizes; majority share in (0, 1]; the
     // majority label really is the per-cluster mode with min-label ties
+    // plan pins for the round-15 shapes — the load-bearing perf claims,
+    // durable against future rewrites:
+    // blocking suppliers: ONE fact scan (the first cut scanned lineitem
+    // twice through the duplicated (order,supplier) chain), no
+    // sort-merge join (supplier broadcasts), the collect_set aggregate
+    // form
+    val pBlock = Relational.blockingSuppliers(spark, sfTest)
+      .queryExecution.executedPlan
+    val pBlockS = pBlock.toString
+    val liScans = pBlock.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("lineitem") => f
+    }
+    assert(liScans.size == 1,
+      s"blocking suppliers must scan the fact table ONCE, saw ${liScans.size}")
+    assert(!pBlockS.contains("SortMergeJoin"),
+      "blocking suppliers regressed to a sort-merge self-join")
+    assert(pBlockS.contains("collect_set"),
+      "blocking suppliers lost the single-exchange collect_set form")
+    // embedding norms: the Σx² folds INSIDE the row — no Generate
+    // (posexplode) and no Window may appear, and embeddings scans once
+    val pNorm = VectorOps.embeddingNorms(spark, sfTest)
+      .queryExecution.executedPlan
+    val pNormS = pNorm.toString
+    assert(!pNormS.contains("Generate") && !pNormS.contains("Window"),
+      "embedding norms must fold per-row, not explode or window")
+    assert(pNorm.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.size == 1, "embedding norms must scan embeddings exactly once")
+    // shingle-df: the one shingle-width shuffle the dedup family pays —
+    // documents scans once
+    assert(DedupOps.shingleDfProfile(spark, sfTest)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.size == 1, "shingle-df must scan documents exactly once")
     val purity = VectorOps.clusterPurity(spark, sfTest).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4)))
