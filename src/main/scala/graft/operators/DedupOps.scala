@@ -676,9 +676,15 @@ object DedupOps {
     *
     * Scale shape: the one shingle-width shuffle the dedup family
     * already pays (groupBy(shingle) → df group rows), then a ≤5-row
-    * band rollup of those group rows. pair_cost sums in BIGINT over
-    * df ≤ doc-count values — exact integer arithmetic, no float
-    * anywhere.
+    * band rollup of those group rows. pair_cost accumulates in
+    * DECIMAL(38,0) — the `>maxDf` band this audit exists to measure is
+    * boilerplate shingles whose df can reach the billions on a 100 TB
+    * corpus, where a BIGINT df·(df−1) term wraps silently in Spark
+    * while DuckDB raises: an engine split in exactly the audited
+    * regime (round-16 advice). No decimal DIVISION anywhere (DuckDB
+    * decimal `/` detours through DOUBLE): df·(df−1) is even, so
+    * whichever factor is even halves exactly in BIGINT first, then one
+    * (19,0)×(19,0)→(38,0) product per group row.
     */
   def shingleDfProfile(s: SparkSession, dir: String,
                        maxDf: Int = DefaultMaxShingleDf): DataFrame = {
@@ -691,14 +697,20 @@ object DedupOps {
       .groupBy($"band")
       .agg(count(lit(1)).as("n_shingles"),
         sum($"df").as("posting_rows"),
-        // `div`, not `/`: Spark's `/` on longs is DOUBLE division; the
-        // sum of df·(df−1) terms is always even, so the integral halve
-        // is exact
-        expr("sum(df * (df - 1)) div 2").as("pair_cost"))
+        // exact df·(df−1)/2 with no overflow and no decimal division:
+        // halve the even factor in BIGINT, multiply in DECIMAL(38,0)
+        expr("sum(cast(if(df % 2 = 0, df div 2, df) as decimal(19,0)) *" +
+          " cast(if(df % 2 = 0, df - 1, (df - 1) div 2) as decimal(19,0)))")
+          .as("pair_cost"))
       .orderBy($"band")
   }
 
-  /** Oracle for [[shingleDfProfile]] — same integer band arithmetic. */
+  /** Oracle for [[shingleDfProfile]] — same integer band arithmetic,
+    * same halved-factor DECIMAL(38,0) pair_cost (DuckDB raises on a
+    * BIGINT product overflow where Spark wraps; DECIMAL keeps both
+    * engines exact on the huge-df band, and avoiding `/` keeps DuckDB
+    * off its decimal-division-through-DOUBLE path).
+    */
   def shingleDfProfileOracle(maxDf: Int = DefaultMaxShingleDf): String =
     shingleCte +
       s""",
@@ -709,7 +721,10 @@ object DedupOps {
         |    ELSE 5 END AS BIGINT) AS band,
         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
         |  CAST(SUM(df) AS BIGINT) AS posting_rows,
-        |  CAST(SUM(df * (df - 1)) // 2 AS BIGINT) AS pair_cost
+        |  SUM(CAST(CASE WHEN df % 2 = 0 THEN df // 2 ELSE df END
+        |        AS DECIMAL(19,0))
+        |    * CAST(CASE WHEN df % 2 = 0 THEN df - 1 ELSE (df - 1) // 2 END
+        |        AS DECIMAL(19,0))) AS pair_cost
         |FROM df GROUP BY 1 ORDER BY band""".stripMargin
 
   /** Source-level shingle CONTAINMENT matrix (q_source_containment,

@@ -218,6 +218,14 @@ private[streaming] object MaintCore {
       .join(ids.toDF("node"), Seq("node"), "left_anti")
       .join(priorAssigned, Seq("node"), "left_anti")
       .select($"node".as(idCol), $"cid".as("cluster_id"))
+      // EAGER, same discipline as `resolved`: this subtree READS
+      // $path/assign and the writeBatch below dynamic-partition-
+      // overwrites $path/assign. Today the read is safe without it
+      // (the batch_id filter prunes the replaced partition and file
+      // deletion defers to job commit), but that is two implementation
+      // details deep — rows must be OFF those files before the write,
+      // not coincidentally untouched by it (r16 advice).
+      .localCheckpoint()
     writeBatch(res
       .join(comp.toDF(idCol, "c2"), Seq(idCol), "left_semi")
       .select(col(idCol), $"cluster_id")

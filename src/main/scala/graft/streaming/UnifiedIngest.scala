@@ -36,10 +36,26 @@ import graft.sinks.Sinks
   * for dropped rows (the maintainers' documented behavior), so the
   * per-tier stream ≡ batch equivalence contracts are untouched by the
   * composition, and a row dropped for one modality still sharpens the
-  * other tiers' future candidate sets. Replay: each tier's applyBatch
-  * is idempotent under foreachBatch replay and the result lands as a
-  * batch_id-partitioned dynamic overwrite, so the composed gate is
-  * replay-idempotent end to end.
+  * other tiers' future candidate sets. THE CONSEQUENCE IS PERMANENT
+  * EXCLUSION, stated as contract (r16 advice): a row rejected by ONE
+  * modality has already indexed its OTHERS, so a later clean re-send
+  * of the same content is rejected as a text/embedding twin of the
+  * never-admitted first arrival — dead-lettered rows block their own
+  * retries — and a re-send under a fresh id fares no better, because
+  * its healthy modalities are twins of the first arrival's indexed
+  * entries. This is deliberate: index-on-arrival is what keeps each
+  * tier's stream state ≡ the batch recompute over everything SEEN
+  * (not everything admitted), which is the equivalence the per-tier
+  * specs pin, and for the training-dedup question it is usually the
+  * right answer (the content DID arrive; a duplicate is a duplicate
+  * whether its first carrier decoded). A deployment that instead
+  * wants poisoned arrivals to be retryable must quarantine rows with
+  * an undecodable payload UPSTREAM of this gate (decode-validate
+  * before ingest) so they never index — the gate itself will not
+  * forget a seen modality. Replay: each tier's
+  * applyBatch is idempotent under foreachBatch replay and the result
+  * lands as a batch_id-partitioned dynamic overwrite, so the composed
+  * gate is replay-idempotent end to end.
   *
   * The three state paths are bootstrapped by the tiers' own `init`
   * verbs (the caller runs them over the historical corpus — each tier

@@ -3589,8 +3589,16 @@ class OperatorsSpec extends SparkSpec {
       .select($"text").as[String].collect()
       .flatMap(t => DedupOps.shingleSet(t))
       .groupBy(identity).map(_._2.size.toLong).toSeq
-    val bands = DedupOps.shingleDfProfile(spark, sfTest).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val dfProfile = DedupOps.shingleDfProfile(spark, sfTest)
+    // pair_cost accumulates in DECIMAL(38,0) — the huge-df band wraps
+    // BIGINT silently in Spark while DuckDB raises (r16 advice); pin
+    // the type so a BIGINT regression can't slip back in
+    assert(dfProfile.schema("pair_cost").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0),
+      s"pair_cost must be DECIMAL(38,0): ${dfProfile.schema("pair_cost")}")
+    val bands = dfProfile.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact))
     assert(bands.map(_._2).sum == dfs.size.toLong)
     assert(bands.map(_._3).sum == dfs.sum)
     assert(bands.map(_._4).sum == dfs.map(d => d * (d - 1) / 2).sum)
