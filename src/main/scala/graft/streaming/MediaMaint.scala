@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -16,9 +17,11 @@ import graft.sinks.Sinks
   * frozen families MERGES them exactly.
   *
   * Edge rule byte-shared with the batch query: the codec-dispatched
-  * `Multimodal.mediaHash` fingerprint and the 4×16-bit band pigeonhole
-  * (`Multimodal.bandsOf` — the same expansion `mediaDupPairs` joins
-  * on), exact `bit_count` verification at `maxHamming` ≤ 3. Unlike the
+  * `Multimodal.mediaAnchors` fingerprint set (one hash for img/audio,
+  * the K-min anchor set for video — one index row per anchor) and the
+  * 4×16-bit band pigeonhole (`Multimodal.bandsOf` — the same expansion
+  * `mediaDupPairs` joins on), exact `bit_count` verification at
+  * `maxHamming` ≤ 3 between ANY anchor pair. Unlike the
   * text tier (arrival-time df caveat) and the embedding tier (frozen-
   * quantizer recall contract), this tier's incremental equivalence is
   * UNCONDITIONAL: the pigeonhole candidate rule is complete for
@@ -27,16 +30,18 @@ import graft.sinks.Sinks
   * boundary, merges included — spec-pinned with no fixture caveat.
   *
   * Scale shape: the index is stored PRE-BANDED — (codec, band, key,
-  * media_id, phash_bits), 4 rows per decodable blob, so the per-batch
-  * probe is one equi-join of the batch's ≤4·|batch| band keys against
-  * the keyed index (n_codec/2¹⁶ expected rows per key — the LSH-band
-  * bound), never a re-band of the stored corpus. Pixels/PCM decode in
+  * media_id, phash_bits), 4 rows per anchor (≤16 per video, 4 per
+  * img/audio blob), so the per-batch probe is one equi-join of the
+  * batch's ≤16·|batch| band keys against the keyed index (n_codec/2¹⁶
+  * expected rows per key — the LSH-band bound), never a re-band of
+  * the stored corpus. Pixels/PCM decode in
   * the stateless hashing pass and never enter state; everything the
   * maintainer stores is 8-byte hashes and ids. Undecodable payloads
   * carry no hash, are excluded from clustering (exactly as the batch
   * audit excludes them), and belong to the dead-letter path.
   *
   * State layout under `path`:
+  *   MEDIA_STATE_VERSION  (fingerprint-rule marker — [[StateVersion]])
   *   index/  batch_id=N/ (codec, band, key, media_id, phash_bits)
   *   assign/ batch_id=N/ (media_id, cluster_id)
   *   merges/ (old_id, new_id)
@@ -47,6 +52,60 @@ object MediaMaint {
   private val IndexSchema =
     "codec STRING, band INT, key BIGINT, media_id BIGINT, phash_bits BIGINT"
 
+  /** Fingerprint-rule + layout version of everything under `path`.
+    * Bump whenever EITHER changes — stored hashes are only comparable
+    * to live hashes computed under the same rule. History: 1 = r14
+    * first-frame video hash; 2 = r15 single min-anchor; 3 = r16 K-min
+    * multi-anchor rows (a video carries ≤4 index rows).
+    */
+  private[streaming] val StateVersion = 3
+
+  /** Refuse cross-version state LOUDLY (r16 advice — the media mirror
+    * of `SemanticMaint.checkLayout`): after a hash-rule upgrade, a
+    * duplicate of a previously indexed video hashes differently and
+    * would silently escape every media gate that probes the stale
+    * index. A marker file `$path/MEDIA_STATE_VERSION` is written by
+    * [[init]] (and by first [[applyBatch]] use on a fresh path); any
+    * verb that finds STATE WITHOUT A MARKER (a pre-r16 deploy) or a
+    * mismatched version throws instead of reading. There is no
+    * in-place migration — old state stores only hashes, not pixels,
+    * so rule-N hashes cannot be re-derived; the contract is re-init
+    * from the retained corpus.
+    */
+  private def checkVersion(s: SparkSession, path: String,
+                           createIfFresh: Boolean): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$path/MEDIA_STATE_VERSION")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val v = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      if (v != StateVersion.toString)
+        throw new IllegalStateException(
+          s"MediaMaint state at $path was written under fingerprint-rule " +
+            s"version $v; this build is version $StateVersion. Stored " +
+            "hashes are not comparable across rules (a twin of an " +
+            "indexed blob would silently escape) — delete the state dir " +
+            "and re-init from the retained corpus.")
+    } else if (StateSubs.exists(sub =>
+        fs.exists(new Path(s"$path/$sub")) ||
+          fs.exists(new Path(s"$path/$sub.sealed"))))
+      throw new IllegalStateException(
+        s"MediaMaint state at $path carries no MEDIA_STATE_VERSION " +
+          "marker (a pre-r16 deploy); its stored hashes predate the " +
+          s"K-min anchor rule (version $StateVersion) and are not " +
+          "comparable — delete the state dir and re-init from the " +
+          "retained corpus.")
+    else if (createIfFresh) {
+      val out = fs.create(marker, true)
+      try out.write(StateVersion.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Bootstrap from the historical corpus (media_id, content): hash,
     * band, batch CC over the exact banded pairs. Batch id −1 marks the
     * bootstrap partition.
@@ -54,6 +113,7 @@ object MediaMaint {
   def init(media: DataFrame, path: String, maxHamming: Int = 3): Unit = {
     val s = media.sparkSession
     import s.implicits._
+    checkVersion(s, path, createIfFresh = true)
     val hashes = Multimodal.hashesOf(media).localCheckpoint(false)
     val assign = DedupOps.clusterPairs(s,
         Multimodal.mediaDupPairs(hashes, maxHamming)
@@ -69,14 +129,17 @@ object MediaMaint {
   /** Current resolved assignments: insert-time cluster ids routed
     * through the merge map.
     */
-  def assignments(s: SparkSession, path: String): DataFrame =
+  def assignments(s: SparkSession, path: String): DataFrame = {
+    checkVersion(s, path, createIfFresh = false)
     MaintCore.assignments(s, path, "media_id", StateSubs)
+  }
 
   /** Fold per-batch state partitions into the bootstrap partition —
     * the [[ClusterMaint.compact]] discipline (two-phase seal, crash-
     * recovered; run between micro-batches).
     */
   def compact(s: SparkSession, path: String): Unit = {
+    checkVersion(s, path, createIfFresh = false)
     MaintCore.recover(s, path, StateSubs)
     MaintCore.seal(s, path, "index",
       MaintCore.readState(s, path, "index", IndexSchema))
@@ -95,9 +158,12 @@ object MediaMaint {
       s"MediaMaint: 4-band pigeonhole covers maxHamming<=3, got $maxHamming")
     val s = newMedia.sparkSession
     import s.implicits._
+    checkVersion(s, path, createIfFresh = true)
     MaintCore.recover(s, path, StateSubs)
     val newH = Multimodal.hashesOf(newMedia).localCheckpoint(false)
-    val newIds = newH.select($"media_id").localCheckpoint(false)
+    // distinct: hashesOf is at ANCHOR grain since r16 (≤4 rows per
+    // video) and the CC advance needs each node once
+    val newIds = newH.select($"media_id").distinct().localCheckpoint(false)
     val newBands = Multimodal.bandsOf(newH)
     // stored banded index rows in the batch's touched (codec,band,key)
     // buckets only, minus the batch's own ids (crash-replay exclusion);

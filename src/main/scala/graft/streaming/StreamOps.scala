@@ -1122,12 +1122,13 @@ object StreamOps {
     * the binary tier, and the live half of `q_media_phash` +
     * `q_media_audio`: media arriving on a stream is perceptually
     * fingerprinted with the SAME codec-dispatched
-    * `Multimodal.mediaHash` the batch audits compute (aHash for
-    * images, the PCM energy-grid `audioHash` for WAV, first-frame
-    * aHash for video — one formula source per codec, the gates cannot
-    * drift) and dropped when a perceptually NEAR-identical blob
-    * already exists in the frozen corpus hash set — same codec, hash
-    * within hamming ≤ `maxHamming` (default 3: re-encodes and
+    * `Multimodal.mediaAnchors` the batch audits compute (aHash for
+    * images, the PCM energy-grid `audioHash` for WAV, the K-min
+    * anchor SET for video — one formula source per codec, the gates
+    * cannot drift) and dropped when a perceptually NEAR-identical blob
+    * already exists in the frozen corpus hash set — same codec, ANY
+    * anchor within hamming ≤ `maxHamming` of any corpus anchor
+    * (default 3: re-encodes and
     * content-identical re-renders land at 0; a 2× RESAMPLE moves ≤ 3
     * bits, the `Multimodal.audioHash`/`aHash` invariance contract, so
     * resampled corpus dups are caught too — VERDICT r12 item 1). The
@@ -1164,7 +1165,8 @@ object StreamOps {
     * [[errorAlarmsTws]] note), so a blob within `maxHamming` of any
     * earlier in-stream admission drops exactly like a corpus near-dup —
     * hamming 0 subsumes the old exact `dropDuplicates`. State bound: 4
-    * band entries per DISTINCT admitted blob, forever — the ingest-gate
+    * band entries per DISTINCT admitted anchor (≤16 per video),
+    * forever — the ingest-gate
     * contract (the [[dedupAgainstCorpus]] state note applies verbatim).
     * Near-dup CLUSTERING of admitted media remains the batch
     * `Multimodal.mediaDupPairs` pass.
@@ -1180,12 +1182,16 @@ object StreamOps {
     // codec-dispatched fingerprints since round 12 (audio and video
     // carry hashes too — a re-encoded audio duplicate no longer passes
     // the gate unexamined); the dedup key is (codec, bits) so modalities
-    // can never collapse into one another
+    // can never collapse into one another. ANCHOR grain since r16: a
+    // video contributes one row per K-min anchor
+    // (`Multimodal.mediaAnchors`), so an anchor-removing edit of an
+    // indexed video still meets the corpus (or a prior admission) on a
+    // surviving anchor — the batch `mediaDupPairs` rule, live
     val hashed = media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        graft.operators.Multimodal.mediaHash(bytes)
-          .map { case (codec, h) => (id, codec, h) }
+        graft.operators.Multimodal.mediaAnchors(bytes).toSeq
+          .flatMap { case (codec, hs) => hs.map(h => (id, codec, h)) }
       }
       .toDF("media_id", "codec", "phash_bits")
     val joined = (0 until 4).foldLeft(hashed) { (df, b) =>
@@ -1197,24 +1203,45 @@ object StreamOps {
       df.withColumn(s"k$b", slice(col("phash_bits"), b))
         .join(bucket, Seq("codec", s"k$b"), "left_outer")
     }
-    val noCorpusMatch = (0 until 4).map { b =>
-      col(s"cand$b").isNull || !exists(col(s"cand$b"),
+    // per-ANCHOR corpus verdict; the admission decision is per MEDIA
+    // (reject if ANY anchor matches), which is a cross-row conjunction
+    // — it lives in the stateful processor below, not in a stream
+    // aggregation (append-mode discipline)
+    val corpusNear = (0 until 4).map { b =>
+      col(s"cand$b").isNotNull && exists(col(s"cand$b"),
         c => bit_count(c.bitwiseXOR(col("phash_bits"))) <= lit(maxHamming))
-    }.reduce(_ && _)
-    mediaAdmitGate(joined.filter(noCorpusMatch)
-      .select(col("media_id"), col("codec"), col("phash_bits"))
-      .as[(Long, String, Long)], maxHamming)
+    }.reduce(_ || _)
+    mediaAdmitGateFlagged(joined
+      .select(col("media_id"), col("codec"), col("phash_bits"),
+        corpusNear.as("corpus_near"))
+      .as[(Long, String, Long, Boolean)], maxHamming)
   }
 
-  /** The in-stream admission leg of [[mediaDedup]] at (id, codec, hash)
-    * grain. `chunkCap` is a TEST seam only (the chunk-layout spec runs
-    * it at 2 to force multi-chunk buckets on a small fixture);
-    * production always rides the [[MediaBucketChunkCap]] default.
+  /** The in-stream admission leg of [[mediaDedup]] at (id, codec,
+    * anchor) grain, no corpus verdicts attached — the single-anchor
+    * test seam ([[mediaAdmitGateFlagged]] is the full entry).
+    * `chunkCap` is a TEST seam only (the chunk-layout spec runs it at
+    * 2 to force multi-chunk buckets on a small fixture); production
+    * always rides the [[MediaBucketChunkCap]] default.
     */
   private[graft] def mediaAdmitGate(hashed: Dataset[(Long, String, Long)],
                                     maxHamming: Int,
                                     chunkCap: Int = MediaBucketChunkCap)
   : DataFrame = {
+    val s = hashed.sparkSession
+    import s.implicits._
+    mediaAdmitGateFlagged(hashed.map(t => (t._1, t._2, t._3, false)),
+      maxHamming, chunkCap)
+  }
+
+  /** Full in-stream admission: rows are (media_id, codec, anchor hash,
+    * corpus_near) — one row per ANCHOR, several per video. A media is
+    * admitted iff NO anchor matched the corpus and NO anchor lands
+    * within `maxHamming` of any previously admitted media's anchors.
+    */
+  private[graft] def mediaAdmitGateFlagged(
+      hashed: Dataset[(Long, String, Long, Boolean)], maxHamming: Int,
+      chunkCap: Int = MediaBucketChunkCap): DataFrame = {
     val s = hashed.sparkSession
     import s.implicits._
     hashed.groupByKey(_._2)
@@ -1252,19 +1279,35 @@ object StreamOps {
     * corpus side's 4-band pigeonhole over the stream's OWN admissions —
     * any hash within hamming ≤ 3 of a prior admission shares at least
     * one exact 16-bit band slice with it, so 4 point lookups see every
-    * candidate; the exact `bit_count(xor)` check then verifies. Rows
-    * process in media_id order within a batch (the `errorAlarms` sort
-    * discipline), so a replayed micro-batch admits the same ids — and a
-    * batch carrying BOTH twins admits exactly the lower id, matching
-    * what two separate batches would do. An admission writes its hash
-    * into the last CHUNK of each of its 4 buckets (key =
+    * candidate; the exact `bit_count(xor)` check then verifies. Input
+    * is at ANCHOR grain since r16 (one row per K-min anchor — several
+    * per video, each carrying its own corpus verdict); a MEDIA is
+    * admitted iff no anchor matched the corpus AND no anchor is within
+    * `maxHamming` of any stored anchor, and an admission stores ALL its
+    * anchors — the batch `mediaDupPairs` any-anchor-pair rule, live.
+    * Media process in media_id order within a batch (the `errorAlarms`
+    * sort discipline), so a replayed micro-batch admits the same ids —
+    * and a batch carrying BOTH twins admits exactly the lower id,
+    * matching what two separate batches would do. An admitted anchor
+    * writes into the last CHUNK of each of its 4 buckets (key =
     * `(band << 16 | slice) << 40 | chunkIdx`, chunks capped at
     * [[MediaBucketChunkCap]]): amortized 4 MapState rows per distinct
-    * admitted blob, RocksDB-backed, never pixel data, and — unlike a
-    * single growing array per bucket — a bounded O(chunkCap) value
-    * rewrite per admission. The chunked layout is NOT checkpoint-
-    * compatible with the r14 single-array keys (a restored pre-r15
-    * checkpoint would re-admit prior blobs); fresh checkpoints only.
+    * admitted anchor (≤16 per video), RocksDB-backed, never pixel
+    * data, and — unlike a single growing array per bucket — a bounded
+    * O(chunkCap) value rewrite per insertion.
+    *
+    * LAYOUT/RULE SENTINEL (r16 advice — the scaladoc-only "fresh
+    * checkpoints only" note now ENFORCED): reserved MapState key −1
+    * (unreachable by data — every chunk key is ≥ 0) holds the state
+    * format version. Restoring a checkpoint written under another
+    * format (r14 single-array keys, whose old admissions the chunked
+    * walk would silently never probe; or r15 single-anchor hashes,
+    * not comparable to K-min video anchors) throws on the first batch
+    * instead of silently re-admitting duplicates. The version is
+    * [[MediaMaint.StateVersion]] — one constant governs both the
+    * maintainer state and this gate's checkpoint, so a hash-rule bump
+    * invalidates both together.
+    *
     * Keys are per-codec, so gate
     * parallelism is the codec count — acceptable because the per-row
     * work is 4 point lookups over n/2^16-expected buckets; a deployment
@@ -1272,17 +1315,42 @@ object StreamOps {
     * component (each band's buckets are disjoint by construction).
     */
   private class MediaAdmitProcessor(maxHamming: Int, chunkCap: Int)
-    extends StatefulProcessor[String, (Long, String, Long), MediaAdmit] {
+    extends StatefulProcessor[String, (Long, String, Long, Boolean),
+      MediaAdmit] {
     @transient private var buckets:
       org.apache.spark.sql.streaming.MapState[Long, BandBucket] = _
+
+    private val SentinelKey = -1L
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       buckets = getHandle.getMapState[Long, BandBucket]("admitted",
         Encoders.scalaLong, Encoders.product[BandBucket], TTLConfig.NONE)
 
+    private def checkOrStampVersion(): Unit = {
+      val v = MediaMaint.StateVersion.toLong
+      if (buckets.containsKey(SentinelKey)) {
+        val got = buckets.getValue(SentinelKey).hs
+        if (got.length != 1 || got(0) != v)
+          throw new IllegalStateException(
+            "media admission checkpoint was written under state format " +
+              s"${got.mkString(",")}; this build is format $v — stored " +
+              "admissions are not probe-compatible (duplicates would " +
+              "silently re-admit). Start from a fresh checkpoint.")
+      } else if (buckets.keys().hasNext)
+        throw new IllegalStateException(
+          "media admission checkpoint carries admitted state but no " +
+            s"format sentinel (pre-r16); this build is format $v — the " +
+            "old keys would silently never be probed. Start from a " +
+            "fresh checkpoint.")
+      else
+        buckets.updateValue(SentinelKey, BandBucket(Array(v)))
+    }
+
     override def handleInputRows(codec: String,
-                                 rows: Iterator[(Long, String, Long)],
+                                 rows: Iterator[(Long, String, Long,
+                                   Boolean)],
                                  tv: TimerValues): Iterator[MediaAdmit] = {
+      checkOrStampVersion()
       def bucketOf(h: Long, b: Int): Long =
         (b.toLong << 16) | ((h >>> (16 * b)) & 0xffffL)
       // bucket < 2^18 (2 band bits + 16 slice bits), so 40 chunk bits
@@ -1293,50 +1361,80 @@ object StreamOps {
       // next bucket's chunk 0)
       def chunkKey(bucket: Long, chunk: Int): Long =
         (bucket << 40) | chunk.toLong
-      val out = List.newBuilder[MediaAdmit]
-      rows.toSeq.sortBy(_._1).foreach { case (id, _, h) =>
-        // ONE probe walk per band: hamming-check every chunk member AND
-        // remember the append cursor (last chunk index + contents) so
-        // an admission never re-reads, and never rewrites more than the
-        // tail chunk
-        val probes = (0 until 4).map { b =>
-          val bucket = bucketOf(h, b)
-          var near = false
-          var i = 0
-          var last = Array.empty[Long]
-          while (buckets.containsKey(chunkKey(bucket, i))) {
-            last = buckets.getValue(chunkKey(bucket, i)).hs
-            near = near || last
-              .exists(c => java.lang.Long.bitCount(c ^ h) <= maxHamming)
-            i += 1
-          }
-          (bucket, near, math.max(0, i - 1), last)
+      // one probe walk per (anchor, band): hamming-check every chunk
+      // member and remember the append cursor (tail index + contents).
+      def probe(h: Long, b: Int): (Long, Boolean, Int, Array[Long]) = {
+        val bucket = bucketOf(h, b)
+        var near = false
+        var i = 0
+        var last = Array.empty[Long]
+        while (buckets.containsKey(chunkKey(bucket, i))) {
+          last = buckets.getValue(chunkKey(bucket, i)).hs
+          near = near || last
+            .exists(c => java.lang.Long.bitCount(c ^ h) <= maxHamming)
+          i += 1
         }
-        if (!probes.exists(_._2)) {
-          out += MediaAdmit(id, codec, h)
-          probes.foreach { case (bucket, _, lastIdx, last) =>
-            if (last.length >= chunkCap)
-              buckets.updateValue(chunkKey(bucket, lastIdx + 1),
-                BandBucket(Array(h)))
-            else
-              buckets.updateValue(chunkKey(bucket, lastIdx),
-                BandBucket(last :+ h))
-          }
-        }
+        (bucket, near, math.max(0, i - 1), last)
       }
+      val out = List.newBuilder[MediaAdmit]
+      rows.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+        .foreach { case (id, anchorRows) =>
+          val anchors = anchorRows.map(_._3).distinct
+          val corpusHit = anchorRows.exists(_._4)
+          // probe EVERY anchor before inserting any: a media's own
+          // anchors must not match each other through state
+          val probes = anchors.map(h => h -> (0 until 4).map(probe(h, _)))
+          if (!corpusHit && !probes.exists(_._2.exists(_._2))) {
+            // emit the PRIMARY anchor (unsigned min — identical to the
+            // r15 single-hash row for img/audio, the display hash for
+            // video)
+            out += MediaAdmit(id, codec,
+              anchors.min(Ordering.fromLessThan[Long](
+                java.lang.Long.compareUnsigned(_, _) < 0)))
+            // insert anchors SEQUENTIALLY with cursor refresh between
+            // same-bucket insertions: two anchors of one video can
+            // share a (band, slice) bucket, so a stale tail cursor
+            // would drop the earlier insertion
+            val touched = scala.collection.mutable.Set.empty[Long]
+            probes.foreach { case (h, bands) =>
+              bands.foreach { case (bucket, _, lastIdx0, last0) =>
+                val (lastIdx, last) =
+                  if (!touched.add(bucket)) {
+                    // re-walk THIS bucket's chunks for a fresh cursor
+                    var i = 0
+                    var l = Array.empty[Long]
+                    while (buckets.containsKey(chunkKey(bucket, i))) {
+                      l = buckets.getValue(chunkKey(bucket, i)).hs
+                      i += 1
+                    }
+                    (math.max(0, i - 1), l)
+                  } else (lastIdx0, last0)
+                if (last.length >= chunkCap)
+                  buckets.updateValue(chunkKey(bucket, lastIdx + 1),
+                    BandBucket(Array(h)))
+                else
+                  buckets.updateValue(chunkKey(bucket, lastIdx),
+                    BandBucket(last :+ h))
+              }
+            }
+          }
+        }
       out.result().iterator
     }
   }
 
   /** Frozen corpus hash set for [[mediaDedup]] — the codec-dispatched
-    * fingerprint of every decodable corpus media blob, distinct per
-    * (codec, bits).
+    * ANCHOR fingerprints of every decodable corpus media blob (one row
+    * per K-min anchor for video, one per img/audio blob), distinct per
+    * (codec, bits): a stream arrival matches the corpus iff any of its
+    * anchors lands within tolerance of any corpus anchor.
     */
   def mediaCorpusHashes(staticMedia: DataFrame): DataFrame = {
     val s = staticMedia.sparkSession
     import s.implicits._
     staticMedia.select(col("content")).as[Array[Byte]]
-      .flatMap(b => graft.operators.Multimodal.mediaHash(b))
+      .flatMap(b => graft.operators.Multimodal.mediaAnchors(b).toSeq
+        .flatMap { case (c, hs) => hs.map((c, _)) })
       .toDF("codec", "phash_bits").distinct()
   }
 

@@ -612,6 +612,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("audio fingerprint survives re-encode/channel-dup/resample, " +
     "separates different content; video hash survives container rewrite") {
+    import spark.implicits._
     // amplitude-modulated tone: slot energies carry real structure (a
     // constant sine puts every slot at the mean — the degenerate case
     // the image spec's gradient argument covers for pixels)
@@ -694,7 +695,13 @@ class OperatorsSpec extends SparkSpec {
           Multimodal.videoHash(gfv1(Seq(f))).get)
         val anchor = ph.minBy(h => h ^ Long.MinValue) // unsigned min
         ph.head != anchor &&
-          java.lang.Long.bitCount(ph.head ^ anchor) > 3
+          java.lang.Long.bitCount(ph.head ^ anchor) > 3 &&
+          // for the K-min leg below: 4 distinct frame hashes, pairwise
+          // > 3 bits apart, so removing the anchor provably RE-ANCHORS
+          // beyond the single-hash tolerance (the r15 escape)
+          ph.distinct.size == 4 &&
+          ph.combinations(2).forall(p =>
+            java.lang.Long.bitCount(p(0) ^ p(1)) > 3)
       }.get
     val aFrames = gfv1Frames(anchored)
     val hAnchored = Multimodal.videoHash(anchored).get
@@ -710,6 +717,36 @@ class OperatorsSpec extends SparkSpec {
       "edit-frame fixture must not undercut the anchor")
     assert(Multimodal.videoHash(gfv1(editFrame +: aFrames.drop(1)))
       .contains(hAnchored))
+    // K-MIN MULTI-ANCHOR (round 16, closing the r15 verdict's item 7
+    // residual): the anchor set is the ≤4 smallest distinct frame
+    // hashes, unsigned ascending, primary (head) = the r15 single-min
+    // fingerprint
+    val frameHashes = aFrames.map(f =>
+      Multimodal.videoHash(gfv1(Seq(f))).get)
+    val anchorsA = Multimodal.videoAnchors(anchored).get
+    assert(anchorsA.head == hAnchored, "primary anchor = the r15 hash")
+    assert(anchorsA.toSeq ==
+      frameHashes.distinct.sortBy(h => h ^ Long.MinValue).take(4),
+      "anchors are the K smallest distinct unsigned frame hashes, sorted")
+    assert(Multimodal.videoAnchors(gfv1(Seq(aFrames.head))).get.toSeq ==
+      Seq(frameHashes.head), "single-frame video has one anchor")
+    // the r15 documented ESCAPE: remove the anchor FRAME — the
+    // single-min fingerprint re-anchors beyond the ≤3-bit tolerance...
+    val removedAnchor = gfv1(
+      aFrames.zip(frameHashes).filter(_._2 != hAnchored).map(_._1))
+    assert(java.lang.Long.bitCount(
+      Multimodal.videoHash(removedAnchor).get ^ hAnchored) > 3,
+      "fixture must re-anchor the single-min rule (the escape)")
+    // ...but the edit keeps 3 of the 4 anchors, so the dedup surfaces
+    // pair it with the original at hamming 0 through a shared anchor
+    assert(Multimodal.videoAnchors(removedAnchor).get
+      .intersect(anchorsA).length == 3)
+    val vids = Seq((100L, anchored), (101L, removedAnchor))
+      .toDF("media_id", "content")
+    val caught = Multimodal.mediaDupPairs(Multimodal.hashesOf(vids))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(caught.toSeq == Seq((100L, 101L, 0L)),
+      s"anchor-removing edit must pair with its original: ${caught.toSeq}")
     // a corrupt NON-first frame now dead-letters the whole blob (the
     // full-walk discipline; the first-frame rule never saw it)
     val badTail = {

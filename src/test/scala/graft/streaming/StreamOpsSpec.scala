@@ -1911,6 +1911,118 @@ class StreamOpsSpec extends SparkSpec {
     assert(a(10L) == 10L && a(11L) == 10L, s"assignments: $a")
   }
 
+  test("K-min anchors live: an anchor-frame-REMOVING video edit is " +
+    "caught by the maintainer and the stream gate (the r15 min-anchor " +
+    "escape); cross-version media state refuses loudly") { withRocksDb {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    def gfv1Frames(v: Array[Byte]): Seq[Array[Byte]] = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(v))
+      in.readInt()
+      val nf = in.readInt()
+      (0 until nf).map { _ =>
+        val len = in.readInt()
+        val b = new Array[Byte](len); in.readFully(b); b
+      }
+    }
+    def gfv1(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.writeInt(0x47465631); dos.writeInt(frames.length)
+      frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+      dos.flush(); out.toByteArray
+    }
+    // fixture: 4 distinct frame hashes pairwise > 3 bits apart, so the
+    // anchor-removing edit provably re-anchors the r15 single-min rule
+    // beyond tolerance (the escape) while sharing 3 K-min anchors
+    val vid = (0 until 64).map(i =>
+        Multimodal.synthesizeVideo(s"kmin-$i".getBytes, frames = 4))
+      .find { v =>
+        val ph = gfv1Frames(v).map(f =>
+          Multimodal.videoHash(gfv1(Seq(f))).get)
+        ph.distinct.size == 4 &&
+          ph.combinations(2).forall(p =>
+            java.lang.Long.bitCount(p(0) ^ p(1)) > 3)
+      }.get
+    val frames = gfv1Frames(vid)
+    val hMin = Multimodal.videoHash(vid).get
+    val edited = gfv1(frames.filter(f =>
+      Multimodal.videoHash(gfv1(Seq(f))).get != hMin))
+    assert(java.lang.Long.bitCount(
+      Multimodal.videoHash(edited).get ^ hMin) > 3,
+      "edit must re-anchor the single-min rule")
+    // maintainer: edit joins the original's cluster across batches
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_kmin").toString
+    val resultPath = java.nio.file.Files
+      .createTempDirectory("graft_kmin_res").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_kmin_ck").toString
+    MediaMaint.init(Seq(
+      (1L, Multimodal.synthesizePng("unrelated-k".getBytes, 16, 12)))
+      .toDF("media_id", "content"), statePath)
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = MediaMaint.start(ms.toDF().toDF("media_id", "content"),
+      statePath, resultPath, ckpt)
+    ms.addData(Seq((10L, vid)))
+    q.processAllAvailable()
+    ms.addData(Seq((11L, edited)))
+    q.processAllAvailable()
+    q.stop()
+    val a = MediaMaint.assignments(spark, statePath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a.get(10L).contains(10L) && a.get(11L).contains(10L),
+      s"anchor-removing edit must join the original's cluster: $a")
+    // stream ≡ batch recompute still holds at the boundary
+    val batch = Multimodal.mediaClustersOf(Seq((10L, vid), (11L, edited),
+        (1L, Multimodal.synthesizePng("unrelated-k".getBytes, 16, 12)))
+        .toDF("media_id", "content"))
+      .select($"media_id", $"cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.toSet == batch, s"stream $a vs batch $batch")
+    // stream GATE: an anchor-removing edit of a CORPUS video drops
+    val corpus = StreamOps.mediaCorpusHashes(Seq(vid).toDF("content"))
+    val ms2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = StreamOps.mediaDedup(
+      ms2.toDS().toDF("media_id", "content"), corpus)
+      .writeStream.format("memory").queryName("t_kmin_gate")
+      .outputMode("append").start()
+    val novel = Multimodal.synthesizeVideo("kmin-novel".getBytes,
+      frames = 3)
+    ms2.addData(Seq((20L, edited), (21L, novel)))
+    q2.processAllAvailable()
+    // in-stream leg: an anchor-removing edit of an ADMITTED video drops
+    val novelFrames = gfv1Frames(novel)
+    val novelMin = Multimodal.videoHash(novel).get
+    val novelEdit = gfv1(novelFrames.filter(f =>
+      Multimodal.videoHash(gfv1(Seq(f))).get != novelMin))
+    ms2.addData(Seq((22L, novelEdit)))
+    q2.processAllAvailable()
+    q2.stop()
+    val admitted = spark.sql("select media_id from t_kmin_gate")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(21L), s"gate admitted $admitted")
+    // cross-version refusal: state without a marker (pre-r16) and a
+    // mismatched marker both throw instead of silently reading
+    val stale = java.nio.file.Files
+      .createTempDirectory("graft_kmin_stale").toString
+    java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(s"$stale/index"))
+    val e1 = intercept[IllegalStateException] {
+      MediaMaint.assignments(spark, stale)
+    }
+    assert(e1.getMessage.contains("no MEDIA_STATE_VERSION"), e1.getMessage)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stale/MEDIA_STATE_VERSION"), "2")
+    val e2 = intercept[IllegalStateException] {
+      MediaMaint.applyBatch(Seq((30L, vid)).toDF("media_id", "content"),
+        0L, stale)
+    }
+    assert(e2.getMessage.contains("version 2"), e2.getMessage)
+  }}
+
   test("an unpersisted singleton that gains its first twin in a LATER " +
     "batch is persisted alongside the twin (MaintCore fix, all tiers); " +
     "crash replay re-derives the same rows") {
