@@ -34,14 +34,22 @@ import graft.sinks.Sinks
   *
   * Edge rule: byte-identical to the batch query — `DedupOps.shingleSet`
   * 3-token shingles, df-capped postings, Jaccard ≥ threshold over
-  * KEPT-shingle sizes. One documented divergence: document frequency
-  * and kept sizes are evaluated at ARRIVAL time (stored postings + the
-  * batch), so a shingle whose df crosses `maxDf` only after a document
-  * was scored keeps that document's earlier edges, where a from-scratch
-  * recompute would drop them; the equivalence spec therefore pins
-  * fixtures whose dfs stay under the cap (the realistic regime — a
-  * cap-crossing shingle is boilerplate whose edges are spurious either
-  * way). The same caveat governs `q_dedup_incremental`'s batch twin.
+  * KEPT-shingle sizes. One documented divergence BETWEEN REFRESHES:
+  * document frequency and kept sizes are evaluated at ARRIVAL time
+  * (stored postings + the batch), so a shingle whose df crosses
+  * `maxDf` only after a document was scored keeps that document's
+  * earlier edges (and its arrival-time kept size), where a
+  * from-scratch recompute would re-score them. [[refresh]] — the
+  * round-16 repair verb, `SemanticMaint.requantize`'s text-tier
+  * analog — deletes the accumulated drift: it re-evaluates df on the
+  * CURRENT indexed corpus, rebuilds kept sizes, re-derives the exact
+  * batch edge set, and re-runs the min-label CC with cluster-id
+  * continuity, after which state ≡ `q_dedup_clusters` on the union
+  * corpus again. The equivalence spec pins under-cap fixtures for the
+  * per-batch boundaries (the realistic regime — a cap-crossing shingle
+  * is boilerplate whose edges are spurious either way) and a
+  * cap-crossing drift fixture across the verb. The same caveat governs
+  * `q_dedup_incremental`'s batch twin.
   *
   * Scale shape: per batch the work is (1) one posting-index probe join
   * keyed on the batch's shingles (stream-static, the
@@ -125,6 +133,101 @@ object ClusterMaint {
     */
   def assignments(s: SparkSession, path: String): DataFrame =
     MaintCore.assignments(s, path, "doc_id", StateSubs)
+
+  /** DF-REFRESH (round 16 — the text-tier repair verb the r15 verdict
+    * named as the highest-leverage gap; `SemanticMaint.requantize`'s
+    * analog): re-evaluate shingle document frequency on the CURRENT
+    * indexed corpus and repair the cluster state to equal a
+    * from-scratch `q_dedup_clusters` recompute, with cluster-id
+    * continuity for external consumers. On a long-running deploy,
+    * arrival-time df evaluation drifts: a shingle that crossed `maxDf`
+    * AFTER some documents were scored keeps those documents' earlier
+    * edges and inflated kept sizes — edges a batch recompute would
+    * drop (and, through the smaller final kept sizes, occasionally
+    * edges it would ADD). This verb:
+    *
+    *  1. recomputes df over the stored raw posting index (which keeps
+    *     EVERY shingle uncapped precisely so this recompute is
+    *     possible), kept sets, and kept sizes under the final df;
+    *  2. re-derives the exact batch edge set (the [[init]] pair rule)
+    *     and re-runs the min-label CC on it ALONE — unlike
+    *     `requantize`, NOT unioned with the prior assignment relation:
+    *     the semantic tier only ever repairs missed edges, while this
+    *     tier's drift is SPURIOUS kept edges, so components must be
+    *     allowed to split exactly as the batch recompute splits them;
+    *  3. reseals `sizes` (future arrivals' Jaccard denominators read
+    *     final-df counts) and `assign` with the repaired components;
+    *  4. reseals the merge map with id continuity: every old resolved
+    *     cluster id still clustered under a DIFFERENT label gets an
+    *     (old → new) entry and existing entries re-route through it;
+    *     entries whose old_id REAPPEARS as a live label are dropped —
+    *     a split can re-expose a formerly-absorbed rep as its own
+    *     sub-component's min (impossible under requantize's
+    *     edges-only-grow rule, real here), and routing a live label
+    *     away would undo the split. An old cluster id whose component
+    *     merely SPLIT keeps its label (it was the min of the superset,
+    *     so it is the min of its own sub-component); one whose
+    *     component fully dissolved disappears, exactly as the batch
+    *     recompute would report.
+    *
+    * Crash safety: each family reseal is the standard two-phase
+    * [[MaintCore.seal]] (healed by `recover`). A crash BETWEEN reseals
+    * leaves a consistent-enough intermediate (e.g. refreshed sizes with
+    * pre-repair assignments, or repaired assignments with the
+    * not-yet-routed map) whose reads never fail — re-running refresh
+    * completes the repair, since everything derives from the untouched
+    * raw index plus the current map. Run between micro-batches, like
+    * [[compact]].
+    */
+  def refresh(s: SparkSession, path: String,
+              threshold: Double = DedupOps.DefaultJaccardThreshold,
+              maxDf: Int = DedupOps.DefaultMaxShingleDf): Unit = {
+    import s.implicits._
+    MaintCore.recover(s, path, StateSubs)
+    // EAGER: every derivation below must be off the files the reseals
+    // replace — sh is also the one subtree all four consumers share
+    val sh = MaintCore
+      .readState(s, path, "index", "doc_id BIGINT, s STRING")
+      .distinct().localCheckpoint()
+    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val kept = sh.join(df.filter($"df" <= maxDf).select($"s"), "s")
+      .select($"doc_id", $"s")
+    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val inter = kept.toDF("da", "s").join(kept.toDF("db", "s"), "s")
+      .filter($"da" < $"db")
+      .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+    val pairs = inter
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
+      .filter($"i".cast("double") / ($"na" + $"nb" - $"i") >= threshold)
+      .select($"da", $"db")
+    val before = assignments(s, path).localCheckpoint()
+    val repaired = DedupOps.clusterPairs(s, pairs)
+      .select($"doc_id", $"cluster_id").localCheckpoint()
+    // continuity relabels: an old resolved id still clustered under a
+    // new label routes to it (merge direction); split survivors keep
+    // their label and produce no entry
+    val relabels = before.select($"cluster_id".as("old_id")).distinct()
+      .join(repaired.toDF("old_id", "t_new"), Seq("old_id"))
+      .filter($"old_id" =!= $"t_new")
+      .select($"old_id", $"t_new".as("new_id"))
+    val currentLabels = repaired.select($"cluster_id".as("old_id"))
+      .distinct()
+    val routedMap = MaintCore.readMerges(s, path)
+      .join(relabels.toDF("r_old", "r_new"), $"new_id" === $"r_old",
+        "left_outer")
+      .select($"old_id", coalesce($"r_new", $"new_id").as("new_id"))
+      .union(relabels)
+      .distinct()
+      // a split can re-expose a formerly-absorbed rep as a LIVE label;
+      // keeping its stale route would collapse the split on read
+      .join(currentLabels, Seq("old_id"), "left_anti")
+      .localCheckpoint()
+    MaintCore.seal(s, path, "sizes", sizes)
+    MaintCore.seal(s, path, "assign", repaired)
+    MaintCore.writeMerges(s, path, routedMap)
+  }
 
   /** Apply one micro-batch of (doc_id, text) documents: returns every
     * batch doc's (doc_id, cluster_id, is_new_cluster) AND advances the

@@ -1584,6 +1584,104 @@ class StreamOpsSpec extends SparkSpec {
     checkAgainstBatch(union1 :+ (20L, axis(1, 0.5f)), "post_compact")
   }
 
+  test("text-tier df refresh: arrival-time df drift (cap-crossing " +
+    "shingle keeps spurious edges) repairs to the exact batch " +
+    "recompute — including a SPLIT that re-exposes an absorbed rep as " +
+    "a live label; crash window heals; refresh is idempotent") {
+    import spark.implicits._
+    val thr = 0.3
+    val cap = 3
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_refresh").toString
+    // two identical-text families; doc 7 bridges BOTH at arrival —
+    // its edges to family {1,2} ride exactly the shingles qrs/rst/stu,
+    // which doc 10 later pushes over the df cap
+    val t1 = "p q r s t u"
+    val t5 = "k l m n o v"
+    val t7 = "q r s t u k l m n o"
+    val t10 = "q r s t u h1 h2 h3 h4 h5 h6 h7"
+    ClusterMaint.init(Seq((1L, t1), (2L, t1)).toDF("doc_id", "text"),
+      sp, threshold = thr, maxDf = cap)
+    val r0 = ClusterMaint.applyBatch(
+      Seq((5L, t5), (6L, t5)).toDF("doc_id", "text"), 0L, sp, thr, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r0 == Map(5L -> 5L, 6L -> 5L))
+    // the bridge: {1,2} ∪ {5,6} ∪ {7} merge under label 1, and the
+    // absorbed rep 5 lands in the merge map
+    val r1 = ClusterMaint.applyBatch(
+      Seq((7L, t7)).toDF("doc_id", "text"), 1L, sp, thr, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r1 == Map(7L -> 1L), s"bridge got $r1")
+    assert(MaintCore.readMerges(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 1L)))
+    // doc 10 pushes df(qrs/rst/stu) to 4 > cap; no new edges (its
+    // jaccard to everything stays under threshold)
+    val r2 = ClusterMaint.applyBatch(
+      Seq((10L, t10)).toDF("doc_id", "text"), 2L, sp, thr, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r2 == Map(10L -> 10L))
+    def batchTwin(union: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_refresh_b").toString
+      union.map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      graft.operators.DedupOps
+        .dedupClusters(spark, dir, threshold = thr, maxDf = cap)
+        .select($"doc_id", $"cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val union = Seq((1L, t1), (2L, t1), (5L, t5), (6L, t5), (7L, t7),
+      (10L, t10))
+    val expected = batchTwin(union)
+    // the DRIFT the verb exists for: the batch recompute drops the
+    // cap-crossed bridge edges ({1,2} splits back off; 7 stays with
+    // {5,6} through its under-cap shingles) while the stream keeps the
+    // arrival-time merge
+    assert(expected ==
+      Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (7L, 5L)))
+    val drifted = ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drifted.forall(_._2 == 1L) && drifted.map(_._1) ==
+      Set(1L, 2L, 5L, 6L, 7L), s"pre-refresh state should drift: $drifted")
+    ClusterMaint.refresh(spark, sp, thr, cap)
+    val repaired = ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repaired == expected,
+      s"refresh must equal the batch recompute: $repaired vs $expected")
+    // the split re-exposed rep 5 as a LIVE label — its stale merge
+    // route must be gone, or reads would collapse the split again
+    assert(MaintCore.readMerges(spark, sp).count() == 0,
+      "stale (5 -> 1) route must be dropped for the re-exposed label")
+    // refreshed sizes govern future arrivals: an identical re-send of
+    // doc 10 pairs with it through the final-df kept set
+    val r3 = ClusterMaint.applyBatch(
+      Seq((11L, t10)).toDF("doc_id", "text"), 3L, sp, thr, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // is_new=false: the component contains OLD node 10 (the late-
+    // singleton-twin rule — pre-existing content is reachable)
+    assert(r3.toSeq == Seq((11L, 10L, false)), s"post-refresh twin: $r3")
+    assert(ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      expected ++ Set((10L, 10L), (11L, 10L)))
+    // crash window: live assign deleted, rename never ran — the next
+    // read heals it (MaintCore.recover) and sees the identical world
+    val fs = new org.apache.hadoop.fs.Path(sp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$sp/assign"),
+      new org.apache.hadoop.fs.Path(s"$sp/assign.sealed")))
+    assert(ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      expected ++ Set((10L, 10L), (11L, 10L)),
+      "crash recovery changed the assignments")
+    // idempotent: a second refresh reproduces the same repaired state
+    ClusterMaint.refresh(spark, sp, thr, cap)
+    assert(ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      batchTwin(union ++ Seq((11L, t10))))
+  }
+
   test("semantic requantize: a drifted corpus recovers candidate recall " +
     "(recallAudit measures the decay and the repair), previously-" +
     "assigned cluster ids survive, and the epoch-swap crash window " +
