@@ -192,6 +192,14 @@ object SparkEntry {
     // (one-pass Gram + driver Jacobi; no SQL oracle - eigendecomposition)
     "q_embedding_pca" ->
       ((s: SparkSession, d: String) => VectorOps.embeddingPca(s, d)),
+    // round 16: the PCA APPLY step (top-k projection, sign-canonical
+    // basis; no SQL oracle — same eigendecomposition exemption) and the
+    // SRP-banding calibration curve (no SQL oracle — md5 Box-Muller
+    // hyperplanes + float dot-product signs are not engine-portable)
+    "q_pca_project" ->
+      ((s: SparkSession, d: String) => VectorOps.pcaProject(s, d)),
+    "q_srp_recall" ->
+      ((s: SparkSession, d: String) => VectorOps.srpRecall(s, d)),
     // round 14: the runtime recall audit semanticClustersCell's contract
     // tells off-fixture callers to run, as a first-class operator (no
     // SQL oracle — the found side is the k-means cell-candidate source;
@@ -339,8 +347,11 @@ object SparkEntry {
     * argmax-and-rewrite + its learned-merge apply, the k-means
     * exemption), q_unigram_train / q_unigram_encode (iterative
     * Viterbi-EM pruning, the same exemption), q_embedding_pca
-    * (eigendecomposition), q_recall_audit (its found side is the
-    * k-means cell-candidate source); each is covered by
+    * (eigendecomposition), q_pca_project (the same eigendecomposition
+    * applied), q_recall_audit (its found side is the
+    * k-means cell-candidate source), q_srp_recall (md5-seeded
+    * Box-Muller hyperplanes + float dot-product signs are not
+    * engine-portable SQL); each is covered by
     * bounded-error / recall / determinism assertions in the test suite
     * instead.
     */

@@ -3358,6 +3358,111 @@ class OperatorsSpec extends SparkSpec {
     assert(again.toString == full.toString)
   }
 
+  test("PCA projection: per-component variance equals the graded " +
+    "spectrum, components decorrelate, energy is conserved at k=d, " +
+    "sign-canonical determinism, empty corpus") {
+    import spark.implicits._
+    val k = 4
+    val proj = VectorOps.pcaProject(spark, sfTest, k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val n = proj.length
+    assert(n.toLong == Tables(spark, sfTest, "embeddings").count())
+    assert(proj.forall(_._2.length == k))
+    val evs = VectorOps.embeddingPca(spark, sfTest, k).collect()
+      .map(_.getDouble(1))
+    // projections onto eigenvector j are mean-0 with variance λ_j —
+    // the graded SPECTRUM is the independent truth side (itself
+    // spec-pinned against power iteration)
+    for (j <- 0 until k) {
+      val col = proj.map(_._2(j))
+      val m = col.sum / n
+      val v = col.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(m) < 1e-3, s"component ${j + 1} mean $m")
+      assert(math.abs(v - evs(j)) < 1e-3 * math.max(1.0, evs(j)),
+        s"component ${j + 1}: projection variance $v vs eigenvalue " +
+          s"${evs(j)}")
+    }
+    // cross-component decorrelation (orthogonal basis ⇒ diagonal
+    // projected covariance)
+    for (j <- 0 until k; l <- j + 1 until k) {
+      val mj = proj.map(_._2(j)).sum / n
+      val ml = proj.map(_._2(l)).sum / n
+      val cov = proj.map(p => (p._2(j) - mj) * (p._2(l) - ml)).sum / n
+      assert(math.abs(cov) < 1e-3, s"components ${j + 1},${l + 1}: $cov")
+    }
+    // energy conservation at k = d: Σ||y||² = Σ||x − μ||² (a rotation
+    // moves no energy), so per-row reconstruction is exact
+    val vecs = Tables(spark, sfTest, "embeddings")
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val d = vecs.head.length
+    val mean = Array.tabulate(d)(j => vecs.map(_(j)).sum / n)
+    val centeredEnergy = vecs
+      .map(v => v.zip(mean).map { case (x, m) => (x - m) * (x - m) }.sum)
+      .sum
+    val full = VectorOps.pcaProject(spark, sfTest, d).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val projEnergy = full.map(_.map(x => x * x).sum).sum
+    assert(math.abs(projEnergy - centeredEnergy) <
+      1e-6 * centeredEnergy,
+      s"energy: projected $projEnergy vs centered $centeredEnergy")
+    // deterministic including SIGN (canonicalized basis)
+    val again = VectorOps.pcaProject(spark, sfTest, k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assert(proj.map(p => (p._1, p._2.toSeq)).toSeq ==
+      again.map(p => (p._1, p._2.toSeq)).toSeq)
+    // empty corpus → empty projection, not a reduce crash
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("graft_pcap0").toString
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir0/embeddings.parquet")
+    assert(VectorOps.pcaProject(spark, dir0).count() == 0L)
+  }
+
+  test("SRP recall calibration: truth total is the exact pair count, " +
+    "cumulative counts are monotone, the loosest cutoff catches every " +
+    "truth pair at the audit config, and the b=1 candidate set is " +
+    "exactly embedNearDupLsh's") {
+    val rows = VectorOps.srpRecall(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val truth = VectorOps.embedNearDup(spark, sfTest).count()
+    assert(truth > 0, "fixture must carry qualifying pairs")
+    assert(rows.forall(_._4 == truth), s"truth column: ${rows.toSeq}")
+    // ordered by cutoff; candidates and caught are cumulative-from-the-
+    // top, so both decrease as the cutoff rises
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._2 >= b._2 && a._3 >= b._3
+      case _ => true
+    })
+    // the audit configuration (R=2, B=32: per-pair miss < 1e-6 at
+    // t=0.4) catches every truth pair at the loosest observed cutoff
+    val loosest = rows.head
+    assert(loosest._3 == truth && loosest._5 == 1.0,
+      s"loosest cutoff must reach recall 1.0 on the fixture: $loosest")
+    // precision ∈ [0, 1] (0 is legitimate: the strictest cutoffs can
+    // hold only sub-threshold pairs that happen to share many 2-bit
+    // band keys)
+    assert(rows.forall(r => r._6 >= 0.0 && r._6 <= 1.0),
+      "precision bounds")
+    assert(rows.head._6 > 0.0,
+      "the loosest cutoff holds every truth pair, so precision > 0")
+    // consistency with the deployed banded path: the b=1 candidate set
+    // verified at the same threshold IS embedNearDupLsh's output
+    val lsh = VectorOps.embedNearDupLsh(spark, sfTest).count()
+    assert(lsh == loosest._3,
+      s"banded path found $lsh pairs vs calibration ${loosest._3}")
+    // determinism (md5-seeded hyperplanes, no RNG state)
+    val again = VectorOps.srpRecall(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("embedding PCA of an empty corpus is an empty spectrum, not a " +
     "head/reduce crash") {
     import spark.implicits._
