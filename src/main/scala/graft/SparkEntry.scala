@@ -200,6 +200,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => VectorOps.pcaProject(s, d)),
     "q_srp_recall" ->
       ((s: SparkSession, d: String) => VectorOps.srpRecall(s, d)),
+    // round 16: per-codec media duplication report (no SQL oracle —
+    // the JDK codec exemption, like the rest of the media family)
+    "q_media_dup_rate" ->
+      ((s: SparkSession, d: String) => Multimodal.mediaDupRate(s, d)),
     // round 14: the runtime recall audit semanticClustersCell's contract
     // tells off-fixture callers to run, as a first-class operator (no
     // SQL oracle — the found side is the k-means cell-candidate source;

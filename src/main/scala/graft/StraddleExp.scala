@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stage decomposition for the three official-window wall straddlers
+  * (VERDICT r15 item 6: q_dau_mau, q_basket_pairs,
+  * q_blocking_suppliers) — the [[ContainExp]] protocol, so the weak
+  * set is 100% record-backed floors instead of fast-window arguments:
+  * cumulative prefixes, each stage recomputing its predecessors, stage
+  * cost = successive deltas, warm readings of 5, plus the q_epoch_plan
+  * control that calibrates the machine window against the committed
+  * TimeQ baseline (~0.30 s fast window / ≥0.45 s slow).
+  *
+  * Stages mirror the graded operators exactly:
+  *
+  *   q_dau_mau          d_distinct (scan → DISTINCT (user, day)),
+  *                      d_marked (+ the one user window: lag/lead gap
+  *                      marks), d_perday (+ endpoint explode + day
+  *                      aggregate), d_full (+ calendar cumsum +
+  *                      presentation).
+  *   q_basket_pairs     b_scan (the two-column fact scan), b_pairs
+  *                      (+ the per-order pair self-join — ~1.2 M pair
+  *                      rows at sf0.1, the documented dominant term),
+  *                      b_full (+ pair aggregate + TakeOrdered).
+  *   q_blocking_supp…   s_join (fact ⋈ orders scan-join), s_group
+  *                      (+ the ONE collect_set exchange at order
+  *                      grain), s_full (+ verdict filter + broadcast
+  *                      dim + tail aggregates).
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *     SPARK_DRIVER_MEM=89g sbt "runMain graft.StraddleExp"
+  */
+object StraddleExp {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.builder(GraftSession.benchCpus)
+      .config("spark.graft.cacheTables", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rt = Runtime.getRuntime
+    println(s"ENV master=${spark.sparkContext.master} " +
+      s"max_heap_mb=${rt.maxMemory / (1024 * 1024)} " +
+      s"cpus_env_set=${GraftSession.envCpusSet}")
+    import spark.implicits._
+
+    def time(tag: String, f: => Long): Unit = (1 to 5).foreach { i =>
+      val t0 = System.nanoTime()
+      val c = f
+      println(f"EXP[$tag][$i] ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$c")
+    }
+
+    time("control", SparkEntry.queries("q_epoch_plan")(spark, sfDir).count())
+
+    // ---- q_dau_mau ----
+    def act = Tables(spark, sfDir, "events")
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+      .distinct()
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"day")
+    def marked = act
+      .withColumn("prev_gap", datediff($"day", lag($"day", 1).over(byUser)))
+      .withColumn("next_gap", datediff(lead($"day", 1).over(byUser), $"day"))
+      .withColumn("is_start", $"prev_gap".isNull || $"prev_gap" > 27)
+      .withColumn("is_end", $"next_gap".isNull || $"next_gap" > 27)
+    def perDay = {
+      val dayRow = struct($"day".as("d"), lit(1L).as("dauc"),
+        when($"is_start", lit(1L)).otherwise(lit(0L)).as("delta"))
+      val endRow = struct(date_add($"day", 28).as("d"), lit(0L).as("dauc"),
+        lit(-1L).as("delta"))
+      marked
+        .select(explode(when($"is_end", array(dayRow, endRow))
+          .otherwise(array(dayRow))).as("e"))
+        .groupBy($"e.d".as("d"))
+        .agg(sum($"e.dauc").as("dau"), sum($"e.delta").as("delta"))
+    }
+    time("d_distinct", act.count())
+    time("d_marked", marked.count())
+    time("d_perday", perDay.count())
+    time("d_full", operators.Events.dauMau(spark, sfDir).count())
+
+    // ---- q_basket_pairs ----
+    def li = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    def pairs = li.as("a").join(li.as("b"),
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+    time("b_scan", li.count())
+    time("b_pairs", pairs.count())
+    time("b_full", operators.Relational.basketPairs(spark, sfDir).count())
+
+    // ---- q_blocking_suppliers ----
+    def sj = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+    def grouped = sj
+      .groupBy($"l_orderkey")
+      .agg(collect_set($"l_suppkey").as("supps"),
+        collect_set(when(
+          $"l_shipdate" > date_add($"o_orderdate", 90),
+          $"l_suppkey")).as("late_supps"))
+    time("s_join", sj.count())
+    time("s_group", grouped.count())
+    time("s_full",
+      operators.Relational.blockingSuppliers(spark, sfDir).count())
+
+    time("control2", SparkEntry.queries("q_epoch_plan")(spark, sfDir).count())
+    spark.stop()
+  }
+}

@@ -43,23 +43,42 @@ object StreamBench {
 
     val events = Tables(spark, sfDir, "events").as[Event].collect()
 
-    def run(name: String,
-            pipe: org.apache.spark.sql.DataFrame =>
-              org.apache.spark.sql.DataFrame,
-            mode: String): (String, Double) = {
+    def runOn(name: String, evs: Array[Event],
+              pipe: org.apache.spark.sql.DataFrame =>
+                org.apache.spark.sql.DataFrame,
+              mode: String): (String, Double) = {
       val ms = MemoryStream[Event]
       val q = pipe(ms.toDF())
         .writeStream.format("memory").queryName(s"sb_$name")
         .outputMode(mode).start()
       val t0 = System.nanoTime()
-      events.grouped(batchSize).foreach { chunk =>
+      evs.grouped(batchSize).foreach { chunk =>
         ms.addData(chunk.toIndexedSeq)
         q.processAllAvailable()
       }
       val secs = (System.nanoTime() - t0) / 1e9
       q.stop()
-      name -> (events.length / secs)
+      name -> (evs.length / secs)
     }
+
+    def run(name: String,
+            pipe: org.apache.spark.sql.DataFrame =>
+              org.apache.spark.sql.DataFrame,
+            mode: String): (String, Double) =
+      runOn(name, events, pipe, mode)
+
+    /** CONTROL pipeline (round 16 — the r15 verdict's unverified-weather
+      * item): the tumbling agg over a PINNED 50k-event slice, measured
+      * FIRST every run and never changed again. Its rate calibrates the
+      * machine window for the whole record, so two records' per-pipeline
+      * ratios are judged against the control ratio instead of a bare
+      * weather claim — the batch bench's epoch_plan-control discipline,
+      * stream side (`tools/streambench_diff.py` is the install gate).
+      * The slice is fixed-size so the control cost stays constant even
+      * if the fixture grows.
+      */
+    def runControl(): (String, Double) =
+      runOn("control", events.take(50000), StreamOps.tumbling, "update")
 
     // two-stream pipelines: the event stream splits by type into the
     // click/purchase sides, fed in lockstep micro-batches so both
@@ -271,6 +290,7 @@ object StreamBench {
       "media_maint" -> (arriving.length / secs)
     }
     val results = Seq(
+      runControl(),
       run("tumbling", StreamOps.tumbling, "update"),
       run("dedup", StreamOps.dedup, "append"),
       run("sessions", StreamOps.sessions, "append"),
@@ -299,11 +319,19 @@ object StreamBench {
     // provider is part of the record since r14: the media gate forced a
     // global switch to RocksDB, so r14+ rates are NOT like-for-like with
     // pre-r14 HDFS-backed runs — the bench-env-confound rule applies
-    println(s"""{"metric":"stream_events_per_sec","pipelines":$qs,""" +
+    val out = s"""{"metric":"stream_events_per_sec","pipelines":$qs,""" +
       s""""n_events":${events.length},"batch_size":$batchSize,""" +
-      s""""state_store":"rocksdb",""" +
+      s""""state_store":"rocksdb","cpus":"$cpus",""" +
+      s""""cpus_env_set":${sys.env.contains("SPARK_GRAFT_STREAM_CPUS") ||
+        sys.env.contains("SPARK_GRAFT_CPUS")},""" +
       s""""metrics_rows":$nMetrics,"metrics_path":"$metricsPath",""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(out)
+    // lossless copy (stdout truncates on some drivers) — the batch
+    // bench's SPARK_GRAFT_BENCH_OUT convention
+    sys.env.get("SPARK_GRAFT_STREAMBENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out)
+    }
     spark.stop()
   }
 }

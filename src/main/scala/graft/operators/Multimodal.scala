@@ -730,6 +730,51 @@ object Multimodal {
                     maxHamming: Int = 3): DataFrame =
     mediaClustersOf(mediaTable(s, dir), maxHamming)
 
+  /** Per-CODEC media duplication report (q_media_dup_rate, round 16 —
+    * the media tier's `q_dup_rate_by_source`, closing the r15 memory's
+    * breadth note): for each codec, fingerprinted blob count, how many
+    * sit in near-dup families, the family count, and the removable
+    * excess (clustered − clusters — every family keeps one canonical),
+    * with the dup rate a curation dashboard actually plots. Answers
+    * "which modality is flooding the corpus with re-encodes" at one
+    * glance — the action side is [[mediaClusters]]'s keep list.
+    *
+    * Scale shape: rides exactly the graded cluster machinery (anchor
+    * fingerprints → banded pairs → edge-sized CC) plus two group-rows-
+    * only rollups at codec grain (≤3 rows); the blob table joins the
+    * CC output on media_id — pair-graph-bounded, never corpus². No
+    * oracle (JDK codec exemption); rows-only + reconciliation specs.
+    */
+  def mediaDupRate(s: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val hashes = hashesOf(mediaTable(s, dir)
+      .select($"media_id", $"content")).localCheckpoint(false)
+    // blob grain: hashesOf is at ANCHOR grain (≤4 rows per video)
+    val blobs = hashes.select($"media_id", $"codec").distinct()
+    val clustered = graft.operators.DedupOps.clusterPairs(s,
+        mediaDupPairs(hashes, maxHamming)
+          .select($"ma".as("a"), $"mb".as("b")))
+      .select($"doc_id".as("media_id"), $"cluster_id")
+      // codec rides the blob table (pairs are codec-keyed, so every
+      // cluster is single-codec by construction)
+      .join(blobs, "media_id")
+    val per = clustered.groupBy($"codec")
+      .agg(count(lit(1)).as("n_clustered"),
+        countDistinct($"cluster_id").as("n_clusters"))
+    blobs.groupBy($"codec").agg(count(lit(1)).as("n_blobs"))
+      .join(per, Seq("codec"), "left_outer")
+      .select($"codec", $"n_blobs",
+        coalesce($"n_clustered", lit(0L)).as("n_clustered"),
+        coalesce($"n_clusters", lit(0L)).as("n_clusters"),
+        (coalesce($"n_clustered", lit(0L)) -
+          coalesce($"n_clusters", lit(0L))).as("n_dup_excess"),
+        round((coalesce($"n_clustered", lit(0L)) -
+          coalesce($"n_clusters", lit(0L))).cast("double") / $"n_blobs",
+          4).as("dup_rate"))
+      .orderBy($"codec")
+  }
+
   /** [[mediaClusters]] over any (media_id, content) DataFrame — the
     * seam the streaming media-cluster maintainer's equivalence spec
     * recomputes through.

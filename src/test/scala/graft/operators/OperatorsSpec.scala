@@ -3463,6 +3463,45 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("media dup rate reconciles per codec with the graded cluster " +
+    "output; bounds and determinism hold") {
+    import spark.implicits._
+    val out = Multimodal.mediaDupRate(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).toSet.subsetOf(Set("img", "audio", "video")))
+    // independent reconciliation: clusters + per-blob codec from the
+    // graded surfaces this report claims to ride
+    val blobCodec = Multimodal.hashesOf(
+        Multimodal.mediaTable(spark, sfTest)
+          .select($"media_id", $"content"))
+      .select($"media_id", $"codec").distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clusters = Multimodal.mediaClusters(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    out.foreach { case (codec, nBlobs, nClustered, nClusters, excess,
+        rate) =>
+      val members = clusters.filter(c => blobCodec(c._2) == codec)
+      assert(nBlobs == blobCodec.values.count(_ == codec).toLong)
+      assert(nClustered == members.length.toLong,
+        s"$codec clustered: $nClustered vs ${members.length}")
+      assert(nClusters == members.map(_._1).distinct.length.toLong)
+      assert(excess == nClustered - nClusters && excess >= 0)
+      assert(rate >= 0.0 && rate <= 1.0 &&
+        math.abs(rate - math.rint(excess.toDouble / nBlobs * 1e4) / 1e4)
+          < 1e-9)
+      // every family keeps one canonical: clustered implies >= 2-sized
+      // families, so excess >= nClusters when anything clustered
+      if (nClustered > 0) assert(excess >= nClusters)
+    }
+    val again = Multimodal.mediaDupRate(spark, sfTest).collect()
+      .map(_.toString)
+    assert(again.toSeq ==
+      Multimodal.mediaDupRate(spark, sfTest).collect()
+        .map(_.toString).toSeq)
+  }
+
   test("embedding PCA of an empty corpus is an empty spectrum, not a " +
     "head/reduce crash") {
     import spark.implicits._
