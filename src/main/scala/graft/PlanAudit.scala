@@ -32,6 +32,10 @@ object PlanAudit {
     "q_epoch_plan", // per-source rows × 1-row normalizer (the
                     // q_source_temperature shape)
     "q_minhash_recall", // ≤ band-count curve rows × 1-row truth total
+    "q_srp_recall", // its TRUTH side is the q_dedup_embed exact
+                    // brute-force pair join (the calibration's
+                    // documented cost — sampled at scale) + the
+                    // minhash_recall 1-row truth-total cross
     "q_psi_drift", // (type,day,bucket) group rows × 1-row min/max anchor
                    // and × the 10-row bucket spine (both plan-constant)
     "q_source_kl", // vocab-grid rows × |sources|-row totals and × the

@@ -81,12 +81,32 @@ object ClusterMaint {
            threshold: Double = DedupOps.DefaultJaccardThreshold,
            maxDf: Int = DedupOps.DefaultMaxShingleDf): Unit = {
     val s = docs.sparkSession
-    import s.implicits._
     val sh = DedupOps.shinglesOf(docs).localCheckpoint(false)
+    val (sizes, pairs) = batchRule(sh, threshold, maxDf)
+    val assign = DedupOps.clusterPairs(s, pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    MaintCore.writeBatch(sh, s"$path/index", -1L)
+    MaintCore.writeBatch(sizes, s"$path/sizes", -1L)
+    MaintCore.writeBatch(assign, s"$path/assign", -1L)
+    MaintCore.writeEmptyMerges(s, path)
+  }
+
+  /** THE batch edge rule over a raw (doc_id, s) shingle table —
+    * df-capped kept sets, kept sizes, Jaccard ≥ threshold pairs — the
+    * one formula source [[init]] and [[refresh]] share (an edge-rule
+    * change applied to one but not the other would silently break
+    * refresh's "state ≡ `q_dedup_clusters` recompute" contract — the
+    * r16 review finding). Returns (sizes, qualifying pairs).
+    */
+  private def batchRule(sh: DataFrame, threshold: Double, maxDf: Int)
+  : (DataFrame, DataFrame) = {
+    val s = sh.sparkSession
+    import s.implicits._
     val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     val kept = sh.join(df.filter($"df" <= maxDf).select($"s"), "s")
       .select($"doc_id", $"s").localCheckpoint(false)
     val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val inter = kept.toDF("da", "s").join(kept.toDF("db", "s"), "s")
       .filter($"da" < $"db")
       .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
@@ -95,12 +115,7 @@ object ClusterMaint {
       .join(sizes.toDF("db", "nb"), "db")
       .filter($"i".cast("double") / ($"na" + $"nb" - $"i") >= threshold)
       .select($"da", $"db")
-    val assign = DedupOps.clusterPairs(s, pairs)
-      .select($"doc_id", $"cluster_id")
-    MaintCore.writeBatch(sh, s"$path/index", -1L)
-    MaintCore.writeBatch(sizes, s"$path/sizes", -1L)
-    MaintCore.writeBatch(assign, s"$path/assign", -1L)
-    MaintCore.writeEmptyMerges(s, path)
+    (sizes, pairs)
   }
 
   /** Compact a state dir family: the per-batch partitions accumulate
@@ -185,23 +200,12 @@ object ClusterMaint {
     import s.implicits._
     MaintCore.recover(s, path, StateSubs)
     // EAGER: every derivation below must be off the files the reseals
-    // replace — sh is also the one subtree all four consumers share
+    // replace — sh is also the one subtree all consumers share; the
+    // edge derivation is [[batchRule]], byte-shared with init
     val sh = MaintCore
       .readState(s, path, "index", "doc_id BIGINT, s STRING")
       .distinct().localCheckpoint()
-    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-    val kept = sh.join(df.filter($"df" <= maxDf).select($"s"), "s")
-      .select($"doc_id", $"s")
-    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val inter = kept.toDF("da", "s").join(kept.toDF("db", "s"), "s")
-      .filter($"da" < $"db")
-      .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
-    val pairs = inter
-      .join(sizes.toDF("da", "na"), "da")
-      .join(sizes.toDF("db", "nb"), "db")
-      .filter($"i".cast("double") / ($"na" + $"nb" - $"i") >= threshold)
-      .select($"da", $"db")
+    val (sizes, pairs) = batchRule(sh, threshold, maxDf)
     val before = assignments(s, path).localCheckpoint()
     val repaired = DedupOps.clusterPairs(s, pairs)
       .select($"doc_id", $"cluster_id").localCheckpoint()

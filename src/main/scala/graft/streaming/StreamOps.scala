@@ -1381,9 +1381,13 @@ object StreamOps {
         .foreach { case (id, anchorRows) =>
           val anchors = anchorRows.map(_._3).distinct
           val corpusHit = anchorRows.exists(_._4)
-          // probe EVERY anchor before inserting any: a media's own
-          // anchors must not match each other through state
-          val probes = anchors.map(h => h -> (0 until 4).map(probe(h, _)))
+          // corpus rejects skip the state walk entirely — a
+          // re-encode/syndication flood of corpus duplicates is this
+          // gate's primary load, and its verdict is already in the row.
+          // Probe EVERY anchor before inserting any (a media's own
+          // anchors must not match each other through state).
+          lazy val probes = anchors.map(h =>
+            h -> (0 until 4).map(probe(h, _)))
           if (!corpusHit && !probes.exists(_._2.exists(_._2))) {
             // emit the PRIMARY anchor (unsigned min — identical to the
             // r15 single-hash row for img/audio, the display hash for

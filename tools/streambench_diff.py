@@ -30,17 +30,39 @@ import sys
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    tol = 0.30
-    for a in sys.argv[1:]:
+    args, tol = [], 0.30
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--tolerance"):
-            tol = float(a.split("=", 1)[1]) if "=" in a \
-                else float(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                tol = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                tol = float(argv[i + 1])
+                i += 1
+            else:
+                print("--tolerance requires a value")
+                sys.exit(64)
+        elif a.startswith("--"):
+            print("unknown flag %s" % a)
+            sys.exit(64)
+        else:
+            args.append(a)
+        i += 1
+    if len(args) != 2:
+        print(__doc__)
+        sys.exit(64)
     old = json.load(open(args[0]))
     new = json.load(open(args[1]))
 
-    for key in ("state_store", "batch_size", "n_events", "sf"):
-        if old.get(key) != new.get(key):
+    # cpus is in the loop since r16: pipelines respond to parallelism
+    # NON-uniformly (stateful ones run ~3x faster at 4 than 32, the
+    # StreamBench header measurement), so one control ratio cannot
+    # normalize a cpus change — only compared when both records carry
+    # the key (pre-r16 records don't stamp it).
+    for key in ("state_store", "batch_size", "n_events", "sf", "cpus"):
+        if key in old and key in new and old.get(key) != new.get(key):
             print("ENV MISMATCH %s: old=%r new=%r — records not "
                   "comparable" % (key, old.get(key), new.get(key)))
             sys.exit(3)
