@@ -177,7 +177,12 @@ object ScaleProbe {
     "q_semantic_dedup", "q_dedup_embed", "q_embed_neardup_lsh",
     "q_decontaminate_embed", "q_label_stats", "q_label_centroids",
     "q_kmeans", "q_hard_negatives", "q_embedding_outliers",
-    "q_label_cohesion", "q_semantic_clusters", "q_embedding_pca")
+    "q_label_cohesion", "q_semantic_clusters", "q_embedding_pca",
+    // round 16: both read ONLY the embeddings table — srp_recall's
+    // exact-cosine truth join is the documented quadratic audit cost,
+    // and reporting it against F=10 would understate the exponent by
+    // log10(4) ≈ 0.6 (exactly the trap the factor split exists for)
+    "q_srp_recall", "q_pca_project")
 
   /** Key-shifted K-fold replication of every sf0.1 table into outRoot. */
   def generate(spark: SparkSession, src: String, outRoot: String): Unit = {

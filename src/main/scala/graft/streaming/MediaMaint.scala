@@ -67,10 +67,11 @@ object MediaMaint {
     * index. A marker file `$path/MEDIA_STATE_VERSION` is written by
     * [[init]] (and by first [[applyBatch]] use on a fresh path); any
     * verb that finds STATE WITHOUT A MARKER (a pre-r16 deploy) or a
-    * mismatched version throws instead of reading. There is no
-    * in-place migration — old state stores only hashes, not pixels,
-    * so rule-N hashes cannot be re-derived; the contract is re-init
-    * from the retained corpus.
+    * mismatched version throws instead of reading. Old state stores
+    * only hashes, not pixels, so rule-N hashes cannot be re-derived in
+    * place; the migration path is [[rehash]] with the retained corpus
+    * (which preserves cluster identity), or delete + [[init]] (which
+    * does not).
     */
   private def checkVersion(s: SparkSession, path: String,
                            createIfFresh: Boolean): Unit = {
@@ -87,8 +88,9 @@ object MediaMaint {
           s"MediaMaint state at $path was written under fingerprint-rule " +
             s"version $v; this build is version $StateVersion. Stored " +
             "hashes are not comparable across rules (a twin of an " +
-            "indexed blob would silently escape) — delete the state dir " +
-            "and re-init from the retained corpus.")
+            "indexed blob would silently escape) — run MediaMaint.rehash " +
+            "with the retained corpus (keeps cluster ids), or delete " +
+            "the state dir and re-init.")
     } else if (StateSubs.exists(sub =>
         fs.exists(new Path(s"$path/$sub")) ||
           fs.exists(new Path(s"$path/$sub.sealed"))))
@@ -96,8 +98,8 @@ object MediaMaint {
         s"MediaMaint state at $path carries no MEDIA_STATE_VERSION " +
           "marker (a pre-r16 deploy); its stored hashes predate the " +
           s"K-min anchor rule (version $StateVersion) and are not " +
-          "comparable — delete the state dir and re-init from the " +
-          "retained corpus.")
+          "comparable — run MediaMaint.rehash with the retained corpus " +
+          "(keeps cluster ids), or delete the state dir and re-init.")
     else if (createIfFresh) {
       val out = fs.create(marker, true)
       try out.write(StateVersion.toString
@@ -198,6 +200,86 @@ object MediaMaint {
       s"$path/index", batchId)
     MaintCore.advance(s, path, batchId, newIds.toDF("media_id"), edges,
       "media_id")
+  }
+
+  /** FINGERPRINT-RULE MIGRATION (s_media_rehash, round 16) — the verb
+    * [[checkVersion]]'s refusal points at, completing the maintainer
+    * repair triad (`SemanticMaint.requantize` / `ClusterMaint.refresh` /
+    * this): rebuild every stored hash from the RETAINED corpus under
+    * the CURRENT rule, repair the clusters to the exact
+    * `mediaClustersOf` recompute, and keep cluster-id continuity — so
+    * a hash-rule upgrade no longer costs a deploy its cluster
+    * identities (the pre-r16 contract was "delete the state dir and
+    * re-init", which renames every family).
+    *
+    * Unlike [[ClusterMaint.refresh]] (whose index stores
+    * rule-independent shingles), stored media state is rule-stamped
+    * hashes that CANNOT be re-derived — so the verb's input is the
+    * corpus itself, the same (media_id, content) frame [[init]] takes.
+    * Only the rule-independent halves of old state are read: assign +
+    * merges (ids). Blobs GONE from the retained corpus (TTL'd,
+    * erased) drop out of the index and their components may split —
+    * the refresh discipline applies: survivors keep their min-labels,
+    * old resolved ids route to their new label through the merge map,
+    * and a stale route whose old_id re-emerges as a live label is
+    * dropped (it would collapse the split on read).
+    *
+    * Crash ordering: the version marker is rewritten LAST, after the
+    * three seals — so every crash window leaves either old-marker/
+    * old-state or old-marker/new-state, and in both the standard verbs
+    * refuse loudly (marker mismatch) until a re-run — idempotent,
+    * corpus-derived — completes the migration. (Marker-first would
+    * open the silent window the stamp exists to close: a v-current
+    * marker over stale-rule hashes.) Run between micro-batches, like
+    * `compact`; undecodable blobs are excluded exactly as everywhere
+    * else (no hash, no index row, no cluster).
+    */
+  def rehash(media: DataFrame, path: String, maxHamming: Int = 3): Unit = {
+    val s = media.sparkSession
+    import s.implicits._
+    val fs = new Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(StateSubs.exists(sub =>
+      fs.exists(new Path(s"$path/$sub")) ||
+        fs.exists(new Path(s"$path/$sub.sealed"))),
+      s"MediaMaint.rehash: no state at $path — use init on a fresh path")
+    MaintCore.recover(s, path, StateSubs)
+    // EAGER: read off the files the seals below replace
+    val before = MaintCore.assignments(s, path, "media_id", StateSubs)
+      .localCheckpoint()
+    val priorMerges = MaintCore.readMerges(s, path).localCheckpoint()
+    val hashes = Multimodal.hashesOf(media).localCheckpoint(false)
+    val repaired = DedupOps.clusterPairs(s,
+        Multimodal.mediaDupPairs(hashes, maxHamming)
+          .select($"ma".as("a"), $"mb".as("b")))
+      .select($"doc_id".as("media_id"), $"cluster_id")
+      .localCheckpoint()
+    // continuity relabels: an old resolved id still clustered under a
+    // new label routes to it; split survivors keep their label and
+    // produce no entry (the refresh rule, shared semantics)
+    val relabels = before.select($"cluster_id".as("old_id")).distinct()
+      .join(repaired.toDF("old_id", "t_new"), Seq("old_id"))
+      .filter($"old_id" =!= $"t_new")
+      .select($"old_id", $"t_new".as("new_id"))
+    val currentLabels = repaired.select($"cluster_id".as("old_id"))
+      .distinct()
+    val routedMap = priorMerges
+      .join(relabels.toDF("r_old", "r_new"), $"new_id" === $"r_old",
+        "left_outer")
+      .select($"old_id", coalesce($"r_new", $"new_id").as("new_id"))
+      .union(relabels)
+      .distinct()
+      .join(currentLabels, Seq("old_id"), "left_anti")
+      .localCheckpoint()
+    MaintCore.seal(s, path, "index", Multimodal.bandsOf(hashes)
+      .select($"codec", $"band", $"key", $"media_id", $"phash_bits"))
+    MaintCore.seal(s, path, "assign", repaired)
+    MaintCore.writeMerges(s, path, routedMap)
+    // LAST: stamp the rule every hash above was computed under
+    val out = fs.create(new Path(s"$path/MEDIA_STATE_VERSION"), true)
+    try out.write(StateVersion.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Streaming entry: foreachBatch-applied maintenance over a

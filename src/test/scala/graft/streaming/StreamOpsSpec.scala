@@ -2121,6 +2121,135 @@ class StreamOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("version 2"), e2.getMessage)
   }}
 
+  test("media rehash migrates cross-rule state from the retained " +
+    "corpus: ids survive, a TTL'd bridge splits exactly as the batch " +
+    "recompute (stale route dropped for the re-exposed label), a " +
+    "re-bridged corpus re-merges through the routed map, the marker " +
+    "is stamped LAST (crash window refuses loudly until a re-run), " +
+    "and the verb is idempotent") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def gfv1Frames(v: Array[Byte]): Seq[Array[Byte]] = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(v))
+      in.readInt()
+      val nf = in.readInt()
+      (0 until nf).map { _ =>
+        val len = in.readInt()
+        val b = new Array[Byte](len); in.readFully(b); b
+      }
+    }
+    def gfv1(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.writeInt(0x47465631); dos.writeInt(frames.length)
+      frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+      dos.flush(); out.toByteArray
+    }
+    def frameHashes(v: Array[Byte]): Seq[Long] =
+      gfv1Frames(v).map(f => Multimodal.videoHash(gfv1(Seq(f))).get)
+    // two video families whose 8 frame hashes are pairwise > 3 bits
+    // apart (so the families are far under the K-min rule), plus a
+    // BRIDGE cut from 2 frames of each — its anchors match both
+    // families at hamming 0
+    val (vidA, vidB) = (for {
+      i <- (0 until 64).iterator
+      a = Multimodal.synthesizeVideo(s"rehash-a$i".getBytes, frames = 4)
+      b = Multimodal.synthesizeVideo(s"rehash-b$i".getBytes, frames = 4)
+      hs = frameHashes(a) ++ frameHashes(b)
+      if hs.distinct.size == 8 && hs.combinations(2).forall(p =>
+        java.lang.Long.bitCount(p(0) ^ p(1)) > 3)
+    } yield (a, b)).next()
+    val bridge = gfv1(gfv1Frames(vidA).take(2) ++ gfv1Frames(vidB).take(2))
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_rehash").toString
+    val markerP = java.nio.file.Paths.get(s"$sp/MEDIA_STATE_VERSION")
+    // write through the Hadoop fs — init's fs.create leaves a .crc
+    // sidecar a bare Files.writeString would invalidate
+    def setMarker(v: String): Unit = {
+      val hfs = new org.apache.hadoop.fs.Path(sp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = hfs.create(
+        new org.apache.hadoop.fs.Path(s"$sp/MEDIA_STATE_VERSION"), true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
+    }
+    MediaMaint.init(Seq((1L, vidA), (2L, vidA)).toDF("media_id", "content"),
+      sp)
+    val r0 = MediaMaint.applyBatch(
+      Seq((5L, vidB), (6L, vidB)).toDF("media_id", "content"), 0L, sp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r0 == Map(5L -> 5L, 6L -> 5L))
+    val r1 = MediaMaint.applyBatch(
+      Seq((7L, bridge)).toDF("media_id", "content"), 1L, sp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r1 == Map(7L -> 1L), s"bridge got $r1")
+    assert(MaintCore.readMerges(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 1L)))
+    // the upgrade scenario: state written under an older rule — every
+    // standard verb refuses; rehash is the documented cure
+    setMarker("2")
+    intercept[IllegalStateException] { MediaMaint.assignments(spark, sp) }
+    // retained corpus lost the bridge (TTL'd upstream) — the migration
+    // must split the families exactly as the batch recompute does
+    val retained = Seq((1L, vidA), (2L, vidA), (5L, vidB), (6L, vidB))
+    MediaMaint.rehash(retained.toDF("media_id", "content"), sp)
+    assert(java.nio.file.Files.readString(markerP).trim == "3",
+      "rehash must stamp the current rule")
+    def batchTwin(union: Seq[(Long, Array[Byte])]): Set[(Long, Long)] =
+      Multimodal.mediaClustersOf(union.toDF("media_id", "content"))
+        .select($"media_id", $"cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = MediaMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(split == batchTwin(retained) &&
+      split == Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)),
+      s"rehash must equal the batch recompute on the retained corpus: " +
+        s"$split")
+    // label 5 is LIVE again — its stale (5 -> 1) route must be gone
+    assert(MaintCore.readMerges(spark, sp).count() == 0,
+      "stale route to the re-exposed label must be dropped")
+    // migrated state serves normal traffic: a vidB twin joins family 5
+    val r2 = MediaMaint.applyBatch(
+      Seq((11L, vidB)).toDF("media_id", "content"), 2L, sp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(r2.toSeq == Seq((11L, 5L, false)), s"post-rehash twin: $r2")
+    // a later rehash over a RE-BRIDGED corpus re-merges: the absorbed
+    // live label routes through the rebuilt map, members resolve to 1
+    val retained2 = retained ++ Seq((7L, bridge), (11L, vidB))
+    MediaMaint.rehash(retained2.toDF("media_id", "content"), sp)
+    val merged = MediaMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == batchTwin(retained2) && merged.forall(_._2 == 1L),
+      s"re-bridged rehash: $merged")
+    assert(MaintCore.readMerges(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 1L)))
+    // marker-last crash ordering: new-rule seals + old marker = every
+    // verb refuses until the re-run completes the migration
+    setMarker("2")
+    intercept[IllegalStateException] {
+      MediaMaint.applyBatch(
+        Seq((12L, vidA)).toDF("media_id", "content"), 3L, sp)
+    }
+    MediaMaint.rehash(retained2.toDF("media_id", "content"), sp)
+    // idempotent: the re-run reproduced the same migrated world
+    assert(MediaMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == merged)
+    // seal crash window mid-verb: live assign gone, .sealed complete —
+    // the next read heals it (MaintCore.recover on every read path)
+    val fs = new org.apache.hadoop.fs.Path(sp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$sp/assign"),
+      new org.apache.hadoop.fs.Path(s"$sp/assign.sealed")))
+    assert(MediaMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == merged,
+      "crash recovery changed the assignments")
+    // fresh path: the verb is a migration, not a bootstrap
+    intercept[IllegalArgumentException] {
+      MediaMaint.rehash(retained.toDF("media_id", "content"),
+        java.nio.file.Files.createTempDirectory("graft_rehash_f").toString)
+    }
+  }
+
   test("an unpersisted singleton that gains its first twin in a LATER " +
     "batch is persisted alongside the twin (MaintCore fix, all tiers); " +
     "crash replay re-derives the same rows") {
