@@ -746,10 +746,19 @@ object Multimodal {
     * oracle (JDK codec exemption); rows-only + reconciliation specs.
     */
   def mediaDupRate(s: SparkSession, dir: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    dupRateOf(mediaTable(s, dir), maxHamming)
+
+  /** [[mediaDupRate]] over any (media_id, content) frame — the seam
+    * `MediaMaint.dupReport`'s equivalence spec recomputes through
+    * (the [[mediaClustersOf]] pattern).
+    */
+  private[graft] def dupRateOf(media: DataFrame,
+                               maxHamming: Int = 3): DataFrame = {
+    val s = media.sparkSession
     import s.implicits._
-    val hashes = hashesOf(mediaTable(s, dir)
-      .select($"media_id", $"content")).localCheckpoint(false)
+    val hashes = hashesOf(media.select($"media_id", $"content"))
+      .localCheckpoint(false)
     // blob grain: hashesOf is at ANCHOR grain (≤4 rows per video)
     val blobs = hashes.select($"media_id", $"codec").distinct()
     val clustered = graft.operators.DedupOps.clusterPairs(s,
@@ -759,6 +768,19 @@ object Multimodal {
       // codec rides the blob table (pairs are codec-keyed, so every
       // cluster is single-codec by construction)
       .join(blobs, "media_id")
+    dupRateRollup(blobs, clustered)
+  }
+
+  /** The per-codec rollup both report paths share — one formula
+    * source, so the state-derived `MediaMaint.dupReport` and the
+    * corpus-hashing [[mediaDupRate]] can only diverge on their INPUT
+    * relations (which the maintainer's stream ≡ batch contract pins),
+    * never on the arithmetic.
+    */
+  private[graft] def dupRateRollup(blobs: DataFrame,
+                                   clustered: DataFrame): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
     val per = clustered.groupBy($"codec")
       .agg(count(lit(1)).as("n_clustered"),
         countDistinct($"cluster_id").as("n_clusters"))

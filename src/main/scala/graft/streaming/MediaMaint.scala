@@ -202,6 +202,34 @@ object MediaMaint {
       "media_id")
   }
 
+  /** Per-codec duplication report off the maintainer's OWN state —
+    * the read side of `q_media_dup_rate` at deployment scale: the
+    * batch audit re-hashes the whole corpus (a LINEAR decode+hash
+    * pass, measured at exponent 1.01 in SCALEPROBE_r16), which is the
+    * wrong cost for a dashboard refresh at 100 TB when the maintainer
+    * already holds every fingerprint. This derives the identical
+    * report from stored ids alone: blobs = distinct (media_id, codec)
+    * over the banded index (every decodable blob has index rows, at
+    * any anchor grain), clustered = the resolved assignments (only
+    * edge-bearing blobs persist — the same membership the batch CC
+    * emits, by the tier's unconditional stream ≡ batch contract), and
+    * the rollup is byte-shared with the batch audit
+    * (`Multimodal.dupRateRollup`). Group-rows-only: nothing here
+    * decodes, hashes, or pairs — two distincts and a codec-grain
+    * rollup over state.
+    */
+  def dupReport(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    checkVersion(s, path, createIfFresh = false)
+    MaintCore.recover(s, path, StateSubs)
+    val blobs = MaintCore.readState(s, path, "index", IndexSchema)
+      .select($"media_id", $"codec").distinct()
+    val clustered = MaintCore
+      .assignments(s, path, "media_id", StateSubs)
+      .join(blobs, "media_id")
+    Multimodal.dupRateRollup(blobs, clustered)
+  }
+
   /** FINGERPRINT-RULE MIGRATION (s_media_rehash, round 16) — the verb
     * [[checkVersion]]'s refusal points at, completing the maintainer
     * repair triad (`SemanticMaint.requantize` / `ClusterMaint.refresh` /

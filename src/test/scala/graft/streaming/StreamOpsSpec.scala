@@ -2250,6 +2250,51 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("state-derived media dup report equals the batch corpus audit " +
+    "across codecs, singletons and undecodables (one rollup source, " +
+    "zero re-hashing)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val vid = Multimodal.synthesizeVideo("dupr-v".getBytes, frames = 4)
+    val png1 = Multimodal.synthesizePng("dupr-p1".getBytes, 24, 16)
+    val h1 = Multimodal.aHash(png1).get
+    // a second image family far from the first under aHash, so the
+    // image codec carries one twin family + one singleton
+    val png2 = (0 until 64).iterator
+      .map(i => Multimodal.synthesizePng(s"dupr-p2-$i".getBytes, 24, 16))
+      .find(p => ham(Multimodal.aHash(p).get, h1) > 3).get
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_dupreport").toString
+    // state built the way a deploy builds it: bootstrap + live batches
+    MediaMaint.init(
+      Seq((1L, vid), (3L, png1)).toDF("media_id", "content"), sp)
+    MediaMaint.applyBatch(
+      Seq((2L, vid), (4L, png1), (9L, png2)).toDF("media_id", "content"),
+      0L, sp)
+    MediaMaint.applyBatch(
+      Seq((16L, "not media".getBytes)).toDF("media_id", "content"), 1L, sp)
+    val union = Seq((1L, vid), (2L, vid), (3L, png1), (4L, png1),
+      (9L, png2), (16L, "not media".getBytes))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val fromState = rows(MediaMaint.dupReport(spark, sp))
+    val fromCorpus = rows(
+      Multimodal.dupRateOf(union.toDF("media_id", "content")))
+    assert(fromState == fromCorpus,
+      s"state report $fromState vs corpus audit $fromCorpus")
+    // the numbers themselves: video {1,2} one family of 2; img {3,4}
+    // one family of 2 plus singleton 9; the undecodable appears nowhere
+    assert(fromState.toSet == Set(
+      ("video", 2L, 2L, 1L, 1L, 0.5), ("img", 3L, 2L, 1L, 1L, 0.3333)),
+      s"report read $fromState")
+    // post-compaction the same report holds (ids baked, partitions
+    // folded — the state shapes a long-running deploy actually has)
+    MediaMaint.compact(spark, sp)
+    assert(rows(MediaMaint.dupReport(spark, sp)) == fromCorpus)
+  }
+
   test("an unpersisted singleton that gains its first twin in a LATER " +
     "batch is persisted alongside the twin (MaintCore fix, all tiers); " +
     "crash replay re-derives the same rows") {
