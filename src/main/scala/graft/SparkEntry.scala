@@ -200,6 +200,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => VectorOps.pcaProject(s, d)),
     "q_srp_recall" ->
       ((s: SparkSession, d: String) => VectorOps.srpRecall(s, d)),
+    // round 16: int8 scalar-quantization audit — ORACLE-backed (pinned
+    // IEEE op order + decimal-term means, the embedding_norms class)
+    "q_embed_quantize" ->
+      ((s: SparkSession, d: String) => VectorOps.embedQuantize(s, d)),
     // round 16: per-codec media duplication report (no SQL oracle —
     // the JDK codec exemption, like the rest of the media family)
     "q_media_dup_rate" ->
@@ -1265,6 +1269,7 @@ object SparkEntry {
     "q_shingle_df" -> DedupOps.shingleDfProfileOracle(),
     "q_context_fill" -> TextOps.contextFillOracle(),
     "q_embedding_norms" -> VectorOps.embeddingNormsOracle,
+    "q_embed_quantize" -> VectorOps.embedQuantizeOracle,
     "q_cluster_purity" -> VectorOps.clusterPurityOracle,
     "q_eval_leakage" -> DedupOps.evalLeakageOracle,
     "q_minhash_est" -> DedupOps.minhashEstOracle,

@@ -562,6 +562,101 @@ object VectorOps {
       .orderBy($"q_id", $"rn")
   }
 
+  /** Int8 scalar-quantization audit (q_embed_quantize, round 16) — the
+    * storage-compression study an embedding pipeline runs before
+    * committing to a 4× smaller index: per-dimension symmetric int8
+    * quantization (q = round(x/scale·127) clamped to ±127, scale =
+    * the dim's abs-max), reporting per dim the scale, the saturated
+    * and dead-zone element counts, and the dequantization error
+    * (max / mean absolute, MSE). Reads as a tuning curve: a dim whose
+    * n_sat is 1 with a large max_abs_err is outlier-inflated (its
+    * scale wastes the int8 range on one row — the classic case for
+    * percentile clipping); mean_abs_err·√d against typical norms
+    * (`q_embedding_norms`) bounds the cosine distortion the
+    * quantized index pays. One of the few ORACLE-backED vector
+    * queries — quantization is integer arithmetic plus IEEE ops in a
+    * pinned order.
+    *
+    * Scale shape: two passes over the posexploded (dim, x) stream —
+    * an abs-max rollup to d group rows (map-side combined), then the
+    * element stream joined to the BROADCAST d-row scale table and
+    * aggregated straight back to d group rows. Raw vectors never
+    * shuffle wide: everything that crosses an exchange is dim-grain.
+    *
+    * Determinism (the `q_embedding_norms` discipline): float→double
+    * is exact; abs-max is order-free and exact, so both engines hold
+    * bit-identical scales; q and dq are computed with one pinned op
+    * order ((x/scale)·127, (q/127)·scale — IEEE-deterministic given
+    * order), so per-element err is bit-identical and max(err) needs
+    * no rounding; the two MEANS are order-free DECIMAL sums of
+    * 9/12-dp-rounded terms (the `q_text_entropy` float discipline —
+    * (x−dq)² has no finite-decimal halfway class). Round-half
+    * behavior on q agrees: Spark HALF_UP ≡ DuckDB away-from-zero.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    embedQuantizeFrom(Tables(s, dir, "embeddings"))
+
+  /** [[embedQuantize]] over an arbitrary (embedding) frame — the spec
+    * seam for the guard cases (constant-zero dim → scale 0 quantizes
+    * to all-zero with zero error) the fixture never carries.
+    */
+  private[graft] def embedQuantizeFrom(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val dec12 = org.apache.spark.sql.types.DecimalType(34, 12)
+    val el = emb
+      .select(posexplode($"embedding").as(Seq("dim", "xf")))
+      .select($"dim".cast("long").as("dim"), $"xf".cast("double").as("x"))
+    val scales = el.groupBy($"dim").agg(max(abs($"x")).as("scale"))
+    el.join(broadcast(scales), "dim")
+      .select($"dim", $"x", $"scale",
+        when($"scale" === 0.0, lit(0L))
+          .otherwise(greatest(
+            least(round($"x" / $"scale" * lit(127.0), 0), lit(127.0)),
+            lit(-127.0)).cast("long")).as("q"))
+      .withColumn("dq", $"q".cast("double") / lit(127.0) * $"scale")
+      .withColumn("err", abs($"x" - $"dq"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        max($"scale").as("scale"),
+        count(when(abs($"q") === 127, 1)).as("n_sat"),
+        count(when($"q" === 0L, 1)).as("n_zero"),
+        max($"err").as("max_abs_err"),
+        round(sum(round($"err", 9).cast(dec9)).cast("double")
+          / count(lit(1)), 9).as("mean_abs_err"),
+        round(sum(round($"err" * $"err", 12).cast(dec12)).cast("double")
+          / count(lit(1)), 12).as("mse"))
+      .orderBy($"dim")
+  }
+
+  /** Oracle for [[embedQuantize]] — same pinned op order, same
+    * decimal-term means.
+    */
+  val embedQuantizeOracle: String =
+    """WITH el AS (SELECT CAST(dim AS BIGINT) AS dim,
+      |    CAST(v AS DOUBLE) AS x
+      |  FROM (SELECT UNNEST(embedding) AS v,
+      |        UNNEST(range(len(embedding))) AS dim FROM embeddings)),
+      |sc AS (SELECT dim, MAX(abs(x)) AS scale FROM el GROUP BY 1),
+      |qz AS (SELECT el.dim, el.x, sc.scale,
+      |    CASE WHEN sc.scale = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(GREATEST(LEAST(ROUND(el.x / sc.scale * 127.0, 0),
+      |        127.0), -127.0) AS BIGINT) END AS q
+      |  FROM el JOIN sc USING (dim)),
+      |e AS (SELECT dim, x, scale, q,
+      |    abs(x - CAST(q AS DOUBLE) / 127.0 * scale) AS err FROM qz)
+      |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, MAX(scale) AS scale,
+      |  CAST(COUNT(CASE WHEN abs(q) = 127 THEN 1 END) AS BIGINT)
+      |    AS n_sat,
+      |  CAST(COUNT(CASE WHEN q = 0 THEN 1 END) AS BIGINT) AS n_zero,
+      |  MAX(err) AS max_abs_err,
+      |  ROUND(CAST(SUM(CAST(ROUND(err, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      |    / COUNT(*), 9) AS mean_abs_err,
+      |  ROUND(CAST(SUM(CAST(ROUND(err * err, 12) AS DECIMAL(34,12)))
+      |    AS DOUBLE) / COUNT(*), 12) AS mse
+      |FROM e GROUP BY 1 ORDER BY dim""".stripMargin
+
   /** Label-outlier detection — the mislabeled-example sweep a curation
     * pipeline runs before training on labeled embeddings: each vector's
     * cosine to its OWN label's centroid, the k globally least-similar

@@ -3502,6 +3502,54 @@ class OperatorsSpec extends SparkSpec {
         .map(_.toString).toSeq)
   }
 
+  test("int8 quantization audit obeys the theory bounds: every dim " +
+    "saturates at its abs-max element, error <= scale/254, the " +
+    "zero-scale dim quantizes to zero with zero error, and a hand " +
+    "round-trip lands exactly") {
+    import spark.implicits._
+    val out = VectorOps.embedQuantize(spark, sfTest).collect()
+    assert(out.length == 64 && out.map(_.getLong(0)).toSeq ==
+      (0L until 64L), "one row per dim, ordered")
+    val nVecs = Tables(spark, sfTest, "embeddings").count()
+    out.foreach { r =>
+      val (n, scale) = (r.getLong(1), r.getDouble(2))
+      val (nSat, nZero) = (r.getLong(3), r.getLong(4))
+      val (mx, mean, mse) =
+        (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(n == nVecs, "element count conserves the corpus")
+      // the abs-max element maps to exactly +-127 — every live dim
+      // saturates at least once; nothing else can exceed it
+      assert(scale > 0.0 && nSat >= 1L && nSat + nZero <= n)
+      // round-to-nearest on a scale/127 grid: error is bounded by half
+      // a step, saturation included (|x| <= scale by construction)
+      assert(mx <= scale / 254.0 + 1e-12,
+        s"dim ${r.getLong(0)}: max err $mx vs half-step ${scale / 254}")
+      assert(mean >= 0.0 && mean <= mx + 1e-9 && mse <= mx * mx + 1e-12)
+    }
+    // hand round-trip: dim0 {1.0, 0.4} -> q {127, 51}, dq {1, 51/127};
+    // dim1 constant-zero -> scale 0, all-zero, zero error
+    val hand = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.4f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val h = VectorOps.embedQuantizeFrom(hand).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d0 = h(0L)
+    assert(d0.getDouble(2) == 1.0 && d0.getLong(3) == 1L,
+      s"dim0 scale/sat: $d0")
+    val expErr = math.abs(0.4f.toDouble - 51.0 / 127.0)
+    assert(math.abs(d0.getDouble(5) - expErr) < 1e-12 &&
+      math.abs(d0.getDouble(6) - expErr / 2) < 1e-9,
+      s"dim0 err: $d0 vs $expErr")
+    val d1 = h(1L)
+    assert(d1.getDouble(2) == 0.0 && d1.getLong(3) == 0L &&
+      d1.getLong(4) == 2L && d1.getDouble(5) == 0.0 &&
+      d1.getDouble(6) == 0.0 && d1.getDouble(7) == 0.0,
+      s"zero-scale dim: $d1")
+    // deterministic
+    assert(VectorOps.embedQuantize(spark, sfTest).collect().map(_.toString)
+      .toSeq == out.map(_.toString).toSeq)
+  }
+
   test("embedding PCA of an empty corpus is an empty spectrum, not a " +
     "head/reduce crash") {
     import spark.implicits._
