@@ -204,6 +204,10 @@ object SparkEntry {
     // IEEE op order + decimal-term means, the embedding_norms class)
     "q_embed_quantize" ->
       ((s: SparkSession, d: String) => VectorOps.embedQuantize(s, d)),
+    // round 16: int8 retrieval-impact audit — ORACLE-backed kNN (both
+    // engines rank bit-identical pinned-order sims, (sim, id) tiebreak)
+    "q_quantize_recall" ->
+      ((s: SparkSession, d: String) => VectorOps.quantizeRecall(s, d)),
     // round 16: per-codec media duplication report (no SQL oracle —
     // the JDK codec exemption, like the rest of the media family)
     "q_media_dup_rate" ->
@@ -1270,6 +1274,7 @@ object SparkEntry {
     "q_context_fill" -> TextOps.contextFillOracle(),
     "q_embedding_norms" -> VectorOps.embeddingNormsOracle,
     "q_embed_quantize" -> VectorOps.embedQuantizeOracle,
+    "q_quantize_recall" -> VectorOps.quantizeRecallOracle(),
     "q_cluster_purity" -> VectorOps.clusterPurityOracle,
     "q_eval_leakage" -> DedupOps.evalLeakageOracle,
     "q_minhash_est" -> DedupOps.minhashEstOracle,

@@ -657,6 +657,145 @@ object VectorOps {
       |    AS DOUBLE) / COUNT(*), 12) AS mse
       |FROM e GROUP BY 1 ORDER BY dim""".stripMargin
 
+  /** Int8 RETRIEVAL-IMPACT audit (q_quantize_recall, round 16 — the
+    * action side of [[embedQuantize]]): per-dim error says little
+    * about what a 4× smaller index actually costs; the question a
+    * deploy asks is "does int8 change who the top-k neighbors ARE".
+    * For each anchor (the deterministic `vec_id % stride == 0` slice,
+    * the [[hardNegatives]] convention), the exact-float cosine top-k
+    * and the dequantized-int8 cosine top-k are computed over the
+    * corpus and the row reports their overlap and recall@k — the
+    * go/no-go number for serving ANN from a quantized index.
+    *
+    * ORACLE-backed kNN (rare: most engines cannot cross-check a
+    * similarity ranking at all): scales are exact ([[embedQuantize]]),
+    * the dequantized vector is IEEE-pinned elementwise, dot and Σx²
+    * fold left-to-right inside the row in both engines (`zip_with` +
+    * `aggregate` vs `list_transform` + `list_reduce`), sim =
+    * dot/(√ssa·√ssb) in one pinned order — so both engines rank
+    * BIT-IDENTICAL sims, and the (sim DESC, vec_id ASC) tiebreak makes
+    * the top-k SET deterministic. Zero-norm vectors are excluded on
+    * both sides (cosine undefined).
+    *
+    * Scale shape: anchors are bounded by construction (a probe set,
+    * not a corpus) and BROADCAST; the corpus streams through one
+    * pass per variant with k rows per anchor per partition surviving
+    * map-side (window over rank ≤ k after a (q_id)-keyed exchange of
+    * corpus-×-anchor SIM SCALARS — never vectors; at true scale the
+    * [[annIvf]] index serves and this exact form is the calibration,
+    * the `q_srp_recall` contract).
+    */
+  def quantizeRecall(s: SparkSession, dir: String, k: Int = 10,
+                     stride: Int = 50): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    // exact per-dim scales, assembled into ONE ordered array row (a
+    // dim-bounded reduction — the centroid class, never corpus-sized)
+    val scaleArr = e
+      .select(posexplode($"embedding").as(Seq("dim", "xf")))
+      .groupBy($"dim").agg(max(abs($"xf".cast("double"))).as("scale"))
+      .agg(transform(array_sort(collect_list(struct($"dim", $"scale"))),
+        c => c.getField("scale")).as("scales"))
+    // dequantized-int8 twin of every vector, IEEE-pinned: q =
+    // round(x/s*127) clamped, dq = q/127*s; s = 0 (dead dim) => 0
+    val dqCol = zip_with($"embedding", $"scales", (x, sc) =>
+      when(sc === 0.0, lit(0.0)).otherwise(
+        greatest(least(round(x.cast("double") / sc * lit(127.0), 0),
+          lit(127.0)), lit(-127.0)) / lit(127.0) * sc))
+    val both = e.crossJoin(broadcast(scaleArr))
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("vf"),
+        dqCol.as("vq"))
+    def ss(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+    val live = both
+      .select($"vec_id", $"vf", $"vq",
+        ss($"vf").as("ssf"), ss($"vq").as("ssq"))
+      .filter($"ssf" > 0.0 && $"ssq" > 0.0)
+    val anchors = live.filter($"vec_id" % stride === 0)
+      .select($"vec_id".as("q_id"), $"vf".as("af"), $"vq".as("aq"),
+        $"ssf".as("assf"), $"ssq".as("assq"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+        (acc, v) => acc + v)
+    val sims = live.join(broadcast(anchors), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (dot($"vf", $"af") / (sqrt($"ssf") * sqrt($"assf"))).as("sim_f"),
+        (dot($"vq", $"aq") / (sqrt($"ssq") * sqrt($"assq"))).as("sim_q"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sim_f".desc, $"vec_id")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sim_q".desc, $"vec_id")
+    val topF = sims.withColumn("rn", row_number().over(wf))
+      .filter($"rn" <= k).select($"q_id", $"vec_id")
+    val topQ = sims.withColumn("rn", row_number().over(wq))
+      .filter($"rn" <= k).select($"q_id", $"vec_id")
+    topF.join(topQ, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_overlap"))
+      .join(topF.groupBy($"q_id").agg(count(lit(1)).as("n_k")),
+        Seq("q_id"), "right_outer")
+      .select($"q_id", $"n_k",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+        round(coalesce($"n_overlap", lit(0L)).cast("double") / $"n_k", 4)
+          .as("recall_at_k"))
+      .orderBy($"q_id")
+  }
+
+  /** Oracle for [[quantizeRecall]] — the same pinned folds, the same
+    * (sim DESC, id ASC) tiebreak.
+    */
+  def quantizeRecallOracle(k: Int = 10, stride: Int = 50): String =
+    s"""WITH sc0 AS (SELECT dim, MAX(abs(x)) AS scale
+      |  FROM (SELECT CAST(v AS DOUBLE) AS x, dim
+      |    FROM (SELECT UNNEST(embedding) AS v,
+      |          UNNEST(range(len(embedding))) AS dim FROM embeddings))
+      |  GROUP BY 1),
+      |sc AS (SELECT list(scale ORDER BY dim) AS scales FROM sc0),
+      |v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vf,
+      |    list_transform(range(1, len(embedding) + 1), i ->
+      |      CASE WHEN sc.scales[i] = 0 THEN 0.0
+      |        ELSE GREATEST(LEAST(ROUND(CAST(embedding[i] AS DOUBLE)
+      |          / sc.scales[i] * 127.0, 0), 127.0), -127.0)
+      |          / 127.0 * sc.scales[i] END) AS vq
+      |  FROM embeddings, sc),
+      |n AS (SELECT vec_id, vf, vq,
+      |    list_reduce(list_transform(vf, x -> x * x),
+      |      (a, b) -> a + b) AS ssf,
+      |    list_reduce(list_transform(vq, x -> x * x),
+      |      (a, b) -> a + b) AS ssq
+      |  FROM v WHERE len(vf) > 0),
+      |live AS (SELECT * FROM n WHERE ssf > 0 AND ssq > 0),
+      |sims AS (SELECT a.vec_id AS q_id, c.vec_id,
+      |    list_reduce(list_transform(range(1, len(c.vf) + 1),
+      |      i -> c.vf[i] * a.vf[i]), (p, q) -> p + q)
+      |      / (sqrt(c.ssf) * sqrt(a.ssf)) AS sim_f,
+      |    list_reduce(list_transform(range(1, len(c.vq) + 1),
+      |      i -> c.vq[i] * a.vq[i]), (p, q) -> p + q)
+      |      / (sqrt(c.ssq) * sqrt(a.ssq)) AS sim_q
+      |  FROM live c JOIN live a
+      |    ON a.vec_id % $stride = 0 AND c.vec_id <> a.vec_id),
+      |tf AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY sim_f DESC, vec_id) AS rn FROM sims)
+      |  WHERE rn <= $k),
+      |tq AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY sim_q DESC, vec_id) AS rn FROM sims)
+      |  WHERE rn <= $k),
+      |ov AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      |  FROM tf WHERE EXISTS (SELECT 1 FROM tq
+      |    WHERE tq.q_id = tf.q_id AND tq.vec_id = tf.vec_id)
+      |  GROUP BY 1),
+      |nk AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_k
+      |  FROM tf GROUP BY 1)
+      |SELECT nk.q_id, nk.n_k,
+      |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+      |  ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / nk.n_k, 4)
+      |    AS recall_at_k
+      |FROM nk LEFT JOIN ov ON nk.q_id = ov.q_id
+      |ORDER BY nk.q_id""".stripMargin
+
   /** Label-outlier detection — the mislabeled-example sweep a curation
     * pipeline runs before training on labeled embeddings: each vector's
     * cosine to its OWN label's centroid, the k globally least-similar

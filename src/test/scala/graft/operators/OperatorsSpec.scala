@@ -3550,6 +3550,47 @@ class OperatorsSpec extends SparkSpec {
       .toSeq == out.map(_.toString).toSeq)
   }
 
+  test("int8 retrieval-impact audit: the anchor slice, recall bounds, " +
+    "well-separated families hold recall 1.0 through quantization, " +
+    "and zero-norm vectors are excluded from both sides") {
+    import spark.implicits._
+    val out = VectorOps.quantizeRecall(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (0L until 500L by 50L).toSeq,
+      "one row per stride anchor, ordered")
+    out.foreach { case (q, nk, ov, rec) =>
+      assert(nk == 10L && ov >= 0L && ov <= nk &&
+        math.abs(rec - ov.toDouble / nk) < 1e-9,
+        s"anchor $q: nk=$nk ov=$ov rec=$rec")
+    }
+    // well-separated geometry survives int8: three scaled-axis
+    // families (within-family cosine 1, cross-family 0) — the <=0.4%
+    // quantization error cannot flip a 1-vs-0 ranking, so every
+    // anchor's top-k is its own family under BOTH variants; the zero
+    // vector sits ON an anchor id and must be excluded, not crash
+    def axis(i: Int, s: Float): Array[Float] = {
+      val v = new Array[Float](4); v(i) = s; v
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qrecall").toString
+    val fam = (0 until 3).flatMap { f =>
+      (0 until 4).map(j => (f * 50L + j, axis(f, 1.0f + 0.25f * j), f))
+    } :+ (150L, new Array[Float](4), 3) // zero-norm on an anchor id
+    fam.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val r = VectorOps.quantizeRecall(spark, dir, k = 3, stride = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(r.map(_._1).toSeq == Seq(0L, 50L, 100L),
+      s"zero-norm anchor must be excluded: ${r.toSeq}")
+    assert(r.forall { case (_, nk, rec) => nk == 3L && rec == 1.0 },
+      s"separated families must hold recall 1.0: ${r.toSeq}")
+    // deterministic
+    assert(VectorOps.quantizeRecall(spark, sfTest).collect()
+      .map(_.toString).toSeq ==
+      out.map { case (a, b, c, d) => s"[$a,$b,$c,$d]" }.toSeq)
+  }
+
   test("embedding PCA of an empty corpus is an empty spectrum, not a " +
     "head/reduce crash") {
     import spark.implicits._
