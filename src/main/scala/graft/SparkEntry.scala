@@ -208,6 +208,10 @@ object SparkEntry {
     // engines rank bit-identical pinned-order sims, (sim, id) tiebreak)
     "q_quantize_recall" ->
       ((s: SparkSession, d: String) => VectorOps.quantizeRecall(s, d)),
+    // round 16: IVF cell-balance audit (no SQL oracle — the k-means
+    // exemption; spec pins conservation, shares, the saturation law)
+    "q_ivf_balance" ->
+      ((s: SparkSession, d: String) => VectorOps.ivfBalance(s, d)),
     // round 16: per-codec media duplication report (no SQL oracle —
     // the JDK codec exemption, like the rest of the media family)
     "q_media_dup_rate" ->

@@ -1248,6 +1248,47 @@ object VectorOps {
     * (cell, vec_id, vector) rows, executor-side, deterministic (sortBy on
     * exact cosine with index-order tie-break).
     */
+  /** IVF cell-BALANCE audit (q_ivf_balance, round 16) — the capacity
+    * check behind every contract in this family: `annIvf`'s probe cost,
+    * `semanticClustersCell`'s Σn_c² linearity, and `SemanticMaint`'s
+    * per-batch probe bound all assume no cell saturates. Per cell of
+    * the graded quantizer (same `resolveQuantizer` + `cellIndex` at
+    * primary assignment): vector count, corpus share, and the cell's
+    * share of the TOTAL candidate-pair cost (n_c²/Σn_c² — the number
+    * the 100 TB argument actually rides; one hot cell can hold a
+    * linear corpus share but a quadratic cost share). Empty cells
+    * appear as zero rows — dead capacity is a finding, not a gap.
+    * A deploy reads the top row's pair_cost_share against 1/nlist:
+    * ≈1/nlist is balanced, ≫ is the hash-saturation class the r11
+    * probe protocol exists for. No oracle (k-means exemption);
+    * rows-only + spec invariants.
+    *
+    * Scale shape: one broadcast-centroid flatMap pass, then cell-grain
+    * group rows only — the report never shuffles a vector.
+    */
+  def ivfBalance(s: SparkSession, dir: String, nlist: Int = 0,
+                 sampleN: Int = 512): DataFrame = {
+    import s.implicits._
+    val (l, centroids, _) =
+      resolveQuantizer(s, dir, nlist, sampleN, autoCells(_))
+    val per = cellIndex(s, dir, centroids, 1)
+      .toDF("cell", "vec_id", "v")
+      .groupBy($"cell".cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val all = s.range(l).toDF("cell")
+      .join(per, Seq("cell"), "left_outer")
+      .select($"cell", coalesce($"n_vecs", lit(0L)).as("n_vecs"))
+    val tot = all.agg(sum($"n_vecs").as("n_total"),
+      sum($"n_vecs" * $"n_vecs").as("pair_cost"))
+    all.crossJoin(broadcast(tot)) // 1-row anchor (allowed hint class)
+      .select($"cell", $"n_vecs",
+        round($"n_vecs".cast("double") / $"n_total", 4).as("share"),
+        when($"pair_cost" === 0L, lit(0.0))
+          .otherwise(round(($"n_vecs" * $"n_vecs").cast("double")
+            / $"pair_cost", 4)).as("pair_cost_share"))
+      .orderBy($"n_vecs".desc, $"cell")
+  }
+
   private def cellIndex(s: SparkSession, dir: String,
                         centroids: Array[Array[Double]], nassign: Int)
   : org.apache.spark.sql.Dataset[(Int, Long, Array[Float])] =

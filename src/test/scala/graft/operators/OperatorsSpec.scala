@@ -3591,6 +3591,48 @@ class OperatorsSpec extends SparkSpec {
       out.map { case (a, b, c, d) => s"[$a,$b,$c,$d]" }.toSeq)
   }
 
+  test("IVF balance audit: corpus conserved at primary assignment, " +
+    "shares sum to 1, the saturation law holds, and a sparse corpus " +
+    "surfaces empty cells as zero rows") {
+    import spark.implicits._
+    val out = VectorOps.ivfBalance(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val nVecs = Tables(spark, sfTest, "embeddings").count()
+    assert(out.map(_._2).sum == nVecs,
+      "primary assignment partitions the corpus exactly")
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-2 &&
+      math.abs(out.map(_._4).sum - 1.0) < 1e-2, "shares sum to 1")
+    assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted.reverse,
+      "hot cells first")
+    // pigeonhole: the hottest cell carries at least the mean pair-cost
+    // share — the saturation-law floor the audit is read against
+    assert(out.head._4 >= 1.0 / out.length - 1e-9)
+    assert(out.map(_._1).toSet.size == out.length, "one row per cell")
+    // a corpus with 2 tight families under a 4-cell quantizer leaves
+    // dead capacity VISIBLE: exactly the empty-cell zero rows
+    def axis(i: Int, s: Float): Array[Float] = {
+      val v = new Array[Float](4); v(i) = s; v
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfbal").toString
+    ((0 until 6).map(j => (j.toLong, axis(0, 1f + j * 0.01f), 0)) ++
+      (0 until 6).map(j => (10L + j, axis(1, 1f + j * 0.01f), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val sparse = VectorOps.ivfBalance(spark, dir, nlist = 4).collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(sparse.length == 4 && sparse.map(_._1).sum == 12L,
+      s"4 rows, 12 vectors: ${sparse.toSeq}")
+    assert(sparse.count(_._1 == 0L) >= 1,
+      s"dead cells must surface as zero rows: ${sparse.toSeq}")
+    assert(sparse.filter(_._1 == 0L).forall(_._2 == 0.0))
+    // deterministic
+    assert(VectorOps.ivfBalance(spark, sfTest).collect().map(_.toString)
+      .toSeq == out.map { case (a, b, c, d) => s"[$a,$b,$c,$d]" }.toSeq)
+  }
+
   test("embedding PCA of an empty corpus is an empty spectrum, not a " +
     "head/reduce crash") {
     import spark.implicits._
