@@ -50,8 +50,15 @@ object PlanAudit {
     "q_source_containment", // |sources|-row output spine crossed with
                             // itself under a ≠ predicate (the gapfill
                             // plan-constant grid class)
-    "q_recall_audit" // corpus scan × the auditN-row broadcast slice —
-                     // the documented bounded-side brute-force truth
+    "q_recall_audit", // corpus scan × the auditN-row broadcast slice —
+                      // the documented bounded-side brute-force truth
+    "q_quantize_recall", // corpus sim scan × the bounded broadcast
+                         // anchor slice (the hard_negatives /
+                         // recall_audit class) — at true scale the IVF
+                         // index serves; this exact form is the
+                         // calibration (operator Scaladoc)
+    "q_ivf_balance" // nlist-row cell spine × the 1-row
+                    // (n_total, pair_cost) aggregate
   )
 
   def main(args: Array[String]): Unit = {

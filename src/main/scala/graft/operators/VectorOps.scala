@@ -713,21 +713,26 @@ object VectorOps {
         ss($"vf").as("ssf"), ss($"vq").as("ssq"))
       .filter($"ssf" > 0.0 && $"ssq" > 0.0)
     val anchors = live.filter($"vec_id" % stride === 0)
-      .select($"vec_id".as("q_id"), $"vf".as("af"), $"vq".as("aq"),
-        $"ssf".as("assf"), $"ssq".as("assq"))
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
-        (acc, v) => acc + v)
+      .select($"vec_id".as("q_id"), $"vf".as("af"), $"vq".as("aq"))
+    // pair sims ride the CODEGEN'd expression (the hot path: |corpus| ×
+    // |anchors| folds) — bit-identical to the oracle's split form: same
+    // left-to-right dot and Σx² folds, and IEEE multiply is commutative
+    // bit-exactly, so dot/(√ss_left·√ss_right) cannot differ
+    // EAGER: sims feeds BOTH rank windows and topF three downstream
+    // reads — without the cut the broadcast join + fold pass replays
+    // per consumer (sim scalars only, anchors × corpus rows)
     val sims = live.join(broadcast(anchors), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
-        (dot($"vf", $"af") / (sqrt($"ssf") * sqrt($"assf"))).as("sim_f"),
-        (dot($"vq", $"aq") / (sqrt($"ssq") * sqrt($"assq"))).as("sim_q"))
+        call_function("cosine_sim", $"vf", $"af").as("sim_f"),
+        call_function("cosine_sim", $"vq", $"aq").as("sim_q"))
+      .localCheckpoint(false)
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy($"q_id").orderBy($"sim_f".desc, $"vec_id")
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy($"q_id").orderBy($"sim_q".desc, $"vec_id")
     val topF = sims.withColumn("rn", row_number().over(wf))
       .filter($"rn" <= k).select($"q_id", $"vec_id")
+      .localCheckpoint(false)
     val topQ = sims.withColumn("rn", row_number().over(wq))
       .filter($"rn" <= k).select($"q_id", $"vec_id")
     topF.join(topQ, Seq("q_id", "vec_id"), "left_semi")
