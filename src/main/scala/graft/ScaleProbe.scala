@@ -182,7 +182,8 @@ object ScaleProbe {
     // exact-cosine truth join is the documented quadratic audit cost,
     // and reporting it against F=10 would understate the exponent by
     // log10(4) ≈ 0.6 (exactly the trap the factor split exists for)
-    "q_srp_recall", "q_pca_project")
+    "q_srp_recall", "q_pca_project",
+    "q_embed_quantize", "q_quantize_recall", "q_ivf_balance")
 
   /** Key-shifted K-fold replication of every sf0.1 table into outRoot. */
   def generate(spark: SparkSession, src: String, outRoot: String): Unit = {

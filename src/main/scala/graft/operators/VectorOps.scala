@@ -596,6 +596,25 @@ object VectorOps {
   def embedQuantize(s: SparkSession, dir: String): DataFrame =
     embedQuantizeFrom(Tables(s, dir, "embeddings"))
 
+  /** The int8 code of element x under per-dim scale s — THE one
+    * quantization formula every int8 surface shares ([[embedQuantize]]'s
+    * error audit and [[quantizeRecall]]'s retrieval audit — the
+    * `dupRateRollup` discipline: the two audits can only diverge on
+    * their input relations, never on the arithmetic). Clamped code as
+    * an integral-valued DOUBLE; a dead dim (s = 0) codes to 0.
+    */
+  private def int8Code(x: org.apache.spark.sql.Column,
+                       s: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    when(s === 0.0, lit(0.0)).otherwise(
+      greatest(least(round(x.cast("double") / s * lit(127.0), 0),
+        lit(127.0)), lit(-127.0)))
+
+  private def dequantizeInt8(x: org.apache.spark.sql.Column,
+                             s: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    int8Code(x, s) / lit(127.0) * s
+
   /** [[embedQuantize]] over an arbitrary (embedding) frame — the spec
     * seam for the guard cases (constant-zero dim → scale 0 quantizes
     * to all-zero with zero error) the fixture never carries.
@@ -611,10 +630,7 @@ object VectorOps {
     val scales = el.groupBy($"dim").agg(max(abs($"x")).as("scale"))
     el.join(broadcast(scales), "dim")
       .select($"dim", $"x", $"scale",
-        when($"scale" === 0.0, lit(0L))
-          .otherwise(greatest(
-            least(round($"x" / $"scale" * lit(127.0), 0), lit(127.0)),
-            lit(-127.0)).cast("long")).as("q"))
+        int8Code($"x", $"scale").cast("long").as("q"))
       .withColumn("dq", $"q".cast("double") / lit(127.0) * $"scale")
       .withColumn("err", abs($"x" - $"dq"))
       .groupBy($"dim")
@@ -698,10 +714,8 @@ object VectorOps {
         c => c.getField("scale")).as("scales"))
     // dequantized-int8 twin of every vector, IEEE-pinned: q =
     // round(x/s*127) clamped, dq = q/127*s; s = 0 (dead dim) => 0
-    val dqCol = zip_with($"embedding", $"scales", (x, sc) =>
-      when(sc === 0.0, lit(0.0)).otherwise(
-        greatest(least(round(x.cast("double") / sc * lit(127.0), 0),
-          lit(127.0)), lit(-127.0)) / lit(127.0) * sc))
+    val dqCol = zip_with($"embedding", $"scales",
+      (x, sc) => dequantizeInt8(x, sc))
     val both = e.crossJoin(broadcast(scaleArr))
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("vf"),
@@ -1274,6 +1288,11 @@ object VectorOps {
   def ivfBalance(s: SparkSession, dir: String, nlist: Int = 0,
                  sampleN: Int = 512): DataFrame = {
     import s.implicits._
+    // empty corpus: no quantizer to audit — an empty report, not a
+    // trainQuantizer crash or NaN shares (the embeddingPca discipline)
+    if (Tables(s, dir, "embeddings").isEmpty)
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("cell", "n_vecs", "share", "pair_cost_share")
     val (l, centroids, _) =
       resolveQuantizer(s, dir, nlist, sampleN, autoCells(_))
     val per = cellIndex(s, dir, centroids, 1)
@@ -1287,7 +1306,9 @@ object VectorOps {
       sum($"n_vecs" * $"n_vecs").as("pair_cost"))
     all.crossJoin(broadcast(tot)) // 1-row anchor (allowed hint class)
       .select($"cell", $"n_vecs",
-        round($"n_vecs".cast("double") / $"n_total", 4).as("share"),
+        when($"n_total" === 0L, lit(0.0))
+          .otherwise(round($"n_vecs".cast("double") / $"n_total", 4))
+          .as("share"),
         when($"pair_cost" === 0L, lit(0.0))
           .otherwise(round(($"n_vecs" * $"n_vecs").cast("double")
             / $"pair_cost", 4)).as("pair_cost_share"))

@@ -209,25 +209,15 @@ object ClusterMaint {
     val before = assignments(s, path).localCheckpoint()
     val repaired = DedupOps.clusterPairs(s, pairs)
       .select($"doc_id", $"cluster_id").localCheckpoint()
-    // continuity relabels: an old resolved id still clustered under a
-    // new label routes to it (merge direction); split survivors keep
-    // their label and produce no entry
-    val relabels = before.select($"cluster_id".as("old_id")).distinct()
-      .join(repaired.toDF("old_id", "t_new"), Seq("old_id"))
-      .filter($"old_id" =!= $"t_new")
-      .select($"old_id", $"t_new".as("new_id"))
-    val currentLabels = repaired.select($"cluster_id".as("old_id"))
-      .distinct()
-    val routedMap = MaintCore.readMerges(s, path)
-      .join(relabels.toDF("r_old", "r_new"), $"new_id" === $"r_old",
-        "left_outer")
-      .select($"old_id", coalesce($"r_new", $"new_id").as("new_id"))
-      .union(relabels)
-      .distinct()
-      // a split can re-expose a formerly-absorbed rep as a LIVE label;
-      // keeping its stale route would collapse the split on read
-      .join(currentLabels, Seq("old_id"), "left_anti")
-      .localCheckpoint()
+    // continuity routing — the shared split-capable repair rules
+    // ([[MaintCore.repairMergeMap]]): relabel surviving old labels,
+    // direct-route absorbed ids to where their node lives NOW, and
+    // drop entries whose old_id could re-emerge as a live label
+    // (current labels AND present-but-singleton docs — a later twin
+    // would otherwise be silently redirected through the stale route)
+    val routedMap = MaintCore.repairMergeMap(s,
+      MaintCore.readMerges(s, path), before, repaired,
+      sh.select($"doc_id"))
     MaintCore.seal(s, path, "sizes", sizes)
     MaintCore.seal(s, path, "assign", repaired)
     MaintCore.writeMerges(s, path, routedMap)

@@ -148,6 +148,57 @@ private[streaming] object MaintCore {
         coalesce($"new_id", $"cluster_id").as("cluster_id"))
   }
 
+  /** Post-repair merge-map routing shared by the SPLIT-capable repair
+    * verbs ([[ClusterMaint.refresh]], [[MediaMaint.rehash]]) — one
+    * formula source for the continuity rules, which are subtler than
+    * the advance-time fold because a repair can dissolve components:
+    *
+    *  1. An old resolved LABEL still clustered under a new label
+    *     relabels to it; split survivors keep their label, no entry.
+    *  2. A prior ABSORBED id that is edge-bearing in the repaired CC
+    *     routes to its OWN new component label (where its node
+    *     actually lives now), not to its old target's relabel — the
+    *     old target may have split away from it entirely.
+    *  3. Entries whose old_id could RE-EMERGE as a live label are
+    *     dropped: current labels (the r16 refresh rule), AND ids whose
+    *     node is PRESENT in the repaired corpus but edge-bearing in no
+    *     component — a later twin batch mints exactly that id as a
+    *     live label (the late-singleton-twin rule), and a stale route
+    *     would silently redirect the new family to an unrelated old
+    *     cluster (stream ≠ batch on a path no read would flag).
+    *
+    * `before` = resolved pre-repair assignments, `repaired` = the
+    * fresh batch-rule CC (both (id, cluster_id) and EAGER — read off
+    * the files the caller reseals), `presentIds` = one id column of
+    * every node the repair re-derived from (indexed docs / hashed
+    * blobs). Returns the eager routed map, ready for [[writeMerges]].
+    */
+  def repairMergeMap(s: SparkSession, priorMerges: DataFrame,
+                     before: DataFrame, repaired: DataFrame,
+                     presentIds: DataFrame): DataFrame = {
+    import s.implicits._
+    val rep = repaired.toDF("old_id", "direct")
+    val relabels = before.select(col("cluster_id").as("old_id")).distinct()
+      .join(rep, Seq("old_id"))
+      .filter($"old_id" =!= $"direct")
+      .select($"old_id", $"direct".as("new_id"))
+    val currentLabels = rep.select($"direct".as("old_id")).distinct()
+    val presentSingles = presentIds.toDF("old_id").distinct()
+      .join(rep.select($"old_id"), Seq("old_id"), "left_anti")
+    priorMerges
+      .join(rep, Seq("old_id"), "left_outer")
+      .join(relabels.toDF("r_old", "r_new"), $"new_id" === $"r_old",
+        "left_outer")
+      .select($"old_id",
+        coalesce($"direct", $"r_new", $"new_id").as("new_id"))
+      .union(relabels)
+      .distinct()
+      .filter($"old_id" =!= $"new_id")
+      .join(currentLabels, Seq("old_id"), "left_anti")
+      .join(presentSingles, Seq("old_id"), "left_anti")
+      .localCheckpoint()
+  }
+
   /** The super-node CC advance shared by the maintainers: `edges`
     * carries (a, b) where a is always a NEW node id and b is either a
     * new node id or an OLD cluster rep (its min-label — the compression

@@ -96,10 +96,11 @@ object MediaMaint {
           fs.exists(new Path(s"$path/$sub.sealed"))))
       throw new IllegalStateException(
         s"MediaMaint state at $path carries no MEDIA_STATE_VERSION " +
-          "marker (a pre-r16 deploy); its stored hashes predate the " +
-          s"K-min anchor rule (version $StateVersion) and are not " +
-          "comparable — run MediaMaint.rehash with the retained corpus " +
-          "(keeps cluster ids), or delete the state dir and re-init.")
+          "marker (a pre-r16 deploy, or a rehash interrupted mid-" +
+          "migration); its stored hashes are not trustworthy under " +
+          s"the current rule (version $StateVersion) — run " +
+          "MediaMaint.rehash with the retained corpus (keeps cluster " +
+          "ids), or delete the state dir and re-init.")
     else if (createIfFresh) {
       val out = fs.create(marker, true)
       try out.write(StateVersion.toString
@@ -252,15 +253,17 @@ object MediaMaint {
     * and a stale route whose old_id re-emerges as a live label is
     * dropped (it would collapse the split on read).
     *
-    * Crash ordering: the version marker is rewritten LAST, after the
-    * three seals — so every crash window leaves either old-marker/
-    * old-state or old-marker/new-state, and in both the standard verbs
-    * refuse loudly (marker mismatch) until a re-run — idempotent,
-    * corpus-derived — completes the migration. (Marker-first would
-    * open the silent window the stamp exists to close: a v-current
-    * marker over stale-rule hashes.) Run between micro-batches, like
-    * `compact`; undecodable blobs are excluded exactly as everywhere
-    * else (no hash, no index row, no cluster).
+    * Crash ordering: the marker is DELETED before the first seal and
+    * rewritten LAST — so every crash window, including a same-version
+    * reconciliation run (corpus-retention cleanup on current-rule
+    * state), leaves marker-less or old-marker state that every
+    * standard verb refuses loudly until a re-run — idempotent,
+    * corpus-derived — completes. (Marker-last alone only covered the
+    * cross-version path: a crash between seals during a same-version
+    * run would have left a VALID marker over mutually inconsistent
+    * index/assign/merges.) Run between micro-batches, like `compact`;
+    * undecodable blobs are excluded exactly as everywhere else (no
+    * hash, no index row, no cluster).
     */
   def rehash(media: DataFrame, path: String, maxHamming: Int = 3): Unit = {
     val s = media.sparkSession
@@ -282,23 +285,18 @@ object MediaMaint {
           .select($"ma".as("a"), $"mb".as("b")))
       .select($"doc_id".as("media_id"), $"cluster_id")
       .localCheckpoint()
-    // continuity relabels: an old resolved id still clustered under a
-    // new label routes to it; split survivors keep their label and
-    // produce no entry (the refresh rule, shared semantics)
-    val relabels = before.select($"cluster_id".as("old_id")).distinct()
-      .join(repaired.toDF("old_id", "t_new"), Seq("old_id"))
-      .filter($"old_id" =!= $"t_new")
-      .select($"old_id", $"t_new".as("new_id"))
-    val currentLabels = repaired.select($"cluster_id".as("old_id"))
-      .distinct()
-    val routedMap = priorMerges
-      .join(relabels.toDF("r_old", "r_new"), $"new_id" === $"r_old",
-        "left_outer")
-      .select($"old_id", coalesce($"r_new", $"new_id").as("new_id"))
-      .union(relabels)
-      .distinct()
-      .join(currentLabels, Seq("old_id"), "left_anti")
-      .localCheckpoint()
+    // continuity routing — the shared split-capable repair rules
+    // ([[MaintCore.repairMergeMap]]: relabel / direct-route / drop
+    // re-emergible old_ids — current labels and present-but-singleton
+    // blobs a later twin batch would mint as live labels)
+    val routedMap = MaintCore.repairMergeMap(s, priorMerges, before,
+      repaired, hashes.select($"media_id").distinct())
+    // sentinel: drop the marker BEFORE the seals — every crash window
+    // (same-version reconciliation runs included) then leaves
+    // marker-less state that the standard verbs refuse loudly until
+    // the idempotent re-run completes; marker-last alone only covered
+    // the cross-version upgrade path
+    fs.delete(new Path(s"$path/MEDIA_STATE_VERSION"), false)
     MaintCore.seal(s, path, "index", Multimodal.bandsOf(hashes)
       .select($"codec", $"band", $"key", $"media_id", $"phash_bits"))
     MaintCore.seal(s, path, "assign", repaired)

@@ -2243,11 +2243,111 @@ class StreamOpsSpec extends SparkSpec {
     assert(MediaMaint.assignments(spark, sp).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == merged,
       "crash recovery changed the assignments")
+    // singleton re-emergence (r16 self-review finding): the retained
+    // corpus loses 6 AND the bridge — blob 5 survives as a present
+    // SINGLETON, so its stale (5 -> 1) route must DROP: a later vidB
+    // twin mints label 5 live, and the stale route would silently
+    // redirect the new family to the unrelated vidA cluster
+    val retained3 = Seq((1L, vidA), (2L, vidA), (5L, vidB))
+    MediaMaint.rehash(retained3.toDF("media_id", "content"), sp)
+    assert(MediaMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L)))
+    assert(MaintCore.readMerges(spark, sp).count() == 0,
+      "stale route to a present-singleton old label must drop")
+    val r4 = MediaMaint.applyBatch(
+      Seq((31L, vidB)).toDF("media_id", "content"), 4L, sp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(r4.toSeq == Seq((31L, 5L, false)), s"re-emerged label: $r4")
+    assert(MediaMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      batchTwin(retained3 :+ (31L, vidB)),
+      "stream must equal the batch recompute after re-emergence")
+    // same-version crash sentinel: a rehash interrupted between seals
+    // leaves NO marker — standard verbs refuse loudly (not a silent
+    // valid-marker/mixed-state read) until the re-run completes
+    fs.delete(
+      new org.apache.hadoop.fs.Path(s"$sp/MEDIA_STATE_VERSION"), false)
+    val e3 = intercept[IllegalStateException] {
+      MediaMaint.assignments(spark, sp)
+    }
+    assert(e3.getMessage.contains("interrupted"), e3.getMessage)
+    MediaMaint.rehash((retained3 :+ (31L, vidB))
+      .toDF("media_id", "content"), sp)
+    assert(MediaMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      batchTwin(retained3 :+ (31L, vidB)))
     // fresh path: the verb is a migration, not a bootstrap
     intercept[IllegalArgumentException] {
       MediaMaint.rehash(retained.toDF("media_id", "content"),
         java.nio.file.Files.createTempDirectory("graft_rehash_f").toString)
     }
+  }
+
+  test("text-tier refresh drops stale routes to present-singleton old " +
+    "labels: a full dissolve leaves the map empty, and a later twin " +
+    "re-mints the old label live, equal to the batch recompute") {
+    import spark.implicits._
+    val thr = 0.3
+    val cap = 3
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_refresh_sing").toString
+    // family {4,5,6} pairs through the shared klm/lmn shingles; extra
+    // arrivals 20/21 push BOTH over the df cap, dissolving the family
+    // to singletons at refresh — while each doc keeps one private
+    // under-cap shingle (identical docs could never re-split)
+    ClusterMaint.init(Seq((1L, "p q r s t u")).toDF("doc_id", "text"),
+      sp, threshold = thr, maxDf = cap)
+    val r0 = ClusterMaint.applyBatch(
+      Seq((5L, "k l m n x1"), (6L, "k l m n y1"))
+        .toDF("doc_id", "text"), 0L, sp, thr, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r0 == Map(5L -> 5L, 6L -> 5L))
+    val r1 = ClusterMaint.applyBatch(
+      Seq((4L, "k l m n w1")).toDF("doc_id", "text"), 1L, sp, thr, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r1 == Map(4L -> 4L), s"smaller id takes the label: $r1")
+    assert(MaintCore.readMerges(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 4L)))
+    // 20/21 arrive after klm/lmn crossed the cap — edgeless singletons
+    val r2 = ClusterMaint.applyBatch(
+      Seq((20L, "k l m n z1"), (21L, "k l m n v1"))
+        .toDF("doc_id", "text"), 2L, sp, thr, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r2 == Map(20L -> 20L, 21L -> 21L))
+    ClusterMaint.refresh(spark, sp, thr, cap)
+    // final df(klm) = df(lmn) = 5 > cap: the batch recompute has ZERO
+    // clusters; doc 5 is a present SINGLETON, so the stale (5 -> 4)
+    // route must drop — the old code kept it (5 was neither a live
+    // label nor relabeled) and would misroute the re-minted family
+    assert(ClusterMaint.assignments(spark, sp).count() == 0,
+      "full dissolve: no clustered docs")
+    assert(MaintCore.readMerges(spark, sp).count() == 0,
+      "stale route to a present-singleton old label must drop")
+    // the twin: shares doc 5's one surviving private shingle (m n x1),
+    // jaccard 1/3 >= 0.3 — label 5 re-emerges LIVE
+    val r3 = ClusterMaint.applyBatch(
+      Seq((30L, "m n x1 a1 a2")).toDF("doc_id", "text"), 3L, sp, thr,
+      cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(r3.toSeq == Seq((30L, 5L, false)), s"re-minted label: $r3")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_refresh_sing_b").toString
+    (Seq((1L, "p q r s t u"), (5L, "k l m n x1"), (6L, "k l m n y1"),
+      (4L, "k l m n w1"), (20L, "k l m n z1"), (21L, "k l m n v1"),
+      (30L, "m n x1 a1 a2")))
+      .map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val expected = graft.operators.DedupOps
+      .dedupClusters(spark, dir, threshold = thr, maxDf = cap)
+      .select($"doc_id", $"cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected == Set((5L, 5L), (30L, 5L)))
+    assert(ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expected,
+      "stream must equal the batch recompute after re-emergence")
   }
 
   test("state-derived media dup report equals the batch corpus audit " +

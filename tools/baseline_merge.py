@@ -28,7 +28,10 @@ committed = json.load(open(committed_path))
 fresh = json.load(open(fresh_path))
 
 cq, fq = committed["queries"], fresh["queries"]
-cr, fr = committed.get("rows", {}), fresh.get("rows", {})
+# setdefault: .get would detach from `committed` when the key is absent,
+# silently dropping adopted row counts and disarming the mismatch guard
+cr = committed.setdefault("rows", {})
+fr = fresh.get("rows", {})
 
 tightened, adopted, kept = [], [], 0
 for name, t in sorted(fq.items()):
@@ -43,8 +46,11 @@ for name, t in sorted(fq.items()):
         kept += 1
     # rows must agree between sessions — a row-count change means the
     # oracle SQL or the fixture changed and the anchor needs a RESET,
-    # not a merge.
-    if name in cr and cr[name] is not None and name in fr \
+    # not a merge. Backfill rowless committed entries so the guard
+    # arms for them from this sweep on.
+    if (name not in cr or cr[name] is None) and name in fr:
+        cr[name] = fr[name]
+    elif name in cr and cr[name] is not None and name in fr \
             and fr[name] != cr[name]:
         sys.exit(f"ROW MISMATCH for {name}: committed {cr[name]} vs "
                  f"fresh {fr[name]} — reset this anchor explicitly")
