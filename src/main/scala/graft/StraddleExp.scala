@@ -103,6 +103,52 @@ object StraddleExp {
     time("s_full",
       operators.Relational.blockingSuppliers(spark, sfDir).count())
 
+    // ---- q_quantize_recall (round-16 weak-set newcomer) ----
+    // stages mirror VectorOps.quantizeRecall: the d-row scale
+    // assembly, the per-vector dq twin + live filter, the broadcast
+    // pair-sim pass, the two rank windows, the overlap rollup
+    def e = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    def scaleArr = e
+      .select(posexplode($"embedding").as(Seq("dim", "xf")))
+      .groupBy($"dim").agg(max(abs($"xf".cast("double"))).as("scale"))
+      .agg(transform(array_sort(collect_list(struct($"dim", $"scale"))),
+        c => c.getField("scale")).as("scales"))
+    def ssb(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+    def live = e.crossJoin(broadcast(scaleArr))
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("vf"),
+        zip_with($"embedding", $"scales", (x, sc) =>
+          when(sc === 0.0, lit(0.0)).otherwise(
+            greatest(least(round(x.cast("double") / sc * lit(127.0), 0),
+              lit(127.0)), lit(-127.0)) / lit(127.0) * sc)).as("vq"))
+      .select($"vec_id", $"vf", $"vq", ssb($"vf").as("ssf"),
+        ssb($"vq").as("ssq"))
+      .filter($"ssf" > 0.0 && $"ssq" > 0.0)
+    def anch = live.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"vf".as("af"), $"vq".as("aq"))
+    def sims = live.join(broadcast(anch), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        call_function("cosine_sim", $"vf", $"af").as("sim_f"),
+        call_function("cosine_sim", $"vq", $"aq").as("sim_q"))
+    def ranked = {
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"sim_f".desc, $"vec_id")
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"sim_q".desc, $"vec_id")
+      sims.withColumn("rn", row_number().over(wf)).filter($"rn" <= 10)
+        .select($"q_id", $"vec_id")
+        .union(sims.withColumn("rn", row_number().over(wq))
+          .filter($"rn" <= 10).select($"q_id", $"vec_id"))
+    }
+    time("qr_scales", scaleArr.count())
+    time("qr_live", live.count())
+    time("qr_sims", sims.count())
+    time("qr_rank", ranked.count())
+    time("qr_full",
+      operators.VectorOps.quantizeRecall(spark, sfDir).count())
+
     time("control2", SparkEntry.queries("q_epoch_plan")(spark, sfDir).count())
     spark.stop()
   }
