@@ -195,9 +195,13 @@ object SparkEntry {
     // round 16: the PCA APPLY step (top-k projection, sign-canonical
     // basis; no SQL oracle — same eigendecomposition exemption) and the
     // SRP-banding calibration curve (no SQL oracle — md5 Box-Muller
-    // hyperplanes + float dot-product signs are not engine-portable)
+    // hyperplanes + float dot-product signs are not engine-portable).
+    // r17: graded as the LONG form (vec_id, component, coordinate) — the
+    // r16 array-typed `proj` column was unhashable by the driver's
+    // pandas differ (CORRECTNESS_r16 err; graded outputs must be
+    // scalar-columned). pcaProject stays the array-returning library seam.
     "q_pca_project" ->
-      ((s: SparkSession, d: String) => VectorOps.pcaProject(s, d)),
+      ((s: SparkSession, d: String) => VectorOps.pcaProjectLong(s, d)),
     "q_srp_recall" ->
       ((s: SparkSession, d: String) => VectorOps.srpRecall(s, d)),
     // round 16: int8 scalar-quantization audit — ORACLE-backed (pinned
@@ -208,6 +212,18 @@ object SparkEntry {
     // engines rank bit-identical pinned-order sims, (sim, id) tiebreak)
     "q_quantize_recall" ->
       ((s: SparkSession, d: String) => VectorOps.quantizeRecall(s, d)),
+    // round 17: percentile-clipped int8 variants — the tuning curve
+    // that makes the r16 audit pair actionable (ORACLE-backed: the
+    // clipped scale is an exact order statistic in both engines)
+    "q_embed_quantize_clip" ->
+      ((s: SparkSession, d: String) => VectorOps.embedQuantizeClip(s, d)),
+    "q_quantize_recall_clip" ->
+      ((s: SparkSession, d: String) => VectorOps.quantizeRecallClip(s, d)),
+    // round 17: per-label semantic dup-rate — the embedding-tier analog
+    // of q_media_dup_rate, riding the graded CC output (ORACLE-backed:
+    // the recursive-CTE closure class)
+    "q_label_dup_rate" ->
+      ((s: SparkSession, d: String) => VectorOps.labelDupRate(s, d)),
     // round 16: IVF cell-balance audit (no SQL oracle — the k-means
     // exemption; spec pins conservation, shares, the saturation law)
     "q_ivf_balance" ->
@@ -1279,6 +1295,9 @@ object SparkEntry {
     "q_embedding_norms" -> VectorOps.embeddingNormsOracle,
     "q_embed_quantize" -> VectorOps.embedQuantizeOracle,
     "q_quantize_recall" -> VectorOps.quantizeRecallOracle(),
+    "q_embed_quantize_clip" -> VectorOps.embedQuantizeClipOracle(),
+    "q_quantize_recall_clip" -> VectorOps.quantizeRecallClipOracle(),
+    "q_label_dup_rate" -> VectorOps.labelDupRateOracle,
     "q_cluster_purity" -> VectorOps.clusterPurityOracle,
     "q_eval_leakage" -> DedupOps.evalLeakageOracle,
     "q_minhash_est" -> DedupOps.minhashEstOracle,

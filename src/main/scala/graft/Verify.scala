@@ -22,8 +22,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try {
+          val df = fn(spark, sfDir)
+          lintGradedSchema(name, df.schema)
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
@@ -51,6 +54,33 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/provenance.json"),
       provenanceJson(sfDir))
     spark.stop()
+  }
+
+  /** Graded-output boundary lint (r17, from the r16 q_pca_project /
+    * q_shingle_df driver failures): the driver's differ hashes values via
+    * pandas, which cannot hash Array/Map/Struct cells and represents
+    * parquet DECIMAL as object-Decimal (hash-splitting against the
+    * oracle's numeric even when values are identical). No graded output
+    * column may carry these types — complex shapes are graded in long
+    * form (posexplode), decimals cast to BIGINT/DOUBLE at the boundary.
+    * Throwing here (caught per-query above) keeps the defect loud in
+    * BOTH the local differ run and the driver dump instead of shipping a
+    * silent hash mismatch.
+    */
+  def lintGradedSchema(name: String,
+                       schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    val bad = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] ||
+        f.dataType.isInstanceOf[DecimalType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"graded output of $name carries driver-unhashable column type(s) " +
+        bad.mkString("[", ", ", "]") +
+        " — emit scalar columns (long form / boundary cast) instead")
   }
 
   /** {sha, sf_dir, timestamp, table → {bytes, md5}} for every parquet in

