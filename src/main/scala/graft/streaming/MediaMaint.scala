@@ -311,11 +311,30 @@ object MediaMaint {
   /** Streaming entry: foreachBatch-applied maintenance over a
     * (media_id, content) stream; per-batch results land as parquet
     * under `resultPath/batch_id=N` (same idempotent overwrite).
+    *
+    * `auditEvery` > 0 turns on the OPERATIONAL DUP-RATE PROBE
+    * (s_media_dup_probe, round 17 — the media-tier twin of
+    * `SemanticMaint.start`'s recall probe): every `auditEvery`-th
+    * batch id, the zero-rehash [[dupReport]] rollup lands under
+    * `auditPath/batch_id=N` — the same idempotent partition overwrite,
+    * so a replayed micro-batch rewrites its own audit rows and the
+    * cadence survives restarts. A media deploy watches per-codec
+    * dup-rate decay in its metrics lake (is the ingest gate holding?
+    * did a new feed arrive pre-duplicated?) instead of running the
+    * verb by hand — the r16 verdict's named telemetry gap.
     */
   def start(media: DataFrame, path: String, resultPath: String,
-            checkpoint: String, maxHamming: Int = 3): StreamingQuery =
+            checkpoint: String, maxHamming: Int = 3,
+            auditEvery: Int = 0, auditPath: String = null)
+  : StreamingQuery = {
+    require(auditEvery <= 0 || auditPath != null,
+      "MediaMaint.start: auditEvery > 0 needs an auditPath")
     Sinks.streamForeachBatch(media, checkpoint, "append") { (b, id) =>
       MaintCore.writeBatch(applyBatch(b, id, path, maxHamming),
         resultPath, id)
+      if (auditEvery > 0 && id % auditEvery == 0)
+        MaintCore.writeBatch(dupReport(b.sparkSession, path),
+          auditPath, id)
     }
+  }
 }

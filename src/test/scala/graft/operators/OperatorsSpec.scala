@@ -3554,6 +3554,114 @@ class OperatorsSpec extends SparkSpec {
         .map(_.toString).toSeq)
   }
 
+  test("per-label semantic dup-rate reconciles with the graded CC " +
+    "output, the label spine is complete with explicit zeros, and the " +
+    "rollup matches the media-tier formula") {
+    val out = VectorOps.labelDupRate(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val labels = Tables(spark, sfTest, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Number]("label").longValue))
+    assert(out.map(_._1).toSeq == labels.map(_._2).distinct.sorted.toSeq,
+      "complete ordered label spine")
+    val clusters = VectorOps.semanticClustersCell(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (cluster_id, vec_id)
+    val labOf = labels.toMap
+    out.foreach { case (label, nVecs, nClustered, nClusters, excess,
+        rate) =>
+      val members = clusters.filter(c => labOf(c._2) == label)
+      assert(nVecs == labels.count(_._2 == label).toLong)
+      assert(nClustered == members.length.toLong,
+        s"label $label clustered: $nClustered vs ${members.length}")
+      assert(nClusters == members.map(_._1).distinct.length.toLong)
+      assert(excess == nClustered - nClusters && excess >= 0L)
+      assert(math.abs(rate -
+        math.rint(excess.toDouble / nVecs * 1e4) / 1e4) < 1e-9)
+    }
+    assert(out.map(_._3).sum == clusters.length.toLong,
+      "clustered-vector conservation across labels")
+    assert(VectorOps.labelDupRate(spark, sfTest).collect()
+      .map(_.toString).toSeq ==
+      out.map { case (a, b, c, d, e, f) => s"[$a,$b,$c,$d,$e,$f]" }.toSeq)
+  }
+
+  test("percentile-clipped int8: clipQ=1.0 degenerates to the max " +
+    "rule, an injected outlier moves the clipped scale to the body " +
+    "and is counted by n_sat, and the graded default differs from " +
+    "the max rule on the fixture corpus") {
+    import spark.implicits._
+    // boundary identity: rank ceil(1.0·n) = n = the abs-max element
+    assert(VectorOps.embedQuantizeClip(spark, sfTest, clipQ = 1.0)
+      .collect().map(_.toString).toSeq ==
+      VectorOps.embedQuantize(spark, sfTest).collect()
+        .map(_.toString).toSeq)
+    // graded default (p99, rank 495 of 500) must actually move at
+    // least one dim's scale — the vacuous-clip guard (the r17 reason
+    // the default is p99 and not p99.9)
+    assert(VectorOps.embedQuantizeClip(spark, sfTest).collect()
+      .map(_.toString).toSeq !=
+      VectorOps.embedQuantize(spark, sfTest).collect()
+        .map(_.toString).toSeq,
+      "p99 clip must bite at the graded corpus size")
+    // outlier fixture: 100 body values of |x| = 1.0 and one 100.0
+    // outlier; p99 rank = ceil(0.99·101) = 100 → scale is the body
+    // max (1.0), the body codes to exactly ±127, the outlier clamps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_clip").toString
+    val rows = (0 until 100).map(i =>
+      (i.toLong, Array(if (i % 2 == 0) 1.0f else -1.0f), i)) :+
+      (100L, Array(100.0f), 100)
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val clip = VectorOps.embedQuantizeClip(spark, dir).collect().head
+    assert(clip.getDouble(2) == 1.0, s"clipped scale: $clip")
+    assert(clip.getLong(3) == 101L,
+      s"all 101 rows sit at ±127 under the clipped scale: $clip")
+    assert(clip.getDouble(5) == 99.0,
+      s"outlier clamp error is |100 − 1.0|: $clip")
+    val mx = VectorOps.embedQuantize(spark, dir).collect().head
+    assert(mx.getDouble(2) == 100.0 && mx.getLong(3) == 1L,
+      s"max rule: outlier owns the scale and alone saturates: $mx")
+  }
+
+  test("clip-rule retrieval audit: clipQ=1.0 equals the max-rule " +
+    "report, separated families hold recall 1.0 through a biting " +
+    "clip, and graded rows are well-formed") {
+    import spark.implicits._
+    assert(VectorOps.quantizeRecallClip(spark, sfTest, clipQ = 1.0)
+      .collect().map(_.toString).toSeq ==
+      VectorOps.quantizeRecall(spark, sfTest).collect()
+        .map(_.toString).toSeq)
+    // scaled-axis families (the quantizeRecall fixture): clipQ=0.9 →
+    // rank 11 of 12 live rows → the per-dim scale drops below the
+    // family maxima, so the clip genuinely clamps — but dequantized
+    // vectors stay on their axes, so within-family cosine stays 1,
+    // cross-family 0, and recall holds 1.0
+    def axis(i: Int, s: Float): Array[Float] = {
+      val v = new Array[Float](4); v(i) = s; v
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qrclip").toString
+    val fam = (0 until 3).flatMap { f =>
+      (0 until 4).map(j => (f * 50L + j, axis(f, 1.0f + 0.25f * j), f))
+    } :+ (150L, new Array[Float](4), 3)
+    fam.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val r = VectorOps
+      .quantizeRecallClip(spark, dir, k = 3, stride = 50, clipQ = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(r.map(_._1).toSeq == Seq(0L, 50L, 100L))
+    assert(r.forall { case (_, nk, rec) => nk == 3L && rec == 1.0 },
+      s"separated families must survive a biting clip: ${r.toSeq}")
+    val graded = VectorOps.quantizeRecallClip(spark, sfTest).collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(graded.length == 10 && graded.forall { case (nk, rec) =>
+      nk == 10L && rec >= 0.0 && rec <= 1.0 })
+  }
+
   test("int8 quantization audit obeys the theory bounds: every dim " +
     "saturates at its abs-max element, error <= scale/254, the " +
     "zero-scale dim quantizes to zero with zero error, and a hand " +

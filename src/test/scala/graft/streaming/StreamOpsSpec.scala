@@ -2395,6 +2395,70 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows(MediaMaint.dupReport(spark, sp)) == fromCorpus)
   }
 
+  test("media maintainer emits dupReport rows at the configured " +
+    "cadence (auditEvery), each equal to the by-hand verb on the " +
+    "state at that boundary (s_media_dup_probe)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val png1 = Multimodal.synthesizePng("mdp-A".getBytes, 24, 16)
+    val twin1 = Multimodal.resizeImage(png1, 24, 16)
+    val h1 = Multimodal.aHash(png1).get
+    // two further image families far from png1 (and each other) under
+    // aHash — each must stay a singleton, not accidentally band-pair
+    val fars = (0 until 256).iterator
+      .map(i => Multimodal.synthesizePng(s"mdp-far-$i".getBytes, 24, 16))
+      .filter(p => ham(Multimodal.aHash(p).get, h1) > 3)
+      .scanLeft(List.empty[Array[Byte]]) { (acc, p) =>
+        if (acc.forall(q =>
+          ham(Multimodal.aHash(q).get, Multimodal.aHash(p).get) > 3))
+          p :: acc
+        else acc
+      }.find(_.size >= 2).get
+    val (farA, farB) = (fars.head, fars(1))
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_mdprobe").toString
+    val rp = java.nio.file.Files
+      .createTempDirectory("graft_mdprobe_res").toString
+    val ap = java.nio.file.Files
+      .createTempDirectory("graft_mdprobe_ap").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_mdprobe_ck").toString
+    MediaMaint.init(Seq((1L, png1)).toDF("media_id", "content"), sp)
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = MediaMaint.start(ms.toDF().toDF("media_id", "content"),
+      sp, rp, ck, auditEvery = 2, auditPath = ap)
+    def report() = MediaMaint.dupReport(spark, sp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    ms.addData(Seq((2L, twin1))) // batch 0 → audited: family {1,2}
+    q.processAllAvailable()
+    val hand0 = report() // by-hand verb on the boundary-0 state
+    ms.addData(Seq((3L, farA))) // batch 1 → NO audit row
+    q.processAllAvailable()
+    ms.addData(Seq((4L, farB))) // batch 2 → audited
+    q.processAllAvailable()
+    q.stop()
+    val hand2 = report()
+    val byBatch = spark.read.parquet(ap).collect()
+      .groupBy(_.getAs[Number]("batch_id").longValue)
+      .view.mapValues(_.map(r => (r.getAs[String]("codec"),
+        r.getAs[Long]("n_blobs"), r.getAs[Long]("n_clustered"),
+        r.getAs[Long]("n_clusters"), r.getAs[Long]("n_dup_excess"),
+        r.getAs[Double]("dup_rate"))).toSet).toMap
+    assert(byBatch.keySet == Set(0L, 2L),
+      s"audit cadence emitted ${byBatch.keySet}")
+    assert(byBatch(0L) == hand0,
+      s"boundary-0 probe ${byBatch(0L)} vs by-hand $hand0")
+    assert(byBatch(2L) == hand2,
+      s"boundary-2 probe ${byBatch(2L)} vs by-hand $hand2")
+    // the numbers: boundary 0 = one twin family; boundary 2 adds two
+    // singletons the probe must NOT count as duplicated
+    assert(hand0 == Set(("img", 2L, 2L, 1L, 1L, 0.5)))
+    assert(hand2 == Set(("img", 4L, 2L, 1L, 1L, 0.25)))
+  }
+
   test("an unpersisted singleton that gains its first twin in a LATER " +
     "batch is persisted alongside the twin (MaintCore fix, all tiers); " +
     "crash replay re-derives the same rows") {
