@@ -185,14 +185,16 @@ object ClusterMaint {
     *     component fully dissolved disappears, exactly as the batch
     *     recompute would report.
     *
-    * Crash safety: each family reseal is the standard two-phase
-    * [[MaintCore.seal]] (healed by `recover`). A crash BETWEEN reseals
-    * leaves a consistent-enough intermediate (e.g. refreshed sizes with
-    * pre-repair assignments, or repaired assignments with the
-    * not-yet-routed map) whose reads never fail — re-running refresh
-    * completes the repair, since everything derives from the untouched
-    * raw index plus the current map. Run between micro-batches, like
-    * [[compact]].
+    * Crash safety: the three families publish ATOMICALLY through
+    * [[MaintCore.sealGroup]] (r17 — the r16 advice closed the
+    * per-family-seal window where a crash between the assign seal and
+    * the merge-map write left NEW assignments over the OLD map, and the
+    * re-run — reading that mixture as `before` — lost relabel routes
+    * for gone absorbed ids whose targets relabeled). Every crash window
+    * now leaves all-old or all-new state (`recover`, which every verb
+    * calls first, completes a post-sentinel swap and discards
+    * pre-sentinel stages), so a refresh re-run is strictly idempotent
+    * from either side. Run between micro-batches, like [[compact]].
     */
   def refresh(s: SparkSession, path: String,
               threshold: Double = DedupOps.DefaultJaccardThreshold,
@@ -218,9 +220,8 @@ object ClusterMaint {
     val routedMap = MaintCore.repairMergeMap(s,
       MaintCore.readMerges(s, path), before, repaired,
       sh.select($"doc_id"))
-    MaintCore.seal(s, path, "sizes", sizes)
-    MaintCore.seal(s, path, "assign", repaired)
-    MaintCore.writeMerges(s, path, routedMap)
+    MaintCore.sealGroup(s, path,
+      Seq("sizes" -> sizes, "assign" -> repaired, "merges" -> routedMap))
   }
 
   /** Apply one micro-batch of (doc_id, text) documents: returns every

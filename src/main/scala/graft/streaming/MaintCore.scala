@@ -93,15 +93,89 @@ private[streaming] object MaintCore {
   /** Complete any compaction a crash interrupted: a missing live dir
     * with a `<sub>.sealed` sibling means the delete happened but the
     * rename didn't — finish it. Idempotent, cheap (one FS stat per sub).
+    *
+    * Also completes or discards a crashed GROUP publication
+    * ([[sealGroup]]): a `SEAL_COMMIT` sentinel means every staged dir
+    * in its list is complete — finish the swap set; no sentinel means
+    * any `<sub>.staged` leftovers predate the commit point — discard
+    * them, the live dirs are the consistent truth.
     */
   def recover(s: SparkSession, path: String, subs: Seq[String]): Unit = {
     val fs = new Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$path/$SealCommitMarker")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val groupSubs =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        finally in.close()
+      commitStaged(fs, path, groupSubs)
+    } else
+      for (sub <- subs)
+        fs.delete(new Path(s"$path/$sub.staged"), true)
     for (sub <- subs) {
       val live = new Path(s"$path/$sub")
       val sealedP = new Path(s"$path/$sub.sealed")
       if (!fs.exists(live) && fs.exists(sealedP)) fs.rename(sealedP, live)
     }
+  }
+
+  private val SealCommitMarker = "SEAL_COMMIT"
+
+  /** Atomic GROUP publication for the split-capable repair verbs
+    * ([[ClusterMaint.refresh]], [[MediaMaint.rehash]] — r16 advice):
+    * per-family [[seal]]s left a window where a crash between the
+    * assign seal and the merge-map write published NEW assignments over
+    * the OLD merge map, and the repair's re-run — reading that mixture
+    * as its `before` state — lost relabel information (a gone absorbed
+    * id whose old target relabeled kept a stale route to a dead label).
+    * Here every family stages under `<sub>.staged` while the live dirs
+    * stay untouched, a `SEAL_COMMIT` sentinel naming the group marks
+    * the commit point, and only then are the live dirs swapped;
+    * [[recover]] — which every verb calls first — completes the swap
+    * set after a post-sentinel crash and discards orphan stages after a
+    * pre-sentinel one. A state reader can therefore never observe a
+    * partially-published repair: it sees all-old or all-new, and the
+    * repair re-run is strictly idempotent from either.
+    */
+  def sealGroup(s: SparkSession, path: String,
+                parts: Seq[(String, DataFrame)]): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // discard leftovers of a crashed pre-sentinel attempt
+    fs.delete(new Path(s"$path/$SealCommitMarker"), false)
+    for ((sub, _) <- parts)
+      fs.delete(new Path(s"$path/$sub.staged"), true)
+    // stage everything first — live dirs (and so every input the
+    // staged frames might still lazily read) remain intact throughout
+    for ((sub, df) <- parts)
+      df.withColumn("batch_id", lit(-1L))
+        .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
+        .parquet(s"$path/$sub.staged")
+    val out = fs.create(new Path(s"$path/$SealCommitMarker"), true)
+    try out.write(parts.map(_._1).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    commitStaged(fs, path, parts.map(_._1))
+  }
+
+  /** The swap half of [[sealGroup]], shared with [[recover]]'s crash
+    * completion: replace each live dir whose staged sibling exists (an
+    * absent stage means that swap already happened), then drop the
+    * sentinel. Idempotent.
+    */
+  private def commitStaged(fs: org.apache.hadoop.fs.FileSystem,
+                           path: String, subs: Seq[String]): Unit = {
+    for (sub <- subs) {
+      val staged = new Path(s"$path/$sub.staged")
+      if (fs.exists(staged)) {
+        fs.delete(new Path(s"$path/$sub"), true)
+        fs.rename(staged, new Path(s"$path/$sub"))
+      }
+    }
+    fs.delete(new Path(s"$path/$SealCommitMarker"), false)
   }
 
   /** Two-phase dir seal for [[recover]]-covered compactions: publish

@@ -253,17 +253,19 @@ object MediaMaint {
     * and a stale route whose old_id re-emerges as a live label is
     * dropped (it would collapse the split on read).
     *
-    * Crash ordering: the marker is DELETED before the first seal and
-    * rewritten LAST — so every crash window, including a same-version
-    * reconciliation run (corpus-retention cleanup on current-rule
-    * state), leaves marker-less or old-marker state that every
-    * standard verb refuses loudly until a re-run — idempotent,
-    * corpus-derived — completes. (Marker-last alone only covered the
-    * cross-version path: a crash between seals during a same-version
-    * run would have left a VALID marker over mutually inconsistent
-    * index/assign/merges.) Run between micro-batches, like `compact`;
-    * undecodable blobs are excluded exactly as everywhere else (no
-    * hash, no index row, no cluster).
+    * Crash ordering: the marker is DELETED before the publication and
+    * rewritten LAST, and the three state families publish ATOMICALLY
+    * via [[MaintCore.sealGroup]] (r17) — so every crash window,
+    * including a same-version reconciliation run (corpus-retention
+    * cleanup on current-rule state), leaves marker-less or old-marker
+    * state that every standard verb refuses loudly until a re-run
+    * completes, and that re-run always reads an all-old or all-new
+    * `before` state — STRICTLY idempotent (the r16-advice window,
+    * where a crash between per-family seals left new assignments over
+    * the old merge map and the re-run lost relabel routes, is closed
+    * by the group sentinel). Run between micro-batches, like
+    * `compact`; undecodable blobs are excluded exactly as everywhere
+    * else (no hash, no index row, no cluster).
     */
   def rehash(media: DataFrame, path: String, maxHamming: Int = 3): Unit = {
     val s = media.sparkSession
@@ -291,16 +293,23 @@ object MediaMaint {
     // blobs a later twin batch would mint as live labels)
     val routedMap = MaintCore.repairMergeMap(s, priorMerges, before,
       repaired, hashes.select($"media_id").distinct())
-    // sentinel: drop the marker BEFORE the seals — every crash window
-    // (same-version reconciliation runs included) then leaves
+    // sentinel: drop the marker BEFORE the publication — every crash
+    // window (same-version reconciliation runs included) then leaves
     // marker-less state that the standard verbs refuse loudly until
     // the idempotent re-run completes; marker-last alone only covered
     // the cross-version upgrade path
     fs.delete(new Path(s"$path/MEDIA_STATE_VERSION"), false)
-    MaintCore.seal(s, path, "index", Multimodal.bandsOf(hashes)
-      .select($"codec", $"band", $"key", $"media_id", $"phash_bits"))
-    MaintCore.seal(s, path, "assign", repaired)
-    MaintCore.writeMerges(s, path, routedMap)
+    // the three families publish ATOMICALLY (MaintCore.sealGroup, r17 —
+    // closes the r16-advice window where a crash between per-family
+    // seals left NEW assignments over the OLD merge map and the re-run,
+    // reading that mixture as `before`, lost relabel routes): every
+    // crash leaves all-old or all-new state, so the re-run is strictly
+    // idempotent from either side
+    MaintCore.sealGroup(s, path, Seq(
+      "index" -> Multimodal.bandsOf(hashes)
+        .select($"codec", $"band", $"key", $"media_id", $"phash_bits"),
+      "assign" -> repaired,
+      "merges" -> routedMap))
     // LAST: stamp the rule every hash above was computed under
     val out = fs.create(new Path(s"$path/MEDIA_STATE_VERSION"), true)
     try out.write(StateVersion.toString

@@ -1682,6 +1682,61 @@ class StreamOpsSpec extends SparkSpec {
       batchTwin(union ++ Seq((11L, t10))))
   }
 
+  test("sealGroup atomicity (r17, the r16-advice window): pre-sentinel " +
+    "stages are discarded, a post-sentinel crash completes the WHOLE " +
+    "swap set on the next read, a mid-swap crash finishes the rest — " +
+    "a reader can never see new assignments over an old merge map") {
+    import spark.implicits._
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    val sp = java.nio.file.Files
+      .createTempDirectory("graft_groupseal").toString
+    ClusterMaint.init(Seq((1L, "a b c d e f"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text"), sp)
+    val fs = hp(sp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def assignSet = ClusterMaint.assignments(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def stage(sub: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$sp/$sub.staged")
+    def sentinel(subs: String*): Unit = {
+      val out = fs.create(hp(s"$sp/SEAL_COMMIT"), true)
+      try out.write(subs.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    val before = assignSet
+    assert(before == Set((1L, 1L), (2L, 1L)))
+    // window 1: crash BEFORE the sentinel — live state is the truth,
+    // the orphan stage is garbage and must be discarded, not applied
+    stage("assign", Seq((9L, 9L)).toDF("doc_id", "cluster_id"))
+    assert(assignSet == before, "pre-sentinel stage must not be visible")
+    assert(!fs.exists(hp(s"$sp/assign.staged")),
+      "orphan stage must be discarded by recover")
+    // window 2: crash AFTER the sentinel, before any swap — the next
+    // read completes BOTH swaps together (the advice scenario was one
+    // family swapped without the other)
+    stage("assign", Seq((1L, 3L), (2L, 3L), (3L, 3L))
+      .toDF("doc_id", "cluster_id"))
+    stage("merges", Seq((1L, 3L)).toDF("old_id", "new_id"))
+    sentinel("assign", "merges")
+    assert(assignSet == Set((1L, 3L), (2L, 3L), (3L, 3L)),
+      "post-sentinel read must see the complete new state")
+    assert(MaintCore.readMerges(spark, sp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)),
+      "merge map must swap with the assignments, not after them")
+    assert(!fs.exists(hp(s"$sp/SEAL_COMMIT")) &&
+      !fs.exists(hp(s"$sp/assign.staged")) &&
+      !fs.exists(hp(s"$sp/merges.staged")))
+    // window 3: crash MID-swap — assign already swapped (stage gone),
+    // merges still staged under the sentinel; recover finishes the rest
+    stage("merges", Seq.empty[(Long, Long)].toDF("old_id", "new_id"))
+    sentinel("merges")
+    assert(assignSet == Set((1L, 3L), (2L, 3L), (3L, 3L)))
+    assert(MaintCore.readMerges(spark, sp).count() == 0L,
+      "mid-swap recovery must complete the remaining family")
+    assert(!fs.exists(hp(s"$sp/SEAL_COMMIT")))
+  }
+
   test("semantic requantize: a drifted corpus recovers candidate recall " +
     "(recallAudit measures the decay and the repair), previously-" +
     "assigned cluster ids survive, and the epoch-swap crash window " +
