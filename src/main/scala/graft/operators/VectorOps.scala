@@ -771,7 +771,7 @@ object VectorOps {
     * the [[hardNegatives]] convention), the exact-float cosine top-k
     * and the dequantized-int8 cosine top-k are computed over the
     * corpus and the row reports their overlap and recall@k — the
-    * go/no-go number for serving ANN from a quantized index.
+    * go-or-no-go number for serving ANN from a quantized index.
     *
     * ORACLE-backed kNN (rare: most engines cannot cross-check a
     * similarity ranking at all): scales are exact ([[embedQuantize]]),
