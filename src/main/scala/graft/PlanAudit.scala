@@ -57,6 +57,9 @@ object PlanAudit {
                          // recall_audit class) — at true scale the IVF
                          // index serves; this exact form is the
                          // calibration (operator Scaladoc)
+    "q_quantize_recall_clip", // same machinery as q_quantize_recall
+                              // (shared quantizeRecallScaled body) —
+                              // only the d-row scale rule differs
     "q_ivf_balance" // nlist-row cell spine × the 1-row
                     // (n_total, pair_cost) aggregate
   )
