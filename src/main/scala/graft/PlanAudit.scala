@@ -60,6 +60,9 @@ object PlanAudit {
     "q_quantize_recall_clip", // same machinery as q_quantize_recall
                               // (shared quantizeRecallScaled body) —
                               // only the d-row scale rule differs
+    "q_pca_quantize_recall", // the shared topkOverlapReport tail:
+                             // corpus sim scan × the bounded broadcast
+                             // anchor slice (the quantize_recall class)
     "q_ivf_balance" // nlist-row cell spine × the 1-row
                     // (n_total, pair_cost) aggregate
   )

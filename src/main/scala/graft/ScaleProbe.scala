@@ -184,9 +184,10 @@ object ScaleProbe {
     // log10(4) ≈ 0.6 (exactly the trap the factor split exists for)
     "q_srp_recall", "q_pca_project",
     "q_embed_quantize", "q_quantize_recall", "q_ivf_balance",
-    // round 17: all three read ONLY the embeddings table (clip variants
-    // + the label rollup over the cell CC)
-    "q_embed_quantize_clip", "q_quantize_recall_clip", "q_label_dup_rate")
+    // round 17: all four read ONLY the embeddings table (clip variants,
+    // the label rollup over the cell CC, the PCA+int8 composition)
+    "q_embed_quantize_clip", "q_quantize_recall_clip", "q_label_dup_rate",
+    "q_pca_quantize_recall")
 
   /** Key-shifted K-fold replication of every sf0.1 table into outRoot. */
   def generate(spark: SparkSession, src: String, outRoot: String): Unit = {

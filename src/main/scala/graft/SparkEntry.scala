@@ -224,6 +224,11 @@ object SparkEntry {
     // the recursive-CTE closure class)
     "q_label_dup_rate" ->
       ((s: SparkSession, d: String) => VectorOps.labelDupRate(s, d)),
+    // round 17: PCA-then-quantize composition audit (no SQL oracle —
+    // the eigendecomposition exemption upstream; spec pins the
+    // zero-mean lossless fixture, bounds, determinism)
+    "q_pca_quantize_recall" ->
+      ((s: SparkSession, d: String) => VectorOps.pcaQuantizeRecall(s, d)),
     // round 16: IVF cell-balance audit (no SQL oracle — the k-means
     // exemption; spec pins conservation, shares, the saturation law)
     "q_ivf_balance" ->

@@ -831,6 +831,23 @@ object VectorOps {
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("vf"),
         dqCol.as("vq"))
+    topkOverlapReport(both, k, stride)
+  }
+
+  /** The top-k overlap/recall tail every retrieval-impact audit shares
+    * ([[quantizeRecall]] / [[quantizeRecallClip]] / the r17
+    * [[pcaQuantizeRecall]] composition — one formula source): `both` is
+    * (vec_id, vf, vq) with vf the reference representation and vq the
+    * candidate one; per stride-anchor, the (sim DESC, id ASC) top-k of
+    * each side and their overlap. Zero-norm vectors are excluded on
+    * BOTH sides (cosine undefined); the rollup spine is the anchors
+    * frame, so a degenerate live anchor reports an explicit n_k = 0
+    * (r16 advice).
+    */
+  private def topkOverlapReport(both: DataFrame, k: Int, stride: Int)
+  : DataFrame = {
+    val s = both.sparkSession
+    import s.implicits._
     def ss(c: org.apache.spark.sql.Column) =
       aggregate(c, lit(0.0), (acc, x) => acc + x * x)
     val live = both
@@ -877,6 +894,53 @@ object VectorOps {
           .otherwise(round(coalesce($"n_overlap", lit(0L)).cast("double")
             / $"n_k", 4)).as("recall_at_k"))
       .orderBy($"q_id")
+  }
+
+  /** PCA-then-QUANTIZE composition audit (q_pca_quantize_recall, round
+    * 17 — the carry-over item completing the compression story): per
+    * anchor, top-k overlap between exact full-dimension float cosine
+    * (the serving ground truth) and cosine over the COMPOSED
+    * representation — [[pcaProject]]'s top-`pcaK` centered rotation,
+    * then per-component int8 under the [[embedQuantize]] max rule. This
+    * is the number a deploy actually needs before storing PCA-reduced
+    * int8 vectors: a (d/pcaK)·4× smaller index priced in recall@k,
+    * where the two upstream audits price each step alone
+    * (`q_embedding_pca`'s explained-variance curve picks pcaK,
+    * `q_quantize_recall` prices the 8 bits) but their LOSSES COMPOSE
+    * nonlinearly — truncation changes which coordinates the quantizer
+    * must resolve.
+    *
+    * Scale shape: the spectrum pass + stateless projection map
+    * ([[pcaProject]]), a pcaK-row scale rollup, then the shared
+    * [[topkOverlapReport]] tail (bounded broadcast anchors, one
+    * codegen'd cosine pass per side, sim scalars only across the rank
+    * exchange). No oracle (the eigendecomposition exemption upstream —
+    * `q_embedding_pca`'s documented rationale); spec pins the
+    * zero-mean-distinct-variance fixture where the composition is
+    * provably lossless (recall 1.0 at pcaK = d), bounds, and
+    * determinism.
+    */
+  def pcaQuantizeRecall(s: SparkSession, dir: String, pcaK: Int = 8,
+                        k: Int = 10, stride: Int = 50): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings").select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("vf"))
+    val proj = pcaProject(s, dir, pcaK).select($"vec_id", $"proj")
+    if (proj.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("q_id", "n_k", "n_overlap", "recall_at_k")
+    // per-COMPONENT max-|x| scales over the projected space — the
+    // embedQuantize rule applied to the representation being stored
+    val scaleArr = proj
+      .select(posexplode($"proj").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(max(abs($"x")).as("scale"))
+      .agg(transform(array_sort(collect_list(struct($"dim", $"scale"))),
+        c => c.getField("scale")).as("scales"))
+    val vq = zip_with($"proj", $"scales", (x, sc) => dequantizeInt8(x, sc))
+    topkOverlapReport(
+      e.join(proj, "vec_id").crossJoin(broadcast(scaleArr))
+        .select($"vec_id", $"vf", vq.as("vq")),
+      k, stride)
   }
 
   /** Oracle for [[quantizeRecall]] — the same pinned folds, the same

@@ -3662,6 +3662,56 @@ class OperatorsSpec extends SparkSpec {
       nk == 10L && rec >= 0.0 && rec <= 1.0 })
   }
 
+  test("PCA-then-quantize composition: lossless on a zero-mean " +
+    "distinct-variance fixture at pcaK = d, graded rows well-formed, " +
+    "deterministic, empty corpus stays empty") {
+    import spark.implicits._
+    // three axis families in 4d, each {+a, −a, +b, −b} so every axis
+    // mean is EXACTLY zero (centering is a no-op) with distinct
+    // per-axis variances (eigenvalues distinct → the sign-canonical
+    // Jacobi basis is the axis set, so projection at pcaK = d is a
+    // coordinate permutation): cosines survive the rotation exactly,
+    // int8's ≤0.4% error cannot flip a +1/0/−1 ranking, and the sim
+    // ties at 0 break by vec_id identically on both sides → recall 1.0
+    def axis(i: Int, s: Float): Array[Float] = {
+      val v = new Array[Float](4); v(i) = s; v
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pcaq").toString
+    val fam = (0 until 3).flatMap { f =>
+      val s = 1.0f + f // distinct family scale → distinct eigenvalue
+      Seq((f * 50L + 0, axis(f, s)), (f * 50L + 1, axis(f, -s)),
+        (f * 50L + 2, axis(f, 1.25f * s)),
+        (f * 50L + 3, axis(f, -1.25f * s)))
+    }
+    fam.map { case (id, v) => (id, v, (id / 50).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val r = VectorOps
+      .pcaQuantizeRecall(spark, dir, pcaK = 4, k = 3, stride = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(r.map(_._1).toSeq == Seq(0L, 50L, 100L), s"anchors: ${r.toSeq}")
+    assert(r.forall { case (_, nk, rec) => nk == 3L && rec == 1.0 },
+      s"zero-mean rotation + int8 must be lossless here: ${r.toSeq}")
+    // graded shape: bounds + determinism on the fixture corpus
+    val g = VectorOps.pcaQuantizeRecall(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(g.nonEmpty && g.forall { case (_, nk, ov, rec) =>
+      ov <= nk && rec >= 0.0 && rec <= 1.0 })
+    assert(VectorOps.pcaQuantizeRecall(spark, sfTest).collect()
+      .map(_.toString).toSeq ==
+      g.map { case (a, b, c, d) => s"[$a,$b,$c,$d]" }.toSeq)
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("graft_pcaq0").toString
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir0/embeddings.parquet")
+    assert(VectorOps.pcaQuantizeRecall(spark, dir0).count() == 0L)
+  }
+
   test("int8 quantization audit obeys the theory bounds: every dim " +
     "saturates at its abs-max element, error <= scale/254, the " +
     "zero-scale dim quantizes to zero with zero error, and a hand " +
