@@ -202,10 +202,15 @@ object SemanticMaint {
     * (the complete new `quant.sealed/{centroids,index}` tree is built
     * first, then delete-live + rename — [[MaintCore.recover]]'s
     * standard window, same guarantee as `writeMerges`). A crash
-    * between the epoch swap and the assign reseal leaves a CONSISTENT
-    * intermediate (new quantizer, pre-repair assignments): nothing
-    * mis-routes, the repair just lands on the next requantize. Run
-    * between micro-batches, like [[compact]].
+    * between the epoch swap and the assign publication leaves a
+    * CONSISTENT intermediate (new quantizer, pre-repair assignments):
+    * nothing mis-routes, the repair just lands on the next
+    * requantize. assign + merges publish ATOMICALLY through
+    * [[MaintCore.sealGroup]] (r17 — the refresh/rehash discipline
+    * applied tier-uniformly: per-family seals left a window where new
+    * assignments published over the old merge map, and the re-run's
+    * relabel derivation read that mixture). Run between
+    * micro-batches, like [[compact]].
     */
   def requantize(s: SparkSession, path: String, threshold: Double = 0.4,
                  nassign: Int = 5, nlist: Int = 0,
@@ -254,8 +259,8 @@ object SemanticMaint {
       .parquet(s"$path/quant.sealed/index")
     fs.delete(new Path(s"$path/quant"), true)
     fs.rename(new Path(s"$path/quant.sealed"), new Path(s"$path/quant"))
-    MaintCore.seal(s, path, "assign", repaired)
-    MaintCore.writeMerges(s, path, routedMap)
+    MaintCore.sealGroup(s, path,
+      Seq("assign" -> repaired, "merges" -> routedMap))
   }
 
   /** State-level candidate-recall audit — `q_recall_audit`
