@@ -925,7 +925,7 @@ object VectorOps {
     import s.implicits._
     val e = Tables(s, dir, "embeddings").select($"vec_id",
       transform($"embedding", x => x.cast("double")).as("vf"))
-    val proj = pcaProject(s, dir, pcaK).select($"vec_id", $"proj")
+    val proj = pcaProjectRaw(s, dir, pcaK).select($"vec_id", $"proj")
     if (proj.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("q_id", "n_k", "n_overlap", "recall_at_k")
@@ -2162,6 +2162,18 @@ object VectorOps {
     */
   def pcaProject(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
+    pcaProjectRaw(s, dir, k).orderBy($"vec_id")
+  }
+
+  /** [[pcaProject]] WITHOUT the output total order — the seam
+    * [[pcaProjectLong]] explodes (its own (vec_id, component) sort is
+    * the only order the graded long form needs; sorting the array rows
+    * first would be a second full-corpus sort for nothing) and
+    * downstream compositions ([[pcaQuantizeRecall]]) consume unordered.
+    */
+  private[graft] def pcaProjectRaw(s: SparkSession, dir: String,
+                                   k: Int = 8): DataFrame = {
+    import s.implicits._
     val moments = covarianceOf(s, dir)
     if (moments.isEmpty)
       return s.emptyDataset[(Long, Array[Double])].toDF("vec_id", "proj")
@@ -2196,7 +2208,6 @@ object VectorOps {
         }
       }
       .toDF("vec_id", "proj")
-      .orderBy($"vec_id")
   }
 
   /** Driver-gradable LONG form of [[pcaProject]] (q_pca_project, round
@@ -2208,11 +2219,13 @@ object VectorOps {
     * outputs must be scalar-columned; the array-returning [[pcaProject]]
     * stays as the library seam the IVF/semantic paths compose on.
     * posexplode is a stateless generator over the already-computed rows —
-    * no extra shuffle, same single corpus pass.
+    * no extra shuffle, and the explode rides [[pcaProjectRaw]] so the
+    * (vec_id, component) sort here is the plan's ONLY full sort (the
+    * array form's own orderBy would be a second one for nothing).
     */
   def pcaProjectLong(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
-    pcaProject(s, dir, k)
+    pcaProjectRaw(s, dir, k)
       .select($"vec_id", posexplode($"proj").as(Seq("component", "coordinate")))
       .select($"vec_id", $"component".cast("long").as("component"),
         $"coordinate")
