@@ -185,9 +185,13 @@ object ScaleProbe {
     "q_srp_recall", "q_pca_project",
     "q_embed_quantize", "q_quantize_recall", "q_ivf_balance",
     // round 17: all four read ONLY the embeddings table (clip variants,
-    // the label rollup over the cell CC, the PCA+int8 composition)
+    // the label rollup over the cell CC, the PCA+int8 composition).
+    // q_label_token_yield is mixed (CC over 4x-embeddings + a linear
+    // 10x-documents token join); F=4 is the conservative label — the
+    // dominant-cost CC input grows 4x, and a larger F would only
+    // understate the exponent
     "q_embed_quantize_clip", "q_quantize_recall_clip", "q_label_dup_rate",
-    "q_pca_quantize_recall")
+    "q_pca_quantize_recall", "q_label_token_yield")
 
   /** Key-shifted K-fold replication of every sf0.1 table into outRoot. */
   def generate(spark: SparkSession, src: String, outRoot: String): Unit = {

@@ -224,6 +224,11 @@ object SparkEntry {
     // the recursive-CTE closure class)
     "q_label_dup_rate" ->
       ((s: SparkSession, d: String) => VectorOps.labelDupRate(s, d)),
+    // round 17: the planning composition — per-label token mass before/
+    // after semantic dedup (ORACLE-backed: shared closure + shared
+    // string_split token convention)
+    "q_label_token_yield" ->
+      ((s: SparkSession, d: String) => VectorOps.labelTokenYield(s, d)),
     // round 17: PCA-then-quantize composition audit (no SQL oracle —
     // the eigendecomposition exemption upstream; spec pins the
     // zero-mean lossless fixture, bounds, determinism)
@@ -1303,6 +1308,7 @@ object SparkEntry {
     "q_embed_quantize_clip" -> VectorOps.embedQuantizeClipOracle(),
     "q_quantize_recall_clip" -> VectorOps.quantizeRecallClipOracle(),
     "q_label_dup_rate" -> VectorOps.labelDupRateOracle,
+    "q_label_token_yield" -> VectorOps.labelTokenYieldOracle,
     "q_cluster_purity" -> VectorOps.clusterPurityOracle,
     "q_eval_leakage" -> DedupOps.evalLeakageOracle,
     "q_minhash_est" -> DedupOps.minhashEstOracle,

@@ -1743,6 +1743,88 @@ object VectorOps {
       .orderBy($"label")
   }
 
+  /** Per-label post-dedup TOKEN YIELD (q_label_token_yield, round 17 —
+    * the planning composition over [[labelDupRate]]): per label, the
+    * document/token mass BEFORE and AFTER semantic dedup — docs,
+    * total tokens, kept docs (cluster canonicals + everything
+    * unclustered), kept tokens, and yield = tokens_kept/tokens_total.
+    * [[labelDupRate]] says which class is duplicated; THIS prices it
+    * in the unit training actually budgets (tokens) — the number that
+    * feeds an epoch plan (`q_epoch_plan`) or a token budget
+    * (`q_token_budget`) run post-dedup: a label with yield 0.7 brings
+    * 30% fewer tokens to the mix than its raw share suggests.
+    *
+    * Tokens = `size(split(text, ' '))`, the corpus-wide whitespace
+    * convention every token surface shares. Documents join embeddings
+    * on the shared id space (the graded corpora are 1:1); keep =
+    * `semanticClustersCell`'s canonical rule (cluster_id == vec_id),
+    * unclustered vectors keep implicitly.
+    *
+    * Shape: the graded CC (edge-sized — the scale argument lives
+    * there) + one id-keyed join of (id, n_tokens) scalars against the
+    * dropped set; label-grain group rows after that. Raw text never
+    * shuffles — n_tokens is computed at the documents scan.
+    */
+  def labelTokenYield(s: SparkSession, dir: String,
+                      threshold: Double = 0.4, nassign: Int = 5)
+  : DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id".as("vec_id"),
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+    val lab = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"))
+    val dropped = semanticClustersCell(s, dir, threshold, nassign)
+      .filter(!$"keep").select($"vec_id").withColumn("drop", lit(true))
+    lab.join(toks, "vec_id")
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("tokens_total"),
+        count(when($"drop".isNull, 1)).as("n_kept"),
+        sum(when($"drop".isNull, $"n_tokens").otherwise(0L))
+          .as("tokens_kept"))
+      .select($"label", $"n_docs", $"tokens_total", $"n_kept",
+        $"tokens_kept",
+        round($"tokens_kept".cast("double") / $"tokens_total", 4)
+          .as("token_yield"))
+      .orderBy($"label")
+  }
+
+  /** Oracle for [[labelTokenYield]] — the shared recursive-CC closure,
+    * the shared `string_split` token convention, the canonical-keep
+    * rule expressed as vec_id <> cluster_id over the CC members.
+    */
+  val labelTokenYieldOracle: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS da, b.vec_id AS db
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])) >= 0.4),
+      |edges AS (SELECT da AS src, db AS dst FROM pairs
+      |  UNION ALL SELECT db, da FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+      |reach(vec_id, root) AS (
+      |  SELECT vec_id, vec_id FROM nodes
+      |  UNION
+      |  SELECT e.src, r.root FROM edges e JOIN reach r ON e.dst = r.vec_id),
+      |m AS (SELECT min(root) AS cluster_id, vec_id
+      |  FROM reach GROUP BY vec_id),
+      |dropped AS (SELECT vec_id FROM m WHERE vec_id <> cluster_id),
+      |base AS (SELECT CAST(e.label AS BIGINT) AS label,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |    CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+      |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      |  LEFT JOIN dropped dr ON e.vec_id = dr.vec_id)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS tokens_kept,
+      |  ROUND(CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END)
+      |      AS DOUBLE) / SUM(n_tokens), 4) AS token_yield
+      |FROM base GROUP BY 1 ORDER BY label""".stripMargin
+
   /** Oracle for [[labelDupRate]] — the same recursive-CC closure as
     * [[clusterPurityOracle]], rolled up per label against the full
     * label spine.

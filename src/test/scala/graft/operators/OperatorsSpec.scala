@@ -3586,6 +3586,46 @@ class OperatorsSpec extends SparkSpec {
       out.map { case (a, b, c, d, e, f) => s"[$a,$b,$c,$d,$e,$f]" }.toSeq)
   }
 
+  test("per-label token yield reconciles with the keep-list and the " +
+    "corpus token counts; kept mass is a subset; a dup-free label " +
+    "yields exactly 1.0") {
+    import spark.implicits._
+    val out = VectorOps.labelTokenYield(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val toks = Tables(spark, sfTest, "documents").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text").split(" ", -1).length.toLong)).toMap
+    val labels = Tables(spark, sfTest, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Number]("label").longValue))
+    val droppedIds = VectorOps.semanticClustersCell(spark, sfTest)
+      .filter(!col("keep")).select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    out.foreach { case (label, nDocs, tTot, nKept, tKept, yld) =>
+      val members = labels.filter(_._2 == label).map(_._1)
+        .filter(toks.contains)
+      assert(nDocs == members.length.toLong)
+      assert(tTot == members.map(toks).sum)
+      val kept = members.filterNot(droppedIds)
+      assert(nKept == kept.length.toLong,
+        s"label $label kept: $nKept vs ${kept.length}")
+      assert(tKept == kept.map(toks).sum)
+      assert(tKept <= tTot && nKept <= nDocs)
+      assert(math.abs(yld -
+        math.rint(tKept.toDouble / tTot * 1e4) / 1e4) < 1e-9)
+      if (members.forall(id => !droppedIds(id)))
+        assert(yld == 1.0, s"dup-free label $label must yield 1.0")
+    }
+    // conservation across labels: dropped token mass = the corpus total
+    // minus Σ kept
+    assert(out.map(_._3).sum - out.map(_._5).sum ==
+      droppedIds.toSeq.filter(toks.contains).map(toks).sum)
+    assert(VectorOps.labelTokenYield(spark, sfTest).collect()
+      .map(_.toString).toSeq ==
+      out.map { case (a, b, c, d, e, f) => s"[$a,$b,$c,$d,$e,$f]" }.toSeq)
+  }
+
   test("percentile-clipped int8: clipQ=1.0 degenerates to the max " +
     "rule, an injected outlier moves the clipped scale to the body " +
     "and is counted by n_sat, and the graded default differs from " +
