@@ -234,6 +234,18 @@ object SparkEntry {
     // zero-mean lossless fixture, bounds, determinism)
     "q_pca_quantize_recall" ->
       ((s: SparkSession, d: String) => VectorOps.pcaQuantizeRecall(s, d)),
+    // round 18: IVF-SERVED retrieval-impact audit — recall@k of a real
+    // VectorIndex probe over the compressed representations vs exact
+    // float truth (no SQL oracle — the k-means/index exemption; spec
+    // pins probe ≡ exact brute force over the same rep at nprobe=nlist)
+    "q_ivf_served_recall" ->
+      ((s: SparkSession, d: String) => VectorOps.ivfServedRecall(s, d)),
+    // round 18: POST-DEDUP epoch plan — q_epoch_plan's temperature
+    // machinery over q_label_token_yield's kept-token masses
+    // (ORACLE-backed: both parents are, and the composition reuses
+    // their proven arithmetic verbatim)
+    "q_epoch_plan_dedup" ->
+      ((s: SparkSession, d: String) => VectorOps.epochPlanDedup(s, d)),
     // round 16: IVF cell-balance audit (no SQL oracle — the k-means
     // exemption; spec pins conservation, shares, the saturation law)
     "q_ivf_balance" ->
@@ -1309,6 +1321,7 @@ object SparkEntry {
     "q_quantize_recall_clip" -> VectorOps.quantizeRecallClipOracle(),
     "q_label_dup_rate" -> VectorOps.labelDupRateOracle,
     "q_label_token_yield" -> VectorOps.labelTokenYieldOracle,
+    "q_epoch_plan_dedup" -> VectorOps.epochPlanDedupOracle,
     "q_cluster_purity" -> VectorOps.clusterPurityOracle,
     "q_eval_leakage" -> DedupOps.evalLeakageOracle,
     "q_minhash_est" -> DedupOps.minhashEstOracle,

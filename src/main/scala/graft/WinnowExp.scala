@@ -67,10 +67,30 @@ object WinnowExp {
         .groupBy($"da", $"db").agg(count(lit(1)).as("n_shared"))
         .filter($"n_shared" >= DedupOps.DefaultWinnowMinShared)
     }
+    // the r13–r17 form (count window + collect_list inside the fp
+    // exchange), inlined over the CURRENT winnowFps so the r18
+    // bounded-hash-agg rewrite is isolated to the one changed stage
+    def winPairs = {
+      import spark.implicits._
+      DedupOps.winnowFps(spark, sfDir, w)
+        .withColumn("nd", count(lit(1)).over(byFp))
+        .filter($"nd" >= 2 && $"nd" <= DedupOps.DefaultMaxShingleDf)
+        .groupBy($"fp")
+        .agg(sort_array(collect_list($"doc_id")).as("ds"))
+        .select(explode(expr(
+          """flatten(transform(ds, (a, i) ->
+            |  transform(slice(ds, i + 2, size(ds)), b ->
+            |    struct(a AS da, b AS db))))""".stripMargin)).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= DedupOps.DefaultWinnowMinShared)
+        .orderBy(col("da"), col("db"))
+    }
     for (round <- 1 to 3) {
       time(s"old_fps_$round", oldFps.count())
       time(s"new_fps_$round", DedupOps.winnowFps(spark, sfDir, w).count())
       time(s"old_pairs_$round", oldPairs.count())
+      time(s"win_pairs_$round", winPairs.count())
       time(s"new_pairs_$round", DedupOps.winnowPairs(spark, sfDir).count())
     }
     spark.stop()

@@ -29,15 +29,30 @@ object VectorIndex {
     * Returns the centroid count actually written.
     */
   def buildIvf(s: SparkSession, dir: String, indexPath: String,
-               nlist: Int = 0, sampleN: Int = 512): Int = {
+               nlist: Int = 0, sampleN: Int = 512): Int =
+    // same quantizer resolution as annIvf (same auto-sizing rule, same
+    // lowest-id bounded sample), so a default build probes identically
+    // to the default in-memory query — the VectorIndexSpec equivalence
+    // depends on the two agreeing
+    buildIvfFrom(s, VectorOps.vectorsParallel(s, dir), indexPath,
+      nlist, sampleN)
+
+  /** [[buildIvf]] over an arbitrary (vec_id, vector) dataset — the seam
+    * that lets an index serve a DERIVED representation (int8-dequantized,
+    * PCA-projected) instead of the raw corpus column: the serving deploy
+    * [[VectorOps.ivfServedRecall]] audits stores exactly such a
+    * representation. Same deterministic sample-trained quantizer
+    * ([[VectorOps.resolveQuantizerOf]]), same hive-partitioned layout.
+    */
+  def buildIvfFrom(s: SparkSession,
+                   vectors: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                   indexPath: String, nlist: Int = 0,
+                   sampleN: Int = 512): Int = {
     import s.implicits._
-    // same resolveQuantizer as annIvf, so a default build probes
-    // identically to the default in-memory query — the VectorIndexSpec
-    // equivalence depends on the two agreeing
-    val (_, centroids, _) = VectorOps.resolveQuantizer(
-      s, dir, nlist, sampleN, VectorOps.autoNlist)
+    val (_, centroids) = VectorOps.resolveQuantizerOf(
+      vectors, nlist, sampleN, VectorOps.autoNlist)
     val bcCent = s.sparkContext.broadcast(centroids)
-    VectorOps.vectorsParallel(s, dir)
+    vectors
       .map { case (id, vf) =>
         val v = vf.map(_.toDouble)
         val cent = bcCent.value

@@ -103,6 +103,10 @@ private[streaming] object MaintCore {
   def recover(s: SparkSession, path: String, subs: Seq[String]): Unit = {
     val fs = new Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // a `.tmp` sentinel is a [[sealGroup]] that crashed before its
+    // atomic rename — pre-commit-point by definition, discard it (the
+    // no-marker branch below then discards its orphan stages too)
+    fs.delete(new Path(s"$path/$SealCommitMarker.tmp"), false)
     val marker = new Path(s"$path/$SealCommitMarker")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
@@ -146,6 +150,7 @@ private[streaming] object MaintCore {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     // discard leftovers of a crashed pre-sentinel attempt
     fs.delete(new Path(s"$path/$SealCommitMarker"), false)
+    fs.delete(new Path(s"$path/$SealCommitMarker.tmp"), false)
     for ((sub, _) <- parts)
       fs.delete(new Path(s"$path/$sub.staged"), true)
     // stage everything first — live dirs (and so every input the
@@ -154,10 +159,21 @@ private[streaming] object MaintCore {
       df.withColumn("batch_id", lit(-1L))
         .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
         .parquet(s"$path/$sub.staged")
-    val out = fs.create(new Path(s"$path/$SealCommitMarker"), true)
+    // the sentinel is the COMMIT POINT, so its member list must appear
+    // atomically: a create/write/close crashing mid-write would leave a
+    // prefix-truncated list that recover's commitStaged would happily
+    // swap PARTIALLY (e.g. sizes+assign without merges — the exact
+    // mixed state this group seal exists to prevent, r17 advice).
+    // Write to a `.tmp` sibling and rename into place — the same
+    // atomic primitive the per-dir seal swap already relies on; a
+    // crash before the rename leaves only the inert `.tmp`, which
+    // recover and the pre-clean above treat as pre-sentinel garbage.
+    val tmp = new Path(s"$path/$SealCommitMarker.tmp")
+    val out = fs.create(tmp, true)
     try out.write(parts.map(_._1).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.rename(tmp, new Path(s"$path/$SealCommitMarker"))
     commitStaged(fs, path, parts.map(_._1))
   }
 

@@ -3626,6 +3626,58 @@ class OperatorsSpec extends SparkSpec {
       out.map { case (a, b, c, d, e, f) => s"[$a,$b,$c,$d,$e,$f]" }.toSeq)
   }
 
+  test("post-dedup epoch plan runs the temperature machinery over the " +
+    "kept-token masses (driver recompute), allocates the whole " +
+    "kept-corpus budget up to share rounding, and keeps the cap " +
+    "identities") {
+    import spark.implicits._
+    val out = VectorOps.epochPlanDedup(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5), r.getLong(6), r.getLong(7))).toSeq
+    // parent masses: q_label_token_yield's kept tokens per label
+    val kept = VectorOps.labelTokenYield(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSeq.sortBy(_._1)
+    val w6 = kept.map { case (label, tk) =>
+      (label, tk, BigDecimal(roundHalfUp(math.pow(tk.toDouble, 0.7), 6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val sumW = w6.map(_._3).sum.toDouble
+    val tot = kept.map(_._2).sum
+    val expected = w6.map { case (label, tk, w) =>
+      val p = roundHalfUp(w.toDouble / sumW, 6)
+      val target = math.floor(p * tot).toLong
+      (label, tk, p, target, roundHalfUp(target.toDouble / tk, 4),
+        target > tk * 4, math.min(target, tk * 4),
+        math.max(target - tk * 4, 0L))
+    }
+    assert(out == expected, "plan diverges from the recompute")
+    // the plan allocates the whole POST-DEDUP budget up to rounding —
+    // the raw-mass q_epoch_plan would allocate Σ tokens_total instead
+    assert(math.abs(out.map(_._4).sum - tot) <= out.length)
+    out.foreach { case (_, _, _, target, _, capped, eff, short) =>
+      assert(capped == (short > 0))
+      assert(eff + short == target)
+    }
+  }
+
+  test("clipScalesOf rejects an out-of-domain clipQ loudly (r17 " +
+    "advice): outside (0, 1] the rank matches no row and every dim " +
+    "would silently vanish from the scales frame") {
+    import spark.implicits._
+    for (badQ <- Seq(0.0, -0.5, 1.5)) {
+      val e = intercept[IllegalArgumentException] {
+        VectorOps.embedQuantizeClip(spark, sfTest, clipQ = badQ).collect()
+      }
+      assert(e.getMessage.contains("clipQ"), s"$badQ: ${e.getMessage}")
+      // the oracle builder mirrors the bound — a desynchronized guard
+      // would let an out-of-range oracle "agree" by vacuous emptiness
+      val o = intercept[IllegalArgumentException] {
+        VectorOps.quantizeRecallClipOracle(clipQ = badQ)
+      }
+      assert(o.getMessage.contains("clipQ"), s"$badQ: ${o.getMessage}")
+    }
+  }
+
   test("percentile-clipped int8: clipQ=1.0 degenerates to the max " +
     "rule, an injected outlier moves the clipped scale to the body " +
     "and is counted by n_sat, and the graded default differs from " +

@@ -165,4 +165,77 @@ class VectorIndexSpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq,
       s"batched probe diverged:\n got ${b.take(5).toSeq}\n exp ${a.take(5).toSeq}")
   }
+
+  test("ivf-served recall audit: at nprobe = nlist the probe is a full " +
+    "scan through the index and per-anchor int8 recall matches the " +
+    "driver recompute exactly — so any sub-1.0 recall at the deploy " +
+    "config is genuinely representation + candidate loss") {
+    import spark.implicits._
+    def rhu(x: Double, sc: Int) = BigDecimal(x)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = 10
+    // nprobe far above the auto-sized nlist (16 at the fixture): every
+    // cell is probed, so the served candidate set is the whole corpus
+    // through the index path — candidate loss is zero BY CONSTRUCTION
+    // and the report isolates pure representation loss
+    val full = VectorOps.ivfServedRecall(spark, sfTest, k = k,
+      nprobe = 4096).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val vecs = Tables(spark, sfTest, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val d = vecs.head._2.length
+    val scales = (0 until d).map(i =>
+      vecs.iterator.map(v => math.abs(v._2(i).toDouble)).max).toArray
+    def dq(x: Float, s: Double): Double =
+      if (s == 0.0) 0.0
+      else math.max(math.min(
+        rhu(x.toDouble / s * 127.0, 0), 127.0), -127.0) / 127.0 * s
+    // the stored representation is float32 — replicate the cast, then
+    // score in double exactly as the codegen'd cosine does
+    val rep = vecs.map { case (id, v) =>
+      (id, v.indices.map(i => dq(v(i), scales(i)).toFloat.toDouble).toArray)
+    }
+    val orig = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }
+    def ssq(v: Array[Double]) = v.map(x => x * x).sum
+    val live = orig.filter { case (id, v) => ssq(v) > 0.0 &&
+      ssq(rep.find(_._1 == id).get._2) > 0.0 }.map(_._1).toSet
+    val anchors = live.filter(_ % 50 == 0).toSeq.sorted
+    def topk(space: Map[Long, Array[Double]], q: Long) =
+      space.keysIterator.filter(b => b != q && live(b)).toSeq
+        .map(b => (b, VectorOps.cosine(space(q), space(b))))
+        .sortBy { case (b, s) => (-s, b) }.take(k).map(_._1).toSet
+    val origM = orig.toMap
+    val repM = rep.toMap
+    val int8Full = full.filter(_._1 == "int8")
+    assert(int8Full.map(_._2).toSeq == anchors,
+      "anchor spine must be the live stride ids")
+    int8Full.foreach { case (_, q, nK, nOv, rec) =>
+      val truth = topk(origM, q)
+      val served = topk(repM, q)
+      assert(nK == k.toLong, s"anchor $q: n_k $nK")
+      assert(nOv == (truth & served).size.toLong,
+        s"anchor $q: overlap $nOv vs ${(truth & served).size}")
+      assert(rec == rhu(nOv.toDouble / k, 4))
+    }
+    // deploy config: both representations reported, spine and bounds
+    // hold, and the audit is deterministic end-to-end (fresh index
+    // build + probe both times)
+    val dep = VectorOps.ivfServedRecall(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(dep.map(_._1).distinct.sorted.toSeq == Seq("int8", "pca8_int8"))
+    dep.groupBy(_._1).foreach { case (rp, rows) =>
+      assert(rows.map(_._2).toSeq == anchors, s"$rp anchor spine")
+      rows.foreach { case (_, q, nK, nOv, rec) =>
+        assert(nK == k.toLong && nOv >= 0L && nOv <= nK, s"$rp $q")
+        assert(rec >= 0.0 && rec <= 1.0 && rec == rhu(nOv.toDouble / k, 4))
+      }
+    }
+    val dep2 = VectorOps.ivfServedRecall(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(dep2.toSeq == dep.toSeq, "served audit must be deterministic")
+  }
 }

@@ -1735,6 +1735,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(MaintCore.readMerges(spark, sp).count() == 0L,
       "mid-swap recovery must complete the remaining family")
     assert(!fs.exists(hp(s"$sp/SEAL_COMMIT")))
+    // window 4 (r18, the r17-advice hole): crash MID-SENTINEL-WRITE.
+    // The sentinel is now staged as SEAL_COMMIT.tmp and renamed into
+    // place atomically, so the only possible crash artifact is the
+    // .tmp — here deliberately PREFIX-TRUNCATED (naming only one of the
+    // two staged families, the exact mixed-swap recipe a non-atomic
+    // create/write/close could have committed). recover must treat it
+    // as pre-sentinel: live state untouched, BOTH stages and the tmp
+    // discarded — never a partial swap from a half-written member list.
+    stage("assign", Seq((7L, 7L)).toDF("doc_id", "cluster_id"))
+    stage("merges", Seq((3L, 7L)).toDF("old_id", "new_id"))
+    val tmpOut = fs.create(hp(s"$sp/SEAL_COMMIT.tmp"), true)
+    try tmpOut.write("assign".getBytes("UTF-8")) // truncated: merges lost
+    finally tmpOut.close()
+    assert(assignSet == Set((1L, 3L), (2L, 3L), (3L, 3L)),
+      "a half-written sentinel must not publish anything")
+    assert(MaintCore.readMerges(spark, sp).count() == 0L,
+      "a half-written sentinel must not swap any family")
+    assert(!fs.exists(hp(s"$sp/SEAL_COMMIT.tmp")) &&
+      !fs.exists(hp(s"$sp/assign.staged")) &&
+      !fs.exists(hp(s"$sp/merges.staged")),
+      "recover must discard the tmp sentinel and its orphan stages")
   }
 
   test("semantic requantize: a drifted corpus recovers candidate recall " +

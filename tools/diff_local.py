@@ -54,7 +54,7 @@ def canon(df):
             df[c] = df[c].astype('float64')
         elif pd.api.types.is_datetime64_any_dtype(dt):
             df[c] = df[c].astype('datetime64[us]').astype(str)
-        elif dt == object and df[c].map(
+        elif dt == object and df[c].notna().any() and df[c].map(
                 lambda v: v is None or type(v).__name__ in
                 ('date', 'datetime', 'Timestamp')).all():
             df[c] = pd.to_datetime(df[c]).astype('datetime64[us]').astype(str)
