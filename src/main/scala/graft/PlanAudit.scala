@@ -63,8 +63,17 @@ object PlanAudit {
     "q_pca_quantize_recall", // the shared topkOverlapReport tail:
                              // corpus sim scan × the bounded broadcast
                              // anchor slice (the quantize_recall class)
-    "q_ivf_balance" // nlist-row cell spine × the 1-row
-                    // (n_total, pair_cost) aggregate
+    "q_ivf_balance", // nlist-row cell spine × the 1-row
+                     // (n_total, pair_cost) aggregate
+    "q_epoch_plan_dedup", // per-label rows × 1-row normalizer (the
+                          // q_epoch_plan shape over post-dedup masses)
+    "q_ivf_served_recall" // truth side = the quantize_recall
+                          // broadcast-anchor sim scan (bounded side);
+                          // the audit's REPORT materializes eagerly
+                          // (localCheckpoint before the temp index is
+                          // deleted), so the graded plan the sweep sees
+                          // is the checkpoint scan — this entry
+                          // documents the interior join it rode
   )
 
   def main(args: Array[String]): Unit = {

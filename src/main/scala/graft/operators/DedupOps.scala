@@ -2214,8 +2214,13 @@ object DedupOps {
     * true posting list. Pairs are then generated inside the array
     * domain (`transform` over the ≤ maxDf list) and aggregated on
     * (da, db) — the old a×b self-join's second probe stays deleted.
-    * Measured interleaved in one JVM (WinnowExp r18): the hash-agg
-    * form beats the window form on every round at sf0.1.
+    * Measured interleaved in one JVM (WinnowExp r18, TIMEQ_r18.json):
+    * warm medians at parity with the window form — at sf0.1 both are
+    * floor-dominated (the ~0.42 s md5 gram-scan selection + two
+    * semantic exchanges) — with a faster cold round; the win is
+    * structural, and it is what matters at 100 TB: no sort of the
+    * selection output, and bounded state instead of a spillable sort
+    * under a boilerplate fingerprint.
     */
   def winnowPairs(s: SparkSession, dir: String, w: Int = DefaultWinnowW,
                   minShared: Int = DefaultWinnowMinShared,
