@@ -67,13 +67,18 @@ object PlanAudit {
                      // (n_total, pair_cost) aggregate
     "q_epoch_plan_dedup", // per-label rows × 1-row normalizer (the
                           // q_epoch_plan shape over post-dedup masses)
-    "q_ivf_served_recall" // truth side = the quantize_recall
-                          // broadcast-anchor sim scan (bounded side);
-                          // the audit's REPORT materializes eagerly
-                          // (localCheckpoint before the temp index is
-                          // deleted), so the graded plan the sweep sees
-                          // is the checkpoint scan — this entry
-                          // documents the interior join it rode
+    "q_ivf_served_recall", // truth side = the quantize_recall
+                           // broadcast-anchor sim scan (bounded side);
+                           // the audit's REPORT materializes eagerly
+                           // (localCheckpoint before the temp index is
+                           // deleted), so the graded plan the sweep sees
+                           // is the checkpoint scan — this entry
+                           // documents the interior join it rode
+    "q_ivf_served_recall_clip" // the same ivfServedRecallScaled body as
+                               // q_ivf_served_recall — only the d-row
+                               // scale rule differs (clipScalesOf); the
+                               // interior joins and eager checkpoint
+                               // are documented one entry up
   )
 
   def main(args: Array[String]): Unit = {

@@ -240,6 +240,12 @@ object SparkEntry {
     // pins probe ≡ exact brute force over the same rep at nprobe=nlist)
     "q_ivf_served_recall" ->
       ((s: SparkSession, d: String) => VectorOps.ivfServedRecall(s, d)),
+    // round 19: the CLIP-rule leg of the served audit — completes the
+    // 2×2 matrix {max, clip} × {int8, pca8+int8} (no SQL oracle — same
+    // k-means/index exemption and probe-≡-brute-force spec pin as
+    // q_ivf_served_recall; only the per-dim scale rule differs)
+    "q_ivf_served_recall_clip" ->
+      ((s: SparkSession, d: String) => VectorOps.ivfServedRecallClip(s, d)),
     // round 18: POST-DEDUP epoch plan — q_epoch_plan's temperature
     // machinery over q_label_token_yield's kept-token masses
     // (ORACLE-backed: both parents are, and the composition reuses

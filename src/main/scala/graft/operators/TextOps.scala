@@ -595,13 +595,28 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** TF-IDF term weighting: for every document its top-3 terms. The
-    * token stream explodes and aggregates ONCE into (doc, term, tf) rows
-    * (plan-spec-pinned); document frequency is then an unbounded-frame
+  /** TF-IDF term weighting: for every document its top-3 terms.
+    *
+    * Term frequency needs NO shuffle at all: every token of a document
+    * lives in that document's own `text` value, so (doc, term, tf) rows
+    * are a per-row computation — sort the token array, take the run
+    * starts (`filter` over positions, null-safe `get` comparison with
+    * the predecessor), emit one (term, runLength) struct per run
+    * (`transform` reading the next start), explode. All codegen'd
+    * higher-order functions; run-length over a sorted array ≡ group-and-
+    * count, so the rows are identical to the explode + hash-aggregate
+    * form (TIMEQ_r19 pins both EXCEPT directions empty) at a third of
+    * its cost — the r13–r18 form paid a full (doc, term)-pairs exchange
+    * for the aggregate (0.26 s → 0.09 s isolated-warm to the same 116k
+    * rows at sf0.1). Document frequency is then an unbounded-frame
     * `count over (partition by term)` window on those rows — the same
-    * shuffle volume as a per-term aggregate, but with no second explode
-    * leg and no join to glue df back on. The per-doc top-3 is the usual
-    * rank window (WindowGroupLimit pushes the k-cut map-side).
+    * shuffle volume as a per-term aggregate with no second scan leg and
+    * no join to glue df back on (a broadcast-df variant measured WORSE:
+    * the optimizer prunes the df branch's inner aggregate differently,
+    * canonical equality breaks, ReuseExchange can't serve it, and the
+    * corpus is scanned twice — TIMEQ_r19's bhj rows). The per-doc top-3
+    * is the usual rank window (WindowGroupLimit pushes the k-cut
+    * map-side).
     *
     * Determinism across engines: ranking uses the LINEAR-idf score
     * `tf · (n_docs / df)` — one IEEE division and one multiply of small
@@ -609,15 +624,24 @@ object TextOps {
     * break, so the top-3 cut can never flip on a transcendental's last
     * ulp. The conventional `tf · ln(n/df)` is reported alongside rounded
     * to 4 decimals (display only; both engines' `ln` agree far beyond 4
-    * places). At 100 TB: only distinct (doc, term) pairs cross the two
-    * shuffles (by term for df, by doc for the rank), never raw tokens.
+    * places). At 100 TB: raw tokens never leave their input row — the
+    * corpus-wide cost is TWO exchanges of distinct (doc, term) pairs
+    * (by term for df, by doc for the rank; the plan spec pins the
+    * count), each Heaps'-law-sublinear in token volume.
     */
   def tfidf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import s.implicits._
     val tf = docs(s, dir)
-      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
-      .groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"))
+      .where($"text".isNotNull)
+      .select($"doc_id", array_sort(split(lower($"text"), " ")).as("ts"))
+      .select($"doc_id", $"ts",
+        filter(sequence(lit(1), size($"ts")),
+          i => !(get($"ts", i - 1) <=> get($"ts", i - 2))).as("st"))
+      .select($"doc_id", explode(transform($"st", (st, j) =>
+        struct(get($"ts", st - 1).as("term"),
+          (coalesce(get($"st", j + 1), size($"ts") + 1) - st)
+            .cast("long").as("tf")))).as("p"))
+      .select($"doc_id", $"p.term".as("term"), $"p.tf".as("tf"))
     // doc_id is the documents PK, so n_docs is a plain count — no
     // distinct shuffle needed; 1-row broadcast
     val nDocs = docs(s, dir).select(count(lit(1)).as("n_docs"))

@@ -983,86 +983,94 @@ object VectorOps {
     *
     * Scale shape: one bounded-sample quantizer train per representation,
     * one assignment pass (n·nlist codegen'd cosines) + one cell-keyed
-    * shuffle for the build; the truth side is the shared
-    * anchors-broadcast single pass ([[topkOverlapReport]]'s discipline);
-    * the probe reads ONLY the nprobe·|anchors| distinct cell partitions
-    * (partition-pruned — at 100 TB the other cells never leave object
-    * storage). Anchor rows are the only driver-adjacent materialization.
+    * shuffle for the build; the probe reads ONLY the nprobe·|anchors|
+    * distinct cell partitions (partition-pruned — at 100 TB the other
+    * cells never leave object storage). Anchor rows are the only
+    * driver-adjacent materialization.
+    *
+    * The exact-float truth pass (anchors-broadcast single pass,
+    * [[topkOverlapReport]]'s discipline) depends only on `vf`, never on
+    * a representation, so it runs ONCE and both reps' overlap rollups
+    * consume the same checkpointed top-k (r18 verdict: the per-rep form
+    * paid the most expensive leg of the audit twice). Corollary on the
+    * pools: truth candidates and the anchor spine are the FLOAT-live
+    * vectors (‖vf‖ > 0); a vector whose compressed form is zero-norm
+    * has no direction to index or probe, so it stays out of that rep's
+    * index (and a zero-vq anchor retrieves nothing → recall 0) while
+    * the truth side still counts it — that deficit is genuine
+    * representation loss, not an audit exclusion.
     */
   def ivfServedRecall(s: SparkSession, dir: String, k: Int = 10,
                       stride: Int = 50, nprobe: Int = 4,
-                      pcaK: Int = 8): DataFrame = {
+                      pcaK: Int = 8): DataFrame =
+    ivfServedRecallScaled(s, dir, maxScalesOf, "", k, stride, nprobe, pcaK)
+
+  /** The CLIP-rule leg of the served audit (q_ivf_served_recall_clip,
+    * round 19 — VERDICT r18 item 6): [[ivfServedRecall]] with every
+    * per-dim scale drawn from [[clipScalesOf]] instead of the max rule,
+    * completing the 2×2 served-audit matrix {max, clip} × {int8,
+    * pca8+int8}. [[quantizeRecallClip]] prices the clip trade under
+    * exact SCAN retrieval; this is the same trade priced through the
+    * real serving path, where the saturation the clip rule accepts and
+    * the IVF candidate loss COMPOSE. Representations are tagged
+    * `int8_clip` / `pca8_int8_clip`; scale shape, truth sharing and the
+    * probe ≡ brute-force spec obligation are [[ivfServedRecall]]'s,
+    * verbatim (the scale rule is the only moving part — the
+    * [[embedQuantizeScaled]] discipline).
+    */
+  def ivfServedRecallClip(s: SparkSession, dir: String,
+                          clipQ: Double = 0.99, k: Int = 10,
+                          stride: Int = 50, nprobe: Int = 4,
+                          pcaK: Int = 8): DataFrame =
+    ivfServedRecallScaled(s, dir, clipScalesOf(_, clipQ), "_clip",
+      k, stride, nprobe, pcaK)
+
+  private def ivfServedRecallScaled(s: SparkSession, dir: String,
+                                    scaleRule: DataFrame => DataFrame,
+                                    repSuffix: String, k: Int,
+                                    stride: Int, nprobe: Int,
+                                    pcaK: Int): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
-    // int8 max-rule dequantized rep — the quantizeRecall formula
-    val scaleArr = maxScalesOf(e
+    // int8 dequantized rep under the caller's scale rule — the
+    // quantizeRecall / quantizeRecallClip formula
+    val scaleArr = scaleRule(e
         .select(posexplode($"embedding").as(Seq("dim", "xf")))
         .select($"dim".cast("long").as("dim"),
           $"xf".cast("double").as("x")))
       .agg(transform(array_sort(collect_list(struct($"dim", $"scale"))),
         c => c.getField("scale")).as("scales"))
-    val int8Both = e.crossJoin(broadcast(scaleArr))
+    val int8 = e.crossJoin(broadcast(scaleArr))
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("vf"),
         zip_with($"embedding", $"scales",
-          (x, sc) => dequantizeInt8(x, sc)).as("vq"))
-    val int8Report = servedRecallOf(int8Both, "int8", k, stride, nprobe)
-    // pca→int8 composed rep — the pcaQuantizeRecall formula
+          (x, sc) => dequantizeInt8(x, sc)).as("vq_int8"))
+    // pca→int8 composed rep — the pcaQuantizeRecall formula, scales
+    // drawn from the SAME rule over the projected coordinates
     val proj = pcaProjectRaw(s, dir, pcaK).select($"vec_id", $"proj")
-    val pcaReport =
-      if (proj.isEmpty)
-        Seq.empty[(String, Long, Long, Long, Double)]
-          .toDF("rep", "q_id", "n_k", "n_overlap", "recall_at_k")
+    val hasPca = !proj.isEmpty
+    val reps =
+      if (!hasPca) int8
       else {
-        val pcaScales = proj
-          .select(posexplode($"proj").as(Seq("dim", "x")))
-          .groupBy($"dim").agg(max(abs($"x")).as("scale"))
+        val pcaScales = scaleRule(proj
+            .select(posexplode($"proj").as(Seq("dim", "x"))))
           .agg(transform(array_sort(collect_list(struct($"dim", $"scale"))),
             c => c.getField("scale")).as("scales"))
-        servedRecallOf(
-          e.select($"vec_id",
-              transform($"embedding", x => x.cast("double")).as("vf"))
-            .join(proj, "vec_id").crossJoin(broadcast(pcaScales))
-            .select($"vec_id", $"vf",
-              zip_with($"proj", $"scales",
-                (x, sc) => dequantizeInt8(x, sc)).as("vq")),
-          s"pca${pcaK}_int8", k, stride, nprobe)
+        int8.join(proj, "vec_id").crossJoin(broadcast(pcaScales))
+          .select($"vec_id", $"vf", $"vq_int8",
+            zip_with($"proj", $"scales",
+              (x, sc) => dequantizeInt8(x, sc)).as("vq_pca"))
       }
-    int8Report.unionByName(pcaReport).orderBy($"rep", $"q_id")
-  }
-
-  /** The served-recall tail [[ivfServedRecall]] runs per representation:
-    * `both` is (vec_id, vf double-exact truth rep, vq compressed rep);
-    * build a [[VectorIndex]] over float32(vq), probe it with the anchor
-    * set's own stored vectors at the deploy config, and report per-anchor
-    * overlap with the exact-float top-k. Zero-norm exclusion and the
-    * anchors-frame rollup spine follow [[topkOverlapReport]] exactly; the
-    * result is eagerly materialized so the temp index can be deleted
-    * before return.
-    */
-  private def servedRecallOf(both: DataFrame, rep: String, k: Int,
-                             stride: Int, nprobe: Int): DataFrame = {
-    val s = both.sparkSession
-    import s.implicits._
     def ss(c: org.apache.spark.sql.Column) =
       aggregate(c, lit(0.0), (acc, x) => acc + x * x)
-    // EAGER: live feeds the index build (an action of its own), the
-    // anchor set, and the truth pass — without the cut the upstream
-    // scale/projection subtree replays per consumer
-    val live = both
-      .select($"vec_id", $"vf", $"vq",
-        ss($"vf").as("ssf"), ss($"vq").as("ssq"))
-      .filter($"ssf" > 0.0 && $"ssq" > 0.0)
-      .localCheckpoint()
-    val idxPath = java.nio.file.Files
-      .createTempDirectory(s"graft_ivf_served_$rep").toString
-    VectorIndex.buildIvfFrom(s,
-      live.select($"vec_id",
-        transform($"vq", x => x.cast("float")).as("embedding"))
-        .as[(Long, Array[Float])],
-      idxPath)
+    // EAGER: live feeds both index builds, the anchor set, and the
+    // truth pass — without the cut the scale/projection subtree
+    // replays per consumer
+    val live = reps.filter(ss($"vf") > 0.0).localCheckpoint()
     val anchors = live.filter($"vec_id" % stride === 0)
       .localCheckpoint(false)
+    // the SHARED exact-float truth pass — representation-independent,
+    // computed once for both reports
     val sims = live
       .join(broadcast(anchors.select($"vec_id".as("q_id"),
         $"vf".as("af"))), $"vec_id" =!= $"q_id")
@@ -1072,29 +1080,74 @@ object VectorOps {
       .partitionBy($"q_id").orderBy($"sim_f".desc, $"vec_id")
     val topF = sims.withColumn("rn", row_number().over(wf))
       .filter($"rn" <= k).select($"q_id", $"vec_id")
-    val served = VectorIndex.probeIvfBatch(s, idxPath,
-      anchors.select($"vec_id",
-        transform($"vq", x => x.cast("float")).as("embedding"))
-        .as[(Long, Array[Float])],
-      k, nprobe)
-      .select($"q_id", $"b_id".as("vec_id"))
-    val nk = topF.groupBy($"q_id").agg(count(lit(1)).as("n_k"))
-    val ov = topF.join(served, Seq("q_id", "vec_id"), "left_semi")
-      .groupBy($"q_id").agg(count(lit(1)).as("n_overlap"))
-    val res = anchors.select($"vec_id".as("q_id"))
-      .join(nk, Seq("q_id"), "left_outer")
-      .join(ov, Seq("q_id"), "left_outer")
-      .select(lit(rep).as("rep"), $"q_id",
-        coalesce($"n_k", lit(0L)).as("n_k"),
-        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
-        when(coalesce($"n_k", lit(0L)) === 0L, lit(0.0))
-          .otherwise(round(coalesce($"n_overlap", lit(0L)).cast("double")
-            / $"n_k", 4)).as("recall_at_k"))
-      .localCheckpoint()
-    // the report is materialized executor-side above — the on-disk
-    // index (a temp artifact of THIS audit) can go
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idxPath))
-    res
+      .localCheckpoint(false)
+    val int8Report = servedRecallOf(
+      live.select($"vec_id", $"vq_int8".as("vq")),
+      anchors.select($"vec_id", $"vq_int8".as("vq")),
+      topF, s"int8$repSuffix", k, nprobe)
+    val pcaReport =
+      if (!hasPca)
+        Seq.empty[(String, Long, Long, Long, Double)]
+          .toDF("rep", "q_id", "n_k", "n_overlap", "recall_at_k")
+      else servedRecallOf(
+        live.select($"vec_id", $"vq_pca".as("vq")),
+        anchors.select($"vec_id", $"vq_pca".as("vq")),
+        topF, s"pca${pcaK}_int8$repSuffix", k, nprobe)
+    int8Report.unionByName(pcaReport).orderBy($"rep", $"q_id")
+  }
+
+  /** The served-recall tail [[ivfServedRecall]] runs per representation:
+    * `live` / `anchors` are the checkpointed float-live pool and its
+    * stride spine as (vec_id, vq compressed rep), `topF` the shared
+    * exact-float top-k. Build a [[VectorIndex]] over float32(vq) of the
+    * vq-nonzero rows (a zero-norm compressed vector has no direction to
+    * index; a zero-vq anchor probes nothing and reports recall 0), probe
+    * it with the anchor set's own stored vectors at the deploy config,
+    * and roll up per-anchor overlap on the anchors-frame spine. The
+    * result is eagerly materialized INSIDE the try so the temp index is
+    * deleted on every exit path, including a failed build or probe (r18
+    * advice: the unprotected form leaked the on-disk index on failure).
+    */
+  private def servedRecallOf(live: DataFrame, anchors: DataFrame,
+                             topF: DataFrame, rep: String, k: Int,
+                             nprobe: Int): DataFrame = {
+    val s = live.sparkSession
+    import s.implicits._
+    def ss(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory(s"graft_ivf_served_$rep").toString
+    try {
+      VectorIndex.buildIvfFrom(s,
+        live.filter(ss($"vq") > 0.0)
+          .select($"vec_id",
+            transform($"vq", x => x.cast("float")).as("embedding"))
+          .as[(Long, Array[Float])],
+        idxPath)
+      val served = VectorIndex.probeIvfBatch(s, idxPath,
+        anchors.filter(ss($"vq") > 0.0)
+          .select($"vec_id",
+            transform($"vq", x => x.cast("float")).as("embedding"))
+          .as[(Long, Array[Float])],
+        k, nprobe)
+        .select($"q_id", $"b_id".as("vec_id"))
+      val nk = topF.groupBy($"q_id").agg(count(lit(1)).as("n_k"))
+      val ov = topF.join(served, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n_overlap"))
+      anchors.select($"vec_id".as("q_id"))
+        .join(nk, Seq("q_id"), "left_outer")
+        .join(ov, Seq("q_id"), "left_outer")
+        .select(lit(rep).as("rep"), $"q_id",
+          coalesce($"n_k", lit(0L)).as("n_k"),
+          coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+          when(coalesce($"n_k", lit(0L)) === 0L, lit(0.0))
+            .otherwise(round(coalesce($"n_overlap", lit(0L)).cast("double")
+              / $"n_k", 4)).as("recall_at_k"))
+        .localCheckpoint()
+    } finally
+      // executor-side materialization happened above (or the audit
+      // failed) — either way the temp index artifact goes
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idxPath))
   }
 
   /** Oracle for [[quantizeRecall]] — the same pinned folds, the same
@@ -2022,7 +2075,12 @@ object VectorOps {
         floor(round($"w6".cast("double") / $"sum_w".cast("double"), 6) *
           $"tot_tokens").cast("long").as("target_tokens"))
       .select($"label", $"tokens_kept", $"p", $"target_tokens",
-        round($"target_tokens".cast("double") / $"tokens_kept", 4)
+        // tokens_kept CAN be 0 here (unlike the parents' tokens_total):
+        // a label fully absorbed by the semantic dedup keeps nothing,
+        // and 0.0/0 is NaN in Spark vs engine-defined in DuckDB (r18
+        // advice). Zero kept tokens serve zero epochs, by definition.
+        when($"tokens_kept" === 0L, lit(0.0))
+          .otherwise(round($"target_tokens".cast("double") / $"tokens_kept", 4))
           .as("epochs"),
         ($"target_tokens" > $"tokens_kept" * maxEpochs).as("capped"),
         least($"target_tokens", $"tokens_kept" * maxEpochs)
@@ -2071,7 +2129,9 @@ object VectorOps {
       |    AS BIGINT) AS target_tokens
       |  FROM w CROSS JOIN t)
       |SELECT label, tokens_kept, p, target_tokens,
-      |  ROUND(CAST(target_tokens AS DOUBLE) / tokens_kept, 4) AS epochs,
+      |  CASE WHEN tokens_kept = 0 THEN 0.0
+      |    ELSE ROUND(CAST(target_tokens AS DOUBLE) / tokens_kept, 4)
+      |  END AS epochs,
       |  (target_tokens > tokens_kept * 4) AS capped,
       |  LEAST(target_tokens, tokens_kept * 4) AS effective_tokens,
       |  GREATEST(target_tokens - tokens_kept * 4, 0) AS shortfall

@@ -173,7 +173,14 @@ private[streaming] object MaintCore {
     try out.write(parts.map(_._1).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.rename(tmp, new Path(s"$path/$SealCommitMarker"))
+    // Hadoop rename reports failure by RETURNING FALSE, not throwing
+    // (r18 advice): falling through to commitStaged with no sentinel on
+    // disk would let a crash mid-swap be recovered as pre-sentinel and
+    // the remaining staged families discarded — the exact partial state
+    // this seal exists to prevent. Fail loud instead; the staged dirs
+    // and inert .tmp are pre-sentinel garbage the next attempt cleans.
+    require(fs.rename(tmp, new Path(s"$path/$SealCommitMarker")),
+      s"sealGroup: failed to publish commit sentinel at $path/$SealCommitMarker")
     commitStaged(fs, path, parts.map(_._1))
   }
 

@@ -3646,7 +3646,8 @@ class OperatorsSpec extends SparkSpec {
     val expected = w6.map { case (label, tk, w) =>
       val p = roundHalfUp(w.toDouble / sumW, 6)
       val target = math.floor(p * tot).toLong
-      (label, tk, p, target, roundHalfUp(target.toDouble / tk, 4),
+      (label, tk, p, target,
+        if (tk == 0L) 0.0 else roundHalfUp(target.toDouble / tk, 4),
         target > tk * 4, math.min(target, tk * 4),
         math.max(target - tk * 4, 0L))
     }

@@ -109,14 +109,24 @@ class PlanSpec extends SparkSpec {
       s"expected one documents scan, got ${scans.size}")
   }
 
-  test("tfidf explodes the token stream exactly once") {
-    // df is a window count over the (doc, term, tf) aggregate — the plan
-    // must contain a single documents-scan→explode leg (the 1-row n_docs
-    // count scans zero columns and never explodes), and the top-3 cut
-    // must push map-side via WindowGroupLimit
+  test("tfidf reaches (doc, term, tf) rows with zero exchanges and " +
+    "explodes run structs exactly once") {
+    // tf is a per-row HOF run-length over each doc's own sorted token
+    // array (r19) — the plan must contain a single explode (of the
+    // (term, tf) run structs; the 1-row n_docs count scans zero columns
+    // and never explodes), NO exchange below it (the r13–r18 regression
+    // this pin guards: a (doc, term) hash-aggregate shuffle just to
+    // count tokens that already live in one row), exactly two pair
+    // exchanges in the whole plan (by term for the df window, by doc
+    // for the rank) plus the output range sort, and the top-3 cut must
+    // push map-side via WindowGroupLimit
     val p = physical("q_tfidf")
     val explodes = "Generate explode".r.findAllIn(p).length
-    assert(explodes == 1, s"expected one token explode, got $explodes:\n$p")
+    assert(explodes == 1, s"expected one run-struct explode, got $explodes:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2,
+      s"expected exactly two pair exchanges (term window, doc rank), " +
+        s"got $hashEx:\n$p")
     assert(p.contains("WindowGroupLimit"), s"rank cut not pushed down:\n$p")
   }
 

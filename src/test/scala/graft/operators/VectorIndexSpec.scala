@@ -199,11 +199,17 @@ class VectorIndexSpec extends SparkSpec {
     }
     val orig = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }
     def ssq(v: Array[Double]) = v.map(x => x * x).sum
-    val live = orig.filter { case (id, v) => ssq(v) > 0.0 &&
-      ssq(rep.find(_._1 == id).get._2) > 0.0 }.map(_._1).toSet
-    val anchors = live.filter(_ % 50 == 0).toSeq.sorted
-    def topk(space: Map[Long, Array[Double]], q: Long) =
-      space.keysIterator.filter(b => b != q && live(b)).toSeq
+    // pools mirror the r19 shared-truth contract: truth candidates and
+    // the anchor spine are FLOAT-live; the rep's index additionally
+    // drops vq-zero vectors (they have no direction to serve)
+    val liveF = orig.filter { case (_, v) => ssq(v) > 0.0 }
+      .map(_._1).toSet
+    val liveRep = rep.filter { case (id, v) => liveF(id) && ssq(v) > 0.0 }
+      .map(_._1).toSet
+    val anchors = liveF.filter(_ % 50 == 0).toSeq.sorted
+    def topk(space: Map[Long, Array[Double]], q: Long,
+             pool: Set[Long]) =
+      space.keysIterator.filter(b => b != q && pool(b)).toSeq
         .map(b => (b, VectorOps.cosine(space(q), space(b))))
         .sortBy { case (b, s) => (-s, b) }.take(k).map(_._1).toSet
     val origM = orig.toMap
@@ -212,8 +218,8 @@ class VectorIndexSpec extends SparkSpec {
     assert(int8Full.map(_._2).toSeq == anchors,
       "anchor spine must be the live stride ids")
     int8Full.foreach { case (_, q, nK, nOv, rec) =>
-      val truth = topk(origM, q)
-      val served = topk(repM, q)
+      val truth = topk(origM, q, liveF)
+      val served = topk(repM, q, liveRep)
       assert(nK == k.toLong, s"anchor $q: n_k $nK")
       assert(nOv == (truth & served).size.toLong,
         s"anchor $q: overlap $nOv vs ${(truth & served).size}")
@@ -237,5 +243,91 @@ class VectorIndexSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4)))
     assert(dep2.toSeq == dep.toSeq, "served audit must be deterministic")
+  }
+
+  test("clip-rule served audit: at nprobe = nlist per-anchor int8_clip " +
+    "recall matches the driver recompute under the exact order-statistic " +
+    "scales, clipQ = 1.0 degenerates to the max rule, and the deploy " +
+    "run reports both clip reps on the shared float-live spine") {
+    import spark.implicits._
+    def rhu(x: Double, sc: Int) = BigDecimal(x)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = 10
+    val clipQ = 0.99
+    val full = VectorOps.ivfServedRecallClip(spark, sfTest, clipQ = clipQ,
+      k = k, nprobe = 4096).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val vecs = Tables(spark, sfTest, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val d = vecs.head._2.length
+    val n = vecs.length
+    // clip scale = the exact ceil(clipQ·n)-th smallest |x| per dim —
+    // the same one-IEEE-product rank clipScalesOf computes
+    val rank = math.ceil(clipQ * n).toInt
+    val scales = (0 until d).map { i =>
+      vecs.map(v => math.abs(v._2(i).toDouble)).sorted.apply(rank - 1)
+    }.toArray
+    def dq(x: Float, s: Double): Double =
+      if (s == 0.0) 0.0
+      else math.max(math.min(
+        rhu(x.toDouble / s * 127.0, 0), 127.0), -127.0) / 127.0 * s
+    val rep = vecs.map { case (id, v) =>
+      (id, v.indices.map(i => dq(v(i), scales(i)).toFloat.toDouble).toArray)
+    }
+    val orig = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }
+    def ssq(v: Array[Double]) = v.map(x => x * x).sum
+    val liveF = orig.filter { case (_, v) => ssq(v) > 0.0 }
+      .map(_._1).toSet
+    val liveRep = rep.filter { case (id, v) => liveF(id) && ssq(v) > 0.0 }
+      .map(_._1).toSet
+    val anchors = liveF.filter(_ % 50 == 0).toSeq.sorted
+    def topk(space: Map[Long, Array[Double]], q: Long,
+             pool: Set[Long]) =
+      space.keysIterator.filter(b => b != q && pool(b)).toSeq
+        .map(b => (b, VectorOps.cosine(space(q), space(b))))
+        .sortBy { case (b, s) => (-s, b) }.take(k).map(_._1).toSet
+    val origM = orig.toMap
+    val repM = rep.toMap
+    val clipFull = full.filter(_._1 == "int8_clip")
+    assert(clipFull.map(_._2).toSeq == anchors,
+      "clip anchor spine must be the float-live stride ids")
+    clipFull.foreach { case (_, q, nK, nOv, rec) =>
+      val truth = topk(origM, q, liveF)
+      val served = topk(repM, q, liveRep)
+      assert(nK == k.toLong, s"anchor $q: n_k $nK")
+      assert(nOv == (truth & served).size.toLong,
+        s"anchor $q: overlap $nOv vs ${(truth & served).size}")
+      assert(rec == rhu(nOv.toDouble / k, 4))
+    }
+    // the clip rule must BITE at the graded default on this corpus —
+    // otherwise the leg degenerates to a rerun of the max audit
+    val maxScales = (0 until d).map(i =>
+      vecs.iterator.map(v => math.abs(v._2(i).toDouble)).max).toArray
+    assert(scales.indices.exists(i => scales(i) != maxScales(i)),
+      "p99 clip scales must differ from the max rule on the fixture")
+    // boundary identity: rank ceil(1.0·n) = n = the abs-max element,
+    // so the whole audit collapses to the max rule (rep tags aside)
+    val idClip = VectorOps.ivfServedRecallClip(spark, sfTest, clipQ = 1.0)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(0).stripSuffix("_clip"))).toSeq
+    val idMax = VectorOps.ivfServedRecall(spark, sfTest)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(0))).toSeq
+    assert(idClip == idMax, "clipQ = 1.0 must degenerate to the max rule")
+    // deploy config: both clip reps reported, spine and bounds hold
+    val dep = VectorOps.ivfServedRecallClip(spark, sfTest).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(dep.map(_._1).distinct.sorted.toSeq ==
+      Seq("int8_clip", "pca8_int8_clip"))
+    dep.groupBy(_._1).foreach { case (rp, rows) =>
+      assert(rows.map(_._2).toSeq == anchors, s"$rp anchor spine")
+      rows.foreach { case (_, q, nK, nOv, rec) =>
+        assert(nK == k.toLong && nOv >= 0L && nOv <= nK, s"$rp $q")
+        assert(rec >= 0.0 && rec <= 1.0 && rec == rhu(nOv.toDouble / k, 4))
+      }
+    }
   }
 }
