@@ -1025,11 +1025,15 @@ object VectorOps {
     ivfServedRecallScaled(s, dir, clipScalesOf(_, clipQ), "_clip",
       k, stride, nprobe, pcaK)
 
-  private def ivfServedRecallScaled(s: SparkSession, dir: String,
-                                    scaleRule: DataFrame => DataFrame,
-                                    repSuffix: String, k: Int,
-                                    stride: Int, nprobe: Int,
-                                    pcaK: Int): DataFrame = {
+  /** The shared (vf, vq_int8[, vq_pca]) float-live pool of the served
+    * audit, eagerly checkpointed: it feeds both index builds, the
+    * anchor set, and the truth pass — without the cut the
+    * scale/projection subtree replays per consumer. Exposed
+    * private[graft] as a decomposition seam for [[graft.IvfServedExp]].
+    */
+  private[graft] def servedLive(s: SparkSession, dir: String,
+                                scaleRule: DataFrame => DataFrame,
+                                pcaK: Int): (DataFrame, Boolean) = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
     // int8 dequantized rep under the caller's scale rule — the
@@ -1063,14 +1067,20 @@ object VectorOps {
       }
     def ss(c: org.apache.spark.sql.Column) =
       aggregate(c, lit(0.0), (acc, x) => acc + x * x)
-    // EAGER: live feeds both index builds, the anchor set, and the
-    // truth pass — without the cut the scale/projection subtree
-    // replays per consumer
-    val live = reps.filter(ss($"vf") > 0.0).localCheckpoint()
+    (reps.filter(ss($"vf") > 0.0).localCheckpoint(), hasPca)
+  }
+
+  /** The SHARED exact-float truth pass of the served audit —
+    * representation-independent, computed once for both reports.
+    * Returns (anchors, topF), each lazily checkpointed. Exposed
+    * private[graft] as a decomposition seam for [[graft.IvfServedExp]].
+    */
+  private[graft] def servedTruthOf(live: DataFrame, stride: Int,
+                                   k: Int): (DataFrame, DataFrame) = {
+    val s = live.sparkSession
+    import s.implicits._
     val anchors = live.filter($"vec_id" % stride === 0)
       .localCheckpoint(false)
-    // the SHARED exact-float truth pass — representation-independent,
-    // computed once for both reports
     val sims = live
       .join(broadcast(anchors.select($"vec_id".as("q_id"),
         $"vf".as("af"))), $"vec_id" =!= $"q_id")
@@ -1081,6 +1091,33 @@ object VectorOps {
     val topF = sims.withColumn("rn", row_number().over(wf))
       .filter($"rn" <= k).select($"q_id", $"vec_id")
       .localCheckpoint(false)
+    (anchors, topF)
+  }
+
+  private[graft] def servedLiveProbe(s: SparkSession, dir: String)
+  : DataFrame = servedLive(s, dir, maxScalesOf, 8)._1
+
+  private[graft] def servedTruthProbe(s: SparkSession, dir: String)
+  : DataFrame =
+    servedTruthOf(servedLive(s, dir, maxScalesOf, 8)._1, 50, 10)._2
+
+  private[graft] def servedOneLegProbe(s: SparkSession, dir: String)
+  : DataFrame = {
+    import s.implicits._
+    val live = servedLive(s, dir, maxScalesOf, 8)._1
+    val (anchors, topF) = servedTruthOf(live, 50, 10)
+    servedRecallOf(live.select($"vec_id", $"vq_int8".as("vq")),
+      anchors.select($"vec_id", $"vq_int8".as("vq")), topF, "int8", 10, 4)
+  }
+
+  private def ivfServedRecallScaled(s: SparkSession, dir: String,
+                                    scaleRule: DataFrame => DataFrame,
+                                    repSuffix: String, k: Int,
+                                    stride: Int, nprobe: Int,
+                                    pcaK: Int): DataFrame = {
+    import s.implicits._
+    val (live, hasPca) = servedLive(s, dir, scaleRule, pcaK)
+    val (anchors, topF) = servedTruthOf(live, stride, k)
     val int8Report = servedRecallOf(
       live.select($"vec_id", $"vq_int8".as("vq")),
       anchors.select($"vec_id", $"vq_int8".as("vq")),
