@@ -33,7 +33,7 @@ import graft.Tables
   */
 object VectorOps {
 
-  private[operators] def cosine(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
