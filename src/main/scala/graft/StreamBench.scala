@@ -289,6 +289,26 @@ object StreamBench {
       val secs = (System.nanoTime() - t0) / 1e9
       "media_maint" -> (arriving.length / secs)
     }
+    // served-index tier (r19): vectors/second through frozen-epoch
+    // quantization + cell assignment + the anti-join-guarded index
+    // append (same split protocol as the other maintainers)
+    def runQuantMaint(): (String, Double) = {
+      val vecs = Tables(spark, sfDir, "embeddings")
+        .select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val (corpus, arriving) = vecs.splitAt(vecs.length / 2)
+      val path = java.nio.file.Files
+        .createTempDirectory("sb_qmaint").toString
+      graft.streaming.QuantMaint.init(
+        corpus.toSeq.toDF("vec_id", "embedding"), path)
+      val t0 = System.nanoTime()
+      arriving.grouped(500).zipWithIndex.foreach { case (chunk, i) =>
+        graft.streaming.QuantMaint.applyBatch(
+          chunk.toSeq.toDF("vec_id", "embedding"), i.toLong, path).count()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      "quant_maint" -> (arriving.length / secs)
+    }
     val results = Seq(
       runControl(),
       run("tumbling", StreamOps.tumbling, "update"),
@@ -311,7 +331,8 @@ object StreamBench {
       runTokenize(),
       runClusterMaint(),
       runSemanticMaint(),
-      runMediaMaint())
+      runMediaMaint(),
+      runQuantMaint())
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
