@@ -44,13 +44,20 @@ object VectorIndex {
     * representation. Same deterministic sample-trained quantizer
     * ([[VectorOps.resolveQuantizerOf]]), same hive-partitioned layout.
     */
-  def buildIvfFrom(s: SparkSession,
-                   vectors: org.apache.spark.sql.Dataset[(Long, Array[Float])],
-                   indexPath: String, nlist: Int = 0,
-                   sampleN: Int = 512): Int = {
+  /** The frozen-assignment kernel — ONE definition of "which cell does
+    * this vector live in" shared by [[buildIvfFrom]], [[appendIvf]] and
+    * the streaming [[graft.streaming.QuantMaint]] tier (r19 review: three
+    * divergent copies of this 5-line maxBy-cosine map would let a
+    * tie-break or accumulation-order change strand a live index's rows
+    * in cells the probe path no longer computes). Returns
+    * (cell, vec_id, embedding).
+    */
+  private[graft] def assignToCells(
+      vectors: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      centroids: Array[Array[Double]])
+  : org.apache.spark.sql.DataFrame = {
+    val s = vectors.sparkSession
     import s.implicits._
-    val (_, centroids) = VectorOps.resolveQuantizerOf(
-      vectors, nlist, sampleN, VectorOps.autoNlist)
     val bcCent = s.sparkContext.broadcast(centroids)
     vectors
       .map { case (id, vf) =>
@@ -59,6 +66,16 @@ object VectorIndex {
         (cent.indices.maxBy(c => VectorOps.cosine(v, cent(c))), id, vf)
       }
       .toDF("cell", "vec_id", "embedding")
+  }
+
+  def buildIvfFrom(s: SparkSession,
+                   vectors: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                   indexPath: String, nlist: Int = 0,
+                   sampleN: Int = 512): Int = {
+    import s.implicits._
+    val (_, centroids) = VectorOps.resolveQuantizerOf(
+      vectors, nlist, sampleN, VectorOps.autoNlist)
+    assignToCells(vectors, centroids)
       .repartition($"cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/lists")
@@ -113,14 +130,7 @@ object VectorIndex {
     val centroids = s.read.parquet(s"$indexPath/centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
     require(centroids.nonEmpty, s"no centroids at $indexPath")
-    val bcCent = s.sparkContext.broadcast(centroids)
-    val assigned = vectors
-      .map { case (id, vf) =>
-        val v = vf.map(_.toDouble)
-        val cent = bcCent.value
-        (cent.indices.maxBy(c => VectorOps.cosine(v, cent(c))), id, vf)
-      }
-      .toDF("cell", "vec_id", "embedding")
+    val assigned = assignToCells(vectors, centroids)
     // the ingest count rides the write job itself (Retention
     // .curateObserved idiom): a separate count() action would evaluate
     // the caller's dataset twice — doubling ingest cost, and reporting a

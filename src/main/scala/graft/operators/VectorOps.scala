@@ -610,8 +610,8 @@ object VectorOps {
       greatest(least(round(x.cast("double") / s * lit(127.0), 0),
         lit(127.0)), lit(-127.0)))
 
-  private def dequantizeInt8(x: org.apache.spark.sql.Column,
-                             s: org.apache.spark.sql.Column)
+  private[graft] def dequantizeInt8(x: org.apache.spark.sql.Column,
+                                    s: org.apache.spark.sql.Column)
   : org.apache.spark.sql.Column =
     int8Code(x, s) / lit(127.0) * s
 

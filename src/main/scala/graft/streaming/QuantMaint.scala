@@ -74,40 +74,6 @@ object QuantMaint {
   private val StateSubs = Seq("src", "quant")
   private val SrcSchema = "vec_id BIGINT, v ARRAY<FLOAT>"
 
-  /** int8 grid image of x under scale s — the [[VectorOps.int8Code]] /
-    * dequantize formula in driver/executor Scala: code =
-    * clamp(round_half_up(x/s·127), ±127), image = code/127·s; a
-    * zero-scale dim (constant-zero in the corpus at epoch time)
-    * quantizes to exactly 0. HALF_UP away from zero matches Spark's
-    * `round(col, 0)` so the stored rep is the same grid the batch
-    * audit family computes.
-    */
-  private def dequantize(v: Array[Float], sc: Array[Double]): Array[Float] = {
-    require(v.length == sc.length,
-      s"vector dim ${v.length} != epoch scale dim ${sc.length}")
-    val out = new Array[Float](v.length)
-    var i = 0
-    while (i < v.length) {
-      val s = sc(i)
-      out(i) =
-        if (s == 0.0) 0f
-        else {
-          val a = v(i).toDouble / s * 127.0
-          val r = if (a >= 0) math.floor(a + 0.5) else math.ceil(a - 0.5)
-          val c = math.max(-127.0, math.min(127.0, r))
-          (c / 127.0 * s).toFloat
-        }
-      i += 1
-    }
-    out
-  }
-
-  private def norm2(v: Array[Float]): Double = {
-    var n = 0.0; var i = 0
-    while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
-    n
-  }
-
   /** Per-dim epoch scales of `vecs` under the clipQ order-statistic
     * rule, as a (dim, scale, clip_q) frame — [[VectorOps.clipScalesOf]]
     * over the exploded coordinates, the exact rule the batch audit
@@ -142,16 +108,34 @@ object QuantMaint {
   /** Quantize a (vec_id, v) frame into the epoch's dequantized-grid rep,
     * dropping dead rows (a vector whose grid image is all-zero has no
     * direction to index — the `servedRecallOf` float-live rule, applied
-    * at the rep level).
+    * at the rep level). The grid image is computed by the SAME codegen'd
+    * column expression the batch audit family uses
+    * ([[VectorOps.dequantizeInt8]]: Spark `round` HALF_UP, clamp ±127,
+    * zero-scale dim → exactly 0) — bit-for-bit parity with
+    * `q_embed_quantize` / `q_ivf_served_recall` by construction, not by
+    * a re-implemented rounding rule (r19 review: a Scala
+    * `floor(a + 0.5)` copy diverges from BigDecimal HALF_UP at
+    * IEEE tie-crossing values).
     */
   private def quantized(vecs: DataFrame, sc: Array[Double])
   : org.apache.spark.sql.Dataset[(Long, Array[Float])] = {
     val s = vecs.sparkSession
     import s.implicits._
-    val bc = s.sparkContext.broadcast(sc)
-    vecs.as[(Long, Array[Float])]
-      .map { case (id, v) => (id, dequantize(v, bc.value)) }
-      .filter(r => norm2(r._2) > 0.0)
+    vecs
+      // zip_with null-pads a length mismatch silently — fail loud like
+      // the old driver-side require did
+      .filter(assert_true(size($"v") === lit(sc.length),
+        lit(s"QuantMaint: vector dim != epoch scale dim ${sc.length}"))
+        .isNull)
+      .select($"vec_id",
+        zip_with(
+          transform($"v", x => x.cast("double")),
+          typedLit(sc.toSeq),
+          (x, scale) => VectorOps.dequantizeInt8(x, scale).cast("float"))
+        .as("vq"))
+      .filter(aggregate($"vq", lit(0.0),
+        (acc, x) => acc + x.cast("double") * x) > 0.0)
+      .as[(Long, Array[Float])]
   }
 
   /** Bootstrap from the historical corpus (vec_id, embedding): freeze
@@ -216,14 +200,11 @@ object QuantMaint {
     MaintCore.writeBatch(src, s"$path/src", batchId)
     val (scArr, _) = readScales(s, path)
     val centroids = readCentroids(s, path)
-    val bcC = s.sparkContext.broadcast(centroids)
-    val assigned = quantized(src, scArr)
-      .map { case (id, vq) =>
-        val v = vq.map(_.toDouble)
-        val cent = bcC.value
-        (cent.indices.maxBy(c => VectorOps.cosine(v, cent(c))), id, vq)
-      }
-      .toDF("cell", "vec_id", "embedding")
+    // the ONE frozen-assignment kernel (shared with buildIvfFrom /
+    // appendIvf) — the live lists and the probe path must compute the
+    // same cell for the same vector forever
+    val assigned = VectorIndex
+      .assignToCells(quantized(src, scArr), centroids)
       .localCheckpoint(false)
     val touched = assigned.select($"cell").distinct()
     val present = s.read.parquet(s"$path/quant/idx/lists")
@@ -242,7 +223,12 @@ object QuantMaint {
   /** Serve a query batch: quantize the float queries onto the SAME
     * epoch grid the lists store (query and corpus must meet in one
     * representation space — the audit's serving rule), then the
-    * partition-pruned [[VectorIndex.probeIvfBatch]].
+    * partition-pruned [[VectorIndex.probeIvfBatch]]. A GRID-DEAD query
+    * (all-zero image under the epoch scales) has no direction to probe
+    * and returns NO rows for its q_id — a caller that must distinguish
+    * "unservable under this epoch" from "no neighbors" left-anti-joins
+    * its batch against the result's q_ids (the same condition
+    * [[applyBatch]] reports explicitly as `served = false`).
     */
   def probe(s: SparkSession, path: String,
             queries: org.apache.spark.sql.Dataset[(Long, Array[Float])],
@@ -281,7 +267,12 @@ object QuantMaint {
     fs.delete(new Path(s"$path/quant.sealed"), true)
     sc.repartition(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/quant.sealed/scales")
-    val scArr = sc.select($"dim".cast("int"), $"scale".cast("double"))
+    // read the scales BACK from the sealed parquet (n_dims rows)
+    // instead of re-running the full-corpus order-statistic pass a
+    // second time (r19 review) — also guarantees the epoch serves
+    // exactly what it persisted
+    val scArr = s.read.parquet(s"$path/quant.sealed/scales")
+      .select($"dim".cast("int"), $"scale".cast("double"))
       .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
     val dq = quantized(src, scArr)
     require(!dq.isEmpty,
@@ -317,6 +308,15 @@ object QuantMaint {
     * every `auditEvery`-th batch so scale-rule drift shows up in the
     * metrics lake ([[SemanticMaint.recallAudit]]'s cadence contract),
     * and a deploy schedules [[requantize]] off it.
+    *
+    * Empty-truth convention: recall = 1.0 when n_k = 0 — the
+    * STATE-AUDIT convention ([[SemanticMaint.recallAudit]]: nothing to
+    * find means nothing was missed), NOT the batch per-anchor
+    * convention (`servedRecallOf` reports a zero-truth anchor as 0.0).
+    * The row carries n_anchors and n_k precisely so an alarm consumer
+    * can tell vacuous-1.0 from measured-1.0: alert on
+    * `recall < θ OR n_anchors = 0` — a deploy whose stride matches no
+    * vec_id would otherwise read perfect forever (r19 review).
     */
   def servedAudit(s: SparkSession, path: String, k: Int = 10,
                   nprobe: Int = 4, stride: Int = 50): DataFrame = {
