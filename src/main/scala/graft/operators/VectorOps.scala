@@ -1118,19 +1118,37 @@ object VectorOps {
     import s.implicits._
     val (live, hasPca) = servedLive(s, dir, scaleRule, pcaK)
     val (anchors, topF) = servedTruthOf(live, stride, k)
-    val int8Report = servedRecallOf(
-      live.select($"vec_id", $"vq_int8".as("vq")),
-      anchors.select($"vec_id", $"vq_int8".as("vq")),
-      topF, s"int8$repSuffix", k, nprobe)
-    val pcaReport =
-      if (!hasPca)
-        Seq.empty[(String, Long, Long, Long, Double)]
-          .toDF("rep", "q_id", "n_k", "n_overlap", "recall_at_k")
-      else servedRecallOf(
-        live.select($"vec_id", $"vq_pca".as("vq")),
-        anchors.select($"vec_id", $"vq_pca".as("vq")),
-        topF, s"pca${pcaK}_int8$repSuffix", k, nprobe)
-    int8Report.unionByName(pcaReport).orderBy($"rep", $"q_id")
+    // The two served legs are INDEPENDENT job chains over the same
+    // checkpointed read-only pool: each builds its own temp index at its
+    // own path and ends in an eager localCheckpoint. Run them from two
+    // driver threads so the second leg's ~6-job chain back-fills the
+    // first's scheduling gaps instead of queuing behind its tail
+    // (TIMEQ_r19_ivfserved: each leg is ~1.5-2.0 s of stage floor, not
+    // CPU — overlapped, the pair costs ~max(leg), not the sum). Results
+    // are unchanged: legs share no mutable state (per-leg temp dirs,
+    // thread-safe broadcast/collect), and the final union + orderBy is
+    // computed after both legs have materialized.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val int8Fut = scala.concurrent.Future(servedRecallOf(
+        live.select($"vec_id", $"vq_int8".as("vq")),
+        anchors.select($"vec_id", $"vq_int8".as("vq")),
+        topF, s"int8$repSuffix", k, nprobe))
+      val pcaFut = scala.concurrent.Future(
+        if (!hasPca)
+          Seq.empty[(String, Long, Long, Long, Double)]
+            .toDF("rep", "q_id", "n_k", "n_overlap", "recall_at_k")
+        else servedRecallOf(
+          live.select($"vec_id", $"vq_pca".as("vq")),
+          anchors.select($"vec_id", $"vq_pca".as("vq")),
+          topF, s"pca${pcaK}_int8$repSuffix", k, nprobe))
+      import scala.concurrent.duration.Duration
+      val int8Report = scala.concurrent.Await.result(int8Fut, Duration.Inf)
+      val pcaReport = scala.concurrent.Await.result(pcaFut, Duration.Inf)
+      int8Report.unionByName(pcaReport).orderBy($"rep", $"q_id")
+    } finally pool.shutdown()
   }
 
   /** The served-recall tail [[ivfServedRecall]] runs per representation:
