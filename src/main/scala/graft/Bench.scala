@@ -51,8 +51,16 @@ object Bench {
     // config (local[32]), never a silent local[4] (the r11 close-record
     // confound). The env stamp below records whether the width was
     // explicit so bench_diff can refuse provenance-unclean installs.
+    // cold-I/O seam (r20, VERDICT item 2): SPARK_GRAFT_CACHE_TABLES=false
+    // runs the identical sweep with the hot-table cache off, so every
+    // timed query pays its parquet scans — the companion record that
+    // makes the warm-table share of each row measurable. Default (unset)
+    // is the historical warm protocol; the env stamp records which ran,
+    // and bench_diff's env gate refuses to compare across the two.
+    val cacheTables =
+      sys.env.getOrElse("SPARK_GRAFT_CACHE_TABLES", "true")
     val spark = GraftSession.builder(GraftSession.benchCpus)
-      .config("spark.graft.cacheTables", "true")
+      .config("spark.graft.cacheTables", cacheTables)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -103,29 +111,59 @@ object Bench {
     // total (a failure would otherwise make the run look FASTER)
     val total = results.collect { case (_, (med, _, _)) if med >= 0 => med }.sum
     // machine fingerprint: driver-vs-local deltas have run 1.5-4x across
-    // rounds; recording cores/heap/master/cache makes them attributable
+    // rounds; recording cores/heap/master/cache makes them attributable.
+    // "cores" is the MACHINE (availableProcessors); "bench_cpus" is the
+    // parsed master width — the r19 c8 scaling record stamped cores=32
+    // while correctly running local[8], which read as config-ignored.
     val rt = Runtime.getRuntime
     val env = s""""env":{"cores":${rt.availableProcessors},""" +
+      s""""bench_cpus":${GraftSession.benchCpus},""" +
       s""""max_heap_mb":${rt.maxMemory / (1024 * 1024)},""" +
       s""""master":"${spark.sparkContext.master}",""" +
       s""""cpus_env_set":${GraftSession.envCpusSet},""" +
       s""""cache_tables":${spark.conf.get("spark.graft.cacheTables")},""" +
       s""""aqe":${spark.conf.get("spark.sql.adaptive.enabled")}}"""
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spread,"runs_per_query":3,"stat":"median",""" +
         s""""sampling":"interleaved-sweeps-paired",""" +
         s""""sf":"$sfDir",$env}"""
-    println(line)
-    // the stdout line gets truncated by log-buffer limits once the query
-    // inventory is large (BENCH_r06.json lost 12 tail timings that way);
-    // the file copy is the lossless record
+    // The lossless record goes to the FILE; the full line stopped being
+    // stdout-parseable rounds ago (the driver's capture keeps only the
+    // last ~2000 chars and BENCH_r01..r19 all show parsed:null; the 171
+    // query names alone sum to 2550 chars, so no line carrying the whole
+    // map can ever fit that window). Write the file FIRST, then print a
+    // single compact contract line — medians only, 3-decimal precision,
+    // no spread/env — as the LAST stdout byte, so any parser that reads
+    // the last JSON line of full stdout (or any capture window >= ~4.2 KB)
+    // gets the complete object, and a 2000-char tail still shows the
+    // total/sf/master suffix intact.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $out: $e")
     }
+    def d3(v: Double): String =
+      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs3 = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + d3(med) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
+        s""""queries":$qs3,"sf":"$sfDir",""" +
+        s""""bench_cpus":${GraftSession.benchCpus},""" +
+        s""""master":"${spark.sparkContext.master}",""" +
+        s""""full_record":"$out"}"""
     spark.stop()
+    // Write the contract line to the REAL process stdout (FileDescriptor
+    // FD 1), not through println: under `sbt runMain` System.out is
+    // redirected into sbt's logger, which prefixes every line with
+    // "[info] " — so no round's stdout line ever started with '{' and a
+    // JSON parse of any captured line fails regardless of length. The
+    // direct FD write bypasses the logger and lands unprefixed.
+    val fd = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    fd.println(compact)
+    fd.flush()
   }
 }
