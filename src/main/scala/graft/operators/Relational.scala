@@ -385,22 +385,37 @@ object Relational {
 
   /** Market-basket co-occurrence: the top part pairs ordered together
     * (same order key), the association-mining primitive behind
-    * "frequently bought together". Pair generation is a self-join on
-    * the ORDER key, so fan-out is bounded by items-per-order² (≤17²
-    * per order in the 2026-08-13 regenerated testdata, measured; ~1.2 M
-    * total pairs at sf0.1) — never parts², never orders² — and the surviving
-    * pair counts reduce through a partial+final agg before a TakeOrdered
-    * cut with a total-ordered tie-break (counts tie heavily at the
-    * tail; (n, part_a, part_b) pins the boundary on both engines).
+    * "frequently bought together". Fan-out is bounded by
+    * items-per-order² (≤17² per order in the 2026-08-13 regenerated
+    * testdata, measured; ~1.2 M total pairs at sf0.1) — never parts²,
+    * never orders² — and the surviving pair counts reduce through a
+    * partial+final agg before a TakeOrdered cut with a total-ordered
+    * tie-break (counts tie heavily at the tail; (n, part_a, part_b)
+    * pins the boundary on both engines).
+    *
+    * Pair generation (r20, guide §2.4 — remove shuffles outright): the
+    * r1–r19 form was a self-JOIN on the order key — lineitem scanned
+    * twice and exchanged twice (both join inputs hash by l_orderkey)
+    * before the pair rows even existed. An order's items all land in
+    * one group anyway, so ONE exchange of (l_orderkey, l_partkey) into
+    * a collect_list and a codegen'd HOF expansion inside the row
+    * (for each element x, every element y with y > x — exactly the
+    * join's row-pair semantics, duplicate part multiplicities included)
+    * produce the same pair multiset from a single scan and a single
+    * order-keyed exchange. At 100 TB that halves the bytes the pair
+    * stage shuffles and deletes the join sort entirely; the per-order
+    * expansion stays ≤ 17² in-row.
     */
   def basketPairs(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     import s.implicits._
     val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"),
-        col("b.l_partkey").as("part_b"))
+    li.groupBy($"l_orderkey")
+      .agg(collect_list($"l_partkey").as("ps"))
+      .select(explode(flatten(transform($"ps", x =>
+        transform(filter($"ps", y => y > x),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+      .select($"p.part_a".as("part_a"), $"p.part_b".as("part_b"))
+      .groupBy($"part_a", $"part_b")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), $"part_a", $"part_b")
       .limit(topK)

@@ -383,35 +383,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("basket pairs: the fact self-join is unhinted and survives the " +
-    "no-broadcast fallback row-identically") {
-    // The r10-verdict cold-path wart: with the cache off, the 2-column
-    // pruned lineitem scan estimates under the broadcast threshold and
-    // the planner broadcasts the FULL FACT SIDE of the self-join — fine
-    // at fixture scale, a stats-cliff at 100 TB. The contract mirrors
-    // the sizes pins: (a) the query carries no broadcast hint that could
-    // pin the fact side past the threshold's protection, and (b) with
-    // broadcasting off the planner's shuffle join answers byte-identically
-    // (the self-heal path the scale argument relies on), keeping the
-    // map-side pair combine and the TakeOrdered cut.
-    assert("ResolvedHint".r.findAllIn(analyzed("q_basket_pairs")).isEmpty,
-      "q_basket_pairs must not hint its self-join sides")
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val fallback = SparkEntry.queries("q_basket_pairs")(s2, sfTest)
-    val pf = fallback.queryExecution.executedPlan.toString
-    assert(pf.contains("SortMergeJoin") || pf.contains("ShuffledHashJoin"),
-      s"q_basket_pairs did not fall back to a shuffle join:\n$pf")
-    assert(!pf.contains("BroadcastHashJoin"),
-      s"q_basket_pairs still broadcasts with the threshold off:\n$pf")
-    assert("HashAggregate".r.findAllIn(pf).size >= 2,
+  test("basket pairs: the r20 group+HOF pair expansion plans no join and " +
+    "matches the join form row-identically (duplicate parts included)") {
+    // r20 (guide §2.4 — remove shuffles outright): pair generation used
+    // to be a lineitem self-join on the order key — two fact scans and
+    // two order-keyed exchanges (or, with stats under the threshold, a
+    // full-fact broadcast: the r10 cold-path cliff this test used to
+    // guard). The group+HOF form has no join to mis-plan: ONE
+    // order-keyed exchange into collect_list, in-row pair expansion,
+    // then the same partial+final pair agg and TakeOrdered cut.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val p = physical("q_basket_pairs")
+    assert(!p.contains("Join"), s"q_basket_pairs must plan no join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly 2 exchanges (order group, pair agg):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
       "pair counting lost its partial+final (map-side) aggregate")
-    assert(pf.contains("TakeOrderedAndProject"),
+    assert(p.contains("TakeOrderedAndProject"),
       "top-k cut regressed to a global sort")
+    // row identity vs the r1–r19 join form, on the fixture and on a
+    // synthetic corpus with duplicate parts within one order — the
+    // subtle bit the rewrite must preserve: ROW-pair multiplicities (a
+    // part held twice in an order pairs twice with every greater part,
+    // and never with itself)
+    def joinForm(d: String) = {
+      val li = graft.Tables(spark, d, "lineitem")
+        .select($"l_orderkey", $"l_partkey")
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), $"part_a", $"part_b").limit(20)
+    }
     val a = SparkEntry.queries("q_basket_pairs")(spark, sfTest)
       .collect().map(_.toString).toSeq
-    val b = fallback.collect().map(_.toString).toSeq
-    assert(a == b, "q_basket_pairs: fallback plan changed the result")
+    val b = joinForm(sfTest).collect().map(_.toString).toSeq
+    assert(a == b, "q_basket_pairs: group+HOF form diverged from the join form")
+    val dir = java.nio.file.Files.createTempDirectory("graft_basket").toString
+    Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 20L), (3L, 5L))
+      .toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val syn = Relational.basketPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exp = joinForm(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(syn == exp, "synthetic multiset corpus diverged from the join form")
+    // hand check: order 1 = [10,10,20,30] → (10,20)×2, (10,30)×2, (20,30);
+    // order 2 = [10,20,20] → (10,20)×2; order 3 is a singleton
+    assert(syn == Seq((10L, 20L, 4L), (10L, 30L, 2L), (20L, 30L, 1L)))
   }
 
   test("no graded query plans an unapproved nested-loop or cartesian join") {
