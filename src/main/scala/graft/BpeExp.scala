@@ -51,7 +51,12 @@ object BpeExp {
       val t0 = System.nanoTime()
       val j0 = jobs.get(); val s0 = stages.get()
       val c = f
-      println(f"EXP[$tag][$i] ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+      val secs = (System.nanoTime() - t0) / 1e9
+      // listener-bus settle (r19 ADVICE): SparkListener events arrive
+      // asynchronously — sampling immediately after the action returns
+      // can charge a lagging onJobStart to the wrong leg's window
+      Thread.sleep(120)
+      println(f"EXP[$tag][$i] $secs%.3f s " +
         s"rows=$c jobs=${jobs.get() - j0} stages=${stages.get() - s0}")
     }
     for (round <- 1 to 3) {

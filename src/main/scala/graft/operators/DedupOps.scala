@@ -463,7 +463,12 @@ object DedupOps {
     */
   private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bands = minhashBands(minhashSigs(s, dir))
+    // checkpoint the signature table (r20, guide §1.2): both sides of
+    // the band self-join read it, and without the cut the md5 signature
+    // pass — the expensive typed scan — replays once PER SIDE
+    // ([[minhashEst]] already carried this cut; the candidate path here
+    // did not)
+    val bands = minhashBands(minhashSigs(s, dir).localCheckpoint(false))
     val a = bands.toDF("da", "band_a", "sig_a")
     val b = bands.toDF("db", "band_b", "sig_b")
     a.join(b, $"band_a" === $"band_b" && $"sig_a" === $"sig_b" &&
@@ -501,7 +506,12 @@ object DedupOps {
     // mixSources/sourceTemperature discipline: checkpoint the (bounded)
     // pair rows so the posting-list machinery runs once, not per consumer
     // (unchecked, the second consumer re-paid the whole dedup plan —
-    // measured 2× the dominant term at sf1)
+    // measured 2× the dominant term at sf1). No driver-thread overlap
+    // here (r20 note): this is ONE action, and the truth and candidate
+    // subtrees are independent STAGES of it — the DAG scheduler already
+    // runs them concurrently; splitting them into eager per-leg
+    // checkpoints only adds materialization jobs (§2.6 applies to
+    // sequential ACTIONS, not subtrees of one job).
     val truth = ngramPairs(s, dir, threshold, maxDf)
       .select($"da", $"db", lit(1L).as("hit"))
       .localCheckpoint(false)

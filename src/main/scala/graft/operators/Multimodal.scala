@@ -804,7 +804,13 @@ object Multimodal {
   def mediaClustersOf(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
-    val pairs = mediaDupPairs(hashesOf(media), maxHamming)
+    // checkpoint the fingerprints (r20, guide §1.2): the banded
+    // self-join inside [[mediaDupPairs]] reads the hash table on BOTH
+    // sides, and without the cut the codec decode + hash pass — the
+    // expensive per-blob work — replays once per side ([[dupRateOf]]
+    // already carried this cut; the clusters path did not)
+    val pairs = mediaDupPairs(hashesOf(media).localCheckpoint(false),
+        maxHamming)
       .select($"ma", $"mb")
     graft.operators.DedupOps.clusterPairs(s, pairs)
       .select($"cluster_id", $"doc_id".as("media_id"), $"keep")

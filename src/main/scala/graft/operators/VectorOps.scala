@@ -2270,8 +2270,22 @@ object VectorOps {
       .select(least($"a_id", $"b_id").as("x"),
         greatest($"a_id", $"b_id").as("y"))
       .distinct()
-    val nt = truth.count()
-    val nf = found.count()
+    // r20 (guide §2.6): the truth scan (broadcast slice × corpus) and
+    // the found side (the cell-candidate machinery under audit) share
+    // nothing but the read-only checkpointed slice — the two counts ran
+    // sequentially; submitted from two driver threads the shorter leg
+    // back-fills the longer one's stage tails. Counts are unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val (nt, nf) =
+      try {
+        val ntFut = scala.concurrent.Future(truth.count())
+        val nfFut = scala.concurrent.Future(found.count())
+        import scala.concurrent.duration.Duration
+        (scala.concurrent.Await.result(ntFut, Duration.Inf),
+          scala.concurrent.Await.result(nfFut, Duration.Inf))
+      } finally pool.shutdown()
     Seq((auditN.toLong, nt, nf,
       if (nt == 0L) 1.0 else math.rint(nf.toDouble / nt * 1e6) / 1e6))
       .toDF("audit_n", "truth_pairs", "found_pairs", "recall")
