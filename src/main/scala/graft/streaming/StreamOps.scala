@@ -339,6 +339,13 @@ object StreamOps {
 
   /** Frozen corpus shingle set for [[contentNovelty]] — distinct shingles
     * of the historical documents table under the same shingle rule.
+    * FROZEN for real (r20, guide §5/§1.2): a stream–static join
+    * re-executes the static subtree EVERY micro-batch, so the lazy
+    * form re-scanned and re-shingled the whole corpus per batch — at N
+    * batches that is N corpus passes for one frozen set. The eager
+    * localCheckpoint materializes the set once at monitor build (the
+    * [[graft.StreamBench]] oov pipeline's documented discipline);
+    * batches read the checkpointed rows.
     */
   def noveltyCorpus(staticDocs: DataFrame): DataFrame = {
     val s = staticDocs.sparkSession
@@ -346,6 +353,7 @@ object StreamOps {
     staticDocs.select(col("text")).as[String]
       .flatMap(t => graft.operators.DedupOps.shingleSet(t).iterator)
       .toDF("s").distinct()
+      .localCheckpoint(true)
   }
 
   /** Frozen baseline for [[psiDrift]]: per event_type the bucket-count
@@ -1436,10 +1444,18 @@ object StreamOps {
   def mediaCorpusHashes(staticMedia: DataFrame): DataFrame = {
     val s = staticMedia.sparkSession
     import s.implicits._
+    // FROZEN for real (r20 — the [[noveltyCorpus]] fix, and sharper
+    // here: [[mediaDedup]] builds FOUR band buckets from this frame, so
+    // the lazy form paid the full corpus codec-decode + resample pass
+    // four times per micro-batch. Eagerly checkpointed, the per-batch
+    // bucket rebuilds (kept — that is [[mediaDedup]]'s documented
+    // nightly-refresh re-resolution seam) group a few checkpointed
+    // (codec, long) rows instead of re-decoding blobs.
     staticMedia.select(col("content")).as[Array[Byte]]
       .flatMap(b => graft.operators.Multimodal.mediaAnchors(b).toSeq
         .flatMap { case (c, hs) => hs.map((c, _)) })
       .toDF("codec", "phash_bits").distinct()
+      .localCheckpoint(true)
   }
 
   /** Per-key token bucket carried by [[rateLimit]]: milli-token balance
