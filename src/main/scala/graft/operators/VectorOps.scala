@@ -862,10 +862,17 @@ object VectorOps {
     import s.implicits._
     def ss(c: org.apache.spark.sql.Column) =
       aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+    // checkpointed (r20, guide §1.2): THREE subtrees read the live
+    // frame — the anchor broadcast build, the sims pass, and the
+    // rollup spine — and without the cut the corpus scan + dequantize
+    // + Σx² pass replayed once per subtree (only the broadcast side of
+    // the scale rollup was plan-reused). Lazy: the single downstream
+    // action materializes it in its own job.
     val live = both
       .select($"vec_id", $"vf", $"vq",
         ss($"vf").as("ssf"), ss($"vq").as("ssq"))
       .filter($"ssf" > 0.0 && $"ssq" > 0.0)
+      .localCheckpoint(false)
     val anchors = live.filter($"vec_id" % stride === 0)
       .select($"vec_id".as("q_id"), $"vf".as("af"), $"vq".as("aq"))
     // pair sims ride the CODEGEN'd expression (the hot path: |corpus| ×
@@ -937,7 +944,14 @@ object VectorOps {
     import s.implicits._
     val e = Tables(s, dir, "embeddings").select($"vec_id",
       transform($"embedding", x => x.cast("double")).as("vf"))
+    // checkpoint the projection (r20, guide §1.2): THREE consumers read
+    // it — the isEmpty gate, the per-component scale rollup, and the
+    // rep join — and without the cut the typed projection pass (the
+    // expensive per-vector basis fold) replayed once per plan subtree
+    // (before-plan: two MapPartitions over one ReusedExchange). Eager,
+    // so the isEmpty take cannot leave partitions for backfill jobs.
     val proj = pcaProjectRaw(s, dir, pcaK).select($"vec_id", $"proj")
+      .localCheckpoint(true)
     if (proj.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("q_id", "n_k", "n_overlap", "recall_at_k")
@@ -1050,8 +1064,12 @@ object VectorOps {
         zip_with($"embedding", $"scales",
           (x, sc) => dequantizeInt8(x, sc)).as("vq_int8"))
     // pca→int8 composed rep — the pcaQuantizeRecall formula, scales
-    // drawn from the SAME rule over the projected coordinates
+    // drawn from the SAME rule over the projected coordinates.
+    // Checkpointed (r20, guide §1.2, the pcaQuantizeRecall fix): the
+    // isEmpty gate, the scale rollup, and the rep join each read it,
+    // and the lazy form replayed the typed projection pass per subtree.
     val proj = pcaProjectRaw(s, dir, pcaK).select($"vec_id", $"proj")
+      .localCheckpoint(true)
     val hasPca = !proj.isEmpty
     val reps =
       if (!hasPca) int8

@@ -3096,6 +3096,48 @@ class OperatorsSpec extends SparkSpec {
     assert(uLazy == uEager, s"unigramTrain diverges:\n $uLazy\n $uEager")
   }
 
+  test("tokenizer lazy-checkpoint form schedules strictly fewer jobs " +
+    "than the eager form (the BpeExp witness, CI-enforced)") {
+    // r19 ADVICE: the lazy form's job saving silently depends on the
+    // per-round argmax action computing EVERY partition — if a plan
+    // change ever yields an incremental-scan take, LocalRDDCheckpointData
+    // backfills missing partitions with extra jobs and the saving
+    // quietly evaporates (outputs stay correct). Pin it: per training
+    // call the eager form pays one materialization job per round plus
+    // one for the final table, so lazy must undercut eager by at least
+    // the round count. Counters sample after a listener-bus settle
+    // (listener events are async).
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def jobsOf(f: => Unit): Long = {
+      Thread.sleep(200)
+      val j0 = jobs.get(); f; Thread.sleep(200); jobs.get() - j0
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // warm the table cache outside the counted windows
+      TextOps.bpeMerges(spark, sfTest).collect()
+      val k = 10 // both loops' default round count
+      val mLazy = jobsOf(TextOps.bpeMerges(spark, sfTest).collect())
+      val mEager =
+        jobsOf(TextOps.bpeMerges(spark, sfTest, eagerCkpt = true).collect())
+      assert(mLazy + k <= mEager,
+        s"bpeMerges lazy form lost its job saving: lazy=$mLazy eager=$mEager")
+      val uLazy = jobsOf(TextOps.unigramTrain(spark, sfTest).collect())
+      val uEager =
+        jobsOf(TextOps.unigramTrain(spark, sfTest, eagerCkpt = true)
+          .collect())
+      assert(uLazy < uEager,
+        s"unigramTrain lazy form lost its job saving: " +
+          s"lazy=$uLazy eager=$uEager")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("unigram-LM training matches an independent local EM recompute; " +
     "encode is hand-checkable on a synthetic corpus") {
     import spark.implicits._
