@@ -14,6 +14,14 @@ Test / fork := true
 // memory sinks — keep suites sequential in the forked JVM.
 Test / parallelExecution := false
 run / fork := true
+// Forked run output goes STRAIGHT to this process's stdout/stderr, not
+// through sbt's logger: the logger prepends "[info] " to every line it
+// relays, so no line a forked main printed — including the bench's
+// one-line JSON contract — ever reached the caller's stdout starting
+// with '{'. (A direct FileDescriptor.out write cannot escape it either:
+// the forked JVM's fd 1 IS the pipe to the logger.) StdoutOutput is
+// inherit-the-streams; the timed methodology is untouched.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
