@@ -320,13 +320,21 @@ object DedupOps {
     * below any threshold.
     */
   private def ngramInterSizes(s: SparkSession, dir: String,
-                              maxDf: Int): (DataFrame, DataFrame) = {
+                              maxDf: Int, ckptGrouped: Boolean = false)
+  : (DataFrame, DataFrame) = {
     import s.implicits._
     val sh = shingles(s, dir)
-    val grouped = sh.groupBy($"s")
+    val grouped0 = sh.groupBy($"s")
       .agg(graft.functions.BoundedCollect.boundedCollectLong(maxDf)($"doc_id")
         .as("docs"))
       .filter(size($"docs") <= maxDf)
+    // `grouped` has two consumers (pairs + sizes), so under ReuseExchange
+    // the shingle explode/shuffle runs once but the BoundedCollect FINAL
+    // aggregate replays per branch. The ckpt form persists the posting
+    // lists instead (the minhashSigs treatment) — kept behind a flag for
+    // the CcExp A/B; the default is whichever form measured faster.
+    val grouped =
+      if (ckptGrouped) grouped0.localCheckpoint(false) else grouped0
     // sizes over the FILTERED universe, so Jaccard stays a true set ratio
     val sizes = grouped.select(explode($"docs").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -337,11 +345,13 @@ object DedupOps {
     (pairs.groupBy($"da", $"db").agg(count(lit(1)).as("i")), sizes)
   }
 
-  private[operators] def ngramPairs(
+  // private[graft] (was [operators]): graft.CcExp times the pair pipeline
+  // in isolation for the CC-family attribution record
+  private[graft] def ngramPairs(
       s: SparkSession, dir: String, threshold: Double,
-      maxDf: Int): DataFrame = {
+      maxDf: Int, ckptGrouped: Boolean = false): DataFrame = {
     import s.implicits._
-    val (inter, sizes) = ngramInterSizes(s, dir, maxDf)
+    val (inter, sizes) = ngramInterSizes(s, dir, maxDf, ckptGrouped)
     // sizes is one row PER DOCUMENT — it grows with the corpus, so a
     // broadcast hint here is the same scale hazard as the vocabulary-sized
     // df table one function up (r9's own de-hint rationale applies verbatim,
@@ -1216,7 +1226,8 @@ object DedupOps {
     * the fault-tolerant checkpoint dir is the same seam.
     */
   private[graft] def clusterPairs(s: SparkSession, pairs: DataFrame,
-                                  switchRounds: Int = 20): DataFrame = {
+                                  switchRounds: Int = 20,
+                                  labelJump: Boolean = true): DataFrame = {
     import s.implicits._
     // LAZY localCheckpoint throughout: the per-round convergence-sum action
     // materializes the checkpoint in the SAME job (eager would pay a
@@ -1262,9 +1273,33 @@ object DedupOps {
     var done = prev == 0L && labels.isEmpty
     while (!done && round < switchRounds) {
       round += 1
-      val next = edges.join(labels, $"dst" === $"doc_id")
+      val hopped = edges.join(labels, $"dst" === $"doc_id")
         .select($"src".as("doc_id"), $"cluster_id")
         .union(labels)
+      // POINTER JUMP (r20): also take min with label(label(v)) — the
+      // classic pointer-doubling step. Each round the distance a label
+      // has travelled DOUBLES instead of growing by one, so the loop
+      // converges in O(log diameter) rounds instead of diameter. The
+      // fixpoint is unchanged: the jump branch only ever proposes the
+      // label of another node in the same component (labels start as
+      // component member ids and only decrease), the combined min is
+      // still monotone, and any fixpoint of the combined operator is a
+      // fixpoint of the plain edge-hop (the union includes it), which
+      // reaches the component min by the standard path argument — so
+      // row identity to the pre-r20 loop is structural, not empirical.
+      // Measured (CcExp, sf0.1): the semantic pair graph at the graded
+      // 0.4 threshold has diameter ~16 — 17 sequential one-hop rounds,
+      // ~85% of every semantic-family row's wall — while the jump form
+      // closes it in ~5 rounds. Cost: one extra cluster_id-keyed
+      // exchange of the (tiny, edge-bounded) label table per round.
+      val jumped =
+        if (!labelJump) hopped
+        else {
+          val lj = labels.toDF("jd", "jc")
+          hopped.union(labels.join(lj, $"cluster_id" === $"jd")
+            .select($"doc_id", $"jc".as("cluster_id")))
+        }
+      val next = jumped
         .repartition(width, $"doc_id")
         .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
         .localCheckpoint(false)
@@ -1273,6 +1308,9 @@ object DedupOps {
       prev = cur
       labels = next
     }
+    // measurement seam (CcExp): report the convergence round count
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"ccDebug rounds=$round jump=$labelJump nEdges=$nEdges")
     // diameter > switchRounds: hand the original (checkpointed) pair list
     // to the diameter-proof alternation instead of crawling on
     val resolved = if (done) labels else starContract(s, p)
@@ -1304,8 +1342,10 @@ object DedupOps {
     * extra per-alternation action is the price of the diameter-proof
     * bound — paid only on graphs that already defeated the fast path.
     */
-  private[operators] def starContract(s: SparkSession, pairs: DataFrame,
-                                      maxAlternations: Int = 64): DataFrame = {
+  // private[graft] (was [operators]): graft.CcExp measures the alternation
+  // head-to-head against the min-label loop for the CC attribution record
+  private[graft] def starContract(s: SparkSession, pairs: DataFrame,
+                                  maxAlternations: Int = 64): DataFrame = {
     import s.implicits._
     var edges = pairs.toDF("a", "b")
       .select(least($"a", $"b").as("lo"), greatest($"a", $"b").as("hi"))

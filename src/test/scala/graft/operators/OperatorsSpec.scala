@@ -1047,6 +1047,34 @@ class OperatorsSpec extends SparkSpec {
       (1L, 4L, false), (5L, 5L, true), (5L, 6L, false)))
   }
 
+  test("pointer-jump loop equals the plain min-label loop (r20)") {
+    import spark.implicits._
+    // Graphs chosen to stress the label-jump branch: paths with ids laid
+    // WITH and AGAINST the pointer direction, a shuffled-id path (many
+    // local-minimum basins — the regime where the jump contracts least),
+    // and a seeded random multigraph. The 40-node paths also cross the
+    // switchRounds=20 star-contraction seam for at least one form, so
+    // the equality covers the fallback path too.
+    val rnd = new scala.util.Random(7)
+    val shuffled = rnd.shuffle((0L until 60L).toVector)
+    val graphs: Seq[Seq[(Long, Long)]] = Seq(
+      (0L until 40L).map(i => (i, i + 1)),         // ascending-id path
+      (0L until 40L).map(i => (40L - i, 39L - i)), // descending-id path
+      shuffled.sliding(2).map(w => (w(0), w(1))).toSeq, // shuffled-id path
+      Seq.fill(80)((math.abs(rnd.nextLong()) % 50L,
+        math.abs(rnd.nextLong()) % 50L)).filter(p => p._1 != p._2))
+    for (g <- graphs) {
+      val pairs = g.toDF("da", "db")
+      val plain = DedupOps.clusterPairs(spark, pairs, labelJump = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sorted.toSeq
+      val jump = DedupOps.clusterPairs(spark, pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sorted.toSeq
+      assert(jump == plain && jump.nonEmpty)
+    }
+  }
+
   test("dedup clusters equal a union-find over the ngram pair list") {
     val pairs = DedupOps.ngramJaccard(spark, sfTest).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
